@@ -1,0 +1,50 @@
+"""Small shared helpers (no Ray session ownership here)."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+
+#: GDAL's Arrow export batches default to 65,536 features
+#: (ogr/ogrsf_frmts/generic/ogrlayerarrow.cpp:2078-2082 MAX_FEATURES_IN_BATCH);
+#: we adopt the same default batch size for map_batches stages.
+DEFAULT_BATCH_SIZE = 65_536
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def sf_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def read_table(sf_dir: str, name: str, columns=None, filter=None):
+    """read_parquet with column pruning + pushdown — the 'prune at the read'
+    rule; mirrors OGRLayer::SetIgnoredFields / SetAttributeFilter pushdown
+    (ogr/ogrsf_frmts/generic/ogrlayer.cpp:4945,752)."""
+    import ray.data as rd
+
+    kwargs = {}
+    if columns is not None:
+        kwargs["columns"] = list(columns)
+    if filter is not None:
+        kwargs["filter"] = filter
+    return rd.read_parquet(sf_path(sf_dir, name), **kwargs)
+
+
+def to_arrow(result) -> pa.Table:
+    """Normalise Dataset / pandas / pyarrow results to a pyarrow Table
+    (test-side helper; materializes — only for small results)."""
+    import pandas as pd
+
+    if isinstance(result, pa.Table):
+        return result
+    if isinstance(result, pd.DataFrame):
+        return pa.Table.from_pandas(result, preserve_index=False)
+    # ray.data.Dataset
+    tables = [b for b in result.iter_batches(batch_size=None, batch_format="pyarrow")]
+    if not tables:
+        return pa.table({})
+    return pa.concat_tables(tables, promote_options="permissive")

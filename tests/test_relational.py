@@ -1,0 +1,132 @@
+"""Relational operator layer vs DuckDB on the same parquet (sf0.001)."""
+
+import duckdb
+import pyarrow.compute as pc
+import pytest
+
+from gdal_ray.ops import relational as R
+from gdal_ray.util import read_table, sf_path, to_arrow
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    con = duckdb.connect()
+    for t in ["lineitem", "orders", "customer", "nation", "part", "events"]:
+        con.execute(
+            f"create view {t} as select * from read_parquet('{sf_path(sf_dir, t)}')"
+        )
+    return con
+
+
+def _sorted_df(t, by):
+    return t.to_pandas().sort_values(by).reset_index(drop=True)
+
+
+def test_groupby_agg(sf_dir, con):
+    ds = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+    out = R.groupby_agg(
+        ds,
+        ["l_returnflag"],
+        [
+            ("sum_qty", "sum", "l_quantity"),
+            ("n", "count_star", None),
+            ("avg_price", "mean", "l_extendedprice"),
+            ("min_qty", "min", "l_quantity"),
+            ("max_qty", "max", "l_quantity"),
+            ("std_qty", "std", "l_quantity"),
+        ],
+        round_to={"sum_qty": 4, "avg_price": 4, "std_qty": 4},
+    )
+    got = _sorted_df(to_arrow(out), "l_returnflag")
+    exp = con.execute(
+        """select l_returnflag, round(sum(l_quantity),4) sum_qty,
+                  count(*) n, round(avg(l_extendedprice),4) avg_price,
+                  min(l_quantity) min_qty, max(l_quantity) max_qty,
+                  round(stddev_samp(l_quantity),4) std_qty
+           from lineitem group by 1 order by 1"""
+    ).df()
+    assert got["sum_qty"].tolist() == exp["sum_qty"].tolist()
+    assert got["n"].tolist() == exp["n"].tolist()
+    assert got["avg_price"].tolist() == exp["avg_price"].tolist()
+    assert got["std_qty"].tolist() == exp["std_qty"].tolist()
+
+
+def test_global_agg(sf_dir, con):
+    ds = read_table(sf_dir, "lineitem", columns=["l_quantity"])
+    out = R.groupby_agg(
+        ds,
+        [],
+        [("s", "sum", "l_quantity"), ("n", "count_star", None), ("m", "mean", "l_quantity")],
+        round_to={"s": 4, "m": 6},
+    )
+    got = to_arrow(out).to_pandas()
+    exp = con.execute(
+        "select round(sum(l_quantity),4) s, count(*) n, round(avg(l_quantity),6) m from lineitem"
+    ).df()
+    assert len(got) == 1
+    assert got["s"][0] == exp["s"][0]
+    assert int(got["n"][0]) == int(exp["n"][0])
+    assert got["m"][0] == exp["m"][0]
+
+
+def test_topk(sf_dir, con):
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    out = R.topk(ds, [("o_totalprice", True), ("o_orderkey", False)], 15)
+    got = to_arrow(out).to_pandas()
+    exp = con.execute(
+        "select o_orderkey, o_totalprice from orders order by o_totalprice desc, o_orderkey limit 15"
+    ).df()
+    assert got["o_orderkey"].tolist() == exp["o_orderkey"].tolist()
+
+
+def test_distinct_and_count_distinct(sf_dir, con):
+    ds = read_table(sf_dir, "customer", columns=["c_mktsegment"])
+    got = sorted(to_arrow(R.distinct(ds, ["c_mktsegment"]))["c_mktsegment"].to_pylist())
+    exp = sorted(
+        x[0] for x in con.execute("select distinct c_mktsegment from customer").fetchall()
+    )
+    assert got == exp
+    ds2 = read_table(sf_dir, "lineitem", columns=["l_partkey"])
+    n = R.count_distinct(ds2, "l_partkey")
+    assert n == con.execute("select count(distinct l_partkey) from lineitem").fetchone()[0]
+
+
+def test_broadcast_join(sf_dir, con):
+    import pyarrow.parquet as pq
+
+    ds = read_table(sf_dir, "customer", columns=["c_custkey", "c_name", "c_nationkey"])
+    nation = pq.read_table(sf_path(sf_dir, "nation"))
+    out = R.broadcast_join(ds, nation, keys=["c_nationkey"], right_keys=["n_nationkey"], how="left")
+    got = _sorted_df(to_arrow(out), "c_custkey")
+    exp = con.execute(
+        """select c_custkey, c_name, c_nationkey, n_nationkey, n_name, n_regionkey
+           from customer left join nation on c_nationkey=n_nationkey order by c_custkey"""
+    ).df()
+    assert got["n_name"].tolist() == exp["n_name"].tolist()
+
+
+def test_explode_list(sf_dir):
+    import ray.data as rd
+
+    ds = rd.read_parquet(sf_path(sf_dir, "embeddings"))
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], 3)), batch_format="pyarrow"
+    )
+    out = to_arrow(
+        R.explode_list(ds, "embedding", value_name="val", pos_name="pos", keep=["vec_id"])
+    )
+    assert out.num_rows == 3 * 64
+    df = out.to_pandas()
+    assert df[df.vec_id == 0]["pos"].tolist() == list(range(1, 65))
+
+
+def test_first_by(sf_dir, con):
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    out = R.first_by(ds, ["user_id"], ["ts", "event_id"])
+    got = _sorted_df(to_arrow(out), "user_id")
+    exp = con.execute(
+        """select event_id, user_id, ts from
+             (select *, row_number() over (partition by user_id order by ts, event_id) rn
+              from events) where rn=1 order by user_id"""
+    ).df()
+    assert got["event_id"].tolist() == exp["event_id"].tolist()
