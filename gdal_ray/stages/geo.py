@@ -1,0 +1,199 @@
+"""Geo pipeline stages (map_batches callables).
+
+The stateful PIP joiner is an actor-pool stage: the broadcast polygon table
+is fetched and its STRtree built ONCE per actor in __init__ (the reference's
+"copy the method layer into memory for best performance" advice,
+ogr/ogrsf_frmts/generic/ogrlayer.cpp:5323-5325, restated for Ray); per-batch
+work is pure vectorized numpy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from gdal_ray.geo import hexcell, hilbert, s2, webmercator
+from gdal_ray.geo.pip import PolygonSet
+
+
+def add_cell_columns(
+    ds,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    *,
+    hex_res: tuple[int, ...] = (5, 9),
+    s2_level: int | None = 16,
+    tile_zooms: tuple[int, ...] = (9,),
+    hilbert_order: int | None = None,
+):
+    """H3-style hex cells, S2 cells, WebMercator tiles, hilbert key — one
+    stateless vectorized stage (the north star's 'H3/S2 cell encode')."""
+
+    def f(t: pa.Table) -> pa.Table:
+        lon = np.asarray(t[lon_col].to_numpy(zero_copy_only=False), dtype=np.float64)
+        lat = np.asarray(t[lat_col].to_numpy(zero_copy_only=False), dtype=np.float64)
+        for r in hex_res:
+            t = t.append_column(f"hex_res{r}", pa.array(hexcell.lonlat_to_cell(lon, lat, r)))
+        if s2_level is not None:
+            t = t.append_column(f"s2_l{s2_level}", pa.array(s2.lonlat_to_cell(lon, lat, s2_level)))
+        for z in tile_zooms:
+            tx, ty = webmercator.lonlat_to_tile(lon, lat, z)
+            t = t.append_column(f"tile_x_z{z}", pa.array(tx))
+            t = t.append_column(f"tile_y_z{z}", pa.array(ty))
+        if hilbert_order is not None:
+            t = t.append_column(
+                "hilbert_key", pa.array(hilbert.lonlat_hilbert(lon, lat, hilbert_order))
+            )
+        return t
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+class PIPJoiner:
+    """Point-in-polygon spatial join against a broadcast polygon table.
+
+    Semantics follow OGRLayer::Intersection for point inputs
+    (ogrlayer.cpp:5385-5800): inner join (drop unmatched) or Identity-style
+    left join (keep unmatched with null method attrs, ogrlayer.cpp:6770).
+    Attribute columns of the method (polygon) side are appended.
+    """
+
+    def __init__(self, polygons_ref, *, lon_col="lon", lat_col="lat",
+                 wkb_col="geometry", how="inner"):
+        import ray
+
+        table = ray.get(polygons_ref) if not isinstance(polygons_ref, pa.Table) else polygons_ref
+        self.attrs = table.drop_columns([wkb_col])
+        self.pset = PolygonSet(table[wkb_col].to_pylist())
+        self.lon_col, self.lat_col = lon_col, lat_col
+        self.how = how
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        lon = np.asarray(t[self.lon_col].to_numpy(zero_copy_only=False), dtype=np.float64)
+        lat = np.asarray(t[self.lat_col].to_numpy(zero_copy_only=False), dtype=np.float64)
+        qi, pi = self.pset.locate(lon, lat)
+        if self.how == "inner":
+            left = t.take(pa.array(qi))
+            for name in self.attrs.column_names:
+                left = left.append_column(name, self.attrs[name].take(pa.array(pi)))
+            return left
+        # left join: first match wins (deterministic: lowest polygon index)
+        order = np.lexsort((pi, qi))
+        qi, pi = qi[order], pi[order]
+        firsts = np.ones(qi.size, dtype=bool)
+        firsts[1:] = qi[1:] != qi[:-1]
+        qi, pi = qi[firsts], pi[firsts]
+        match_of = np.full(len(t), -1, dtype=np.int64)
+        match_of[qi] = pi
+        out = t
+        for name in self.attrs.column_names:
+            col = self.attrs[name].take(
+                pa.array(np.where(match_of >= 0, match_of, 0))
+            ).combine_chunks()
+            mask = pa.array(match_of < 0)
+            import pyarrow.compute as pc
+
+            col = pc.if_else(mask, pa.scalar(None, type=col.type), col)
+            out = out.append_column(name, col)
+        return out
+
+
+def knn_points(ds, queries: pa.Table, k: int, *, id_col="id", lon_col="lon",
+               lat_col="lat", exclude_self=True):
+    """Streaming kNN: the query points are broadcast (small side), the point
+    dataset streams through; each batch yields a partial top-k per query and
+    a final per-query merge reduces them. Only q*k rows leave each block.
+    Returns (query_id, neighbor_id, dist, rank)."""
+    import pandas as pd
+    import ray
+
+    qx = np.asarray(queries[lon_col].to_numpy(zero_copy_only=False), dtype=np.float64)
+    qy = np.asarray(queries[lat_col].to_numpy(zero_copy_only=False), dtype=np.float64)
+    qid = np.asarray(queries[id_col].to_numpy(zero_copy_only=False))
+    qref = ray.put((qx, qy, qid))
+
+    def partial(t: pa.Table) -> pa.Table:
+        QX, QY, QID = ray.get(qref)
+        x = np.asarray(t[lon_col].to_numpy(zero_copy_only=False), dtype=np.float64)
+        y = np.asarray(t[lat_col].to_numpy(zero_copy_only=False), dtype=np.float64)
+        ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False))
+        out_q, out_n, out_d = [], [], []
+        for j in range(QX.size):
+            d2 = (x - QX[j]) ** 2 + (y - QY[j]) ** 2
+            if exclude_self:
+                d2 = np.where(ids == QID[j], np.inf, d2)
+            kk = min(k, d2.size)
+            cand = np.argpartition(d2, kk - 1)[:kk]
+            out_q.append(np.full(kk, QID[j]))
+            out_n.append(ids[cand])
+            out_d.append(np.sqrt(d2[cand]))
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "neighbor_id": pa.array(np.concatenate(out_n)),
+                "dist": pa.array(np.concatenate(out_d)),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["dist", "neighbor_id"], kind="mergesort").head(k)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+class SpatialKNN:
+    """kNN of each input point against a broadcast reference point set —
+    the gridding-search semantics (radius/max-point-bounded nearest search,
+    alg/gdalgrid.cpp:257-377) as an actor-pool stage. Reference points are
+    held once per actor; per batch one vectorized distance computation.
+
+    For reference sets too big to broadcast, the scale path is
+    repartition-by-cell + per-cell trees (SURVEY.md §7.4); this stage is the
+    broadcast-side variant (queries small OR references small)."""
+
+    def __init__(self, ref_points_ref, k: int, *, id_col="id", lon_col="lon",
+                 lat_col="lat", radius: float | None = None):
+        import ray
+
+        tbl = ray.get(ref_points_ref) if not isinstance(ref_points_ref, pa.Table) else ref_points_ref
+        self.rx = np.asarray(tbl[lon_col].to_numpy(zero_copy_only=False), dtype=np.float64)
+        self.ry = np.asarray(tbl[lat_col].to_numpy(zero_copy_only=False), dtype=np.float64)
+        self.rid = np.asarray(tbl[id_col].to_numpy(zero_copy_only=False))
+        self.k = k
+        self.radius = radius
+        self.id_col = id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        lon = np.asarray(t["lon"].to_numpy(zero_copy_only=False), dtype=np.float64)
+        lat = np.asarray(t["lat"].to_numpy(zero_copy_only=False), dtype=np.float64)
+        qid = np.asarray(t[self.id_col].to_numpy(zero_copy_only=False))
+        d2 = (lon[:, None] - self.rx[None, :]) ** 2 + (lat[:, None] - self.ry[None, :]) ** 2
+        # exclude self-matches by id
+        d2[qid[:, None] == self.rid[None, :]] = np.inf
+        k = min(self.k, d2.shape[1])
+        # deterministic ordering: (distance, ref_id)
+        order = np.lexsort((np.broadcast_to(self.rid, d2.shape), d2), axis=-1)[:, :k]
+        rows_q, rows_n, rows_d, rows_r = [], [], [], []
+        dist = np.sqrt(np.take_along_axis(d2, order, axis=1))
+        for i in range(len(lon)):
+            sel = order[i]
+            d = dist[i]
+            if self.radius is not None:
+                m = d <= self.radius
+                sel, d = sel[m], d[m]
+            rows_q.append(np.full(sel.size, qid[i]))
+            rows_n.append(self.rid[sel])
+            rows_d.append(d)
+            rows_r.append(np.arange(1, sel.size + 1, dtype=np.int64))
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(rows_q)),
+                "neighbor_id": pa.array(np.concatenate(rows_n)),
+                "dist": pa.array(np.concatenate(rows_d)),
+                "rank": pa.array(np.concatenate(rows_r)),
+            }
+        )

@@ -1,0 +1,144 @@
+"""Text analysis stages for the documents table — the training-data-pipeline
+extensions (language-ID, quality scoring, token counting, fingerprinting).
+
+GDAL's per-feature string machinery (swq string ops, ogr/swq_op_general.cpp)
+is the reference precedent for per-row string functions; these stages extend
+it to corpus-analysis ops, all vectorized (Arrow RE2 kernels / numpy) inside
+map_batches over zero-copy Arrow batches.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Token = maximal run of non-whitespace. Matches the DuckDB oracle
+# length(regexp_extract_all(text, '\S+')); both engines use RE2.
+_TOKEN_RE = r"\S+"
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic
+# language-ID (deterministic; tie broken by profile order)
+LANG_PROFILES: list[tuple[str, list[str]]] = [
+    ("en", ["the", "and", "of", "to", "a", "in", "is", "that"]),
+    ("de", ["der", "die", "und", "das", "nicht", "ist", "ein"]),
+    ("fr", ["le", "la", "et", "les", "des", "est", "une"]),
+    ("es", ["el", "la", "los", "que", "es", "una", "por"]),
+    ("pt", ["o", "de", "que", "um", "uma", "com", "para"]),
+]
+
+
+def add_token_count(ds, text_col: str = "text", out: str = "n_tokens"):
+    def f(t: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(t[text_col], _TOKEN_RE), pa.int64())
+        return t.append_column(out, n)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def add_quality_metrics(ds, text_col: str = "text"):
+    """n_chars (codepoints), n_tokens, n_alpha, alpha_ratio, mean_token_len —
+    simple length/character-class quality signals, all RE2-kernel vectorized
+    and reproducible in ANSI SQL."""
+
+    def f(t: pa.Table) -> pa.Table:
+        text = t[text_col]
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+        n_tokens = pc.cast(pc.count_substring_regex(text, _TOKEN_RE), pa.int64())
+        n_alpha = pc.cast(pc.count_substring_regex(text, "[a-zA-Z]"), pa.int64())
+        nt = pc.cast(n_tokens, pa.float64())
+        safe_nt = pc.max_element_wise(nt, pa.scalar(1.0))
+        alpha_ratio = pc.round(
+            pc.divide(pc.cast(n_alpha, pa.float64()), pc.cast(pc.max_element_wise(n_chars, pa.scalar(1)), pa.float64())),
+            ndigits=6,
+        )
+        mean_tok = pc.round(pc.divide(pc.cast(n_alpha, pa.float64()), safe_nt), ndigits=6)
+        out = t
+        for name, col in [
+            ("n_chars_calc", n_chars),
+            ("n_tokens", n_tokens),
+            ("n_alpha", n_alpha),
+            ("alpha_ratio", alpha_ratio),
+            ("mean_token_len", mean_tok),
+        ]:
+            if name in out.column_names:  # idempotent when chained after add_token_count
+                out = out.drop_columns([name])
+            out = out.append_column(name, col)
+        return out
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+class LangId:
+    """Stopword-profile language-ID — an actor-pool stage: the compiled
+    per-language regexes are built ONCE per actor in __init__ (the
+    model-load-once pattern), scoring is vectorized per batch."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        # one whole-word alternation regex per language (RE2, compiled server-side)
+        self.patterns = [
+            (lang, r"\b(?:" + "|".join(words) + r")\b") for lang, words in LANG_PROFILES
+        ]
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        text = pc.utf8_lower(t[self.text_col])
+        scores = np.stack(
+            [
+                pc.count_substring_regex(text, pat)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+                for _, pat in self.patterns
+            ]
+        )  # (n_lang, n_rows)
+        best = np.argmax(scores, axis=0)  # first max wins (deterministic)
+        langs = np.array([lang for lang, _ in self.patterns])
+        pred = langs[best]
+        pred = np.where(scores.max(axis=0) == 0, "und", pred)
+        return t.append_column("lang_pred", pa.array(pred.tolist(), type=pa.string()))
+
+
+def add_fingerprint(ds, text_col: str = "text", out: str = "fp"):
+    """MD5 content fingerprint (hex) — matches the DuckDB md5() oracle.
+    Hashing is inherently per-row; done with hashlib over the utf-8 buffer
+    (cheap vs the I/O), everything around it stays Arrow."""
+
+    def f(t: pa.Table) -> pa.Table:
+        vals = t[text_col].to_pylist()
+        fps = [hashlib.md5(v.encode("utf-8")).hexdigest() if v is not None else None for v in vals]
+        return t.append_column(out, pa.array(fps, type=pa.string()))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def rolling_fingerprint(ds, text_col: str = "text", out: str = "rfp", window: int = 64):
+    """Document fingerprint via polynomial rolling hash over codepoints —
+    a cheap locality-sensitive-ish signature (min of rolling window hashes),
+    fully vectorized."""
+    B = np.uint64(1000003)
+
+    def f(t: pa.Table) -> pa.Table:
+        outv = np.zeros(len(t), dtype=np.uint64)
+        texts = t[text_col].to_pylist()
+        for i, s in enumerate(texts):
+            if not s:
+                continue
+            cp = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+            if cp.size < window:
+                h = np.uint64(0)
+                for c in cp:
+                    h = h * B + c
+                outv[i] = h
+                continue
+            # window hash h(i) = sum_j cp[i+j] * B^(w-1-j)  (mod 2^64 wraparound)
+            pw = np.ones(window, dtype=np.uint64)
+            np.multiply.accumulate(np.full(window - 1, B, dtype=np.uint64), out=pw[1:])
+            windows = np.lib.stride_tricks.sliding_window_view(cp, window)
+            with np.errstate(over="ignore"):
+                h = (windows * pw[::-1]).sum(axis=1, dtype=np.uint64)
+            outv[i] = h.min()
+        return t.append_column(out, pa.array(outv))
+
+    return ds.map_batches(f, batch_format="pyarrow")
