@@ -164,7 +164,7 @@ def groupby_agg(
                     var = (s2 - s * s / n) / (n - 1.0)
                 v = pa.array(np.sqrt(np.maximum(var, 0.0)))
             if out in round_to:
-                v = pc.round(v, ndigits=round_to[out])
+                v = pc.round(v, ndigits=round_to[out], round_mode="half_towards_infinity")
             cols[out] = v
         return pa.table(cols)
 

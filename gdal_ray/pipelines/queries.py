@@ -1,0 +1,763 @@
+"""Driver-facing query registry: one entry per implemented operator family
+(SURVEY.md §2), each with an equivalent ANSI-SQL oracle (DuckDB) where the
+op is SQL-expressible.
+
+Column-name contract: every computed/aggregate column is named identically
+in the Ray pipeline and the oracle SQL. Float aggregates are rounded
+identically on both sides (parallel summation is order-sensitive).
+
+Geo queries derive deterministic points from the events table with integer
+arithmetic replicated verbatim in SQL; the admin-boundary side uses REAL
+WKB diamond polygons + STRtree + ray-casting PIP on the Ray side, while the
+oracle expresses membership with floor() arithmetic — same function, two
+independent evaluation strategies.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from gdal_ray.ops import relational as R
+from gdal_ray.util import read_table
+
+# ---------------------------------------------------------------------------
+# deterministic event -> point derivation (mirrored in SQL)
+# ---------------------------------------------------------------------------
+
+LON_EXPR_SQL = "(((event_id * 7919) % 3600) / 10.0 - 180.0 + 0.03)"
+LAT_EXPR_SQL = "(((event_id * 104729) % 1600) / 10.0 - 80.0 + 0.04)"
+
+
+def _point_cols(t: pa.Table) -> pa.Table:
+    eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lon = ((eid * 7919) % 3600) / 10.0 - 180.0 + 0.03
+    lat = ((eid * 104729) % 1600) / 10.0 - 80.0 + 0.04
+    t = t.append_column("lon", pa.array(lon))
+    t = t.append_column("lat", pa.array(lat))
+    return t
+
+
+def events_points(sf_dir: str, columns=("event_id",)):
+    ds = read_table(sf_dir, "events", columns=list(columns))
+    return ds.map_batches(_point_cols, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# relational queries
+# ---------------------------------------------------------------------------
+
+
+def q01_tpch_groupby(sf_dir):
+    ds = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def rev(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "disc_price", pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        )
+
+    ds = ds.map_batches(rev, batch_format="pyarrow")
+    return R.groupby_agg(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        [
+            ("sum_qty", "sum", "l_quantity"),
+            ("sum_base_price", "sum", "l_extendedprice"),
+            ("sum_disc_price", "sum", "disc_price"),
+            ("avg_qty", "mean", "l_quantity"),
+            ("count_order", "count_star", None),
+        ],
+        round_to={"sum_qty": 3, "sum_base_price": 2, "sum_disc_price": 2, "avg_qty": 6},
+    )
+
+
+Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 3) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q02_filter_project(sf_dir):
+    ds = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_returnflag"],
+    )
+
+    def f(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater(t["l_quantity"], 30.0), pc.equal(t["l_returnflag"], "R"))
+        t = t.filter(m)
+        t = t.append_column(
+            "revenue", pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        )
+        return t.select(["l_orderkey", "l_linenumber", "l_quantity", "revenue"])
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+Q02_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity,
+       l_extendedprice * (1.0 - l_discount) AS revenue
+FROM lineitem WHERE l_quantity > 30 AND l_returnflag = 'R'
+"""
+
+
+def q03_join_part(sf_dir):
+    import pyarrow.parquet as pq
+
+    from gdal_ray.util import sf_path
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey", "l_extendedprice"])
+    part = pq.read_table(sf_path(sf_dir, "part"), columns=["p_partkey", "p_brand", "p_size"])
+    part = part.filter(pc.greater(part["p_size"], 25))
+    out = R.broadcast_join(ds, part, keys=["l_partkey"], right_keys=["p_partkey"], how="inner")
+    return out.map_batches(
+        lambda t: t.select(["l_orderkey", "l_partkey", "p_brand", "l_extendedprice"]),
+        batch_format="pyarrow",
+    )
+
+
+Q03_SQL = """
+SELECT l_orderkey, l_partkey, p_brand, l_extendedprice
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size > 25
+"""
+
+
+def q04_left_join(sf_dir):
+    import pyarrow.parquet as pq
+
+    from gdal_ray.util import sf_path
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = pq.read_table(sf_path(sf_dir, "customer"), columns=["c_custkey", "c_name", "c_mktsegment"])
+    out = R.broadcast_join(ds, cust, keys=["o_custkey"], right_keys=["c_custkey"], how="left")
+    return out.map_batches(
+        lambda t: t.select(["o_orderkey", "o_totalprice", "c_name", "c_mktsegment"]),
+        batch_format="pyarrow",
+    )
+
+
+Q04_SQL = """
+SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q05_global_agg(sf_dir):
+    ds = read_table(sf_dir, "lineitem", columns=["l_quantity", "l_extendedprice", "l_discount"])
+    return R.groupby_agg(
+        ds,
+        [],
+        [
+            ("sum_qty", "sum", "l_quantity"),
+            ("min_price", "min", "l_extendedprice"),
+            ("max_price", "max", "l_extendedprice"),
+            ("avg_disc", "mean", "l_discount"),
+            ("n", "count_star", None),
+            ("std_price", "std", "l_extendedprice"),
+        ],
+        round_to={"sum_qty": 3, "avg_disc": 6, "std_price": 3},
+    )
+
+
+Q05_SQL = """
+SELECT round(sum(l_quantity), 3) AS sum_qty,
+       min(l_extendedprice) AS min_price,
+       max(l_extendedprice) AS max_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS n,
+       round(stddev_samp(l_extendedprice), 3) AS std_price
+FROM lineitem
+"""
+
+
+def q06_topk(sf_dir):
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    return R.topk(ds, [("o_totalprice", True), ("o_orderkey", False)], 15)
+
+
+Q06_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 15
+"""
+
+
+def q07_distinct(sf_dir):
+    ds = read_table(sf_dir, "customer", columns=["c_mktsegment"])
+    return R.distinct(ds, ["c_mktsegment"])
+
+
+Q07_SQL = "SELECT DISTINCT c_mktsegment FROM customer"
+
+
+def q08_count_distinct(sf_dir):
+    ds = read_table(sf_dir, "lineitem", columns=["l_partkey"])
+    n = R.count_distinct(ds, "l_partkey")
+    return pa.table({"n_parts": pa.array([n], pa.int64())})
+
+
+Q08_SQL = "SELECT count(DISTINCT l_partkey) AS n_parts FROM lineitem"
+
+
+def q09_union_all(sf_dir):
+    c = read_table(sf_dir, "customer", columns=["c_name", "c_acctbal"])
+
+    def fc(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["c_acctbal"], 9000.0))
+        return pa.table(
+            {"name": t["c_name"], "acctbal": t["c_acctbal"],
+             "kind": pa.array(["customer"] * len(t), pa.string())}
+        )
+
+    s = read_table(sf_dir, "supplier", columns=["s_name", "s_acctbal"])
+
+    def fs(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["s_acctbal"], 9000.0))
+        return pa.table(
+            {"name": t["s_name"], "acctbal": t["s_acctbal"],
+             "kind": pa.array(["supplier"] * len(t), pa.string())}
+        )
+
+    return R.union_all(
+        c.map_batches(fc, batch_format="pyarrow"), s.map_batches(fs, batch_format="pyarrow")
+    )
+
+
+Q09_SQL = """
+SELECT c_name AS name, c_acctbal AS acctbal, 'customer' AS kind
+FROM customer WHERE c_acctbal > 9000
+UNION ALL
+SELECT s_name AS name, s_acctbal AS acctbal, 'supplier' AS kind
+FROM supplier WHERE s_acctbal > 9000
+"""
+
+
+def q10_expr(sf_dir):
+    ds = read_table(sf_dir, "part", columns=["p_partkey", "p_name", "p_brand", "p_size", "p_retailprice"])
+
+    def f(t: pa.Table) -> pa.Table:
+        name_prefix = pc.utf8_slice_codeunits(t["p_name"], 0, 8)
+        is_brand1 = pc.cast(pc.match_like(t["p_brand"], "Brand#1%"), pa.int32())
+        size_class = pc.if_else(
+            pc.less(t["p_size"], 10),
+            pa.scalar("small"),
+            pc.if_else(pc.less(t["p_size"], 30), pa.scalar("medium"), pa.scalar("large")),
+        )
+        price_floor = pc.cast(pc.floor(t["p_retailprice"]), pa.int64())
+        label = pc.binary_join_element_wise(t["p_brand"], size_class, pa.scalar("/"))
+        return pa.table(
+            {
+                "p_partkey": t["p_partkey"],
+                "name_prefix": name_prefix,
+                "is_brand1": is_brand1,
+                "size_class": size_class,
+                "price_floor": price_floor,
+                "label": label,
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+Q10_SQL = """
+SELECT p_partkey,
+       substr(p_name, 1, 8) AS name_prefix,
+       CAST(p_brand LIKE 'Brand#1%' AS INTEGER) AS is_brand1,
+       CASE WHEN p_size < 10 THEN 'small' WHEN p_size < 30 THEN 'medium'
+            ELSE 'large' END AS size_class,
+       CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+       p_brand || '/' || (CASE WHEN p_size < 10 THEN 'small'
+            WHEN p_size < 30 THEN 'medium' ELSE 'large' END) AS label
+FROM part
+"""
+
+
+def q11_between_in(sf_dir):
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice", "o_orderpriority"])
+
+    def f(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(
+                pc.greater_equal(t["o_totalprice"], 100000.0),
+                pc.less_equal(t["o_totalprice"], 200000.0),
+            ),
+            pc.is_in(t["o_orderpriority"], value_set=pa.array(["1-URGENT", "2-HIGH"])),
+        )
+        return t.filter(m)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+Q11_SQL = """
+SELECT o_orderkey, o_totalprice, o_orderpriority
+FROM orders
+WHERE o_totalprice BETWEEN 100000 AND 200000
+  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+"""
+
+
+def q12_explode(sf_dir):
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ds = ds.map_batches(lambda t: t.filter(pc.less(t["vec_id"], 20)), batch_format="pyarrow")
+    return R.explode_list(ds, "embedding", value_name="val", pos_name="pos", keep=["vec_id"])
+
+
+Q12_SQL = """
+SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+       unnest(embedding) AS val
+FROM embeddings WHERE vec_id < 20
+"""
+
+
+def q13_dedup_first(sf_dir):
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    return R.first_by(ds, ["user_id"], ["ts", "event_id"])
+
+
+Q13_SQL = """
+SELECT event_id, user_id, ts, event_type FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events) WHERE rn = 1
+"""
+
+
+def q14_window(sf_dir):
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+    ds = R.tumbling_window_col(ds, "ts", "window_start", 3_600_000_000)
+    return R.groupby_agg(
+        ds,
+        ["user_id", "window_start"],
+        [("n_events", "count_star", None), ("sum_value", "sum", "value")],
+        round_to={"sum_value": 6},
+    )
+
+
+Q14_SQL = """
+SELECT user_id,
+       make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# text queries
+# ---------------------------------------------------------------------------
+
+
+def q20_token_stats(sf_dir):
+    from gdal_ray.text.analysis import add_quality_metrics
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = add_quality_metrics(ds)
+    return out.map_batches(
+        lambda t: t.select(
+            ["doc_id", "n_chars_calc", "n_tokens", "n_alpha", "alpha_ratio", "mean_token_len"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+Q20_SQL = r"""
+SELECT doc_id,
+       length(text) AS n_chars_calc,
+       length(regexp_extract_all(text, '\S+')) AS n_tokens,
+       length(regexp_extract_all(text, '[a-zA-Z]')) AS n_alpha,
+       round(length(regexp_extract_all(text, '[a-zA-Z]'))
+             / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS alpha_ratio,
+       round(length(regexp_extract_all(text, '[a-zA-Z]'))
+             / greatest(CAST(length(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0), 6)
+         AS mean_token_len
+FROM documents
+"""
+
+
+def q21_lang_stats(sf_dir):
+    ds = read_table(sf_dir, "documents", columns=["lang", "source", "n_chars"])
+    base = R.groupby_agg(
+        ds,
+        ["lang"],
+        [("n_docs", "count_star", None), ("avg_chars", "mean", "n_chars")],
+        round_to={"avg_chars": 4},
+    )
+    srcs = R.distinct(ds, ["lang", "source"])
+    from ray.data.aggregate import Count
+
+    nsrc = srcs.groupby("lang").aggregate(Count(alias_name="n_sources"))
+    nsrc_t = pa.concat_tables(nsrc.iter_batches(batch_size=None, batch_format="pyarrow"))
+    nsrc_t = nsrc_t.set_column(
+        nsrc_t.schema.get_field_index("n_sources"),
+        "n_sources",
+        pc.cast(nsrc_t["n_sources"], pa.int64()),
+    )
+    return R.broadcast_join(base, nsrc_t, keys=["lang"], how="inner")
+
+
+Q21_SQL = """
+SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
+       count(DISTINCT source) AS n_sources
+FROM documents GROUP BY lang
+"""
+
+
+def q22_dedup_exact(sf_dir):
+    from gdal_ray.text.dedup import exact_dedup
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return exact_dedup(ds, "doc_id")
+
+
+Q22_SQL = "SELECT md5(text) AS fp, min(doc_id) AS doc_id FROM documents GROUP BY md5(text)"
+
+
+def q23_simhash(sf_dir):
+    from gdal_ray.text.dedup import SimHasher
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=(1, 4))
+    return out.map_batches(lambda t: t.select(["doc_id", "simhash"]), batch_format="pyarrow")
+
+
+def q24_langid(sf_dir):
+    from gdal_ray.text.analysis import LangId
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
+    return out.map_batches(lambda t: t.select(["doc_id", "lang_pred"]), batch_format="pyarrow")
+
+
+def q25_minhash_pairs(sf_dir):
+    from gdal_ray.text.dedup import exact_jaccard_pairs, minhash_candidate_pairs
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    cand = minhash_candidate_pairs(ds, "doc_id")
+    ds2 = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return exact_jaccard_pairs(ds2, cand, "doc_id", threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# embedding queries
+# ---------------------------------------------------------------------------
+
+
+def _query_vec(sf_dir, vec_id=0):
+    import pyarrow.parquet as pq
+
+    from gdal_ray.util import sf_path
+
+    t = pq.read_table(sf_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    m = pc.equal(t["vec_id"], vec_id)
+    row = t.filter(m)
+    v = np.asarray(row["embedding"].combine_chunks().flatten(), dtype=np.float64)
+    return v.reshape(1, -1)
+
+
+def q30_knn_cosine(sf_dir):
+    from gdal_ray.sim.knn import brute_force_topk
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = _query_vec(sf_dir, 0)
+    out = brute_force_topk(ds, q, np.array([0]), k=10)
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"vec_id": t["vec_id"], "score": pc.round(t["score"], ndigits=6, round_mode="half_towards_infinity")}
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+Q30_SQL = """
+WITH sims AS (
+  SELECT e2.vec_id AS vec_id,
+         list_cosine_similarity(
+             list_transform(e1.embedding, x -> CAST(x AS DOUBLE)),
+             list_transform(e2.embedding, x -> CAST(x AS DOUBLE))) AS s
+  FROM embeddings e1, embeddings e2
+  WHERE e1.vec_id = 0 AND e2.vec_id <> 0
+)
+SELECT vec_id, round(s, 6) AS score
+FROM sims ORDER BY s DESC, vec_id LIMIT 10
+"""
+
+
+def q31_vector_norms(sf_dir):
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def f(t: pa.Table) -> pa.Table:
+        n = len(t)
+        flat = np.asarray(t["embedding"].combine_chunks().flatten(), dtype=np.float64)
+        X = flat.reshape(n, -1)
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "dim": pa.array(np.full(n, X.shape[1], dtype=np.int64)),
+                "l2_norm": pa.array(np.round(np.sqrt((X * X).sum(axis=1)), 6)),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+Q31_SQL = """
+SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+       round(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+FROM embeddings
+"""
+
+
+# ---------------------------------------------------------------------------
+# geo queries
+# ---------------------------------------------------------------------------
+
+
+def q40_points_tiles(sf_dir):
+    from gdal_ray.geo.webmercator import lonlat_to_tile
+
+    ds = events_points(sf_dir)
+
+    def f(t: pa.Table) -> pa.Table:
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        tx, ty = lonlat_to_tile(lon, lat, 9)
+        t = t.append_column("tile_x", pa.array(tx))
+        t = t.append_column("tile_y", pa.array(ty))
+        return t
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+Q40_SQL = f"""
+SELECT event_id,
+       {LON_EXPR_SQL} AS lon,
+       {LAT_EXPR_SQL} AS lat,
+       CAST(floor(({LON_EXPR_SQL} + 180.0) / 360.0 * 512) AS BIGINT) AS tile_x,
+       CAST(floor((1.0 - ln(tan(radians({LAT_EXPR_SQL}))
+            + 1.0 / cos(radians({LAT_EXPR_SQL}))) / pi()) / 2.0 * 512) AS BIGINT) AS tile_y
+FROM events
+"""
+
+
+def q41_pip_admin(sf_dir):
+    import ray
+
+    from gdal_ray.pipelines.pages import admin_grid_polygons
+    from gdal_ray.stages.geo import PIPJoiner
+
+    ds = events_points(sf_dir)
+    ref = ray.put(admin_grid_polygons())
+    out = ds.map_batches(
+        PIPJoiner,
+        fn_constructor_kwargs={"polygons_ref": ref, "how": "inner"},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return out.map_batches(lambda t: t.select(["event_id", "admin_id"]), batch_format="pyarrow")
+
+
+Q41_SQL = f"""
+SELECT event_id,
+       (CAST(floor(({LON_EXPR_SQL} + {LAT_EXPR_SQL}) / 20.0) AS BIGINT) + 64) * 1000
+       + (CAST(floor(({LON_EXPR_SQL} - {LAT_EXPR_SQL}) / 20.0) AS BIGINT) + 64) AS admin_id
+FROM events
+"""
+
+
+def q42_knn_events(sf_dir):
+    from gdal_ray.stages.geo import knn_points
+
+    ds = events_points(sf_dir)
+    qt = pa.table(
+        {"event_id": pa.array(np.arange(1, 21, dtype=np.int64))}
+    )
+    qt = _point_cols(qt)
+    out = knn_points(ds, qt, k=5, id_col="event_id")
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "query_id": t["query_id"],
+                "neighbor_id": t["neighbor_id"],
+                "dist": pc.round(t["dist"], ndigits=6, round_mode="half_towards_infinity"),
+                "rank": t["rank"],
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+Q42_SQL = f"""
+WITH pts AS (
+  SELECT event_id, {LON_EXPR_SQL} AS lon, {LAT_EXPR_SQL} AS lat FROM events
+), q AS (
+  SELECT * FROM pts WHERE event_id BETWEEN 1 AND 20
+), ranked AS (
+  SELECT q.event_id AS query_id, p.event_id AS neighbor_id,
+         sqrt((q.lon - p.lon) * (q.lon - p.lon) + (q.lat - p.lat) * (q.lat - p.lat)) AS d,
+         row_number() OVER (PARTITION BY q.event_id
+             ORDER BY sqrt((q.lon - p.lon) * (q.lon - p.lon)
+                           + (q.lat - p.lat) * (q.lat - p.lat)), p.event_id) AS rank
+  FROM q JOIN pts p ON p.event_id <> q.event_id
+)
+SELECT query_id, neighbor_id, round(d, 6) AS dist, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q43_zonal_stats(sf_dir):
+    import ray
+
+    from gdal_ray.pipelines.pages import admin_grid_polygons
+    from gdal_ray.stages.geo import PIPJoiner
+
+    ds = events_points(sf_dir, columns=("event_id", "value"))
+    ref = ray.put(admin_grid_polygons())
+    joined = ds.map_batches(
+        PIPJoiner,
+        fn_constructor_kwargs={"polygons_ref": ref, "how": "inner"},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return R.groupby_agg(
+        joined,
+        ["admin_id"],
+        [
+            ("n", "count_star", None),
+            ("sum_value", "sum", "value"),
+            ("avg_value", "mean", "value"),
+            ("min_value", "min", "value"),
+            ("max_value", "max", "value"),
+        ],
+        round_to={"sum_value": 4, "avg_value": 6},
+    )
+
+
+Q43_SQL = f"""
+SELECT (CAST(floor(({LON_EXPR_SQL} + {LAT_EXPR_SQL}) / 20.0) AS BIGINT) + 64) * 1000
+       + (CAST(floor(({LON_EXPR_SQL} - {LAT_EXPR_SQL}) / 20.0) AS BIGINT) + 64) AS admin_id,
+       count(*) AS n,
+       round(sum(value), 4) AS sum_value,
+       round(avg(value), 6) AS avg_value,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM events GROUP BY 1
+"""
+
+
+def q44_cells(sf_dir):
+    from gdal_ray.stages.geo import add_cell_columns
+
+    ds = events_points(sf_dir)
+    out = add_cell_columns(ds, hex_res=(5, 9), s2_level=16, tile_zooms=())
+    return out.map_batches(
+        lambda t: t.select(["event_id", "hex_res5", "hex_res9", "s2_l16"]),
+        batch_format="pyarrow",
+    )
+
+
+def q45_tile_counts(sf_dir):
+    from gdal_ray.geo.webmercator import lonlat_to_tile
+
+    ds = events_points(sf_dir)
+
+    def f(t: pa.Table) -> pa.Table:
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        tx, ty = lonlat_to_tile(lon, lat, 9)
+        return pa.table({"tile_x": pa.array(tx), "tile_y": pa.array(ty)})
+
+    tiles = ds.map_batches(f, batch_format="pyarrow")
+    return R.groupby_agg(tiles, ["tile_x", "tile_y"], [("n", "count_star", None)])
+
+
+Q45_SQL = f"""
+SELECT CAST(floor(({LON_EXPR_SQL} + 180.0) / 360.0 * 512) AS BIGINT) AS tile_x,
+       CAST(floor((1.0 - ln(tan(radians({LAT_EXPR_SQL}))
+            + 1.0 / cos(radians({LAT_EXPR_SQL}))) / pi()) / 2.0 * 512) AS BIGINT) AS tile_y,
+       count(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+def q60_flagship_tiles(sf_dir):
+    from gdal_ray.pipelines.pages import flagship
+
+    return flagship(sf_dir, repeat=1, zoom=9, min_zoom=5, pip_concurrency=(1, 4))
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+
+def registry():
+    qs = {
+        "q01_tpch_groupby": q01_tpch_groupby,
+        "q02_filter_project": q02_filter_project,
+        "q03_join_part": q03_join_part,
+        "q04_left_join": q04_left_join,
+        "q05_global_agg": q05_global_agg,
+        "q06_topk": q06_topk,
+        "q07_distinct": q07_distinct,
+        "q08_count_distinct": q08_count_distinct,
+        "q09_union_all": q09_union_all,
+        "q10_expr": q10_expr,
+        "q11_between_in": q11_between_in,
+        "q12_explode": q12_explode,
+        "q13_dedup_first": q13_dedup_first,
+        "q14_window": q14_window,
+        "q20_token_stats": q20_token_stats,
+        "q21_lang_stats": q21_lang_stats,
+        "q22_dedup_exact": q22_dedup_exact,
+        "q23_simhash": q23_simhash,
+        "q24_langid": q24_langid,
+        "q25_minhash_pairs": q25_minhash_pairs,
+        "q30_knn_cosine": q30_knn_cosine,
+        "q31_vector_norms": q31_vector_norms,
+        "q40_points_tiles": q40_points_tiles,
+        "q41_pip_admin": q41_pip_admin,
+        "q42_knn_events": q42_knn_events,
+        "q43_zonal_stats": q43_zonal_stats,
+        "q44_cells": q44_cells,
+        "q45_tile_counts": q45_tile_counts,
+        "q60_flagship_tiles": q60_flagship_tiles,
+    }
+    sqls = {
+        "q01_tpch_groupby": Q01_SQL,
+        "q02_filter_project": Q02_SQL,
+        "q03_join_part": Q03_SQL,
+        "q04_left_join": Q04_SQL,
+        "q05_global_agg": Q05_SQL,
+        "q06_topk": Q06_SQL,
+        "q07_distinct": Q07_SQL,
+        "q08_count_distinct": Q08_SQL,
+        "q09_union_all": Q09_SQL,
+        "q10_expr": Q10_SQL,
+        "q11_between_in": Q11_SQL,
+        "q12_explode": Q12_SQL,
+        "q13_dedup_first": Q13_SQL,
+        "q14_window": Q14_SQL,
+        "q20_token_stats": Q20_SQL,
+        "q21_lang_stats": Q21_SQL,
+        "q22_dedup_exact": Q22_SQL,
+        "q30_knn_cosine": Q30_SQL,
+        "q31_vector_norms": Q31_SQL,
+        "q40_points_tiles": Q40_SQL,
+        "q41_pip_admin": Q41_SQL,
+        "q42_knn_events": Q42_SQL,
+        "q43_zonal_stats": Q43_SQL,
+        "q45_tile_counts": Q45_SQL,
+    }
+    return qs, sqls

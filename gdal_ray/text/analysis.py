@@ -50,11 +50,18 @@ def add_quality_metrics(ds, text_col: str = "text"):
         n_alpha = pc.cast(pc.count_substring_regex(text, "[a-zA-Z]"), pa.int64())
         nt = pc.cast(n_tokens, pa.float64())
         safe_nt = pc.max_element_wise(nt, pa.scalar(1.0))
+        # round_mode matches DuckDB's round() (half away from zero), so exact
+        # ratio ties like 0.8203125 -> 0.820313 agree with the SQL oracle
         alpha_ratio = pc.round(
             pc.divide(pc.cast(n_alpha, pa.float64()), pc.cast(pc.max_element_wise(n_chars, pa.scalar(1)), pa.float64())),
             ndigits=6,
+            round_mode="half_towards_infinity",
         )
-        mean_tok = pc.round(pc.divide(pc.cast(n_alpha, pa.float64()), safe_nt), ndigits=6)
+        mean_tok = pc.round(
+            pc.divide(pc.cast(n_alpha, pa.float64()), safe_nt),
+            ndigits=6,
+            round_mode="half_towards_infinity",
+        )
         out = t
         for name, col in [
             ("n_chars_calc", n_chars),
