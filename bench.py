@@ -1,0 +1,130 @@
+"""Benchmark harness (driver-run per round; also `--scaling`).
+
+Headline: the north-star flagship pipeline (pages synth -> extract ->
+cell encode -> PIP join -> tile shuffle + overview pyramid) over
+$GRAFT_SF_DIR (default /root/testdata/sf0.1) with pages scaled by
+GRAFT_PAGE_REPEAT (default 20: sf0.1 -> 100k pages).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": sec, "unit": "sec", "queries": {...},
+   "sf": ..., "num_cpus": N, "pages": N, "pages_per_sec": N}
+
+--scaling: runs the same bench in two fresh processes (num_cpus=8, 32) and
+prints both throughputs + scaling efficiency (BASELINE.md criterion:
+eff = (thr_32/thr_8)/4 >= 0.8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    repeat = int(os.environ.get("GRAFT_PAGE_REPEAT", "20"))
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import pyarrow.parquet as pq
+
+    from gdal_ray.pipelines import queries as Q
+    from gdal_ray.pipelines.pages import flagship
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    n_pages = n_docs * repeat
+
+    # warm the OS page cache so we measure compute+shuffle, not first-read I/O
+    for t in ["documents", "lineitem", "events", "embeddings"]:
+        pq.read_table(f"{sf_dir}/{t}.parquet")
+
+    t0 = time.time()
+    out = flagship(sf_dir, repeat=repeat, zoom=9, min_zoom=5)
+    n_tiles = out.count()
+    headline = time.time() - t0
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        s = time.time()
+        res = fn(sf_dir)
+        # consume: Datasets are lazy — count() drives the full pipeline
+        if hasattr(res, "count"):
+            res.count()
+        timings[name] = round(time.time() - s, 3)
+
+    timed("q01_tpch_groupby", Q.q01_tpch_groupby)
+    timed("q05_global_agg", Q.q05_global_agg)
+    timed("q13_dedup_first", Q.q13_dedup_first)
+    timed("q14_window", Q.q14_window)
+    timed("q22_dedup_exact", Q.q22_dedup_exact)
+    timed("q30_knn_cosine", Q.q30_knn_cosine)
+    timed("q41_pip_admin", Q.q41_pip_admin)
+    timed("q43_zonal_stats", Q.q43_zonal_stats)
+    timed("q44_cells", Q.q44_cells)
+    timed("q45_tile_counts", Q.q45_tile_counts)
+
+    result = {
+        "metric": "flagship pages pipeline end-to-end (synth+extract+cells+PIP+tile pyramid)",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": {"flagship": round(headline, 3), **timings},
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "pages": n_pages,
+        "tiles": n_tiles,
+        "pages_per_sec": round(n_pages / headline, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> None:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = one(8), one(32)
+    thr_lo, thr_hi = lo["pages_per_sec"], hi["pages_per_sec"]
+    eff = (thr_hi / thr_lo) / (32 / 8)
+    print(
+        json.dumps(
+            {
+                "sec_8": lo["value"],
+                "sec_32": hi["value"],
+                "pages_per_sec_8": thr_lo,
+                "pages_per_sec_32": thr_hi,
+                "scaling_efficiency": round(eff, 3),
+                "pages": hi["pages"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

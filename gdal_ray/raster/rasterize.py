@@ -1,0 +1,196 @@
+"""Rasterize (vector -> raster burn-in), replicating the reference's fill
+semantics bit-for-bit.
+
+Behavioral spec (re-implemented from scratch against the documented rules):
+* polygons: scanline even-odd fill with the PIXEL-CENTER-INSIDE rule — a
+  pixel burns iff its center (x+0.5, y+0.5) is inside the polygon
+  (alg/llrasterize.cpp:31-58 GDALdllImageFilledPolygon, libgd-derived);
+  intersections round via floor(x + 0.5), spans burn [x0, x1-1]; bottom
+  horizontal edges fill separately; top horizontal edges are skipped.
+* lines: integer Bresenham over floor(pixel) coords, burning every visited
+  in-bounds pixel, end point included only for the final segment
+  (alg/llrasterize.cpp:256-393 GDALdllImageLine).
+* points: burn trunc(pixel) (llrasterize.cpp:233-251).
+* burn values clamp to the target dtype (GDALCopyWords semantics: 256 -> 255
+  and -1 -> 0 for uint8, per autotest/alg/rasterize.py:63-80).
+* MERGE_ALG replace/add (alg/gdalrasterize.cpp options).
+
+Geometry -> pixel via the affine geotransform inverse
+(doc/source/user/raster_data_model.rst:50-53).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from gdal_ray.geo import wkb as W
+
+
+def geo_to_pixel(x: np.ndarray, y: np.ndarray, gt: tuple) -> tuple[np.ndarray, np.ndarray]:
+    """Invert the affine geotransform (general 6-term form)."""
+    g0, g1, g2, g3, g4, g5 = gt
+    det = g1 * g5 - g2 * g4
+    px = (g5 * (x - g0) - g2 * (y - g3)) / det
+    py = (-g4 * (x - g0) + g1 * (y - g3)) / det
+    return px, py
+
+
+def _fill_polygon(burn_mask: np.ndarray, rings_px: list[np.ndarray]) -> None:
+    """Even-odd scanline fill of one polygon (rings in pixel coords) into a
+    boolean mask. Vectorized over edges per scanline."""
+    h, w = burn_mask.shape
+    all_y = np.concatenate([r[:, 1] for r in rings_px])
+    miny = int(max(0.0, all_y.min()))
+    maxy = int(min(float(all_y.max()), h - 1))
+    # build edge arrays (x1,y1)-(x2,y2), ring-closed
+    ex1, ey1, ex2, ey2 = [], [], [], []
+    for r in rings_px:
+        a = r
+        if not np.array_equal(a[0], a[-1]):
+            a = np.vstack([a, a[:1]])
+        ex1.append(a[:-1, 0]); ey1.append(a[:-1, 1])
+        ex2.append(a[1:, 0]); ey2.append(a[1:, 1])
+    ex1 = np.concatenate(ex1); ey1 = np.concatenate(ey1)
+    ex2 = np.concatenate(ex2); ey2 = np.concatenate(ey2)
+    lo_y = np.minimum(ey1, ey2)
+    hi_y = np.maximum(ey1, ey2)
+    lo_x = np.where(ey1 < ey2, ex1, ex2)
+    hi_x = np.where(ey1 < ey2, ex2, ex1)
+    horizontal = ey1 == ey2
+    # bottom horizontal edges: x decreasing in ring order
+    bottom_h = horizontal & (ex1 > ex2)
+
+    for yrow in range(miny, maxy + 1):
+        dy = yrow + 0.5
+        sel = (~horizontal) & (dy >= lo_y) & (dy < hi_y)
+        if sel.any():
+            xint = (dy - lo_y[sel]) * (hi_x[sel] - lo_x[sel]) / (hi_y[sel] - lo_y[sel]) + lo_x[sel]
+            xi = np.sort(np.floor(xint + 0.5).astype(np.int64))
+            for i in range(0, xi.size - 1, 2):
+                x0, x1 = xi[i], xi[i + 1] - 1
+                if x0 <= w - 1 and x1 >= 0:
+                    burn_mask[yrow, max(x0, 0) : min(x1, w - 1) + 1] = True
+        hsel = bottom_h & (ey1 == dy)
+        if hsel.any():
+            for xa, xb in zip(ex2[hsel], ex1[hsel]):
+                x0 = int(max(np.floor(xa + 0.5), 0))
+                x1 = int(min(np.floor(xb + 0.5), w)) - 1
+                if x0 <= w - 1 and x1 >= 0:
+                    burn_mask[yrow, x0 : x1 + 1] = True
+
+
+def _burn_line(burn_mask: np.ndarray, pts_px: np.ndarray) -> None:
+    """Bresenham per segment; end point only on the final segment."""
+    h, w = burn_mask.shape
+    nseg = len(pts_px) - 1
+    for j in range(nseg):
+        x0, y0 = pts_px[j]
+        x1, y1 = pts_px[j + 1]
+        ix, iy = int(np.floor(x0)), int(np.floor(y0))
+        ix1, iy1 = int(np.floor(x1)), int(np.floor(y1))
+        dx_n, dy_n = abs(ix1 - ix), abs(iy1 - iy)
+        sx = -1 if ix > ix1 else 1
+        sy = -1 if iy > iy1 else 1
+        last = j == nseg - 1
+        if dx_n >= dy_n:
+            xerr = dy_n << 1
+            yerr = xerr - (dx_n << 1)
+            err = xerr - dx_n
+            steps = dx_n if last else dx_n - 1
+            for _ in range(steps + 1):
+                if 0 <= ix < w and 0 <= iy < h:
+                    burn_mask[iy, ix] = True
+                ix += sx
+                if err > 0:
+                    iy += sy
+                    err += yerr
+                else:
+                    err += xerr
+        else:
+            xerr = dx_n << 1
+            yerr = xerr - (dy_n << 1)
+            err = xerr - dy_n
+            steps = dy_n if last else dy_n - 1
+            for _ in range(steps + 1):
+                if 0 <= ix < w and 0 <= iy < h:
+                    burn_mask[iy, ix] = True
+                iy += sy
+                if err > 0:
+                    ix += sx
+                    err += yerr
+                else:
+                    err += xerr
+
+
+def _burn_points(burn_mask: np.ndarray, pts_px: np.ndarray) -> None:
+    h, w = burn_mask.shape
+    for x, y in pts_px:
+        if 0 <= x < w and 0 <= y < h:
+            burn_mask[int(y), int(x)] = True
+
+
+def _signed_area2(pts: np.ndarray) -> float:
+    x, y = pts[:, 0], pts[:, 1]
+    return float(np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y))
+
+
+def _geom_mask(geom, shape, gt) -> np.ndarray:
+    mask = np.zeros(shape, dtype=bool)
+
+    def px(pts):
+        x, y = geo_to_pixel(pts[:, 0], pts[:, 1], gt)
+        return np.column_stack([x, y])
+
+    kind, data = geom
+    if kind == "polygon":
+        # ring collection rule (alg/gdalrasterize.cpp GDALCollectRings...):
+        # clockwise rings keep their order, counter-clockwise are reversed
+        rings = [r if _signed_area2(r) < 0 else r[::-1] for r in data]
+        _fill_polygon(mask, [px(r) for r in rings])
+    elif kind == "linestring":
+        # linestring points are collected in REVERSE order
+        # (gdalrasterize.cpp wkbLineString branch) — affects which pixel the
+        # Bresenham tie-step lands on, and hence golden checksums
+        _burn_line(mask, px(data[::-1]))
+    elif kind == "point":
+        _burn_points(mask, px(data))
+    elif kind in ("multipolygon", "multilinestring", "multipoint", "geometrycollection"):
+        for part in data:
+            mask |= _geom_mask(part, shape, gt)
+    else:
+        raise ValueError(kind)
+    return mask
+
+
+def rasterize(
+    geoms,
+    width: int,
+    height: int,
+    geotransform: tuple,
+    burn_values,
+    *,
+    dtype=np.uint8,
+    merge: str = "replace",
+    init: float = 0,
+) -> np.ndarray:
+    """Burn geometries into a (height, width) array.
+
+    geoms: iterable of parsed geometry tuples (gdal_ray.geo.wkb) or WKB
+    bytes. burn_values: scalar or per-geometry sequence. merge: replace|add
+    (MERGE_ALG, alg/gdalrasterize.cpp)."""
+    out = np.full((height, width), init, dtype=np.float64)
+    geoms = list(geoms)
+    if np.isscalar(burn_values):
+        burn_values = [burn_values] * len(geoms)
+    for geom, bv in zip(geoms, burn_values):
+        if isinstance(geom, (bytes, bytearray)):
+            geom = W.parse_wkb(bytes(geom))
+        mask = _geom_mask(geom, (height, width), geotransform)
+        if merge == "add":
+            out[mask] += bv
+        else:
+            out[mask] = bv
+    info = np.iinfo(dtype) if np.issubdtype(dtype, np.integer) else None
+    if info is not None:
+        out = np.clip(np.floor(out + 0.5), info.min, info.max)
+    return out.astype(dtype)

@@ -1,0 +1,88 @@
+"""Rasterize / checksum / polygonize vs reference-derived goldens."""
+
+import numpy as np
+
+from gdal_ray.geo import wkb as W
+from gdal_ray.raster.checksum import checksum
+from gdal_ray.raster.polygonize import label_array, polygonize
+from gdal_ray.raster.rasterize import rasterize
+
+
+def test_checksum_byte_tif_golden():
+    """Canonical 20x20 byte.tif asserts checksum 4672 across dozens of
+    reference driver tests (autotest/ogr/ogr_shape.py etc.)."""
+    buf = open("/root/reference/autotest/gcore/data/byte.tif", "rb").read()
+    arr = np.frombuffer(buf, np.uint8, count=400, offset=8).reshape(20, 20)
+    assert checksum(arr) == 4672
+
+
+def test_rasterize_golden_6452():
+    """autotest/alg/rasterize.py:25-80 re-expressed: 100x100 uint8, GT
+    (1000,1,0,1100,0,-1), burn polygon + line with 220 -> checksum 6452;
+    256 clamps to 255; -1 clamps to 0."""
+    gt = (1000, 1, 0, 1100, 0, -1)
+    poly = W.wkt_to_geom("POLYGON((1020 1030,1020 1045,1050 1045,1050 1030,1020 1030))")
+    line = W.wkt_to_geom("LINESTRING(1000 1000, 1100 1050)")
+    band2 = rasterize([poly, line], 100, 100, gt, [220, 220])
+    assert checksum(band2) == 6452
+    band3 = rasterize([poly, line], 100, 100, gt, [256, 256])
+    assert band3.max() == 255
+    band1 = rasterize([poly, line], 100, 100, gt, [-1, -1])
+    assert band1.min() == 0 and band1.max() == 0
+
+
+def test_rasterize_merge_add():
+    gt = (0, 1, 0, 10, 0, -1)
+    p1 = W.wkt_to_geom("POLYGON((0 0,0 10,10 10,10 0,0 0))")
+    p2 = W.wkt_to_geom("POLYGON((2 2,2 8,8 8,8 2,2 2))")
+    out = rasterize([p1, p2], 10, 10, gt, [10, 5], merge="add")
+    assert out.max() == 15 and out.min() == 10
+
+
+def test_polygonize_square_and_donut():
+    a = np.zeros((6, 6), np.uint8)
+    a[1:4, 1:4] = 5
+    res = polygonize(a, nodata=0)
+    assert len(res) == 1
+    v, rings = res[0]
+    assert v == 5 and len(rings) == 1
+    xs, ys = rings[0][:, 0], rings[0][:, 1]
+    assert xs.min() == 1 and xs.max() == 4 and ys.min() == 1 and ys.max() == 4
+
+    b = np.zeros((8, 8), np.uint8)
+    b[1:6, 1:6] = 7
+    b[2:4, 2:4] = 0
+    res = {}
+    for v, rings in polygonize(b):
+        res.setdefault(int(v), []).append(rings)
+    seven = res[7][0]
+    assert len(seven) == 2  # exterior + hole
+    assert len(res[0]) == 2  # outer background + inner hole region
+
+
+def test_polygonize_connectivity():
+    c = np.zeros((4, 4), np.uint8)
+    c[1, 1] = 3
+    c[2, 2] = 3
+    assert label_array(c, 4, nodata=0).max() + 1 == 2
+    assert label_array(c, 8, nodata=0).max() + 1 == 1
+    assert len(polygonize(c, 4, nodata=0)) == 2
+    assert len(polygonize(c, 8, nodata=0)) == 1
+
+
+def test_polygonize_area_preservation():
+    rng = np.random.RandomState(4)
+    arr = rng.randint(0, 3, size=(12, 12)).astype(np.uint8)
+    polys = polygonize(arr, connectivity=4)
+
+    def ring_area2(r):
+        x, y = r[:, 0], r[:, 1]
+        return float(np.dot(x[:-1], y[1:]) - np.dot(x[1:], y[:-1]))
+
+    total = 0.0
+    for v, rings in polys:
+        # interior-on-left walking in y-down coords makes exterior rings
+        # negative and holes positive under the y-up shoelace; the signed sum
+        # over every ring of a region is minus twice its pixel area
+        total += -sum(ring_area2(r) for r in rings)
+    assert abs(total - 2 * 144.0) < 1e-9
