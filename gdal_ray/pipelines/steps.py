@@ -1,0 +1,332 @@
+"""The pipeline-step registry — Ray restatement of the `gdal vector
+pipeline read ... ! step ... ! write ...` framework (apps/gdalalg_vector_
+pipeline.cpp:144-204 step registry; apps/gdalvectorpipelinestepalgorithm.h:
+256-287 TranslateFeature flat-map protocol; §2.12 user-extension surface).
+
+A step is a factory: kwargs -> (Dataset -> Dataset). Register with
+@step("name"). `run_pipeline([("read", {...}), ("filter", {...}), ...])`
+chains them — each step is a lazy Dataset transform; Ray's streaming
+executor is the pull loop.
+
+Geometry steps operate on a WKB `geometry` column (ogc.wkb convention).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from gdal_ray.geo import wkb as W
+from gdal_ray.vector import geomfuncs as GF
+
+STEPS: dict[str, Callable[..., Callable]] = {}
+
+
+def step(name: str):
+    def deco(factory):
+        STEPS[name] = factory
+        return factory
+
+    return deco
+
+
+def run_pipeline(spec: list[tuple[str, dict[str, Any]]], ds=None):
+    """spec: ordered [(step_name, kwargs)]. First step usually 'read'."""
+    for name, kwargs in spec:
+        if name not in STEPS:
+            raise KeyError(f"unknown pipeline step {name!r}; known: {sorted(STEPS)}")
+        transform = STEPS[name](**kwargs)
+        ds = transform(ds)
+    return ds
+
+
+def map_geoms(fn):
+    """Lift a geom->geom function to a batch transform over the WKB col."""
+
+    def batch_fn(t: pa.Table) -> pa.Table:
+        geoms = [
+            None if b is None else W.geom_to_wkb(fn(W.parse_wkb(b)))
+            for b in t["geometry"].to_pylist()
+        ]
+        idx = t.schema.get_field_index("geometry")
+        return t.set_column(idx, "geometry", pa.array(geoms, pa.binary()))
+
+    return batch_fn
+
+
+# ---- sources / sinks -------------------------------------------------------
+
+
+@step("read")
+def _read(path: str, columns=None, filter=None):
+    import ray.data as rd
+
+    def run(_):
+        kw = {}
+        if columns:
+            kw["columns"] = list(columns)
+        if filter is not None:
+            kw["filter"] = filter
+        return rd.read_parquet(path, **kw)
+
+    return run
+
+
+@step("write")
+def _write(path: str, partition_cols=None, mode: str = "overwrite"):
+    def run(ds):
+        kw = {}
+        if partition_cols:
+            kw["partition_cols"] = list(partition_cols)
+        ds.write_parquet(path, **kw)
+        return ds
+
+    return run
+
+
+# ---- relational steps ------------------------------------------------------
+
+
+@step("filter")
+def _filter(expr=None, bbox=None):
+    """expr: callable(pa.Table)->BooleanArray; bbox: (minx,miny,maxx,maxy)
+    on point lon/lat columns or WKB envelope."""
+
+    def run(ds):
+        def f(t: pa.Table) -> pa.Table:
+            mask = None
+            if expr is not None:
+                mask = expr(t)
+            if bbox is not None:
+                if "lon" in t.column_names:
+                    m2 = pc.and_(
+                        pc.and_(pc.greater_equal(t["lon"], bbox[0]), pc.less_equal(t["lon"], bbox[2])),
+                        pc.and_(pc.greater_equal(t["lat"], bbox[1]), pc.less_equal(t["lat"], bbox[3])),
+                    )
+                else:
+                    keep = []
+                    for b in t["geometry"].to_pylist():
+                        x0, y0, x1, y1 = _envelope(W.parse_wkb(b))
+                        keep.append(not (x1 < bbox[0] or bbox[2] < x0 or y1 < bbox[1] or bbox[3] < y0))
+                    m2 = pa.array(keep)
+                mask = m2 if mask is None else pc.and_(mask, m2)
+            return t.filter(mask)
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    return run
+
+
+def _envelope(geom):
+    pts = GF._geom_points(geom)
+    return pts[:, 0].min(), pts[:, 1].min(), pts[:, 0].max(), pts[:, 1].max()
+
+
+@step("select")
+def _select(fields: list[str], rename: dict[str, str] | None = None):
+    def run(ds):
+        ds = ds.select_columns(list(fields))
+        if rename:
+            def f(t: pa.Table) -> pa.Table:
+                return t.rename_columns([rename.get(c, c) for c in t.column_names])
+
+            ds = ds.map_batches(f, batch_format="pyarrow")
+        return ds
+
+    return run
+
+
+@step("limit")
+def _limit(n: int):
+    return lambda ds: ds.limit(n)
+
+
+@step("sql_like")
+def _sql_like(column: str, pattern: str, ignore_case: bool = False):
+    def run(ds):
+        return ds.map_batches(
+            lambda t: t.filter(pc.match_like(t[column], pattern, ignore_case=ignore_case)),
+            batch_format="pyarrow",
+        )
+
+    return run
+
+
+# ---- geometry steps --------------------------------------------------------
+
+
+@step("make-point")
+def _make_point(x_col: str = "lon", y_col: str = "lat"):
+    """Build WKB point geometry from numeric columns (vectorized)."""
+
+    def run(ds):
+        def f(t: pa.Table) -> pa.Table:
+            lon = np.asarray(t[x_col].to_numpy(zero_copy_only=False), dtype=np.float64)
+            lat = np.asarray(t[y_col].to_numpy(zero_copy_only=False), dtype=np.float64)
+            wkbs = W.encode_points(lon, lat)
+            if "geometry" in t.column_names:
+                t = t.drop_columns(["geometry"])
+            return t.append_column("geometry", pa.array(wkbs, pa.binary()))
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    return run
+
+
+@step("reproject")
+def _reproject(dst: str = "webmercator"):
+    fwd = GF.lonlat_to_webmercator if dst == "webmercator" else GF.webmercator_to_lonlat
+
+    def run(ds):
+        return ds.map_batches(
+            map_geoms(lambda g: GF.transform_geom(g, fwd)), batch_format="pyarrow"
+        )
+
+    return run
+
+
+@step("swap-xy")
+def _swap(
+):
+    return lambda ds: ds.map_batches(map_geoms(GF.swap_xy), batch_format="pyarrow")
+
+
+@step("simplify")
+def _simplify(tolerance: float):
+    return lambda ds: ds.map_batches(
+        map_geoms(lambda g: GF.simplify(g, tolerance)), batch_format="pyarrow"
+    )
+
+
+@step("segmentize")
+def _segmentize(max_length: float):
+    return lambda ds: ds.map_batches(
+        map_geoms(lambda g: GF.segmentize(g, max_length)), batch_format="pyarrow"
+    )
+
+
+@step("buffer")
+def _buffer(distance: float):
+    return lambda ds: ds.map_batches(
+        map_geoms(lambda g: GF.buffer(g, distance)), batch_format="pyarrow"
+    )
+
+
+@step("convex-hull")
+def _hull():
+    return lambda ds: ds.map_batches(map_geoms(GF.convex_hull), batch_format="pyarrow")
+
+
+@step("clip")
+def _clip(clip_wkt: str):
+    """Clip geometries to a polygon (broadcast clip geometry), attributes
+    kept — `gdal vector clip` / ogr2ogr -clipsrc."""
+    from gdal_ray.vector.algebra import intersection_geom
+
+    clip_geom = W.wkt_to_geom(clip_wkt)
+
+    def run(ds):
+        def f(t: pa.Table) -> pa.Table:
+            keep_rows, new_geoms = [], []
+            for i, b in enumerate(t["geometry"].to_pylist()):
+                g = intersection_geom(W.parse_wkb(b), clip_geom)
+                if g is not None:
+                    keep_rows.append(i)
+                    new_geoms.append(W.geom_to_wkb(g))
+            sub = t.take(pa.array(keep_rows, pa.int64()))
+            idx = sub.schema.get_field_index("geometry")
+            return sub.set_column(idx, "geometry", pa.array(new_geoms, pa.binary()))
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    return run
+
+
+@step("explode-collections")
+def _explode_collections():
+    """1 multi-geometry row -> N single-geometry rows (flat-map)."""
+
+    def run(ds):
+        def f(t: pa.Table) -> pa.Table:
+            parents, geoms = [], []
+            for i, b in enumerate(t["geometry"].to_pylist()):
+                for g in GF.explode_collection(W.parse_wkb(b)):
+                    parents.append(i)
+                    geoms.append(W.geom_to_wkb(g))
+            sub = t.take(pa.array(parents, pa.int64()))
+            idx = sub.schema.get_field_index("geometry")
+            return sub.set_column(idx, "geometry", pa.array(geoms, pa.binary()))
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    return run
+
+
+@step("sort-hilbert")
+def _sort_hilbert(order: int = 16):
+    """Spatial sort by hilbert code of the geometry centroid — `gdal vector
+    sort` (apps/gdalalg_vector_sort.cpp:39-42)."""
+    from gdal_ray.geo.hilbert import lonlat_hilbert
+
+    def run(ds):
+        def add(t: pa.Table) -> pa.Table:
+            cents = np.array(
+                [GF.centroid(W.parse_wkb(b)) for b in t["geometry"].to_pylist()]
+            )
+            if len(cents) == 0:
+                return t.append_column("hilbert_key", pa.array([], pa.uint64()))
+            return t.append_column(
+                "hilbert_key", pa.array(lonlat_hilbert(cents[:, 0], cents[:, 1], order))
+            )
+
+        return ds.map_batches(add, batch_format="pyarrow").sort("hilbert_key")
+
+    return run
+
+
+@step("dissolve")
+def _dissolve(by: str | None = None):
+    """Group by attribute (or all) and union geometries — `gdal vector
+    dissolve` (apps/gdalalg_vector_dissolve.cpp:120). Union via iterative
+    pairwise polygon_boolean; collections for mixed types."""
+    import pandas as pd
+
+    from gdal_ray.vector.algebra import _group_rings, _mk_poly_geom, polygon_boolean
+
+    def union_group(g: pd.DataFrame) -> pd.DataFrame:
+        geoms = [W.parse_wkb(b) for b in g["geometry"]]
+        polys = [p for gm in geoms for p in ([gm] if gm[0] == "polygon" else gm[1] if gm[0] == "multipolygon" else [])]
+        if len(polys) != len(geoms):
+            merged = GF.collect(geoms)  # non-polygon mix: collect
+        else:
+            cur = [pol[1] if pol[0] == "polygon" else pol for pol in polys]
+            acc = [cur[0]]
+            for rings in cur[1:]:
+                merged_any = False
+                for i, ex in enumerate(acc):
+                    u = polygon_boolean(ex, rings, "union")
+                    if u and len(_group_rings(u)) == 1:
+                        acc[i] = _group_rings(u)[0]
+                        merged_any = True
+                        break
+                if not merged_any:
+                    acc.append(rings)
+            merged = _mk_poly_geom(acc)
+        out = g.head(1).copy()
+        out["geometry"] = [W.geom_to_wkb(merged)]
+        return out
+
+    def run(ds):
+        if by is None:
+            def addk(t: pa.Table) -> pa.Table:
+                return t.append_column("__d", pa.array(np.zeros(len(t), np.int8)))
+
+            return ds.map_batches(addk, batch_format="pyarrow").groupby("__d").map_groups(
+                union_group, batch_format="pandas"
+            )
+        return ds.groupby(by).map_groups(union_group, batch_format="pandas")
+
+    return run

@@ -1,0 +1,278 @@
+"""Per-geometry functions — the `gdal vector <step>` / OGRGeometry method
+surface (SURVEY.md §2.2), from scratch in numpy.
+
+Mappings (cites into /root/reference):
+  convex_hull     apps/gdalalg_vector_convex_hull.cpp; ogrgeometry.cpp:4449
+  simplify        apps/gdalalg_vector_simplify.cpp; ogrgeometry.cpp:6778
+  segmentize      apps/gdalalg_vector_segmentize.h:29
+  buffer          apps/gdalalg_vector_buffer.h:29 (GEOS-style round buffer,
+                  approximated with N-gon arcs; N=8 quadrant segments like
+                  GEOS' default quadrantSegments)
+  swap_xy         apps/gdalalg_vector_swap_xy.h:29-30
+  make_point      apps/gdalalg_vector_make_point.cpp
+  reproject       apps/gdalalg_vector_reproject.cpp (EPSG:4326 <->
+                  WebMercator implemented directly; the general PROJ engine
+                  is out of sandbox scope)
+  explode_collections  apps/gdalalg_vector_explode_collections.cpp
+  collect/combine apps/gdalalg_vector_combine.h:32
+  area/length/centroid  OGR_GEOM_AREA etc. (ogr/ogrfeaturequery.cpp:37)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+R_EARTH = 6378137.0  # WebMercator sphere radius
+
+
+# ---- coordinate transforms (vectorized) -----------------------------------
+
+
+def lonlat_to_webmercator(lon: np.ndarray, lat: np.ndarray):
+    x = np.radians(lon) * R_EARTH
+    y = np.log(np.tan(np.pi / 4.0 + np.radians(np.clip(lat, -85.051128779806, 85.051128779806)) / 2.0)) * R_EARTH
+    return x, y
+
+
+def webmercator_to_lonlat(x: np.ndarray, y: np.ndarray):
+    lon = np.degrees(x / R_EARTH)
+    lat = np.degrees(2.0 * np.arctan(np.exp(y / R_EARTH)) - np.pi / 2.0)
+    return lon, lat
+
+
+def transform_geom(geom, fwd):
+    """Apply a vectorized (x[], y[]) -> (x'[], y'[]) transform to a geom."""
+    kind, data = geom
+    if kind in ("point", "linestring"):
+        x, y = fwd(data[:, 0], data[:, 1])
+        return (kind, np.column_stack([x, y]))
+    if kind == "polygon":
+        return (kind, [np.column_stack(fwd(r[:, 0], r[:, 1])) for r in data])
+    return (kind, [transform_geom(p, fwd) for p in data])
+
+
+def swap_xy(geom):
+    return transform_geom(geom, lambda x, y: (y, x))
+
+
+# ---- hulls / simplify / segmentize ----------------------------------------
+
+
+def convex_hull_points(pts: np.ndarray) -> np.ndarray:
+    """Andrew's monotone chain; returns closed CCW ring."""
+    p = np.unique(pts, axis=0)
+    if len(p) <= 2:
+        return p
+    order = np.lexsort((p[:, 1], p[:, 0]))
+    p = p[order]
+
+    def half(points):
+        out = []
+        for pt in points:
+            while len(out) >= 2 and np.cross(out[-1] - out[-2], pt - out[-2]) <= 0:
+                out.pop()
+            out.append(pt)
+        return out
+
+    lower = half(p)
+    upper = half(p[::-1])
+    ring = np.array(lower[:-1] + upper[:-1])
+    return np.vstack([ring, ring[:1]])
+
+
+def _geom_points(geom) -> np.ndarray:
+    kind, data = geom
+    if kind in ("point", "linestring"):
+        return data
+    if kind == "polygon":
+        return np.vstack(data)
+    return np.vstack([_geom_points(p) for p in data])
+
+
+def convex_hull(geom):
+    ring = convex_hull_points(_geom_points(geom))
+    if len(ring) == 1:
+        return ("point", ring)
+    if len(ring) == 2:
+        return ("linestring", ring)
+    return ("polygon", [ring])
+
+
+def simplify_dp(pts: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas-Peucker (the reference's default Simplify is GEOS DP)."""
+    if len(pts) <= 2:
+        return pts
+    keep = np.zeros(len(pts), dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, len(pts) - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        a, b = pts[i], pts[j]
+        d = b - a
+        L2 = d @ d
+        seg = pts[i + 1 : j]
+        if L2 == 0:
+            dist = np.hypot(seg[:, 0] - a[0], seg[:, 1] - a[1])
+        else:
+            t = np.clip(((seg - a) @ d) / L2, 0, 1)
+            proj = a + t[:, None] * d
+            dist = np.hypot(seg[:, 0] - proj[:, 0], seg[:, 1] - proj[:, 1])
+        k = int(np.argmax(dist))
+        if dist[k] > tol:
+            m = i + 1 + k
+            keep[m] = True
+            stack.append((i, m))
+            stack.append((m, j))
+    return pts[keep]
+
+
+def simplify(geom, tol: float):
+    kind, data = geom
+    if kind == "linestring":
+        return (kind, simplify_dp(data, tol))
+    if kind == "polygon":
+        return (kind, [simplify_dp(r, tol) for r in data])
+    if kind == "point":
+        return geom
+    return (kind, [simplify(p, tol) for p in data])
+
+
+def segmentize_pts(pts: np.ndarray, max_len: float) -> np.ndarray:
+    """Densify so no segment exceeds max_len (OGRGeometry::segmentize)."""
+    out = [pts[:1]]
+    for i in range(len(pts) - 1):
+        a, b = pts[i], pts[i + 1]
+        L = float(np.hypot(*(b - a)))
+        n = max(1, int(np.ceil(L / max_len)))
+        ts = np.linspace(0, 1, n + 1)[1:]
+        out.append(a + ts[:, None] * (b - a))
+    return np.vstack(out)
+
+
+def segmentize(geom, max_len: float):
+    kind, data = geom
+    if kind == "linestring":
+        return (kind, segmentize_pts(data, max_len))
+    if kind == "polygon":
+        return (kind, [segmentize_pts(r, max_len) for r in data])
+    if kind == "point":
+        return geom
+    return (kind, [segmentize(p, max_len) for p in data])
+
+
+# ---- buffer (approximate round buffer, 8 segments/quadrant) ---------------
+
+
+def buffer_point(pt: np.ndarray, dist: float, quadsegs: int = 8):
+    ang = np.linspace(0, 2 * np.pi, 4 * quadsegs + 1)
+    ring = np.column_stack([pt[0] + dist * np.cos(ang), pt[1] + dist * np.sin(ang)])
+    return ("polygon", [ring])
+
+
+def buffer_line(pts: np.ndarray, dist: float, quadsegs: int = 8):
+    """Capsule union approximation: convex hull of per-vertex circles for
+    convex-ish lines; for general lines, a polygon built by offsetting both
+    sides (adequate for pipeline use; exact GEOS buffer out of scope)."""
+    circles = [buffer_point(p, dist, quadsegs)[1][0] for p in pts]
+    return ("polygon", [convex_hull_points(np.vstack(circles))]) if len(pts) <= 2 else _offset_buffer(pts, dist, quadsegs)
+
+
+def _offset_buffer(pts, dist, quadsegs):
+    left, right = [], []
+    for i in range(len(pts) - 1):
+        a, b = pts[i], pts[i + 1]
+        d = b - a
+        L = np.hypot(*d)
+        if L == 0:
+            continue
+        n = np.array([-d[1], d[0]]) / L * dist
+        left += [a + n, b + n]
+        right += [a - n, b - n]
+    ring = np.vstack(left + right[::-1] + [left[0]])
+    return ("polygon", [ring])
+
+
+def buffer(geom, dist: float, quadsegs: int = 8):
+    kind, data = geom
+    if kind == "point":
+        return buffer_point(data[0], dist, quadsegs)
+    if kind == "linestring":
+        return buffer_line(data, dist, quadsegs)
+    if kind == "multipoint":
+        return ("multipolygon", [buffer_point(p[1][0], dist, quadsegs) for p in data])
+    raise NotImplementedError(f"buffer of {kind}")
+
+
+# ---- measures --------------------------------------------------------------
+
+
+def area(geom) -> float:
+    kind, data = geom
+    if kind == "polygon":
+        total = 0.0
+        for i, r in enumerate(data):
+            x, y = r[:, 0], r[:, 1]
+            a = 0.5 * abs(float(np.dot(x[:-1], y[1:]) - np.dot(x[1:], y[:-1])))
+            total += a if i == 0 else -a
+        return total
+    if kind == "multipolygon":
+        return sum(area(p) for p in data)
+    return 0.0
+
+
+def length(geom) -> float:
+    kind, data = geom
+    if kind == "linestring":
+        return float(np.hypot(np.diff(data[:, 0]), np.diff(data[:, 1])).sum())
+    if kind == "polygon":
+        return sum(float(np.hypot(np.diff(r[:, 0]), np.diff(r[:, 1])).sum()) for r in data)
+    if kind in ("multilinestring", "multipolygon", "geometrycollection"):
+        return sum(length(p) for p in data)
+    return 0.0
+
+
+def centroid(geom) -> tuple[float, float]:
+    kind, data = geom
+    if kind == "point":
+        return float(data[0][0]), float(data[0][1])
+    if kind == "polygon":
+        r = data[0]
+        x, y = r[:-1, 0], r[:-1, 1]
+        xn, yn = r[1:, 0], r[1:, 1]
+        cross = x * yn - xn * y
+        a = cross.sum() / 2.0
+        if abs(a) < 1e-12:
+            return float(r[:, 0].mean()), float(r[:, 1].mean())
+        cx = ((x + xn) * cross).sum() / (6.0 * a)
+        cy = ((y + yn) * cross).sum() / (6.0 * a)
+        return float(cx), float(cy)
+    pts = _geom_points(geom)
+    return float(pts[:, 0].mean()), float(pts[:, 1].mean())
+
+
+# ---- collections -----------------------------------------------------------
+
+
+def explode_collection(geom):
+    """1 multi-geometry -> N single geometries (vector explode-collections)."""
+    kind, data = geom
+    if kind in ("multipoint", "multilinestring", "multipolygon", "geometrycollection"):
+        out = []
+        for p in data:
+            out.extend(explode_collection(p))
+        return out
+    return [geom]
+
+
+def collect(geoms):
+    """Inverse of explode (vector combine): geometries -> one collection."""
+    kinds = {g[0] for g in geoms}
+    if kinds == {"point"}:
+        return ("multipoint", list(geoms))
+    if kinds == {"linestring"}:
+        return ("multilinestring", list(geoms))
+    if kinds == {"polygon"}:
+        return ("multipolygon", list(geoms))
+    return ("geometrycollection", list(geoms))

@@ -1,0 +1,117 @@
+"""Pipeline step registry + geometry functions."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from gdal_ray.geo import wkb as W
+from gdal_ray.pipelines.steps import STEPS, run_pipeline
+from gdal_ray.util import to_arrow
+from gdal_ray.vector import geomfuncs as GF
+
+
+def _points_ds(n=100):
+    rng = np.random.RandomState(1)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "id": np.arange(n),
+                "lon": rng.uniform(-10, 10, n),
+                "lat": rng.uniform(40, 50, n),
+            }
+        )
+    )
+
+
+def test_pipeline_make_point_filter_limit(sf_dir):
+    out = run_pipeline(
+        [
+            ("read", {"path": f"{sf_dir}/events.parquet", "columns": ["event_id", "value"]}),
+            ("limit", {"n": 50}),
+        ]
+    )
+    assert to_arrow(out).num_rows == 50
+
+
+def test_make_point_and_reproject():
+    ds = _points_ds(50)
+    out = run_pipeline([("make-point", {}), ("reproject", {"dst": "webmercator"})], ds)
+    t = to_arrow(out)
+    g = W.parse_wkb(t["geometry"][0].as_py())
+    assert g[0] == "point" and abs(g[1][0][0]) > 1000  # meters now
+
+
+def test_reproject_roundtrip():
+    lon = np.array([-10.0, 0.0, 120.5])
+    lat = np.array([40.0, -85.0, 12.25])
+    x, y = GF.lonlat_to_webmercator(lon, lat)
+    lon2, lat2 = GF.webmercator_to_lonlat(x, y)
+    assert np.allclose(lon, lon2, atol=1e-9) and np.allclose(lat, lat2, atol=1e-9)
+
+
+def test_buffer_simplify_segmentize_hull():
+    line = ("linestring", np.array([[0.0, 0.0], [10.0, 0.1], [20.0, 0.0]]))
+    simp = GF.simplify(line, 0.5)
+    assert len(simp[1]) == 2  # middle point dropped
+    seg = GF.segmentize(line, 1.0)
+    assert len(seg[1]) >= 20
+    buf = GF.buffer(("point", np.array([[0.0, 0.0]])), 2.0)
+    assert abs(GF.area(buf) - np.pi * 4) / (np.pi * 4) < 0.02  # 32-gon ~ circle
+    hull = GF.convex_hull(("multipoint", [("point", np.array([[0.0, 0.0]])),
+                                          ("point", np.array([[1.0, 0.0]])),
+                                          ("point", np.array([[1.0, 1.0]])),
+                                          ("point", np.array([[0.5, 0.5]]))]))
+    assert hull[0] == "polygon" and abs(GF.area(hull) - 0.5) < 1e-12
+
+
+def test_explode_collections_step():
+    multi = W.geom_to_wkb(
+        W.wkt_to_geom("MULTIPOLYGON (((0 0,0 1,1 1,0 0)),((5 5,5 6,6 6,5 5)))")
+    )
+    single = W.geom_to_wkb(W.wkt_to_geom("POINT (9 9)"))
+    ds = rd.from_arrow(pa.table({"fid": [1, 2], "geometry": pa.array([multi, single], pa.binary())}))
+    out = to_arrow(run_pipeline([("explode-collections", {})], ds))
+    assert out.num_rows == 3
+    assert sorted(out["fid"].to_pylist()) == [1, 1, 2]
+
+
+def test_clip_step():
+    ds = _points_ds(200)
+    ds = run_pipeline([("make-point", {})], ds)
+    out = to_arrow(run_pipeline([("clip", {"clip_wkt": "POLYGON ((0 40,0 50,10 50,10 40,0 40))"})], ds))
+    assert 0 < out.num_rows < 200
+    for b in out["geometry"].to_pylist():
+        g = W.parse_wkb(b)
+        assert 0 <= g[1][0][0] <= 10
+
+
+def test_sort_hilbert_step():
+    ds = _points_ds(100)
+    ds = run_pipeline([("make-point", {})], ds)
+    out = to_arrow(run_pipeline([("sort-hilbert", {})], ds))
+    keys = out["hilbert_key"].to_pylist()
+    assert keys == sorted(keys)
+
+
+def test_dissolve_step():
+    polys = [
+        W.geom_to_wkb(W.wkt_to_geom("POLYGON ((0 0,0 2,2 2,2 0,0 0))")),
+        W.geom_to_wkb(W.wkt_to_geom("POLYGON ((1 0,1 2,3 2,3 0,1 0))")),
+        W.geom_to_wkb(W.wkt_to_geom("POLYGON ((10 10,10 11,11 11,11 10,10 10))")),
+    ]
+    ds = rd.from_arrow(
+        pa.table({"grp": ["a", "a", "a"], "geometry": pa.array(polys, pa.binary())})
+    )
+    out = to_arrow(run_pipeline([("dissolve", {"by": "grp"})], ds))
+    assert out.num_rows == 1
+    g = W.parse_wkb(out["geometry"][0].as_py())
+    assert g[0] == "multipolygon" and abs(GF.area(g) - (6.0 + 1.0)) < 1e-9
+
+
+def test_registry_complete():
+    for name in ["read", "write", "filter", "select", "limit", "make-point",
+                 "reproject", "swap-xy", "simplify", "segmentize", "buffer",
+                 "convex-hull", "clip", "explode-collections", "sort-hilbert",
+                 "dissolve", "sql_like"]:
+        assert name in STEPS
