@@ -17,6 +17,10 @@ from typing import Any
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from gdal_ray.util import tune_data_context
+
+tune_data_context()
+
 
 def entry() -> Any:
     """Flagship north-star pipeline on sf0.001: synthesize Common-Crawl-style

@@ -21,13 +21,12 @@ Scale design (100 TB rules):
 
 from __future__ import annotations
 
-from typing import Iterable, Sequence
+from typing import Sequence
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from gdal_ray.util import DEFAULT_BATCH_SIZE
 
 # ---------------------------------------------------------------------------
 # groupby_agg: two-level distributed aggregation
@@ -80,7 +79,9 @@ def groupby_agg(
     specs: Sequence[tuple[str, str, str | None]],
     *,
     round_to: dict[str, int] | None = None,
-    batch_size: int = DEFAULT_BATCH_SIZE,
+    batch_size: int | None = None,
+    shuffle_partitions: int = 8,
+    merge: str = "tree",
 ):
     """Distributed GROUP BY with partial (combiner) aggregation.
 
@@ -90,6 +91,14 @@ def groupby_agg(
     round_to: {out_name: ndigits} applied to float outputs (both sides of an
     oracle comparison must round identically — parallel float summation is
     order-sensitive).
+
+    merge="tree" (default): after the per-batch combiner, partials are
+    merged with a pure-Arrow tree reduce (repartition -> pyarrow group_by
+    per block -> single final merge). All aggregates here are algebraic, so
+    this is exact, and it avoids Ray's sort-based Aggregate entirely (which
+    costs seconds of fixed overhead per call). Valid while the DISTINCT KEY
+    SET fits one block (~10M keys); for larger cardinality pass
+    merge="shuffle" to use Ray's hash/sort aggregate.
     """
     from ray.data.aggregate import Count, Max, Min, Sum
 
@@ -128,19 +137,43 @@ def groupby_agg(
 
     partial_ds = ds.map_batches(combine, batch_format="pyarrow", batch_size=batch_size)
 
-    # second level: merge partials (tiny — one row per key per block)
-    merge_aggs = []
+    # merge function for partial columns (all algebraic): sum/count -> sum,
+    # min -> min, max -> max
+    merge_plan = []
     for col, fn in partials:
         pname = f"{col}__{fn}"
-        if fn in ("sum", "count"):
-            merge_aggs.append(Sum(pname, alias_name=pname))
-        elif fn == "min":
-            merge_aggs.append(Min(pname, alias_name=pname))
-        elif fn == "max":
-            merge_aggs.append(Max(pname, alias_name=pname))
-    merged = partial_ds.groupby(global_key).aggregate(*merge_aggs)
+        merge_plan.append((pname, "sum" if fn in ("sum", "count") else fn))
 
-    out_names = [out for out, _, _ in specs]
+    if merge == "tree":
+        def merge_batch(t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return t
+            out = t.group_by(global_key, use_threads=False).aggregate(merge_plan)
+            names = []
+            for name in out.column_names:
+                for pname, mfn in merge_plan:
+                    if name == f"{pname}_{mfn}":
+                        name = pname
+                        break
+                names.append(name)
+            return out.rename_columns(names)
+
+        merged = (
+            partial_ds.repartition(shuffle_partitions)
+            .map_batches(merge_batch, batch_format="pyarrow", batch_size=None)
+            .repartition(1)
+            .map_batches(merge_batch, batch_format="pyarrow", batch_size=None)
+        )
+    else:
+        merge_aggs = []
+        for pname, mfn in merge_plan:
+            if mfn == "sum":
+                merge_aggs.append(Sum(pname, alias_name=pname))
+            elif mfn == "min":
+                merge_aggs.append(Min(pname, alias_name=pname))
+            elif mfn == "max":
+                merge_aggs.append(Max(pname, alias_name=pname))
+        merged = partial_ds.repartition(shuffle_partitions).groupby(global_key).aggregate(*merge_aggs)
 
     def finalize(t: pa.Table) -> pa.Table:
         cols = {}
@@ -168,7 +201,7 @@ def groupby_agg(
             cols[out] = v
         return pa.table(cols)
 
-    return merged.map_batches(finalize, batch_format="pyarrow")
+    return merged.map_batches(finalize, batch_format="pyarrow", batch_size=None)
 
 
 # ---------------------------------------------------------------------------
@@ -185,8 +218,9 @@ def topk(ds, sort_cols: Sequence[tuple[str, bool]], k: int):
     def partial(df):
         return df.sort_values(by, ascending=asc, kind="mergesort").head(k)
 
-    reduced = ds.map_batches(partial, batch_format="pandas")
-    return reduced.sort(by, descending=[d for _, d in sort_cols]).limit(k)
+    # final merge over <= num_blocks*k rows in a single task — no Ray sort
+    reduced = ds.map_batches(partial, batch_format="pandas", batch_size=None).repartition(1)
+    return reduced.map_batches(partial, batch_format="pandas", batch_size=None)
 
 
 # ---------------------------------------------------------------------------
@@ -202,13 +236,13 @@ def distinct(ds, cols: Sequence[str]):
     def batch_distinct(t: pa.Table) -> pa.Table:
         return t.select(cols).group_by(cols, use_threads=False).aggregate([])
 
-    reduced = ds.map_batches(batch_distinct, batch_format="pyarrow")
-    from ray.data.aggregate import Count
-
-    out = reduced.groupby(cols if len(cols) > 1 else cols[0]).aggregate(
-        Count(alias_name="__n")
+    # tree distinct: per-block distinct, then one final distinct pass —
+    # survivors are bounded by the true distinct count
+    return (
+        ds.map_batches(batch_distinct, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(batch_distinct, batch_format="pyarrow", batch_size=None)
     )
-    return out.select_columns(cols)
 
 
 def count_distinct(ds, col: str) -> int:
@@ -261,7 +295,37 @@ def broadcast_join(
         r = ray.get(ref)
         return batch.join(r, keys=keys, right_keys=right_keys, join_type=join_type)
 
-    return ds.map_batches(join_batch, batch_format="pyarrow")
+    return ds.map_batches(join_batch, batch_format="pyarrow", batch_size=None)
+
+
+def semi_anti_join(ds, keys: Sequence[str], key_set, *, anti: bool = False):
+    """Semi/anti join by broadcast key set (ray guide pattern: broadcast the
+    key set, filter inside map_batches — no shuffle). key_set: pa.Table with
+    the key columns, or an iterable of tuples/scalars."""
+    import ray
+
+    keys = list(keys)
+    if isinstance(key_set, pa.Table):
+        if len(keys) == 1:
+            vals = set(key_set[keys[0]].to_pylist())
+        else:
+            vals = set(zip(*[key_set[k].to_pylist() for k in keys]))
+    else:
+        vals = set(key_set)
+    ref = ray.put(vals)
+
+    def f(t: pa.Table) -> pa.Table:
+        s = ray.get(ref)
+        if len(keys) == 1:
+            mask = pc.is_in(t[keys[0]], value_set=pa.array(sorted(s)))
+        else:
+            rows = list(zip(*[t[k].to_pylist() for k in keys]))
+            mask = pa.array([r in s for r in rows])
+        if anti:
+            mask = pc.invert(pc.fill_null(mask, False))
+        return t.filter(mask)
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
 
 
 # ---------------------------------------------------------------------------
@@ -286,7 +350,7 @@ def explode_list(ds, list_col: str, *, value_name: str, pos_name: str, keep: Seq
         cols[value_name] = pc.list_flatten(col)
         return pa.table(cols)
 
-    return ds.map_batches(explode, batch_format="pyarrow")
+    return ds.map_batches(explode, batch_format="pyarrow", batch_size=None)
 
 
 # ---------------------------------------------------------------------------
@@ -307,9 +371,9 @@ def first_by(ds, group_keys: Sequence[str], order_cols: Sequence[str]):
             group_keys, keep="first"
         )
 
-    reduced = ds.map_batches(winners, batch_format="pandas")
-    key = group_keys if len(group_keys) > 1 else group_keys[0]
-    return reduced.groupby(key).map_groups(winners, batch_format="pandas")
+    # winners-of-winners in one final task (rows bounded by #groups)
+    reduced = ds.map_batches(winners, batch_format="pandas", batch_size=None).repartition(1)
+    return reduced.map_batches(winners, batch_format="pandas", batch_size=None)
 
 
 # ---------------------------------------------------------------------------
@@ -335,4 +399,4 @@ def tumbling_window_col(ds, ts_col: str, out_col: str, size_us: int):
         w = pc.cast(w, pa.int64())
         return t.append_column(out_col, pc.cast(w, pa.timestamp("us")))
 
-    return ds.map_batches(add, batch_format="pyarrow")
+    return ds.map_batches(add, batch_format="pyarrow", batch_size=None)

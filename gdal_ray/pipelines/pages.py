@@ -75,27 +75,40 @@ def synthesize_pages(sf_dir: str, repeat: int = 1, *, concurrency=None):
     without external data (bench knob)."""
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    # default read splitting keeps the scan parallel (single-row-group files
+    # cannot be split by override_num_blocks); each tiny doc block expands
+    # `repeat`-fold inside gen, so downstream stages see full-size batches
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+
+    def fmt6(x: np.ndarray) -> pa.Array:
+        """Vectorized fixed-6-decimal formatting (Arrow kernels, no Python
+        per-row work): sign + int part + '.' + zero-padded micro part."""
+        v = np.round(np.abs(x) * 1e6).astype(np.int64)
+        ip = pc.cast(pa.array(v // 1_000_000), pa.string())
+        fp = pc.utf8_lpad(pc.cast(pa.array(v % 1_000_000), pa.string()), 6, "0")
+        sign = pa.array(np.where(x < 0, "-", ""), pa.string())
+        return pc.binary_join_element_wise(sign, ip, ".", fp, "")
 
     def gen(t: pa.Table) -> pa.Table:
         doc_id = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        n = len(doc_id)
-        doc_text = t["text"].to_pylist()
-        lang = t["lang"].to_pylist()
         out_tables = []
+        join = pc.binary_join_element_wise
         for j in range(repeat):
             page_id = doc_id * repeat + j
             lon, lat = page_coords(page_id)
-            urls = [f"https://site{p % 997}.example/p/{p}" for p in page_id]
-            geo = [f"[geo:{la:.6f},{lo:.6f}]" for la, lo in zip(lat, lon)]
-            texts = [f"{dt} {g}" for dt, g in zip(doc_text, geo)]
-            htmls = [
-                (
-                    f'<html><head><meta name="geo.position" content="{la:.6f};{lo:.6f}">'
-                    f"</head><body><p>{tx}</p></body></html>"
-                ).encode("utf-8")
-                for la, lo, tx in zip(lat, lon, texts)
-            ]
+            pid_s = pc.cast(pa.array(page_id), pa.string())
+            site_s = pc.cast(pa.array(page_id % 997), pa.string())
+            urls = join("https://site", site_s, ".example/p/", pid_s, "")
+            lat_s, lon_s = fmt6(lat), fmt6(lon)
+            geo = join("[geo:", lat_s, ",", lon_s, "]", "")
+            texts = join(t["text"], geo, " ")
+            htmls = join(
+                '<html><head><meta name="geo.position" content="',
+                lat_s, ";", lon_s,
+                '"></head><body><p>', texts, "</p></body></html>", "",
+            )
             ts = pa.array(
                 np.int64(1767225600_000000) + page_id * np.int64(1_000_000),
                 type=pa.int64(),
@@ -103,17 +116,20 @@ def synthesize_pages(sf_dir: str, repeat: int = 1, *, concurrency=None):
             out_tables.append(
                 pa.table(
                     {
-                        "url": pa.array(urls, pa.string()),
+                        "url": urls,
                         "warc_ts": ts,
-                        "html": pa.array(htmls, pa.binary()),
-                        "text": pa.array(texts, pa.string()),
-                        "lang": pa.array(lang, pa.string()),
+                        "html": pc.cast(htmls, pa.binary()),
+                        "text": texts,
+                        "lang": t["lang"],
                     }
                 )
             )
         return pa.concat_tables(out_tables)
 
-    return ds.map_batches(gen, batch_format="pyarrow", batch_size=8192)
+    # batch_size=None: one task per input block. A row-count batch_size here
+    # makes Ray BUNDLE the small doc blocks into a handful of giant tasks
+    # and serializes the whole fused downstream chain (observed: load 4/32).
+    return ds.map_batches(gen, batch_format="pyarrow", batch_size=None)
 
 
 _META_RE = r'<meta name="geo\.position" content="(?P<glat>-?[0-9.]+);(?P<glon>-?[0-9.]+)">'
@@ -146,7 +162,7 @@ def extract_stage(ds, *, check: bool = True):
         # project away the heavy payload before any shuffle (SURVEY §7.5.6)
         return t.drop_columns(["html", "extracted_text"])
 
-    return ds.map_batches(f, batch_format="pyarrow")
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
 
 
 def admin_grid_polygons() -> pa.Table:
@@ -187,24 +203,22 @@ def flagship(sf_dir: str, *, repeat: int = 1, zoom: int = 9, min_zoom: int = 5,
     in (column `zoom`)."""
     import ray
 
-    if pip_concurrency is None:
-        # leave headroom for the read + shuffle stages: an actor pool whose
-        # max equals the session CPU count starves the upstream read and
-        # deadlocks the streaming executor (observed live)
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-        pip_concurrency = (1, max(1, cpus - 2))
+    from gdal_ray.stages.geo import pip_join_fn
+
     pages = synthesize_pages(sf_dir, repeat=repeat)
     pages = extract_stage(pages, check=True)
+    # project early (SetIgnoredFields discipline, SURVEY §7.5.6): after the
+    # byte-identity check only the coordinates feed the join/shuffle — the
+    # text payload must not ride through every downstream block
+    pages = pages.select_columns(["lat", "lon"])
     pages = add_cell_columns(
         pages, hex_res=(5, 9), s2_level=16, tile_zooms=(zoom,), hilbert_order=None
     )
     admin_ref = ray.put(admin_grid_polygons())
+    # stateless tasks + per-worker PolygonSet cache: elastic, no actor-spawn
+    # latency; the polygon table is broadcast once via the object store
     joined = pages.map_batches(
-        PIPJoiner,
-        fn_constructor_kwargs={"polygons_ref": admin_ref, "how": "left"},
-        batch_format="pyarrow",
-        concurrency=pip_concurrency,
-    )
+        pip_join_fn(admin_ref, how="left"), batch_format="pyarrow", batch_size=None)
     # tile shuffle: two-level aggregate; the combiner collapses each block to
     # one row per tile, so the hot-cell skew never ships raw rows.
     # materialize() pins the base aggregate (small: one row per z-level tile,
@@ -231,8 +245,7 @@ def flagship(sf_dir: str, *, repeat: int = 1, zoom: int = 9, min_zoom: int = 5,
 
     levels = [base.map_batches(
         lambda t, z=zoom: stamp(t, z, f"tile_x_z{zoom}", f"tile_y_z{zoom}"),
-        batch_format="pyarrow",
-    )]
+        batch_format="pyarrow", batch_size=None,)]
     # hierarchical overview reduce: z -> z-1 built from the previous level's
     # aggregates only (never re-reads pages) — gdal raster tile's overview
     # construction restated (one overview tile from <=4 finer tiles)
@@ -249,7 +262,7 @@ def flagship(sf_dir: str, *, repeat: int = 1, zoom: int = 9, min_zoom: int = 5,
             )
 
         parent = groupby_agg(
-            prev.map_batches(shift, batch_format="pyarrow"),
+            prev.map_batches(shift, batch_format="pyarrow", batch_size=None),
             ["tile_x", "tile_y"],
             [("n_pages", "sum", "n_pages"), ("n_admins", "sum", "n_admins")],
         )
@@ -263,8 +276,7 @@ def flagship(sf_dir: str, *, repeat: int = 1, zoom: int = 9, min_zoom: int = 5,
                     "n_admins": pc.cast(t["n_admins"], pa.int64()),
                 }
             ),
-            batch_format="pyarrow",
-        ).materialize()  # tiny; keeps each level single-execution under union
+            batch_format="pyarrow", batch_size=None,).materialize()  # tiny; keeps each level single-execution under union
         levels.append(lvl)
         prev = lvl
     out = levels[0]

@@ -41,7 +41,7 @@ def _point_cols(t: pa.Table) -> pa.Table:
 
 def events_points(sf_dir: str, columns=("event_id",)):
     ds = read_table(sf_dir, "events", columns=list(columns))
-    return ds.map_batches(_point_cols, batch_format="pyarrow")
+    return ds.map_batches(_point_cols, batch_format="pyarrow", batch_size=None)
 
 
 # ---------------------------------------------------------------------------
@@ -61,7 +61,7 @@ def q01_tpch_groupby(sf_dir):
             "disc_price", pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
         )
 
-    ds = ds.map_batches(rev, batch_format="pyarrow")
+    ds = ds.map_batches(rev, batch_format="pyarrow", batch_size=None)
     return R.groupby_agg(
         ds,
         ["l_returnflag", "l_linestatus"],
@@ -101,7 +101,7 @@ def q02_filter_project(sf_dir):
         )
         return t.select(["l_orderkey", "l_linenumber", "l_quantity", "revenue"])
 
-    return ds.map_batches(f, batch_format="pyarrow")
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
 
 
 Q02_SQL = """
@@ -122,8 +122,7 @@ def q03_join_part(sf_dir):
     out = R.broadcast_join(ds, part, keys=["l_partkey"], right_keys=["p_partkey"], how="inner")
     return out.map_batches(
         lambda t: t.select(["l_orderkey", "l_partkey", "p_brand", "l_extendedprice"]),
-        batch_format="pyarrow",
-    )
+        batch_format="pyarrow", batch_size=None,)
 
 
 Q03_SQL = """
@@ -143,8 +142,7 @@ def q04_left_join(sf_dir):
     out = R.broadcast_join(ds, cust, keys=["o_custkey"], right_keys=["c_custkey"], how="left")
     return out.map_batches(
         lambda t: t.select(["o_orderkey", "o_totalprice", "c_name", "c_mktsegment"]),
-        batch_format="pyarrow",
-    )
+        batch_format="pyarrow", batch_size=None,)
 
 
 Q04_SQL = """
@@ -229,7 +227,7 @@ def q09_union_all(sf_dir):
         )
 
     return R.union_all(
-        c.map_batches(fc, batch_format="pyarrow"), s.map_batches(fs, batch_format="pyarrow")
+        c.map_batches(fc, batch_format="pyarrow", batch_size=None), s.map_batches(fs, batch_format="pyarrow", batch_size=None)
     )
 
 
@@ -266,7 +264,7 @@ def q10_expr(sf_dir):
             }
         )
 
-    return ds.map_batches(f, batch_format="pyarrow")
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
 
 
 Q10_SQL = """
@@ -295,7 +293,7 @@ def q11_between_in(sf_dir):
         )
         return t.filter(m)
 
-    return ds.map_batches(f, batch_format="pyarrow")
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
 
 
 Q11_SQL = """
@@ -308,7 +306,7 @@ WHERE o_totalprice BETWEEN 100000 AND 200000
 
 def q12_explode(sf_dir):
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    ds = ds.map_batches(lambda t: t.filter(pc.less(t["vec_id"], 20)), batch_format="pyarrow")
+    ds = ds.map_batches(lambda t: t.filter(pc.less(t["vec_id"], 20)), batch_format="pyarrow", batch_size=None)
     return R.explode_list(ds, "embedding", value_name="val", pos_name="pos", keep=["vec_id"])
 
 
@@ -356,6 +354,107 @@ FROM events GROUP BY 1, 2
 # ---------------------------------------------------------------------------
 
 
+def q15_semi_join(sf_dir):
+    """Customers WITH at least one order (semi join via broadcast key set)."""
+    import pyarrow.parquet as pq
+
+    from gdal_ray.util import sf_path
+
+    ds = read_table(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"])
+    orders = pq.read_table(sf_path(sf_dir, "orders"), columns=["o_custkey"])
+    return R.semi_anti_join(ds, ["c_custkey"], set(orders["o_custkey"].to_pylist()))
+
+
+Q15_SQL = """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+"""
+
+
+def q16_anti_join(sf_dir):
+    """Parts whose key collides with no supplier key (anti join; the
+    supplier key set is tiny so the result is never empty)."""
+    import pyarrow.parquet as pq
+
+    from gdal_ray.util import sf_path
+
+    ds = read_table(sf_dir, "part", columns=["p_partkey", "p_name"])
+    sup = pq.read_table(sf_path(sf_dir, "supplier"), columns=["s_suppkey"])
+    return R.semi_anti_join(
+        ds, ["p_partkey"], set(sup["s_suppkey"].to_pylist()), anti=True
+    )
+
+
+Q16_SQL = """
+SELECT p_partkey, p_name FROM part
+WHERE p_partkey NOT IN (SELECT s_suppkey FROM supplier)
+"""
+
+
+def q17_zonal_mode(sf_dir):
+    """Zonal minority/majority/variety (alg/zonal.cpp:661-701 stat set) on
+    the diamond-cell zones over event_type."""
+    import pandas as pd
+
+    ds = events_points(sf_dir, columns=("event_id", "event_type"))
+
+    def zone(t: pa.Table) -> pa.Table:
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        u = np.floor((lon + lat) / 20.0).astype(np.int64)
+        v = np.floor((lon - lat) / 20.0).astype(np.int64)
+        return t.append_column("admin_id", pa.array((u + 64) * 1000 + (v + 64)))
+
+    zoned = ds.map_batches(zone, batch_format="pyarrow", batch_size=None)
+
+    # two-level: per-batch (zone, type) counts, then per-zone mode stats
+    def part(t: pa.Table) -> pa.Table:
+        df = t.select(["admin_id", "event_type"]).to_pandas()
+        g = df.groupby(["admin_id", "event_type"], sort=False).size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = zoned.map_batches(part, batch_format="pyarrow", batch_size=None).repartition(1)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.groupby(["admin_id", "event_type"], sort=False)["n"].sum().reset_index()
+        rows = []
+        for zid, g in df.groupby("admin_id", sort=True):
+            g = g.sort_values(["n", "event_type"], ascending=[False, True], kind="mergesort")
+            rows.append(
+                (
+                    zid,
+                    g["event_type"].iloc[0],                 # majority (ties: lexical)
+                    g["event_type"].iloc[-1],                # minority
+                    len(g),                                  # variety
+                )
+            )
+        return pd.DataFrame(rows, columns=["admin_id", "majority", "minority", "variety"])
+
+    return counts.map_batches(finish, batch_format="pandas", batch_size=None)
+
+
+Q17_SQL = f"""
+WITH zoned AS (
+  SELECT (CAST(floor(({LON_EXPR_SQL} + {LAT_EXPR_SQL}) / 20.0) AS BIGINT) + 64) * 1000
+         + (CAST(floor(({LON_EXPR_SQL} - {LAT_EXPR_SQL}) / 20.0) AS BIGINT) + 64) AS admin_id,
+         event_type
+  FROM events
+), counts AS (
+  SELECT admin_id, event_type, count(*) AS n FROM zoned GROUP BY 1, 2
+), ranked AS (
+  SELECT admin_id, event_type, n,
+         row_number() OVER (PARTITION BY admin_id ORDER BY n DESC, event_type) AS maj_rank,
+         row_number() OVER (PARTITION BY admin_id ORDER BY n, event_type DESC) AS min_rank
+  FROM counts
+)
+SELECT z.admin_id,
+       max(CASE WHEN maj_rank = 1 THEN event_type END) AS majority,
+       max(CASE WHEN min_rank = 1 THEN event_type END) AS minority,
+       CAST(count(*) AS BIGINT) AS variety
+FROM ranked z GROUP BY z.admin_id
+"""
+
+
 def q20_token_stats(sf_dir):
     from gdal_ray.text.analysis import add_quality_metrics
 
@@ -365,8 +464,7 @@ def q20_token_stats(sf_dir):
         lambda t: t.select(
             ["doc_id", "n_chars_calc", "n_tokens", "n_alpha", "alpha_ratio", "mean_token_len"]
         ),
-        batch_format="pyarrow",
-    )
+        batch_format="pyarrow", batch_size=None,)
 
 
 Q20_SQL = r"""
@@ -425,16 +523,16 @@ def q23_simhash(sf_dir):
     from gdal_ray.text.dedup import SimHasher
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    out = ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=(1, 4))
-    return out.map_batches(lambda t: t.select(["doc_id", "simhash"]), batch_format="pyarrow")
+    out = ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=(1, 4), batch_size=None)
+    return out.map_batches(lambda t: t.select(["doc_id", "simhash"]), batch_format="pyarrow", batch_size=None)
 
 
 def q24_langid(sf_dir):
     from gdal_ray.text.analysis import LangId
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    out = ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
-    return out.map_batches(lambda t: t.select(["doc_id", "lang_pred"]), batch_format="pyarrow")
+    out = ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4), batch_size=None)
+    return out.map_batches(lambda t: t.select(["doc_id", "lang_pred"]), batch_format="pyarrow", batch_size=None)
 
 
 def q25_minhash_pairs(sf_dir):
@@ -475,7 +573,7 @@ def q30_knn_cosine(sf_dir):
             {"vec_id": t["vec_id"], "score": pc.round(t["score"], ndigits=6, round_mode="half_towards_infinity")}
         )
 
-    return out.map_batches(fin, batch_format="pyarrow")
+    return out.map_batches(fin, batch_format="pyarrow", batch_size=None)
 
 
 Q30_SQL = """
@@ -507,7 +605,7 @@ def q31_vector_norms(sf_dir):
             }
         )
 
-    return ds.map_batches(f, batch_format="pyarrow")
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
 
 
 Q31_SQL = """
@@ -536,7 +634,7 @@ def q40_points_tiles(sf_dir):
         t = t.append_column("tile_y", pa.array(ty))
         return t
 
-    return ds.map_batches(f, batch_format="pyarrow")
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
 
 
 Q40_SQL = f"""
@@ -554,17 +652,12 @@ def q41_pip_admin(sf_dir):
     import ray
 
     from gdal_ray.pipelines.pages import admin_grid_polygons
-    from gdal_ray.stages.geo import PIPJoiner
+    from gdal_ray.stages.geo import pip_join_fn
 
     ds = events_points(sf_dir)
     ref = ray.put(admin_grid_polygons())
-    out = ds.map_batches(
-        PIPJoiner,
-        fn_constructor_kwargs={"polygons_ref": ref, "how": "inner"},
-        batch_format="pyarrow",
-        concurrency=(1, 4),
-    )
-    return out.map_batches(lambda t: t.select(["event_id", "admin_id"]), batch_format="pyarrow")
+    out = ds.map_batches(pip_join_fn(ref, how="inner"), batch_format="pyarrow", batch_size=None)
+    return out.map_batches(lambda t: t.select(["event_id", "admin_id"]), batch_format="pyarrow", batch_size=None)
 
 
 Q41_SQL = f"""
@@ -595,7 +688,7 @@ def q42_knn_events(sf_dir):
             }
         )
 
-    return out.map_batches(fin, batch_format="pyarrow")
+    return out.map_batches(fin, batch_format="pyarrow", batch_size=None)
 
 
 Q42_SQL = f"""
@@ -620,16 +713,11 @@ def q43_zonal_stats(sf_dir):
     import ray
 
     from gdal_ray.pipelines.pages import admin_grid_polygons
-    from gdal_ray.stages.geo import PIPJoiner
+    from gdal_ray.stages.geo import pip_join_fn
 
     ds = events_points(sf_dir, columns=("event_id", "value"))
     ref = ray.put(admin_grid_polygons())
-    joined = ds.map_batches(
-        PIPJoiner,
-        fn_constructor_kwargs={"polygons_ref": ref, "how": "inner"},
-        batch_format="pyarrow",
-        concurrency=(1, 4),
-    )
+    joined = ds.map_batches(pip_join_fn(ref, how="inner"), batch_format="pyarrow", batch_size=None)
     return R.groupby_agg(
         joined,
         ["admin_id"],
@@ -663,8 +751,7 @@ def q44_cells(sf_dir):
     out = add_cell_columns(ds, hex_res=(5, 9), s2_level=16, tile_zooms=())
     return out.map_batches(
         lambda t: t.select(["event_id", "hex_res5", "hex_res9", "s2_l16"]),
-        batch_format="pyarrow",
-    )
+        batch_format="pyarrow", batch_size=None,)
 
 
 def q45_tile_counts(sf_dir):
@@ -678,7 +765,7 @@ def q45_tile_counts(sf_dir):
         tx, ty = lonlat_to_tile(lon, lat, 9)
         return pa.table({"tile_x": pa.array(tx), "tile_y": pa.array(ty)})
 
-    tiles = ds.map_batches(f, batch_format="pyarrow")
+    tiles = ds.map_batches(f, batch_format="pyarrow", batch_size=None)
     return R.groupby_agg(tiles, ["tile_x", "tile_y"], [("n", "count_star", None)])
 
 
@@ -689,6 +776,109 @@ SELECT CAST(floor(({LON_EXPR_SQL} + 180.0) / 360.0 * 512) AS BIGINT) AS tile_x,
        count(*) AS n
 FROM events GROUP BY 1, 2
 """
+
+
+def q46_hilbert(sf_dir):
+    """Spatial sort key (gdal vector sort analog) — rows-only oracle."""
+    from gdal_ray.geo.hilbert import lonlat_hilbert
+
+    ds = events_points(sf_dir)
+
+    def f(t: pa.Table) -> pa.Table:
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"event_id": t["event_id"], "hilbert_key": pa.array(lonlat_hilbert(lon, lat, 16))}
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
+def q50_rasterize_tiles(sf_dir):
+    """Burn the admin diamond polygons into z5 WebMercator tiles —
+    rows-only oracle (deterministic checksums; validated against the
+    reference's rasterize golden in tests/test_raster.py)."""
+    import ray.data as rd
+
+    from gdal_ray.pipelines.pages import admin_grid_polygons
+    from gdal_ray.stages.raster import burn_features_to_tiles
+
+    polys = admin_grid_polygons()
+    ds = rd.from_arrow(polys)
+    out = burn_features_to_tiles(ds, zoom=4, burn_col="admin_id", dtype=np.float32)
+    return out.map_batches(
+        lambda t: t.select(["zoom", "tile_x", "tile_y", "checksum"]), batch_format="pyarrow", batch_size=None)
+
+
+def q51_polygonize(sf_dir):
+    """Distributed polygonize of a deterministic tiled label raster derived
+    from event points (density quantized to 3 classes) — rows-only."""
+    import pandas as pd
+
+    from gdal_ray.stages.raster import polygonize_tiles
+
+    # deterministic small raster: 32x32 grid of point-count classes
+    ds = events_points(sf_dir)
+    t = pa.concat_tables(ds.iter_batches(batch_size=None, batch_format="pyarrow"))
+    lon = t["lon"].to_numpy()
+    lat = t["lat"].to_numpy()
+    gx = np.clip(((lon + 180.0) / 360.0 * 32).astype(np.int64), 0, 31)
+    gy = np.clip(((90.0 - lat) / 180.0 * 32).astype(np.int64), 0, 31)
+    counts = np.zeros((32, 32), dtype=np.int64)
+    np.add.at(counts, (gy, gx), 1)
+    classes = np.digitize(counts, [1, counts.max() / 2 + 1]).astype(np.uint8)
+    tiles = [
+        ((tx, ty), classes[ty * 16 : (ty + 1) * 16, tx * 16 : (tx + 1) * 16])
+        for tx in range(2)
+        for ty in range(2)
+    ]
+    polys = polygonize_tiles(tiles, connectivity=4)
+    rows = []
+    for v, rings in polys:
+        area = -sum(
+            sum(a[0] * b[1] - b[0] * a[1] for a, b in zip(r[:-1], r[1:]))
+            for r in rings
+        ) / 2.0
+        rows.append((int(v), len(rings), float(area)))
+    rows.sort()
+    vv, nr, ar = zip(*rows)
+    return pa.table(
+        {"value": pa.array(vv, pa.int64()), "n_rings": pa.array(nr, pa.int64()),
+         "area_px": pa.array(ar, pa.float64())}
+    )
+
+
+def q52_layer_algebra(sf_dir):
+    """Layer algebra op x feature-count table on the reference's golden
+    layers (validated against autotest counts in tests/test_algebra.py) —
+    rows-only."""
+    from gdal_ray.geo import wkb as W
+    from gdal_ray.vector.algebra import layer_op
+
+    A = [
+        (W.wkt_to_geom("POLYGON((1 2, 1 3, 3 3, 3 2, 1 2))"), {"fid": 1}),
+        (W.wkt_to_geom("POLYGON((5 2, 5 3, 7 3, 7 2, 5 2))"), {"fid": 2}),
+    ]
+    B = [(W.wkt_to_geom("POLYGON((2 1, 2 4, 6 4, 6 1, 2 1))"), {"mid": 9})]
+    ops = ["intersection", "union", "symdifference", "identity", "update", "clip", "erase"]
+    counts = [len(layer_op(op, A, B)) for op in ops]
+    return pa.table({"op": pa.array(ops, pa.string()), "n": pa.array(counts, pa.int64())})
+
+
+def q53_tile_pyramid(sf_dir):
+    """Point density tiles at z6 + one overview level (the hierarchical
+    reduce of gdal raster tile) — rows-only."""
+    from gdal_ray.stages.raster import overview_reduce, points_to_tile_counts
+
+    ds = events_points(sf_dir)
+    base = points_to_tile_counts(ds, zoom=6).materialize()
+    parents = overview_reduce(base)
+    sel = lambda t: t.select(["zoom", "tile_x", "tile_y", "n_points", "checksum"])
+    import ray.data as rd
+
+    return base.map_batches(sel, batch_format="pyarrow", batch_size=None).union(
+        parents.map_batches(sel, batch_format="pyarrow", batch_size=None)
+    )
 
 
 def q60_flagship_tiles(sf_dir):
@@ -718,6 +908,9 @@ def registry():
         "q12_explode": q12_explode,
         "q13_dedup_first": q13_dedup_first,
         "q14_window": q14_window,
+        "q15_semi_join": q15_semi_join,
+        "q16_anti_join": q16_anti_join,
+        "q17_zonal_mode": q17_zonal_mode,
         "q20_token_stats": q20_token_stats,
         "q21_lang_stats": q21_lang_stats,
         "q22_dedup_exact": q22_dedup_exact,
@@ -732,6 +925,11 @@ def registry():
         "q43_zonal_stats": q43_zonal_stats,
         "q44_cells": q44_cells,
         "q45_tile_counts": q45_tile_counts,
+        "q46_hilbert": q46_hilbert,
+        "q50_rasterize_tiles": q50_rasterize_tiles,
+        "q51_polygonize": q51_polygonize,
+        "q52_layer_algebra": q52_layer_algebra,
+        "q53_tile_pyramid": q53_tile_pyramid,
         "q60_flagship_tiles": q60_flagship_tiles,
     }
     sqls = {
@@ -749,6 +947,9 @@ def registry():
         "q12_explode": Q12_SQL,
         "q13_dedup_first": Q13_SQL,
         "q14_window": Q14_SQL,
+        "q15_semi_join": Q15_SQL,
+        "q16_anti_join": Q16_SQL,
+        "q17_zonal_mode": Q17_SQL,
         "q20_token_stats": Q20_SQL,
         "q21_lang_stats": Q21_SQL,
         "q22_dedup_exact": Q22_SQL,

@@ -115,7 +115,7 @@ def _filter(expr=None, bbox=None):
                 mask = m2 if mask is None else pc.and_(mask, m2)
             return t.filter(mask)
 
-        return ds.map_batches(f, batch_format="pyarrow")
+        return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
 
     return run
 
@@ -133,7 +133,7 @@ def _select(fields: list[str], rename: dict[str, str] | None = None):
             def f(t: pa.Table) -> pa.Table:
                 return t.rename_columns([rename.get(c, c) for c in t.column_names])
 
-            ds = ds.map_batches(f, batch_format="pyarrow")
+            ds = ds.map_batches(f, batch_format="pyarrow", batch_size=None)
         return ds
 
     return run
@@ -149,8 +149,7 @@ def _sql_like(column: str, pattern: str, ignore_case: bool = False):
     def run(ds):
         return ds.map_batches(
             lambda t: t.filter(pc.match_like(t[column], pattern, ignore_case=ignore_case)),
-            batch_format="pyarrow",
-        )
+            batch_format="pyarrow", batch_size=None,)
 
     return run
 
@@ -171,7 +170,7 @@ def _make_point(x_col: str = "lon", y_col: str = "lat"):
                 t = t.drop_columns(["geometry"])
             return t.append_column("geometry", pa.array(wkbs, pa.binary()))
 
-        return ds.map_batches(f, batch_format="pyarrow")
+        return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
 
     return run
 
@@ -182,8 +181,7 @@ def _reproject(dst: str = "webmercator"):
 
     def run(ds):
         return ds.map_batches(
-            map_geoms(lambda g: GF.transform_geom(g, fwd)), batch_format="pyarrow"
-        )
+            map_geoms(lambda g: GF.transform_geom(g, fwd)), batch_format="pyarrow", batch_size=None)
 
     return run
 
@@ -191,33 +189,30 @@ def _reproject(dst: str = "webmercator"):
 @step("swap-xy")
 def _swap(
 ):
-    return lambda ds: ds.map_batches(map_geoms(GF.swap_xy), batch_format="pyarrow")
+    return lambda ds: ds.map_batches(map_geoms(GF.swap_xy), batch_format="pyarrow", batch_size=None)
 
 
 @step("simplify")
 def _simplify(tolerance: float):
     return lambda ds: ds.map_batches(
-        map_geoms(lambda g: GF.simplify(g, tolerance)), batch_format="pyarrow"
-    )
+        map_geoms(lambda g: GF.simplify(g, tolerance)), batch_format="pyarrow", batch_size=None)
 
 
 @step("segmentize")
 def _segmentize(max_length: float):
     return lambda ds: ds.map_batches(
-        map_geoms(lambda g: GF.segmentize(g, max_length)), batch_format="pyarrow"
-    )
+        map_geoms(lambda g: GF.segmentize(g, max_length)), batch_format="pyarrow", batch_size=None)
 
 
 @step("buffer")
 def _buffer(distance: float):
     return lambda ds: ds.map_batches(
-        map_geoms(lambda g: GF.buffer(g, distance)), batch_format="pyarrow"
-    )
+        map_geoms(lambda g: GF.buffer(g, distance)), batch_format="pyarrow", batch_size=None)
 
 
 @step("convex-hull")
 def _hull():
-    return lambda ds: ds.map_batches(map_geoms(GF.convex_hull), batch_format="pyarrow")
+    return lambda ds: ds.map_batches(map_geoms(GF.convex_hull), batch_format="pyarrow", batch_size=None)
 
 
 @step("clip")
@@ -240,7 +235,7 @@ def _clip(clip_wkt: str):
             idx = sub.schema.get_field_index("geometry")
             return sub.set_column(idx, "geometry", pa.array(new_geoms, pa.binary()))
 
-        return ds.map_batches(f, batch_format="pyarrow")
+        return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
 
     return run
 
@@ -260,7 +255,7 @@ def _explode_collections():
             idx = sub.schema.get_field_index("geometry")
             return sub.set_column(idx, "geometry", pa.array(geoms, pa.binary()))
 
-        return ds.map_batches(f, batch_format="pyarrow")
+        return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
 
     return run
 
@@ -282,7 +277,7 @@ def _sort_hilbert(order: int = 16):
                 "hilbert_key", pa.array(lonlat_hilbert(cents[:, 0], cents[:, 1], order))
             )
 
-        return ds.map_batches(add, batch_format="pyarrow").sort("hilbert_key")
+        return ds.map_batches(add, batch_format="pyarrow", batch_size=None).sort("hilbert_key")
 
     return run
 
@@ -324,7 +319,7 @@ def _dissolve(by: str | None = None):
             def addk(t: pa.Table) -> pa.Table:
                 return t.append_column("__d", pa.array(np.zeros(len(t), np.int8)))
 
-            return ds.map_batches(addk, batch_format="pyarrow").groupby("__d").map_groups(
+            return ds.map_batches(addk, batch_format="pyarrow", batch_size=None).groupby("__d").map_groups(
                 union_group, batch_format="pandas"
             )
         return ds.groupby(by).map_groups(union_group, batch_format="pandas")

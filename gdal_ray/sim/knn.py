@@ -67,13 +67,15 @@ def brute_force_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int,
             }
         )
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).repartition(1)
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", id_col], ascending=[False, True], kind="mergesort")
-        return g.head(k)
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        # single-task final merge (q*k*num_blocks rows), vectorized head-k
+        df = df.sort_values(["query_id", "score", id_col],
+                            ascending=[True, False, True], kind="mergesort")
+        return df.groupby("query_id", sort=False).head(k).reset_index(drop=True)
 
-    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return partials.map_batches(merge, batch_format="pandas", batch_size=None)
 
 
 class HyperplaneLSH:
@@ -115,8 +117,7 @@ def lsh_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int, dim: int,
         HyperplaneLSH,
         fn_constructor_kwargs={"dim": dim, "n_planes": n_planes, "vec_col": vec_col},
         batch_format="pyarrow",
-        concurrency=2,
-    )
+        concurrency=2, batch_size=None,)
 
     def scan(g: pd.DataFrame) -> pd.DataFrame:
         table = pa.Table.from_pandas(g, preserve_index=False)

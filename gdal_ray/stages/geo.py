@@ -46,7 +46,63 @@ def add_cell_columns(
             )
         return t
 
-    return ds.map_batches(f, batch_format="pyarrow")
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
+#: per-worker-process PolygonSet cache: stateless map_batches tasks get
+#: actor-like amortization (the set is built once per worker, not per batch)
+#: without paying actor-pool spawn latency — at 32 CPUs a (1, 30) actor pool
+#: spent more wall time spawning actors than joining (measured).
+_PSET_CACHE: dict = {}
+
+
+def pip_join_fn(polygons_ref, *, lon_col="lon", lat_col="lat",
+                wkb_col="geometry", how="inner"):
+    """Stateless-task PIP join: returns a batch fn for map_batches. The
+    polygon table rides the object store (ray.put once); the PolygonSet is
+    cached per worker process."""
+
+    def f(t: pa.Table) -> pa.Table:
+        import ray
+
+        key = polygons_ref.hex() if hasattr(polygons_ref, "hex") else id(polygons_ref)
+        cached = _PSET_CACHE.get(key)
+        if cached is None:
+            table = ray.get(polygons_ref) if not isinstance(polygons_ref, pa.Table) else polygons_ref
+            cached = (table.drop_columns([wkb_col]), PolygonSet(table[wkb_col].to_pylist()))
+            _PSET_CACHE[key] = cached
+        attrs, pset = cached
+        return _pip_apply(t, attrs, pset, lon_col, lat_col, how)
+
+    return f
+
+
+def _pip_apply(t: pa.Table, attrs: pa.Table, pset, lon_col, lat_col, how):
+    import pyarrow.compute as pc
+
+    lon = np.asarray(t[lon_col].to_numpy(zero_copy_only=False), dtype=np.float64)
+    lat = np.asarray(t[lat_col].to_numpy(zero_copy_only=False), dtype=np.float64)
+    qi, pi = pset.locate(lon, lat)
+    if how == "inner":
+        left = t.take(pa.array(qi))
+        for name in attrs.column_names:
+            left = left.append_column(name, attrs[name].take(pa.array(pi)))
+        return left
+    # left join: first match wins (deterministic: lowest polygon index)
+    order = np.lexsort((pi, qi))
+    qi, pi = qi[order], pi[order]
+    firsts = np.ones(qi.size, dtype=bool)
+    firsts[1:] = qi[1:] != qi[:-1]
+    qi, pi = qi[firsts], pi[firsts]
+    match_of = np.full(len(t), -1, dtype=np.int64)
+    match_of[qi] = pi
+    out = t
+    for name in attrs.column_names:
+        col = attrs[name].take(pa.array(np.where(match_of >= 0, match_of, 0))).combine_chunks()
+        mask = pa.array(match_of < 0)
+        col = pc.if_else(mask, pa.scalar(None, type=col.type), col)
+        out = out.append_column(name, col)
+    return out
 
 
 class PIPJoiner:
@@ -69,33 +125,7 @@ class PIPJoiner:
         self.how = how
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        lon = np.asarray(t[self.lon_col].to_numpy(zero_copy_only=False), dtype=np.float64)
-        lat = np.asarray(t[self.lat_col].to_numpy(zero_copy_only=False), dtype=np.float64)
-        qi, pi = self.pset.locate(lon, lat)
-        if self.how == "inner":
-            left = t.take(pa.array(qi))
-            for name in self.attrs.column_names:
-                left = left.append_column(name, self.attrs[name].take(pa.array(pi)))
-            return left
-        # left join: first match wins (deterministic: lowest polygon index)
-        order = np.lexsort((pi, qi))
-        qi, pi = qi[order], pi[order]
-        firsts = np.ones(qi.size, dtype=bool)
-        firsts[1:] = qi[1:] != qi[:-1]
-        qi, pi = qi[firsts], pi[firsts]
-        match_of = np.full(len(t), -1, dtype=np.int64)
-        match_of[qi] = pi
-        out = t
-        for name in self.attrs.column_names:
-            col = self.attrs[name].take(
-                pa.array(np.where(match_of >= 0, match_of, 0))
-            ).combine_chunks()
-            mask = pa.array(match_of < 0)
-            import pyarrow.compute as pc
-
-            col = pc.if_else(mask, pa.scalar(None, type=col.type), col)
-            out = out.append_column(name, col)
-        return out
+        return _pip_apply(t, self.attrs, self.pset, self.lon_col, self.lat_col, self.how)
 
 
 def knn_points(ds, queries: pa.Table, k: int, *, id_col="id", lon_col="lon",
@@ -135,14 +165,16 @@ def knn_points(ds, queries: pa.Table, k: int, *, id_col="id", lon_col="lon",
             }
         )
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).repartition(1)
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["dist", "neighbor_id"], kind="mergesort").head(k)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        # single-task final merge: q*k*num_blocks rows, vectorized head-k
+        df = df.sort_values(["query_id", "dist", "neighbor_id"], kind="mergesort")
+        df = df.groupby("query_id", sort=False).head(k).reset_index(drop=True)
+        df["rank"] = df.groupby("query_id", sort=False).cumcount() + 1
+        return df
 
-    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return partials.map_batches(merge, batch_format="pandas", batch_size=None)
 
 
 class SpatialKNN:

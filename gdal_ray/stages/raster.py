@@ -1,0 +1,281 @@
+"""Distributed raster stages over the tile table model (SURVEY.md §1.2:
+a raster = a Dataset of (zoom, tile_x, tile_y, band, data) rows; a GDAL
+block IS one row).
+
+* rasterize shuffle: features/points flat-map to covering tiles ->
+  groupby(tile).map_groups(burn) — gdal_rasterize's chunked burning
+  (alg/gdalrasterize.cpp:1160-1204) re-keyed by tile instead of Y-strip.
+* overview reduce: tile (z-1,x,y) from up to 4 tiles of z
+  (apps/gdalalg_raster_tile.cpp:1576-1696) as groupby(parent).map_groups.
+* distributed polygonize: per-tile labeling -> cross-tile label union via
+  shared-border equivalence pairs -> broadcast union-find relabel ->
+  per-component ring stitch with opposite-edge cancellation (tile-interior
+  borders vanish because both sides emit the same unit edge in opposite
+  directions). This is SURVEY §2.9's cross-tile merge, two shuffle rounds.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from gdal_ray.geo import webmercator as wm
+from gdal_ray.raster.checksum import checksum as _checksum
+from gdal_ray.raster.polygonize import UnionFind, label_array, stitch_rings
+from gdal_ray.raster.rasterize import rasterize as _rasterize
+
+TILE = wm.TILE_SIZE
+
+
+def points_to_tile_counts(ds, zoom: int, *, lon_col="lon", lat_col="lat"):
+    """Point density raster: per-batch sparse (tile, pixel) partial counts,
+    then one dense uint32 tile per (x, y) — the north-star burn-in for page
+    points. Shuffle rows are (tile_x, tile_y, pixel_idx, n), never points."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        lon = np.asarray(t[lon_col].to_numpy(zero_copy_only=False), dtype=np.float64)
+        lat = np.asarray(t[lat_col].to_numpy(zero_copy_only=False), dtype=np.float64)
+        px, py = wm.lonlat_to_pixel(lon, lat, zoom)
+        gx = np.clip(px.astype(np.int64), 0, (1 << zoom) * TILE - 1)
+        gy = np.clip(py.astype(np.int64), 0, (1 << zoom) * TILE - 1)
+        tx, ty = gx // TILE, gy // TILE
+        pix = (gy % TILE) * TILE + (gx % TILE)
+        df = pd.DataFrame({"tile_x": tx, "tile_y": ty, "pix": pix})
+        g = df.groupby(["tile_x", "tile_y", "pix"], sort=False).size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+
+    def densify(g: pd.DataFrame) -> pd.DataFrame:
+        arr = np.zeros(TILE * TILE, dtype=np.uint32)
+        np.add.at(arr, g["pix"].to_numpy(), g["n"].to_numpy().astype(np.uint32))
+        return pd.DataFrame(
+            {
+                "zoom": [zoom],
+                "tile_x": [int(g["tile_x"].iloc[0])],
+                "tile_y": [int(g["tile_y"].iloc[0])],
+                "data": [arr.tobytes()],
+                "n_points": [int(g["n"].sum())],
+                "checksum": [_checksum(arr.reshape(TILE, TILE))],
+            }
+        )
+
+    return partials.groupby(["tile_x", "tile_y"]).map_groups(densify, batch_format="pandas")
+
+
+def tile_geotransform(tx: int, ty: int, zoom: int):
+    """Affine GT of one 256px tile in lon/lat 'web' pseudo coords (x=lon
+    linear; y uses mercator pixel rows — adequate for burn tests)."""
+    lon0, lat_min, lon1, lat_max = wm.tile_bounds(tx, ty, zoom)
+    res_x = (lon1 - lon0) / TILE
+    return (lon0, res_x, 0.0, lat_max, 0.0, -(lat_max - lat_min) / TILE)
+
+
+def burn_features_to_tiles(ds, zoom: int, *, wkb_col="geometry",
+                           burn_col=None, burn_value=1.0, merge="replace",
+                           dtype=np.float32):
+    """Vector -> tile raster: flat-map each feature to its covering tiles
+    (bbox -> tile range), shuffle by tile, burn per group with the exact
+    scanline kernel. Output rows: (zoom, tile_x, tile_y, data, checksum)."""
+    from gdal_ray.geo import wkb as W
+    from gdal_ray.pipelines.steps import _envelope
+
+    def fan_out(t: pa.Table) -> pa.Table:
+        rows_t, rows_x, rows_y, rows_g, rows_v = [], [], [], [], []
+        vals = (
+            t[burn_col].to_numpy(zero_copy_only=False)
+            if burn_col
+            else np.full(len(t), burn_value)
+        )
+        for i, buf in enumerate(t[wkb_col].to_pylist()):
+            geom = W.parse_wkb(buf)
+            x0, y0, x1, y1 = _envelope(geom)
+            tx0, ty1 = wm.lonlat_to_tile(np.array([x0]), np.array([y0]), zoom)
+            tx1, ty0 = wm.lonlat_to_tile(np.array([x1]), np.array([y1]), zoom)
+            for tx in range(int(tx0[0]), int(tx1[0]) + 1):
+                for ty in range(int(ty0[0]), int(ty1[0]) + 1):
+                    rows_x.append(tx)
+                    rows_y.append(ty)
+                    rows_g.append(buf)
+                    rows_v.append(vals[i])
+        return pa.table(
+            {
+                "tile_x": pa.array(rows_x, pa.int64()),
+                "tile_y": pa.array(rows_y, pa.int64()),
+                "geometry": pa.array(rows_g, pa.binary()),
+                "burn": pa.array(np.asarray(rows_v, dtype=np.float64)),
+            }
+        )
+
+    fanned = ds.map_batches(fan_out, batch_format="pyarrow", batch_size=None)
+
+    def burn(g: pd.DataFrame) -> pd.DataFrame:
+        tx, ty = int(g["tile_x"].iloc[0]), int(g["tile_y"].iloc[0])
+        gt = tile_geotransform(tx, ty, zoom)
+        arr = _rasterize(
+            [bytes(b) for b in g["geometry"]],
+            TILE, TILE, gt, list(g["burn"]), dtype=dtype, merge=merge,
+        )
+        return pd.DataFrame(
+            {
+                "zoom": [zoom], "tile_x": [tx], "tile_y": [ty],
+                "data": [arr.tobytes()],
+                "checksum": [_checksum(arr)],
+            }
+        )
+
+    return fanned.groupby(["tile_x", "tile_y"]).map_groups(burn, batch_format="pandas")
+
+
+def overview_reduce(tiles_ds, *, dtype=np.uint32, agg: str = "sum"):
+    """One zoom level up: parent tile from <= 4 children, 2x2 block reduce
+    (sum for counts, mean for imagery)."""
+
+    def shift(t: pa.Table) -> pa.Table:
+        tx = t["tile_x"].to_numpy(zero_copy_only=False)
+        ty = t["tile_y"].to_numpy(zero_copy_only=False)
+        t = t.append_column("p_x", pa.array(tx >> 1))
+        t = t.append_column("p_y", pa.array(ty >> 1))
+        return t
+
+    shifted = tiles_ds.map_batches(shift, batch_format="pyarrow", batch_size=None)
+
+    def compose(g: pd.DataFrame) -> pd.DataFrame:
+        z = int(g["zoom"].iloc[0]) - 1
+        px, py = int(g["p_x"].iloc[0]), int(g["p_y"].iloc[0])
+        parent = np.zeros((TILE, TILE), dtype=np.float64)
+        for _, row in g.iterrows():
+            child = np.frombuffer(row["data"], dtype=dtype).reshape(TILE, TILE)
+            # 2x2 reduce to 128x128
+            r = child.reshape(TILE // 2, 2, TILE // 2, 2).astype(np.float64)
+            small = r.sum(axis=(1, 3)) if agg == "sum" else r.mean(axis=(1, 3))
+            ox = (int(row["tile_x"]) & 1) * (TILE // 2)
+            oy = (int(row["tile_y"]) & 1) * (TILE // 2)
+            parent[oy : oy + TILE // 2, ox : ox + TILE // 2] = small
+        arr = parent.astype(dtype)
+        return pd.DataFrame(
+            {
+                "zoom": [z], "tile_x": [px], "tile_y": [py],
+                "data": [arr.tobytes()],
+                "n_points": [int(parent.sum())] if agg == "sum" else [0],
+                "checksum": [_checksum(arr)],
+            }
+        )
+
+    return shifted.groupby(["p_x", "p_y"]).map_groups(compose, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# distributed polygonize
+# ---------------------------------------------------------------------------
+
+
+def _tile_pieces(arr: np.ndarray, tile_key: tuple[int, int], connectivity: int, nodata):
+    """Per-tile: local labels -> (edges per global label, border cells)."""
+    h, w = arr.shape
+    ox, oy = tile_key[0] * w, tile_key[1] * h
+    labels = label_array(arr, connectivity=connectivity, nodata=nodata)
+    edge_rows = []  # (glabel, value, ax, ay, bx, by)
+    from gdal_ray.raster.polygonize import _boundary_edges
+
+    nlab = labels.max() + 1
+    for lab in range(nlab):
+        ys, xs = np.nonzero(labels == lab)
+        value = arr[ys[0], xs[0]]
+        glabel = f"{tile_key[0]}_{tile_key[1]}_{lab}"
+        for (ax, ay), (bx, by) in _boundary_edges(labels, lab):
+            edge_rows.append((glabel, value, ax + ox, ay + oy, bx + ox, by + oy))
+    border_rows = []  # (side_key, pos, value, glabel)
+    for x in range(w):
+        if nodata is None or arr[0, x] != nodata:
+            border_rows.append((f"h_{ox + x}_{oy}", arr[0, x], f"{tile_key[0]}_{tile_key[1]}_{labels[0, x]}"))
+        if nodata is None or arr[h - 1, x] != nodata:
+            border_rows.append((f"h_{ox + x}_{oy + h}", arr[h - 1, x], f"{tile_key[0]}_{tile_key[1]}_{labels[h - 1, x]}"))
+    for y in range(h):
+        if nodata is None or arr[y, 0] != nodata:
+            border_rows.append((f"v_{ox}_{oy + y}", arr[y, 0], f"{tile_key[0]}_{tile_key[1]}_{labels[y, 0]}"))
+        if nodata is None or arr[y, w - 1] != nodata:
+            border_rows.append((f"v_{ox + w}_{oy + y}", arr[y, w - 1], f"{tile_key[0]}_{tile_key[1]}_{labels[y, w - 1]}"))
+    return edge_rows, border_rows
+
+
+def polygonize_tiles(tiles: list[tuple[tuple[int, int], np.ndarray]],
+                     connectivity: int = 4, nodata=None):
+    """Distributed-shaped polygonize over a list of (tile_key, array).
+
+    Driver-side orchestration mirrors the Ray plan 1:1 (per-tile map ->
+    border groupby -> union-find -> per-component stitch); tiles may be
+    processed via Ray with `polygonize_tiles_ds`. Returns
+    [(value, rings in global pixel coords)]."""
+    all_edges, all_borders = [], []
+    for key, arr in tiles:
+        e, b = _tile_pieces(arr, key, connectivity, nodata)
+        all_edges.extend(e)
+        all_borders.extend(b)
+    return _merge_pieces(all_edges, all_borders, connectivity)
+
+
+def _ring_area2_list(ring) -> float:
+    s = 0.0
+    for i in range(len(ring) - 1):
+        s += ring[i][0] * ring[i + 1][1] - ring[i + 1][0] * ring[i][1]
+    return s
+
+
+def polygonize_tiles_ds(tiles_ds, *, connectivity: int = 4, nodata=None,
+                        dtype=np.uint32):
+    """Ray version: tiles_ds rows (zoom, tile_x, tile_y, data). Stage 1 is
+    map_batches per tile; the equivalence pairs + edges flow through a
+    driver-side union-find (the pair set is O(total border length / tiles),
+    small by construction)."""
+    import ray
+
+    @ray.remote
+    def pieces(rows):
+        out_e, out_b = [], []
+        for r in rows:
+            arr = np.frombuffer(r["data"], dtype=dtype).reshape(TILE, TILE)
+            e, b = _tile_pieces(arr, (int(r["tile_x"]), int(r["tile_y"])), connectivity, nodata)
+            out_e.extend(e)
+            out_b.extend(b)
+        return out_e, out_b
+
+    futures = []
+    for batch in tiles_ds.iter_batches(batch_size=16, batch_format="pandas"):
+        futures.append(pieces.remote(batch.to_dict("records")))
+    all_edges, all_borders = [], []
+    for e, b in ray.get(futures):
+        all_edges.extend(e)
+        all_borders.extend(b)
+    return _merge_pieces(all_edges, all_borders, connectivity)
+
+
+def _merge_pieces(all_edges, all_borders, connectivity):
+    from collections import defaultdict
+
+    by_side = defaultdict(list)
+    for side, value, glabel in all_borders:
+        by_side[side].append((value, glabel))
+    uf = UnionFind()
+    for side, items in by_side.items():
+        if len(items) == 2 and items[0][0] == items[1][0]:
+            uf.union(items[0][1], items[1][1])
+    edge_map = defaultdict(set)
+    value_of = {}
+    for glabel, value, ax, ay, bx, by in all_edges:
+        root = uf.find(glabel)
+        value_of[root] = value
+        e = (ax, ay, bx, by)
+        rev = (bx, by, ax, ay)
+        if rev in edge_map[root]:
+            edge_map[root].discard(rev)
+        else:
+            edge_map[root].add(e)
+    out = []
+    for root, edges in edge_map.items():
+        ring_edges = [((ax, ay), (bx, by)) for ax, ay, bx, by in sorted(edges)]
+        rings = stitch_rings(ring_edges, connectivity)
+        rings.sort(key=lambda r: -abs(_ring_area2_list(r)))
+        out.append((value_of[root], [np.array(r, dtype=np.float64) for r in rings]))
+    return out

@@ -74,7 +74,7 @@ def write_partitioned_resumable(ds, out_dir: str, partition_col: str):
             mask = pa.array([k not in ray.get(done_ref) for k in keys])
             return t.filter(mask)
 
-        ds = ds.map_batches(drop_done, batch_format="pyarrow")
+        ds = ds.map_batches(drop_done, batch_format="pyarrow", batch_size=None)
 
     def write_group(g: pd.DataFrame) -> pd.DataFrame:
         key = str(g[partition_col].iloc[0])

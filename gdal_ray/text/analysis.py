@@ -35,7 +35,7 @@ def add_token_count(ds, text_col: str = "text", out: str = "n_tokens"):
         n = pc.cast(pc.count_substring_regex(t[text_col], _TOKEN_RE), pa.int64())
         return t.append_column(out, n)
 
-    return ds.map_batches(f, batch_format="pyarrow")
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
 
 
 def add_quality_metrics(ds, text_col: str = "text"):
@@ -75,7 +75,7 @@ def add_quality_metrics(ds, text_col: str = "text"):
             out = out.append_column(name, col)
         return out
 
-    return ds.map_batches(f, batch_format="pyarrow")
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
 
 
 class LangId:
@@ -117,7 +117,7 @@ def add_fingerprint(ds, text_col: str = "text", out: str = "fp"):
         fps = [hashlib.md5(v.encode("utf-8")).hexdigest() if v is not None else None for v in vals]
         return t.append_column(out, pa.array(fps, type=pa.string()))
 
-    return ds.map_batches(f, batch_format="pyarrow")
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
 
 
 def rolling_fingerprint(ds, text_col: str = "text", out: str = "rfp", window: int = 64):
@@ -148,4 +148,4 @@ def rolling_fingerprint(ds, text_col: str = "text", out: str = "rfp", window: in
             outv[i] = h.min()
         return t.append_column(out, pa.array(outv))
 
-    return ds.map_batches(f, batch_format="pyarrow")
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)

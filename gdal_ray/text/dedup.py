@@ -97,7 +97,7 @@ def minhash_bands(ds, id_col: str, *, num_perm=128, bands=16, text_col="text", s
         MinHasher,
         fn_constructor_kwargs={"num_perm": num_perm, "shingle_w": shingle_w, "text_col": text_col},
         batch_format="pyarrow",
-        batch_size=4096,
+        batch_size=None,
         concurrency=(1, 4),
     )
 
@@ -124,7 +124,7 @@ def minhash_bands(ds, id_col: str, *, num_perm=128, bands=16, text_col="text", s
             }
         )
 
-    return sig_ds.map_batches(bandify, batch_format="pyarrow")
+    return sig_ds.map_batches(bandify, batch_format="pyarrow", batch_size=None)
 
 
 def minhash_candidate_pairs(ds, id_col: str, **kw):
@@ -144,7 +144,7 @@ def minhash_candidate_pairs(ds, id_col: str, **kw):
 
         return pd.DataFrame({"id_a": ia, "id_b": ib})
 
-    cand = banded.groupby(["band_id", "band_hash"]).map_groups(pairs, batch_format="pandas")
+    cand = banded.repartition(8).groupby(["band_id", "band_hash"]).map_groups(pairs, batch_format="pandas")
     return distinct(cand, ["id_a", "id_b"])
 
 
@@ -166,7 +166,7 @@ def exact_jaccard_pairs(ds, pairs_ds, id_col: str, *, text_col="text", shingle_w
         return sub.select([id_col, text_col])
 
     docs = pa.concat_tables(
-        ds.map_batches(collect, batch_format="pyarrow").iter_batches(
+        ds.map_batches(collect, batch_format="pyarrow", batch_size=None).iter_batches(
             batch_size=None, batch_format="pyarrow"
         )
     )

@@ -16,6 +16,23 @@ TABLES = (
 ).split()
 
 
+def tune_data_context() -> None:
+    """Central Ray Data tuning (idempotent, safe before/after ray.init).
+
+    _max_num_blocks_in_streaming_gen_buffer: default 2 throttles a
+    single-file parquet scan to ~4 concurrent downstream tasks — the one
+    read task may only have 2 split blocks in flight, so the whole fused
+    chain trickles (measured: 64x0.2s map took 3.7s; with 32 it takes ~1s).
+    At real scale reads parallelize across files, so a larger per-task
+    buffer only costs bounded object-store headroom."""
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+    ctx._max_num_blocks_in_streaming_gen_buffer = 32
+
+
 def sf_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
@@ -23,7 +40,13 @@ def sf_path(sf_dir: str, name: str) -> str:
 def read_table(sf_dir: str, name: str, columns=None, filter=None):
     """read_parquet with column pruning + pushdown — the 'prune at the read'
     rule; mirrors OGRLayer::SetIgnoredFields / SetAttributeFilter pushdown
-    (ogr/ogrsf_frmts/generic/ogrlayer.cpp:4945,752)."""
+    (ogr/ogrsf_frmts/generic/ogrlayer.cpp:4945,752).
+
+    Block sizing note: the test files are single-row-group, so
+    `override_num_blocks` would PIN the scan (and any fused downstream
+    chain) to one task — observed live as a 1-core pipeline. Ray's default
+    SplitBlocks keeps scan parallelism; the small-block cost on wide ops is
+    neutralized by the tree-merge combiners in gdal_ray.ops.relational."""
     import ray.data as rd
 
     kwargs = {}

@@ -13,9 +13,9 @@ def ray_session():
         ignore_reinit_error=True,
         logging_level="ERROR",
     )
-    ctx = DataContext.get_current()
-    ctx.enable_progress_bars = False
-    ctx.execution_options.verbose_progress = False
+    from gdal_ray.util import tune_data_context
+
+    tune_data_context()
     yield
     ray.shutdown()
 

@@ -1,0 +1,99 @@
+"""Distributed raster stages: tile burn shuffle, overview reduce,
+cross-tile polygonize merge."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from gdal_ray.geo import webmercator as wm
+from gdal_ray.geo import wkb as W
+from gdal_ray.raster.polygonize import polygonize
+from gdal_ray.stages import raster as RS
+from gdal_ray.util import to_arrow
+
+
+def test_points_to_tile_counts_and_overview():
+    rng = np.random.RandomState(9)
+    n = 20000
+    lon = rng.uniform(-10, 10, n)
+    lat = rng.uniform(40, 50, n)
+    ds = rd.from_arrow(pa.table({"lon": lon, "lat": lat}))
+    tiles = to_arrow(RS.points_to_tile_counts(ds, zoom=6))
+    assert tiles["n_points"].to_pylist() and sum(tiles["n_points"].to_pylist()) == n
+    # every point is in the right tile
+    tx, ty = wm.lonlat_to_tile(lon, lat, 6)
+    import collections
+
+    exp = collections.Counter(zip(tx.tolist(), ty.tolist()))
+    got = {
+        (x, y): c
+        for x, y, c in zip(
+            tiles["tile_x"].to_pylist(), tiles["tile_y"].to_pylist(), tiles["n_points"].to_pylist()
+        )
+    }
+    assert got == dict(exp)
+    # overview reduce preserves the total count
+    parents = to_arrow(RS.overview_reduce(rd.from_arrow(tiles)))
+    assert sum(parents["n_points"].to_pylist()) == n
+    assert (np.array(parents["zoom"].to_pylist()) == 5).all()
+
+
+def test_burn_features_to_tiles():
+    polys = [
+        W.geom_to_wkb(W.wkt_to_geom("POLYGON ((0 40,0 50,10 50,10 40,0 40))")),
+        W.geom_to_wkb(W.wkt_to_geom("POLYGON ((-20 30,-20 35,-15 35,-15 30,-20 30))")),
+    ]
+    ds = rd.from_arrow(pa.table({"geometry": pa.array(polys, pa.binary()),
+                                 "val": pa.array([7.0, 3.0])}))
+    tiles = to_arrow(RS.burn_features_to_tiles(ds, zoom=5, burn_col="val", dtype=np.uint8))
+    assert tiles.num_rows >= 2
+    data = np.frombuffer(tiles["data"][0].as_py(), dtype=np.uint8)
+    assert set(np.unique(data)) <= {0, 3, 7}
+    assert any(v > 0 for v in tiles["checksum"].to_pylist())
+
+
+def test_distributed_polygonize_matches_single():
+    rng = np.random.RandomState(3)
+    arr = rng.randint(0, 3, size=(16, 16)).astype(np.uint8)
+    # single-array truth
+    truth = polygonize(arr, connectivity=4)
+
+    def summarize(polys):
+        # multiset of (value, region area) — ring-order independent
+        out = []
+        for v, rings in polys:
+            a = -sum(RS._ring_area2_list([tuple(p) for p in r.tolist()]) for r in rings) / 2.0
+            out.append((int(v), round(a, 6)))
+        return sorted(out)
+
+    # split into 4 tiles of 8x8
+    tiles = []
+    for ty in range(2):
+        for tx in range(2):
+            tiles.append(((tx, ty), arr[ty * 8 : (ty + 1) * 8, tx * 8 : (tx + 1) * 8]))
+    dist = RS.polygonize_tiles(tiles, connectivity=4)
+    assert summarize(dist) == summarize(truth)
+
+
+def test_distributed_polygonize_8conn_and_nodata():
+    arr = np.zeros((8, 8), np.uint8)
+    arr[1, 1] = arr[2, 2] = 5  # diagonal pair crossing nothing
+    arr[5, 5] = arr[6, 6] = 5  # diagonal pair crossing the tile border at (6,6)? inside tile
+    tiles = [((0, 0), arr[:, :4].copy()), ((1, 0), arr[:, 4:].copy())]
+    d4 = RS.polygonize_tiles(tiles, connectivity=4, nodata=0)
+    d8 = RS.polygonize_tiles(tiles, connectivity=8, nodata=0)
+    assert len(d4) == 4 and len(d8) == 2
+
+
+def test_cross_tile_region_merged():
+    # one region spanning two tiles horizontally
+    left = np.zeros((4, 4), np.uint8)
+    right = np.zeros((4, 4), np.uint8)
+    left[1:3, 2:4] = 9
+    right[1:3, 0:2] = 9
+    out = RS.polygonize_tiles([((0, 0), left), ((1, 0), right)], connectivity=4, nodata=0)
+    assert len(out) == 1
+    v, rings = out[0]
+    assert v == 9 and len(rings) == 1
+    xs = rings[0][:, 0]
+    assert xs.min() == 2.0 and xs.max() == 6.0  # spans the border seamlessly

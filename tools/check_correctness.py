@@ -56,9 +56,10 @@ def main():
     import ray
 
     ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
-    from ray.data import DataContext
+    sys.path.insert(0, "/root/repo")
+    from gdal_ray.util import tune_data_context
 
-    DataContext.get_current().enable_progress_bars = False
+    tune_data_context()
 
     sys.path.insert(0, "/root/repo")
     import __ray_entry__ as E
