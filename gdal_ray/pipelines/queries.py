@@ -455,6 +455,112 @@ FROM ranked z GROUP BY z.admin_id
 """
 
 
+def q18_hll_distinct(sf_dir):
+    """Approximate distinct (HLL sketch, mergeable per batch) next to the
+    exact answer — rows-only (approximation has no SQL equivalent)."""
+    from gdal_ray.ops.sketch import approx_count_distinct
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_partkey"])
+    est = approx_count_distinct(ds, "l_partkey")
+    exact = R.count_distinct(read_table(sf_dir, "lineitem", columns=["l_partkey"]), "l_partkey")
+    return pa.table(
+        {
+            "exact": pa.array([exact], pa.int64()),
+            "hll_estimate": pa.array([round(est)], pa.int64()),
+            "rel_err_pct": pa.array([round(abs(est - exact) / exact * 100, 2)]),
+        }
+    )
+
+
+def q19_grid_invdist(sf_dir):
+    """`vector grid` inverse-distance interpolation of event values onto a
+    coarse grid — point-side fan-out + tree merge; oracle is the direct SQL
+    definition (every cell x every point within radius)."""
+    from gdal_ray.stages.grid import grid_points
+
+    ds = events_points(sf_dir, columns=("event_id", "value"))
+    out = grid_points(
+        ds, extent=(-180.0, -80.0, 180.0, 80.0), cell=20.0, radius=30.0,
+        method="invdist", power=2.0, value_col="value",
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"gx": pc.cast(t["gx"], pa.int64()), "gy": pc.cast(t["gy"], pa.int64()),
+             "value": pc.round(t["value"], ndigits=4, round_mode="half_towards_infinity")}
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow", batch_size=None)
+
+
+Q19_SQL = f"""
+WITH pts AS (
+  SELECT {LON_EXPR_SQL} AS x, {LAT_EXPR_SQL} AS y, value FROM events
+), cells AS (
+  SELECT gx.range AS gx, gy.range AS gy,
+         -180.0 + (gx.range + 0.5) * 20.0 AS cx,
+         -80.0 + (gy.range + 0.5) * 20.0 AS cy
+  FROM range(18) gx, range(8) gy
+), pairs AS (
+  SELECT c.gx, c.gy, p.value,
+         1.0 / greatest(power(sqrt((p.x - c.cx) * (p.x - c.cx)
+                                   + (p.y - c.cy) * (p.y - c.cy)), 2.0), 1e-12) AS w
+  FROM cells c JOIN pts p
+    ON (p.x - c.cx) * (p.x - c.cx) + (p.y - c.cy) * (p.y - c.cy) <= 900.0
+)
+SELECT gx, gy, round(sum(w * value) / sum(w), 4) AS value
+FROM pairs GROUP BY gx, gy
+"""
+
+
+def q33_embed_dup_pairs(sf_dir):
+    """Embedding-cosine near-duplicate pairs (cos > 0.35, id_a < id_b) —
+    brute-force per batch against the broadcast matrix."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from gdal_ray.util import sf_path
+
+    t = pq.read_table(sf_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    n = len(t)
+    X = np.asarray(t["embedding"].combine_chunks().flatten(), dtype=np.float64).reshape(n, -1)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+    ids = np.asarray(t["vec_id"])
+    ref = ray.put((Xn, ids))
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        RXn, RID = ray.get(ref)
+        m = len(b)
+        Y = np.asarray(b["embedding"].combine_chunks().flatten(), dtype=np.float64).reshape(m, -1)
+        Yn = Y / np.maximum(np.linalg.norm(Y, axis=1, keepdims=True), 1e-30)
+        yid = np.asarray(b["vec_id"].to_numpy(zero_copy_only=False))
+        S = Yn @ RXn.T
+        ii, jj = np.nonzero((S > 0.35) & (yid[:, None] < RID[None, :]))
+        return pa.table(
+            {
+                "id_a": pa.array(yid[ii]),
+                "id_b": pa.array(RID[jj]),
+                "cos": pa.array(np.round(S[ii, jj], 6)),
+            }
+        )
+
+    return ds.map_batches(pairs, batch_format="pyarrow", batch_size=None)
+
+
+Q33_SQL = """
+WITH sims AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_cosine_similarity(
+             list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+             list_transform(b.embedding, x -> CAST(x AS DOUBLE))) AS s
+  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(s, 6) AS cos FROM sims WHERE s > 0.35
+"""
+
+
 def q20_token_stats(sf_dir):
     from gdal_ray.text.analysis import add_quality_metrics
 
@@ -911,6 +1017,8 @@ def registry():
         "q15_semi_join": q15_semi_join,
         "q16_anti_join": q16_anti_join,
         "q17_zonal_mode": q17_zonal_mode,
+        "q18_hll_distinct": q18_hll_distinct,
+        "q19_grid_invdist": q19_grid_invdist,
         "q20_token_stats": q20_token_stats,
         "q21_lang_stats": q21_lang_stats,
         "q22_dedup_exact": q22_dedup_exact,
@@ -919,6 +1027,7 @@ def registry():
         "q25_minhash_pairs": q25_minhash_pairs,
         "q30_knn_cosine": q30_knn_cosine,
         "q31_vector_norms": q31_vector_norms,
+        "q33_embed_dup_pairs": q33_embed_dup_pairs,
         "q40_points_tiles": q40_points_tiles,
         "q41_pip_admin": q41_pip_admin,
         "q42_knn_events": q42_knn_events,
@@ -950,11 +1059,13 @@ def registry():
         "q15_semi_join": Q15_SQL,
         "q16_anti_join": Q16_SQL,
         "q17_zonal_mode": Q17_SQL,
+        "q19_grid_invdist": Q19_SQL,
         "q20_token_stats": Q20_SQL,
         "q21_lang_stats": Q21_SQL,
         "q22_dedup_exact": Q22_SQL,
         "q30_knn_cosine": Q30_SQL,
         "q31_vector_norms": Q31_SQL,
+        "q33_embed_dup_pairs": Q33_SQL,
         "q40_points_tiles": Q40_SQL,
         "q41_pip_admin": Q41_SQL,
         "q42_knn_events": Q42_SQL,

@@ -1,0 +1,139 @@
+"""Per-tile raster map operations + focal (neighborhood) statistics.
+
+Reference surface: `gdal raster calc` (muparser expressions,
+apps/gdalalg_raster_calc.cpp:585), `reclassify`
+(apps/gdalalg_raster_reclassify.h:28), `scale`, `set-type`
+(apps/gdalalg_raster_*.cpp) — all stateless per-pixel math -> one
+vectorized numpy fn per tile row. `raster neighbors` focal statistics
+(apps/gdalalg_raster_neighbors.h:30-31) needs halo pixels from the 8
+neighbor tiles -> implemented as a HALO-EXCHANGE shuffle: every tile posts
+its border strips to its neighbors' keys, groupby(tile) assembles the
+padded array, then one windowed kernel pass. Two shuffle rounds total,
+strips only (never whole tiles duplicated 9x).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from gdal_ray.raster.checksum import checksum as _checksum
+
+TILE = 256
+
+
+def _tile_arr(row, dtype):
+    return np.frombuffer(row, dtype=dtype).reshape(TILE, TILE)
+
+
+def tile_calc(tiles_ds, fn, *, dtype=np.uint32, out_dtype=None):
+    """`gdal raster calc`: arbitrary vectorized expression per tile.
+    fn: np.ndarray -> np.ndarray (same shape)."""
+    out_dtype = out_dtype or dtype
+
+    def f(t: pa.Table) -> pa.Table:
+        datas = []
+        sums = []
+        for buf in t["data"].to_pylist():
+            arr = fn(_tile_arr(buf, dtype)).astype(out_dtype)
+            datas.append(arr.tobytes())
+            sums.append(_checksum(arr))
+        t = t.set_column(t.schema.get_field_index("data"), "data", pa.array(datas, pa.binary()))
+        if "checksum" in t.column_names:
+            t = t.set_column(t.schema.get_field_index("checksum"), "checksum", pa.array(sums, pa.int64()))
+        return t
+
+    return tiles_ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
+def tile_reclassify(tiles_ds, mapping: list[tuple[float, float, float]], *,
+                    dtype=np.uint32, default=0):
+    """`gdal raster reclassify`: [(lo, hi, new_value)] half-open ranges."""
+
+    def fn(arr):
+        out = np.full_like(arr, default)
+        for lo, hi, val in mapping:
+            out[(arr >= lo) & (arr < hi)] = val
+        return out
+
+    return tile_calc(tiles_ds, fn, dtype=dtype)
+
+
+def tile_scale(tiles_ds, *, gain: float, offset: float = 0.0, dtype=np.uint32,
+               out_dtype=np.float32):
+    """`gdal raster scale`: linear rescale (and set-type via out_dtype)."""
+    return tile_calc(tiles_ds, lambda a: a.astype(np.float64) * gain + offset,
+                     dtype=dtype, out_dtype=out_dtype)
+
+
+def focal_stats(tiles_ds, *, stat: str = "mean", radius: int = 1,
+                dtype=np.uint32, out_dtype=np.float32):
+    """`gdal raster neighbors`: moving-window stat over a (2r+1)^2 window,
+    with cross-tile halo exchange so tile borders are exact."""
+
+    def fan(t: pa.Table) -> pa.Table:
+        rows = {"t_x": [], "t_y": [], "role": [], "src_x": [], "src_y": [], "data": []}
+        zs = t["zoom"].to_pylist() if "zoom" in t.column_names else [0] * len(t)
+        for tx, ty, buf in zip(t["tile_x"].to_pylist(), t["tile_y"].to_pylist(), t["data"].to_pylist()):
+            arr = _tile_arr(buf, dtype)
+            # self
+            rows["t_x"].append(tx); rows["t_y"].append(ty); rows["role"].append("self")
+            rows["src_x"].append(tx); rows["src_y"].append(ty); rows["data"].append(buf)
+            # 8 neighbor strips (only the halo pixels the neighbor needs)
+            strips = {
+                (-1, 0): arr[:, :radius], (1, 0): arr[:, -radius:],
+                (0, -1): arr[:radius, :], (0, 1): arr[-radius:, :],
+                (-1, -1): arr[:radius, :radius], (1, -1): arr[:radius, -radius:],
+                (-1, 1): arr[-radius:, :radius], (1, 1): arr[-radius:, -radius:],
+            }
+            for (dx, dy), strip in strips.items():
+                rows["t_x"].append(tx + dx); rows["t_y"].append(ty + dy)
+                rows["role"].append(f"halo_{-dx}_{-dy}")
+                rows["src_x"].append(tx); rows["src_y"].append(ty)
+                rows["data"].append(np.ascontiguousarray(strip).tobytes())
+        return pa.table({k: pa.array(v) for k, v in rows.items()})
+
+    fanned = tiles_ds.map_batches(fan, batch_format="pyarrow", batch_size=None)
+
+    red = {"mean": np.mean, "sum": np.sum, "min": np.min, "max": np.max,
+           "std": np.std, "median": np.median}[stat]
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        sel = g[g["role"] == "self"]
+        if len(sel) == 0:
+            return pd.DataFrame()  # halo for a tile that doesn't exist
+        tx, ty = int(sel["t_x"].iloc[0]), int(sel["t_y"].iloc[0])
+        pad = np.zeros((TILE + 2 * radius, TILE + 2 * radius), dtype=np.float64)
+        pad[radius:-radius, radius:-radius] = _tile_arr(sel["data"].iloc[0], dtype)
+        for _, row in g[g["role"] != "self"].iterrows():
+            dx, dy = (int(v) for v in row["role"].split("_")[1:])
+            strip = np.frombuffer(row["data"], dtype=dtype)
+            if dx == -1 and dy == 0:
+                pad[radius:-radius, :radius] = strip.reshape(TILE, radius)
+            elif dx == 1 and dy == 0:
+                pad[radius:-radius, -radius:] = strip.reshape(TILE, radius)
+            elif dx == 0 and dy == -1:
+                pad[:radius, radius:-radius] = strip.reshape(radius, TILE)
+            elif dx == 0 and dy == 1:
+                pad[-radius:, radius:-radius] = strip.reshape(radius, TILE)
+            elif dx == -1 and dy == -1:
+                pad[:radius, :radius] = strip.reshape(radius, radius)
+            elif dx == 1 and dy == -1:
+                pad[:radius, -radius:] = strip.reshape(radius, radius)
+            elif dx == -1 and dy == 1:
+                pad[-radius:, :radius] = strip.reshape(radius, radius)
+            elif dx == 1 and dy == 1:
+                pad[-radius:, -radius:] = strip.reshape(radius, radius)
+        # windowed stat via stacked shifts (vectorized; window is small)
+        k = 2 * radius + 1
+        stack = np.stack(
+            [pad[i : i + TILE, j : j + TILE] for i in range(k) for j in range(k)]
+        )
+        out = red(stack, axis=0).astype(out_dtype)
+        return pd.DataFrame(
+            {"tile_x": [tx], "tile_y": [ty], "data": [out.tobytes()],
+             "checksum": [_checksum(out)]}
+        )
+
+    return fanned.groupby(["t_x", "t_y"]).map_groups(assemble, batch_format="pandas")

@@ -1,0 +1,90 @@
+"""`gdal vector grid` — scattered points -> regular grid interpolation.
+
+Reference semantics: alg/gdalgrid.cpp interpolators (invdist, invdistnn,
+average, nearest — alg/gdal_alg.h:402-416), each a radius-bounded search
+around every target cell (quadtree-accelerated, alg/gdalgrid.cpp:257-377).
+
+Ray restatement inverts the loop: every POINT fans out to the target cells
+within `radius` (bounded fan-out), per-batch partial accumulators are
+combined per cell, and a tree merge finalizes — no per-cell point search,
+no all-points broadcast, linear in points.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from gdal_ray.ops.relational import first_by, groupby_agg
+
+
+def _fan_to_cells(t: pa.Table, *, x0, y0, nx, ny, cell, radius, value_col):
+    x = t["lon"].to_numpy(zero_copy_only=False) if "lon" in t.column_names else t["x"].to_numpy(zero_copy_only=False)
+    y = t["lat"].to_numpy(zero_copy_only=False) if "lat" in t.column_names else t["y"].to_numpy(zero_copy_only=False)
+    v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+    r_cells = int(np.ceil(radius / cell))
+    gx_c = ((x - x0) / cell).astype(np.int64)
+    gy_c = ((y - y0) / cell).astype(np.int64)
+    offs = np.arange(-r_cells, r_cells + 1)
+    ox, oy = np.meshgrid(offs, offs)
+    ox, oy = ox.ravel(), oy.ravel()
+    n, k = x.size, ox.size
+    gx = (gx_c[:, None] + ox[None, :]).ravel()
+    gy = (gy_c[:, None] + oy[None, :]).ravel()
+    px = np.repeat(x, k)
+    py = np.repeat(y, k)
+    pv = np.repeat(v, k)
+    cx = x0 + (gx + 0.5) * cell
+    cy = y0 + (gy + 0.5) * cell
+    d2 = (px - cx) ** 2 + (py - cy) ** 2
+    keep = (d2 <= radius * radius) & (gx >= 0) & (gx < nx) & (gy >= 0) & (gy < ny)
+    return gx[keep], gy[keep], pv[keep], d2[keep]
+
+
+def grid_points(ds, *, extent, cell: float, radius: float, method: str = "invdist",
+                power: float = 2.0, value_col: str = "value"):
+    """-> Dataset (gx, gy, value[, n]) for cells with >=1 point in radius.
+
+    extent: (x0, y0, x1, y1). method: invdist | average | nearest."""
+    x0, y0, x1, y1 = extent
+    nx = int(np.ceil((x1 - x0) / cell))
+    ny = int(np.ceil((y1 - y0) / cell))
+
+    if method == "nearest":
+        def part(t: pa.Table) -> pa.Table:
+            gx, gy, pv, d2 = _fan_to_cells(t, x0=x0, y0=y0, nx=nx, ny=ny,
+                                           cell=cell, radius=radius, value_col=value_col)
+            df = pd.DataFrame({"gx": gx, "gy": gy, "d2": d2, "value": pv})
+            idx = df.groupby(["gx", "gy"], sort=False)["d2"].idxmin()
+            return pa.Table.from_pandas(df.loc[idx], preserve_index=False)
+
+        partials = ds.map_batches(part, batch_format="pyarrow", batch_size=None)
+        out = first_by(partials, ["gx", "gy"], ["d2", "value"])
+        return out.map_batches(
+            lambda t: t.select(["gx", "gy", "value"]), batch_format="pyarrow", batch_size=None
+        )
+
+    def part(t: pa.Table) -> pa.Table:
+        gx, gy, pv, d2 = _fan_to_cells(t, x0=x0, y0=y0, nx=nx, ny=ny,
+                                       cell=cell, radius=radius, value_col=value_col)
+        if method == "invdist":
+            w = 1.0 / np.maximum(np.power(np.sqrt(d2), power), 1e-12)
+        else:  # average
+            w = np.ones_like(d2)
+        df = pd.DataFrame({"gx": gx, "gy": gy, "wv": w * pv, "w": w})
+        g = df.groupby(["gx", "gy"], sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(part, batch_format="pyarrow", batch_size=None)
+    summed = groupby_agg(partials, ["gx", "gy"], [("wv", "sum", "wv"), ("w", "sum", "w")])
+
+    def fin(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {"gx": t["gx"], "gy": t["gy"],
+             "value": pc.divide(t["wv"], t["w"])}
+        )
+
+    return summed.map_batches(fin, batch_format="pyarrow", batch_size=None)

@@ -1,0 +1,64 @@
+"""Grid interpolators vs brute force; HLL accuracy."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from gdal_ray.ops.relational import count_distinct
+from gdal_ray.ops.sketch import approx_count_distinct
+from gdal_ray.stages.grid import grid_points
+from gdal_ray.util import read_table, to_arrow
+
+
+def _pts(n=2000):
+    rng = np.random.RandomState(6)
+    return pa.table(
+        {"x": rng.uniform(0, 10, n), "y": rng.uniform(0, 10, n),
+         "value": rng.uniform(0, 100, n)}
+    )
+
+
+def _brute(t, extent, cell, radius, method, power=2.0):
+    x0, y0, x1, y1 = extent
+    nx, ny = int(np.ceil((x1 - x0) / cell)), int(np.ceil((y1 - y0) / cell))
+    x, y, v = (np.asarray(t[c]) for c in ("x", "y", "value"))
+    out = {}
+    for gx in range(nx):
+        for gy in range(ny):
+            cx, cy = x0 + (gx + 0.5) * cell, y0 + (gy + 0.5) * cell
+            d2 = (x - cx) ** 2 + (y - cy) ** 2
+            m = d2 <= radius * radius
+            if not m.any():
+                continue
+            if method == "nearest":
+                out[(gx, gy)] = v[m][np.argmin(d2[m])]
+            elif method == "average":
+                out[(gx, gy)] = v[m].mean()
+            else:
+                w = 1.0 / np.maximum(np.sqrt(d2[m]) ** power, 1e-12)
+                out[(gx, gy)] = (w * v[m]).sum() / w.sum()
+    return out
+
+
+def test_grid_interpolators_match_bruteforce():
+    t = _pts(800)
+    extent = (0.0, 0.0, 10.0, 10.0)
+    ds = rd.from_arrow(t)
+    for method in ["invdist", "average", "nearest"]:
+        got_t = to_arrow(grid_points(rd.from_arrow(t), extent=extent, cell=1.0,
+                                     radius=1.5, method=method))
+        got = {
+            (r["gx"], r["gy"]): r["value"] for r in got_t.to_pylist()
+        }
+        exp = _brute(t, extent, 1.0, 1.5, method)
+        assert set(got) == set(exp), method
+        for k in exp:
+            assert abs(got[k] - exp[k]) < 1e-9, (method, k)
+
+
+def test_hll_within_error(sf_dir):
+    ds = read_table(sf_dir, "lineitem", columns=["l_partkey"])
+    est = approx_count_distinct(ds, "l_partkey")
+    exact = count_distinct(read_table(sf_dir, "lineitem", columns=["l_partkey"]), "l_partkey")
+    assert abs(est - exact) / exact < 0.06  # ~3 sigma for p=12

@@ -1,0 +1,62 @@
+"""Raster map ops + focal stats with halo exchange."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from gdal_ray.raster import mapops as MO
+from gdal_ray.util import to_arrow
+
+TILE = MO.TILE
+
+
+def _tiles_from(arr: np.ndarray, dtype=np.uint32):
+    """Split a (2T, 2T) array into 4 tile rows."""
+    rows = []
+    for ty in range(2):
+        for tx in range(2):
+            sub = arr[ty * TILE : (ty + 1) * TILE, tx * TILE : (tx + 1) * TILE]
+            rows.append({"zoom": 5, "tile_x": tx, "tile_y": ty,
+                         "data": sub.astype(dtype).tobytes()})
+    return rd.from_pandas(pd.DataFrame(rows))
+
+
+def test_calc_reclassify_scale():
+    rng = np.random.RandomState(8)
+    arr = rng.randint(0, 100, size=(2 * TILE, 2 * TILE)).astype(np.uint32)
+    tiles = _tiles_from(arr)
+    doubled = to_arrow(MO.tile_calc(tiles, lambda a: a * 2))
+    d0 = np.frombuffer(doubled["data"][0].as_py(), np.uint32).reshape(TILE, TILE)
+    tx, ty = doubled["tile_x"][0].as_py(), doubled["tile_y"][0].as_py()
+    assert (d0 == arr[ty * TILE : (ty + 1) * TILE, tx * TILE : (tx + 1) * TILE] * 2).all()
+
+    rec = to_arrow(MO.tile_reclassify(tiles, [(0, 50, 1), (50, 200, 2)]))
+    r0 = np.frombuffer(rec["data"][0].as_py(), np.uint32)
+    assert set(np.unique(r0)) <= {1, 2}
+
+    sc = to_arrow(MO.tile_scale(tiles, gain=0.5, offset=10.0))
+    s0 = np.frombuffer(sc["data"][0].as_py(), np.float32).reshape(TILE, TILE)
+    sub = arr[ty * TILE : (ty + 1) * TILE, tx * TILE : (tx + 1) * TILE]
+    # note: row order of batches may differ; just check value mapping holds
+    assert np.isclose(s0.min(), 10.0, atol=0.51) and s0.max() <= 100 * 0.5 + 10
+
+
+def test_focal_mean_matches_direct():
+    rng = np.random.RandomState(12)
+    arr = rng.randint(0, 50, size=(2 * TILE, 2 * TILE)).astype(np.uint32)
+    tiles = _tiles_from(arr)
+    out = to_arrow(MO.focal_stats(tiles, stat="mean", radius=1))
+    assert out.num_rows == 4
+
+    # direct whole-array computation with zero padding
+    pad = np.zeros((2 * TILE + 2, 2 * TILE + 2), np.float64)
+    pad[1:-1, 1:-1] = arr
+    stack = np.stack([pad[i : i + 2 * TILE, j : j + 2 * TILE] for i in range(3) for j in range(3)])
+    direct = stack.mean(axis=0)
+
+    for i in range(4):
+        tx, ty = out["tile_x"][i].as_py(), out["tile_y"][i].as_py()
+        got = np.frombuffer(out["data"][i].as_py(), np.float32).reshape(TILE, TILE)
+        exp = direct[ty * TILE : (ty + 1) * TILE, tx * TILE : (tx + 1) * TILE].astype(np.float32)
+        assert np.allclose(got, exp), f"tile {tx},{ty} mismatch"

@@ -1,0 +1,52 @@
+"""Multimodal stage plumbing (fake codec, real Ray pipeline)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from gdal_ray.stages import multimodal as MM
+from gdal_ray.util import to_arrow
+
+
+def _docs_ds(sf_dir):
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+
+def test_image_pipeline_end_to_end(sf_dir):
+    ds = _docs_ds(sf_dir)
+    with_img = MM.synth_image_column(ds, id_col="doc_id")
+    feats = to_arrow(MM.image_features(with_img, concurrency=(1, 2)))
+    assert feats.num_rows == 500
+    assert "image" not in feats.column_names  # payload dropped at decode
+    assert {"img_mean", "img_std", "img_sig"} <= set(feats.column_names)
+    # deterministic across runs
+    feats2 = to_arrow(MM.image_features(MM.synth_image_column(_docs_ds(sf_dir), id_col="doc_id"), concurrency=(1, 2)))
+    a = feats.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = feats2.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a[["img_mean", "img_sig"]].equals(b[["img_mean", "img_sig"]])
+
+
+def test_unknown_codec_raises(sf_dir):
+    t = pa.table(
+        {
+            "doc_id": pa.array([1], pa.int64()),
+            "image": pa.array([b"\x00" * 48], pa.binary()),
+            "img_width": pa.array([4], pa.int32()),
+            "img_height": pa.array([4], pa.int32()),
+            "img_format": pa.array(["jpeg"], pa.string()),
+        }
+    )
+    stage = MM.ImageStage()
+    with pytest.raises(NotImplementedError, match="codec 'jpeg'"):
+        stage(t)
+
+
+def test_frame_sampler(sf_dir):
+    ds = MM.synth_image_column(_docs_ds(sf_dir).limit(10), id_col="doc_id")
+    out = to_arrow(
+        ds.map_batches(MM.AudioFrameSampler, batch_format="pyarrow", batch_size=None,
+                       concurrency=(1, 2))
+    )
+    assert out.num_rows == 40  # 10 payloads x 4 frames
+    assert out["frame"].to_pylist().count(0) == 10
