@@ -1,0 +1,57 @@
+"""Contour / sieve / proximity kernels."""
+
+import numpy as np
+
+from gdal_ray.raster.analysis import contour, contour_segments, proximity, sieve
+
+
+def test_contour_circle():
+    # radial field: the level-5 contour of distance-from-center is a circle
+    h = w = 21
+    y, x = np.mgrid[0:h, 0:w]
+    field = np.hypot(x - 10, y - 10)
+    lines = contour(field, [5.0])
+    assert lines
+    pts = np.vstack([ln for _, ln in lines])
+    # all contour points are ~5 pixels from the center (+0.5 sample offset)
+    d = np.hypot(pts[:, 0] - 10.5, pts[:, 1] - 10.5)
+    assert abs(d.mean() - 5.0) < 0.15 and d.std() < 0.1
+
+
+def test_contour_conservation():
+    rng = np.random.RandomState(5)
+    a = rng.uniform(0, 10, (12, 12))
+    segs = contour_segments(a, 5.0)
+    # segment crossing count parity: every 2x2 cell contributes 0 or 2
+    # boundary crossings -> every segment endpoint lies on a cell edge with
+    # value straddling the level
+    for (x1, y1), (x2, y2) in segs:
+        assert 0 <= x1 <= 12 and 0 <= y1 <= 12
+
+
+def test_sieve():
+    a = np.zeros((10, 10), np.uint8)
+    a[2:8, 2:8] = 5
+    a[4, 4] = 9          # 1-px speck inside the 5-region
+    a[0, 0] = 7          # 1-px speck in the 0 background
+    out = sieve(a, threshold=3)
+    assert out[4, 4] == 5
+    assert out[0, 0] == 0
+    # the big regions survive untouched
+    assert (out[2:8, 2:8] == 5).all()
+    assert out.sum() == 5 * 36
+
+
+def test_proximity_exact():
+    rng = np.random.RandomState(3)
+    mask = np.zeros((24, 24), bool)
+    ys, xs = rng.randint(0, 24, 5), rng.randint(0, 24, 5)
+    mask[ys, xs] = True
+    d = proximity(mask)
+    # brute force
+    yy, xx = np.mgrid[0:24, 0:24]
+    brute = np.min(
+        [np.hypot(yy - y0, xx - x0) for y0, x0 in zip(ys, xs)], axis=0
+    )
+    assert np.allclose(d, brute)
+    assert (d[mask] == 0).all()
