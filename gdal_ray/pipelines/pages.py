@@ -283,3 +283,29 @@ def flagship(sf_dir: str, *, repeat: int = 1, zoom: int = 9, min_zoom: int = 5,
     for lvl in levels[1:]:
         out = out.union(lvl)
     return out
+
+
+def flagship_to_parquet(sf_dir: str, out_dir: str, *, repeat: int = 1,
+                        zoom: int = 9, min_zoom: int = 5):
+    """Flagship with RESUMABLE output: the per-zoom tile aggregates are
+    written as per-(zoom, coarse-tile-region) partitions with lineage
+    manifests; a restart recomputes only missing partitions' rows at the
+    write stage (gdal raster tile --resume semantics). Returns the manifest
+    Dataset of the run."""
+    import pyarrow.compute as pc_
+
+    from gdal_ray.state.manifest import write_partitioned_resumable
+
+    tiles = flagship(sf_dir, repeat=repeat, zoom=zoom, min_zoom=min_zoom)
+
+    def part_key(t: pa.Table) -> pa.Table:
+        # partition key = (zoom, tile_x >> 4): bounded region files
+        key = pc_.binary_join_element_wise(
+            pc_.cast(t["zoom"], pa.string()),
+            pc_.cast(pc_.shift_right(t["tile_x"], 4), pa.string()),
+            "_",
+        )
+        return t.append_column("part", key)
+
+    keyed = tiles.map_batches(part_key, batch_format="pyarrow", batch_size=None)
+    return write_partitioned_resumable(keyed, out_dir, "part")

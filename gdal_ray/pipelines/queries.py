@@ -354,6 +354,50 @@ FROM events GROUP BY 1, 2
 # ---------------------------------------------------------------------------
 
 
+def q14b_session_windows(sf_dir):
+    """Session windows per user (gap > 2h starts a new session) — the ray
+    guide's groupby(key).map_groups-over-sorted-group pattern; oracle uses
+    lag + cumulative-sum window functions."""
+    import pandas as pd
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        gap = g["ts"].diff() > pd.Timedelta(hours=2)
+        sid = gap.cumsum().fillna(0).astype(int)
+        out = g.groupby(sid).agg(
+            user_id=("user_id", "first"),
+            n_events=("event_id", "size"),
+            t_start=("ts", "min"),
+            t_end=("ts", "max"),
+            sum_value=("value", "sum"),
+        )
+        out["session_id"] = out.index.astype("int64")
+        out["n_events"] = out["n_events"].astype("int64")
+        out["sum_value"] = out["sum_value"].round(6)
+        return out.reset_index(drop=True)
+
+    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+
+
+Q14B_SQL = """
+WITH marked AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER w > INTERVAL 2 HOUR THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, min(ts) AS t_start,
+       max(ts) AS t_end, round(sum(value), 6) AS sum_value,
+       CAST(session_id AS BIGINT) AS session_id
+FROM sess GROUP BY user_id, session_id
+"""
+
+
 def q15_semi_join(sf_dir):
     """Customers WITH at least one order (semi join via broadcast key set)."""
     import pyarrow.parquet as pq
@@ -1014,6 +1058,7 @@ def registry():
         "q12_explode": q12_explode,
         "q13_dedup_first": q13_dedup_first,
         "q14_window": q14_window,
+        "q14b_session_windows": q14b_session_windows,
         "q15_semi_join": q15_semi_join,
         "q16_anti_join": q16_anti_join,
         "q17_zonal_mode": q17_zonal_mode,
@@ -1056,6 +1101,7 @@ def registry():
         "q12_explode": Q12_SQL,
         "q13_dedup_first": Q13_SQL,
         "q14_window": Q14_SQL,
+        "q14b_session_windows": Q14B_SQL,
         "q15_semi_join": Q15_SQL,
         "q16_anti_join": Q16_SQL,
         "q17_zonal_mode": Q17_SQL,

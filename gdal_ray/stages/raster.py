@@ -74,10 +74,16 @@ def tile_geotransform(tx: int, ty: int, zoom: int):
 
 def burn_features_to_tiles(ds, zoom: int, *, wkb_col="geometry",
                            burn_col=None, burn_value=1.0, merge="replace",
-                           dtype=np.float32):
+                           dtype=np.float32, salt: int | None = None):
     """Vector -> tile raster: flat-map each feature to its covering tiles
     (bbox -> tile range), shuffle by tile, burn per group with the exact
-    scanline kernel. Output rows: (zoom, tile_x, tile_y, data, checksum)."""
+    scanline kernel. Output rows: (zoom, tile_x, tile_y, data, checksum).
+
+    salt=k (merge='add' only): HOT-CELL SALTING — features of one tile are
+    split over k sub-groups burned independently, then the k partial arrays
+    sum in a second reduce (SURVEY §7.4: '(cell, hash%k) then merge'), so a
+    tile covered by millions of features never lands in a single straggler
+    group. Exact for additive burns."""
     from gdal_ray.geo import wkb as W
     from gdal_ray.pipelines.steps import _envelope
 
@@ -113,9 +119,11 @@ def burn_features_to_tiles(ds, zoom: int, *, wkb_col="geometry",
     def burn(g: pd.DataFrame) -> pd.DataFrame:
         tx, ty = int(g["tile_x"].iloc[0]), int(g["tile_y"].iloc[0])
         gt = tile_geotransform(tx, ty, zoom)
+        # burn in float64 when salted so partial sums merge losslessly
         arr = _rasterize(
             [bytes(b) for b in g["geometry"]],
-            TILE, TILE, gt, list(g["burn"]), dtype=dtype, merge=merge,
+            TILE, TILE, gt, list(g["burn"]),
+            dtype=np.float64 if salt else dtype, merge=merge,
         )
         return pd.DataFrame(
             {
@@ -125,7 +133,44 @@ def burn_features_to_tiles(ds, zoom: int, *, wkb_col="geometry",
             }
         )
 
-    return fanned.groupby(["tile_x", "tile_y"]).map_groups(burn, batch_format="pandas")
+    if salt is None:
+        return fanned.groupby(["tile_x", "tile_y"]).map_groups(burn, batch_format="pandas")
+
+    if merge != "add":
+        raise ValueError("salted burn requires merge='add' (additive partials)")
+
+    def add_salt(t: pa.Table) -> pa.Table:
+        import hashlib as _h
+
+        s = np.array(
+            [int(_h.md5(b).hexdigest()[:8], 16) % salt for b in t["geometry"].to_pylist()],
+            dtype=np.int32,
+        )
+        return t.append_column("salt", pa.array(s))
+
+    salted = fanned.map_batches(add_salt, batch_format="pyarrow", batch_size=None)
+    partial_tiles = salted.groupby(["tile_x", "tile_y", "salt"]).map_groups(
+        burn, batch_format="pandas"
+    )
+
+    def merge_salted(g: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(TILE * TILE, dtype=np.float64)
+        for buf in g["data"]:
+            acc += np.frombuffer(buf, dtype=np.float64)
+        arr = acc.reshape(TILE, TILE).astype(dtype)
+        return pd.DataFrame(
+            {
+                "zoom": [int(g["zoom"].iloc[0])],
+                "tile_x": [int(g["tile_x"].iloc[0])],
+                "tile_y": [int(g["tile_y"].iloc[0])],
+                "data": [arr.tobytes()],
+                "checksum": [_checksum(arr)],
+            }
+        )
+
+    return partial_tiles.groupby(["tile_x", "tile_y"]).map_groups(
+        merge_salted, batch_format="pandas"
+    )
 
 
 def overview_reduce(tiles_ds, *, dtype=np.uint32, agg: str = "sum"):
