@@ -3,7 +3,8 @@
 Headline: the north-star flagship pipeline (pages synth -> extract ->
 cell encode -> PIP join -> tile shuffle + overview pyramid) over
 $GRAFT_SF_DIR (default /root/testdata/sf0.1) with pages scaled by
-GRAFT_PAGE_REPEAT (default 20: sf0.1 -> 100k pages).
+GRAFT_PAGE_REPEAT (default 100: sf0.1 -> 500k pages — large enough that
+fixed per-stage overheads amortize).
 
 Prints ONE JSON line:
   {"metric": ..., "value": sec, "unit": "sec", "queries": {...},
@@ -28,7 +29,7 @@ def run_bench() -> dict:
 
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    repeat = int(os.environ.get("GRAFT_PAGE_REPEAT", "20"))
+    repeat = int(os.environ.get("GRAFT_PAGE_REPEAT", "100"))
 
     ray.init(
         address="local",

@@ -42,47 +42,99 @@ class UnionFind:
 
 
 def label_array(arr: np.ndarray, connectivity: int = 4, nodata=None) -> np.ndarray:
-    """Two-pass union-find CC labeling of equal-valued pixels. Returns int64
-    labels (-1 for nodata), labels numbered 0..n-1 in row-major first-pixel
-    order (deterministic)."""
+    """Connected-component labeling of equal-valued pixels, vectorized:
+    per-row RUNS get ids in one cumsum, runs merge across rows via a
+    union-find over the (small) run adjacency pairs. Returns int64 labels
+    (-1 for nodata), numbered 0..n-1 in row-major first-pixel order."""
     h, w = arr.shape
-    labels = np.full((h, w), -1, dtype=np.int64)
-    uf = UnionFind()
-    next_label = 0
-    for y in range(h):
-        for x in range(w):
-            v = arr[y, x]
-            if nodata is not None and v == nodata:
-                continue
-            cands = []
-            if x > 0 and arr[y, x - 1] == v and labels[y, x - 1] >= 0:
-                cands.append(labels[y, x - 1])
-            if y > 0 and arr[y - 1, x] == v and labels[y - 1, x] >= 0:
-                cands.append(labels[y - 1, x])
-            if connectivity == 8 and y > 0:
-                if x > 0 and arr[y - 1, x - 1] == v and labels[y - 1, x - 1] >= 0:
-                    cands.append(labels[y - 1, x - 1])
-                if x + 1 < w and arr[y - 1, x + 1] == v and labels[y - 1, x + 1] >= 0:
-                    cands.append(labels[y - 1, x + 1])
-            if not cands:
-                labels[y, x] = next_label
-                next_label += 1
-            else:
-                m = min(cands)
-                labels[y, x] = m
-                for c in cands:
-                    uf.union(m, c)
-    # resolve + renumber in first-appearance order
-    remap: dict = {}
-    out = labels
-    flat = out.ravel()
-    for i in range(flat.size):
-        if flat[i] >= 0:
-            r = uf.find(int(flat[i]))
-            if r not in remap:
-                remap[r] = len(remap)
-            flat[i] = remap[r]
-    return out
+    valid = np.ones((h, w), dtype=bool) if nodata is None else (arr != nodata)
+    # run starts: first column, value change, or validity change
+    new_run = np.ones((h, w), dtype=bool)
+    new_run[:, 1:] = (arr[:, 1:] != arr[:, :-1]) | (valid[:, 1:] != valid[:, :-1])
+    run_id = (np.cumsum(new_run.ravel()) - 1).reshape(h, w)
+    n_runs = int(run_id[-1, -1]) + 1
+
+    parent = np.arange(n_runs, dtype=np.int64)
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+
+    # vertical adjacencies (and diagonals for 8-conn): vectorized pair lists
+    pair_sets = [((slice(None, -1), slice(None)), (slice(1, None), slice(None)))]
+    if connectivity == 8:
+        pair_sets.append(((slice(None, -1), slice(None, -1)), (slice(1, None), slice(1, None))))
+        pair_sets.append(((slice(None, -1), slice(1, None)), (slice(1, None), slice(None, -1))))
+    for sa, sb in pair_sets:
+        m = (arr[sa] == arr[sb]) & valid[sa] & valid[sb]
+        pairs = np.unique(
+            np.stack([run_id[sa][m], run_id[sb][m]], axis=1), axis=0
+        )
+        for a, b in pairs:
+            union(int(a), int(b))
+
+    roots = np.array([find(i) for i in range(n_runs)], dtype=np.int64)
+    # renumber roots in row-major first-appearance order of their runs
+    order = np.full(n_runs, -1, dtype=np.int64)
+    nxt = 0
+    flat_valid_any = np.zeros(n_runs, dtype=bool)
+    np.logical_or.at(flat_valid_any, run_id.ravel(), valid.ravel())
+    for rid in range(n_runs):
+        r = roots[rid]
+        if flat_valid_any[rid] and order[r] < 0:
+            order[r] = nxt
+            nxt += 1
+    labels = order[roots[run_id]]
+    labels[~valid] = -1
+    return labels
+
+
+def _boundary_edges_all(labels: np.ndarray):
+    """Directed boundary unit-edges for EVERY label in one vectorized pass.
+    Returns (lab, ax, ay, bx, by) int64 arrays (interior-on-left convention,
+    same as _boundary_edges)."""
+    h, w = labels.shape
+    valid = labels >= 0
+    pads = np.full((h, w), -2, dtype=np.int64)
+
+    def neighbor(dy, dx):
+        """out[y, x] = labels[y + dy, x + dx] (out-of-range -> -2)."""
+        out = pads.copy()
+        ys_dst = slice(max(0, -dy), h - max(0, dy))
+        xs_dst = slice(max(0, -dx), w - max(0, dx))
+        ys_src = slice(max(0, dy), h - max(0, -dy))
+        xs_src = slice(max(0, dx), w - max(0, -dx))
+        out[ys_dst, xs_dst] = labels[ys_src, xs_src]
+        return out
+
+    labs, axs, ays, bxs, bys = [], [], [], [], []
+    specs = [
+        ((-1, 0), lambda x, y: (x + 1, y, x, y)),          # top side
+        ((1, 0), lambda x, y: (x, y + 1, x + 1, y + 1)),   # bottom side
+        ((0, -1), lambda x, y: (x, y, x, y + 1)),          # left side
+        ((0, 1), lambda x, y: (x + 1, y + 1, x + 1, y)),   # right side
+    ]
+    for (dy, dx), mk in specs:
+        m = valid & (neighbor(dy, dx) != labels)
+        ys, xs = np.nonzero(m)
+        ax, ay, bx, by = mk(xs, ys)
+        labs.append(labels[ys, xs])
+        axs.append(ax); ays.append(ay); bxs.append(bx); bys.append(by)
+    return (
+        np.concatenate(labs), np.concatenate(axs), np.concatenate(ays),
+        np.concatenate(bxs), np.concatenate(bys),
+    )
 
 
 def _boundary_edges(labels: np.ndarray, target: int):
@@ -152,7 +204,8 @@ def stitch_rings(edges, connectivity: int = 4):
             used.add((cur, nxt))
             prev, cur = cur, nxt
         rings.append(ring)
-    return [_simplify_collinear(r) for r in rings]
+    out = [_simplify_collinear(r) for r in rings]
+    return [r for r in out if len(r) >= 4]  # drop degenerate zero-area walks
 
 
 def _simplify_collinear(ring):
@@ -166,6 +219,8 @@ def _simplify_collinear(ring):
         cross = (p1[0] - p0[0]) * (p2[1] - p1[1]) - (p1[1] - p0[1]) * (p2[0] - p1[0])
         if cross != 0:
             out.append(p1)
+    if not out:  # fully degenerate (zero-area back-and-forth walk)
+        return []
     out.append(out[0])
     return out
 
@@ -182,18 +237,31 @@ def polygonize(arr: np.ndarray, connectivity: int = 4, nodata=None,
     """-> list of (pixel_value, rings) where rings[0] is the exterior and
     the rest are holes, coordinates in geo space."""
     labels = label_array(arr, connectivity=connectivity, nodata=nodata)
-    nlab = labels.max() + 1
+    nlab = int(labels.max()) + 1
     g0, g1, g2, g3, g4, g5 = geotransform
+    # first-pixel value per label: reverse scatter keeps the FIRST index
+    flat = labels.ravel()
+    vals = arr.ravel()
+    m = flat >= 0
+    idxs = np.arange(flat.size)[m][::-1]
+    lab_of = flat[m][::-1]
+    first_idx = np.zeros(nlab, dtype=np.int64)
+    first_idx[lab_of] = idxs
+    el, ax, ay, bx, by = _boundary_edges_all(labels)
+    order = np.argsort(el, kind="stable")
+    el, ax, ay, bx, by = el[order], ax[order], ay[order], bx[order], by[order]
+    bounds = np.searchsorted(el, np.arange(nlab + 1))
     out = []
     for lab in range(nlab):
-        ys, xs = np.nonzero(labels == lab)
-        value = arr[ys[0], xs[0]]
-        rings = stitch_rings(_boundary_edges(labels, lab), connectivity)
-        # exterior = largest absolute area, first
+        lo, hi = bounds[lab], bounds[lab + 1]
+        edges = [
+            ((int(ax[i]), int(ay[i])), (int(bx[i]), int(by[i]))) for i in range(lo, hi)
+        ]
+        rings = stitch_rings(edges, connectivity)
         rings.sort(key=lambda r: -abs(_ring_area2(r)))
         geo_rings = [
             np.array([(g0 + x * g1 + y * g2, g3 + x * g4 + y * g5) for x, y in r])
             for r in rings
         ]
-        out.append((value, geo_rings))
+        out.append((vals[first_idx[lab]], geo_rings))
     return out

@@ -221,16 +221,24 @@ def _tile_pieces(arr: np.ndarray, tile_key: tuple[int, int], connectivity: int, 
     h, w = arr.shape
     ox, oy = tile_key[0] * w, tile_key[1] * h
     labels = label_array(arr, connectivity=connectivity, nodata=nodata)
-    edge_rows = []  # (glabel, value, ax, ay, bx, by)
-    from gdal_ray.raster.polygonize import _boundary_edges
+    from gdal_ray.raster.polygonize import _boundary_edges_all
 
-    nlab = labels.max() + 1
-    for lab in range(nlab):
-        ys, xs = np.nonzero(labels == lab)
-        value = arr[ys[0], xs[0]]
-        glabel = f"{tile_key[0]}_{tile_key[1]}_{lab}"
-        for (ax, ay), (bx, by) in _boundary_edges(labels, lab):
-            edge_rows.append((glabel, value, ax + ox, ay + oy, bx + ox, by + oy))
+    # first-pixel value per label (vectorized reverse scatter)
+    nlab = int(labels.max()) + 1
+    flat, vals = labels.ravel(), arr.ravel()
+    m = flat >= 0
+    idxs = np.arange(flat.size)[m][::-1]
+    lab_of = flat[m][::-1]
+    first_idx = np.zeros(max(nlab, 1), dtype=np.int64)
+    first_idx[lab_of] = idxs
+
+    el, eax, eay, ebx, eby = _boundary_edges_all(labels)
+    prefix = f"{tile_key[0]}_{tile_key[1]}_"
+    edge_rows = [
+        (prefix + str(int(l)), vals[first_idx[int(l)]],
+         int(ax) + ox, int(ay) + oy, int(bx) + ox, int(by) + oy)
+        for l, ax, ay, bx, by in zip(el, eax, eay, ebx, eby)
+    ]
     border_rows = []  # (side_key, pos, value, glabel)
     for x in range(w):
         if nodata is None or arr[0, x] != nodata:
