@@ -177,6 +177,82 @@ def knn_points(ds, queries: pa.Table, k: int, *, id_col="id", lon_col="lon",
     return partials.map_batches(merge, batch_format="pandas", batch_size=None)
 
 
+def knn_all_points_cell_partitioned(ds, k: int, *, cell_size: float,
+                                    fringe: float, id_col="id",
+                                    lon_col="lon", lat_col="lat"):
+    """Self-kNN of EVERY point (the scale path of SURVEY §7.4: repartition
+    by cell + per-cell local search + fringe duplication for boundary
+    correctness — per-cell trees instead of any broadcast).
+
+    Every point belongs to one square cell (floor(x/s), floor(y/s)) as CORE
+    and is duplicated into each adjacent cell it lies within `fringe` of.
+    A per-cell group answers kNN for its core points against core+fringe.
+    Exact iff each point's k-th neighbor is within `fringe`; the output's
+    `exact` column certifies this per row (kth_dist <= fringe).
+    """
+    import pandas as pd
+
+    def fan(t: pa.Table) -> pa.Table:
+        x = np.asarray(t[lon_col].to_numpy(zero_copy_only=False), dtype=np.float64)
+        y = np.asarray(t[lat_col].to_numpy(zero_copy_only=False), dtype=np.float64)
+        ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False))
+        cx = np.floor(x / cell_size).astype(np.int64)
+        cy = np.floor(y / cell_size).astype(np.int64)
+        fx = x - cx * cell_size  # position within the cell
+        fy = y - cy * cell_size
+        rows = {"cx": [cx], "cy": [cy], "id": [ids], "x": [x], "y": [y],
+                "core": [np.ones(x.size, dtype=bool)]}
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                near_x = (fx < fringe) if dx < 0 else (fx > cell_size - fringe) if dx > 0 else np.ones_like(fx, bool)
+                near_y = (fy < fringe) if dy < 0 else (fy > cell_size - fringe) if dy > 0 else np.ones_like(fy, bool)
+                m = near_x & near_y
+                if not m.any():
+                    continue
+                rows["cx"].append(cx[m] + dx)
+                rows["cy"].append(cy[m] + dy)
+                rows["id"].append(ids[m])
+                rows["x"].append(x[m])
+                rows["y"].append(y[m])
+                rows["core"].append(np.zeros(int(m.sum()), dtype=bool))
+        return pa.table({name: pa.array(np.concatenate(v)) for name, v in rows.items()})
+
+    fanned = ds.map_batches(fan, batch_format="pyarrow", batch_size=None)
+
+    def solve(g: pd.DataFrame) -> pd.DataFrame:
+        x = g["x"].to_numpy()
+        y = g["y"].to_numpy()
+        ids = g["id"].to_numpy()
+        core = g["core"].to_numpy()
+        qi = np.nonzero(core)[0]
+        if qi.size == 0:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "dist": [], "rank": [], "exact": []}
+            )
+        d2 = (x[qi, None] - x[None, :]) ** 2 + (y[qi, None] - y[None, :]) ** 2
+        d2[np.arange(qi.size), qi] = np.inf  # self
+        kk = min(k, d2.shape[1] - 1)
+        if kk <= 0:  # a lone point with no visible neighbors at all
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "dist": [], "rank": [], "exact": []}
+            )
+        order = np.lexsort((np.broadcast_to(ids, d2.shape), d2), axis=1)[:, :kk]
+        dist = np.sqrt(np.take_along_axis(d2, order, axis=1))
+        out_q = np.repeat(ids[qi], kk)
+        out_n = ids[order].ravel()
+        out_d = dist.ravel()
+        out_r = np.tile(np.arange(1, kk + 1), qi.size)
+        exact = np.repeat(dist[:, -1] <= fringe, kk)
+        return pd.DataFrame(
+            {"query_id": out_q, "neighbor_id": out_n, "dist": out_d,
+             "rank": out_r, "exact": exact}
+        )
+
+    return fanned.groupby(["cx", "cy"]).map_groups(solve, batch_format="pandas")
+
+
 class SpatialKNN:
     """kNN of each input point against a broadcast reference point set —
     the gridding-search semantics (radius/max-point-bounded nearest search,
