@@ -144,3 +144,44 @@ def cell_center(cell: np.ndarray):
     res, q, r = cell_axial(cell)
     _, a, b = _GRIDS[res]
     return q * a[0] + r * b[0], q * a[1] + r * b[1]
+
+
+def cell_from_axial(q: np.ndarray, r: np.ndarray, res: int) -> np.ndarray:
+    """Inverse of cell_axial: encode global-grid axial coords at `res` into
+    cell ids (same bottom-up coset peel as lonlat_to_cell)."""
+    q = np.asarray(q, dtype=np.int64).copy()
+    r = np.asarray(r, dtype=np.int64).copy()
+    cell = np.full(q.shape, np.uint64(res) << np.uint64(60), dtype=np.uint64)
+    for rr in range(res, 0, -1):
+        digit = _RESIDUE_TO_DIGIT[(3 * q + r) % 7]
+        qc = q - _DIGIT_DQ[digit]
+        rc = r - _DIGIT_DR[digit]
+        q = (3 * qc + rc) // 7
+        r = (-qc + 2 * rc) // 7
+        cell |= digit.astype(np.uint64) << np.uint64(34 - 3 * rr)
+    cell |= (q + 4096).astype(np.uint64) << np.uint64(47)
+    cell |= (r + 4096).astype(np.uint64) << np.uint64(34)
+    return cell
+
+
+def cell_children(cell: np.ndarray) -> np.ndarray:
+    """The 7 res+1 children of each cell (digit append — exact coset
+    structure). Output shape (..., 7)."""
+    c = np.atleast_1d(np.asarray(cell, dtype=np.uint64))
+    res = int(cell_res(c)[0])
+    if res + 1 > MAX_RES:
+        raise ValueError("children beyond MAX_RES")
+    base = (c & ~(np.uint64(0xF) << np.uint64(60))) | (np.uint64(res + 1) << np.uint64(60))
+    shift = np.uint64(34 - 3 * (res + 1))
+    digits = np.arange(7, dtype=np.uint64)
+    return base[..., None] | (digits[None, :] << shift)
+
+
+def cell_neighbors(cell: np.ndarray) -> np.ndarray:
+    """The 6 same-res neighbor hexes (unit axial steps). Shape (..., 6)."""
+    c = np.atleast_1d(np.asarray(cell, dtype=np.uint64))
+    res, q, r = cell_axial(c)
+    outs = []
+    for d in range(1, 7):
+        outs.append(cell_from_axial(q + _DIGIT_DQ[d], r + _DIGIT_DR[d], res))
+    return np.stack(outs, axis=-1)

@@ -141,6 +141,56 @@ def parent(cell: np.ndarray, level: int) -> np.ndarray:
     return (cell & ~(lsb * np.uint64(2) - np.uint64(1))) | lsb
 
 
+def cell_to_lonlat(cell: np.ndarray):
+    """Cell -> (lon, lat) degrees via the inverse Hilbert table. Exact cell
+    center for LEAF cells; for coarser cells a representative interior point
+    (the decoded leaf position of the id's center marker)."""
+    c = np.atleast_1d(np.asarray(cell, dtype=np.uint64))
+    face = (c >> np.uint64(61)).astype(np.int64)
+    # walk 8 nibble-pairs of the curve back to (i, j)
+    i = np.zeros(c.shape, dtype=np.int64)
+    j = np.zeros(c.shape, dtype=np.int64)
+    bits = (face & _SWAP_MASK).astype(np.int64)
+    # 60-bit hilbert position only — the face bits above contaminate the
+    # top nibble-pair otherwise (face 0 round-trips, others flip)
+    n = (c >> np.uint64(1)) & np.uint64((1 << 60) - 1)
+    for k in range(7, -1, -1):
+        nbits = ((n >> np.uint64(k * 2 * _LOOKUP_BITS)) & np.uint64((1 << (2 * _LOOKUP_BITS)) - 1)).astype(np.int64)
+        bits += nbits << 2
+        bits = _LOOKUP_IJ[bits]
+        i += (bits >> (_LOOKUP_BITS + 2)) << (k * _LOOKUP_BITS)
+        j += ((bits >> 2) & ((1 << _LOOKUP_BITS) - 1)) << (k * _LOOKUP_BITS)
+        bits &= _SWAP_MASK | _INVERT_MASK
+    si = (i.astype(np.uint64) << np.uint64(1)) + np.uint64(1)
+    ti = (j.astype(np.uint64) << np.uint64(1)) + np.uint64(1)
+    s = si.astype(np.float64) / float(1 << (MAX_LEVEL + 1))
+    t = ti.astype(np.float64) / float(1 << (MAX_LEVEL + 1))
+
+    def st_to_uv(x):
+        return np.where(x >= 0.5, (4 * x * x - 1) / 3.0, (1 - 4 * (1 - x) * (1 - x)) / 3.0)
+
+    u, v = st_to_uv(s), st_to_uv(t)
+    x = np.empty_like(u)
+    y = np.empty_like(u)
+    z = np.empty_like(u)
+    frames = [
+        lambda u, v: (np.ones_like(u), u, v),        # face 0
+        lambda u, v: (-u, np.ones_like(u), v),       # face 1
+        lambda u, v: (-u, -v, np.ones_like(u)),      # face 2
+        lambda u, v: (-np.ones_like(u), -v, -u),     # face 3
+        lambda u, v: (v, -np.ones_like(u), -u),      # face 4
+        lambda u, v: (v, u, -np.ones_like(u)),       # face 5
+    ]
+    for f in range(6):
+        m = face == f
+        if m.any():
+            xf, yf, zf = frames[f](u[m], v[m])
+            x[m], y[m], z[m] = xf, yf, zf
+    lon = np.degrees(np.arctan2(y, x))
+    lat = np.degrees(np.arctan2(z, np.hypot(x, y)))
+    return lon, lat
+
+
 def cell_level(cell: np.ndarray) -> np.ndarray:
     """Level from the position of the lowest set bit."""
     c = np.asarray(cell, dtype=np.uint64)

@@ -771,6 +771,55 @@ FROM embeddings
 # ---------------------------------------------------------------------------
 
 
+def q34_lsh_ann(sf_dir):
+    """Hyperplane-LSH bucketed approximate NN (the ANN scale path next to
+    q30's brute-force baseline) — rows-only (approximate by design)."""
+    import pyarrow.parquet as pq
+
+    from gdal_ray.sim.knn import lsh_topk
+    from gdal_ray.util import sf_path
+
+    t = pq.read_table(sf_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    X = np.asarray(t["embedding"].combine_chunks().flatten(), dtype=np.float64).reshape(len(t), -1)
+    ids = np.asarray(t["vec_id"])
+    q = X[ids < 5]
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = lsh_topk(ds, q, np.arange(5), k=5, dim=X.shape[1])
+    return out.map_batches(
+        lambda b: pa.table(
+            {"query_id": b["query_id"], "vec_id": b["vec_id"],
+             "score": pc.round(b["score"], ndigits=6, round_mode="half_towards_infinity")}
+        ),
+        batch_format="pyarrow", batch_size=None,
+    )
+
+
+def q48_cell_knn(sf_dir):
+    """Cell-partitioned self-kNN of all event points (per-cell local search
+    + fringe duplication — the SURVEY §7.4 scale path) — rows-only, with a
+    per-row exactness certificate."""
+    from gdal_ray.stages.geo import knn_all_points_cell_partitioned
+
+    ds = events_points(sf_dir)
+    ds = ds.map_batches(
+        lambda t: t.rename_columns(
+            ["id" if c == "event_id" else c for c in t.column_names]
+        ),
+        batch_format="pyarrow", batch_size=None,
+    )
+    out = knn_all_points_cell_partitioned(ds, 3, cell_size=20.0, fringe=10.0)
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "query_id": b["query_id"], "neighbor_id": b["neighbor_id"],
+                "dist": pc.round(b["dist"], ndigits=6, round_mode="half_towards_infinity"),
+                "rank": b["rank"], "exact": b["exact"],
+            }
+        ),
+        batch_format="pyarrow", batch_size=None,
+    )
+
+
 def q40_points_tiles(sf_dir):
     from gdal_ray.geo.webmercator import lonlat_to_tile
 
@@ -1073,6 +1122,7 @@ def registry():
         "q30_knn_cosine": q30_knn_cosine,
         "q31_vector_norms": q31_vector_norms,
         "q33_embed_dup_pairs": q33_embed_dup_pairs,
+        "q34_lsh_ann": q34_lsh_ann,
         "q40_points_tiles": q40_points_tiles,
         "q41_pip_admin": q41_pip_admin,
         "q42_knn_events": q42_knn_events,
@@ -1080,6 +1130,7 @@ def registry():
         "q44_cells": q44_cells,
         "q45_tile_counts": q45_tile_counts,
         "q46_hilbert": q46_hilbert,
+        "q48_cell_knn": q48_cell_knn,
         "q50_rasterize_tiles": q50_rasterize_tiles,
         "q51_polygonize": q51_polygonize,
         "q52_layer_algebra": q52_layer_algebra,

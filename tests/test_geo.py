@@ -160,3 +160,43 @@ def test_polygonset_locate():
     qi, bi = ps.locate(np.array([1.0, 7.0, 12.0, 20.0]), np.array([1.0, 7.0, 12.0, 20.0]))
     pairs = sorted(zip(qi.tolist(), bi.tolist()))
     assert pairs == [(0, 0), (1, 0), (1, 1), (2, 1)]
+
+
+def test_s2_cell_to_lonlat_roundtrip():
+    rng = np.random.RandomState(9)
+    lon = rng.uniform(-179, 179, 500)
+    lat = rng.uniform(-85, 85, 500)
+    leaf = s2.lonlat_to_cell(lon, lat, 30)
+    lo, la = s2.cell_to_lonlat(leaf)
+    # leaf cells are ~ centimeter scale: centers within ~1e-5 degrees
+    assert np.abs(lo - lon).max() < 1e-5
+    assert np.abs(la - lat).max() < 1e-5
+    # coarser cells decode to a point still inside the cell
+    c10 = s2.lonlat_to_cell(lon, lat, 10)
+    lo10, la10 = s2.cell_to_lonlat(c10)
+    back = s2.lonlat_to_cell(lo10, la10, 10)
+    assert (back == c10).all()
+
+
+def test_hexcell_children_neighbors():
+    lon = np.array([12.3, -77.1, 139.9])
+    lat = np.array([45.6, 38.2, -35.0])
+    c5 = hexcell.lonlat_to_cell(lon, lat, 5)
+    kids = hexcell.cell_children(c5)
+    assert kids.shape == (3, 7)
+    # every child's parent (by truncation) is the original cell
+    for col in range(7):
+        assert (hexcell.cell_to_parent(kids[:, col], 5) == c5).all()
+    # the center child (digit 0) shares the parent's center
+    px, py = hexcell.cell_center(c5)
+    kx, ky = hexcell.cell_center(kids[:, 0])
+    assert np.allclose(px, kx) and np.allclose(py, ky)
+    nbrs = hexcell.cell_neighbors(c5)
+    assert nbrs.shape == (3, 6)
+    # neighbors are distinct, at the same res, one grid-step away
+    R5 = hexcell._GRIDS[5][0]
+    for col in range(6):
+        assert (hexcell.cell_res(nbrs[:, col]) == 5).all()
+        nx, ny = hexcell.cell_center(nbrs[:, col])
+        d = np.hypot(nx - px, ny - py)
+        assert np.allclose(d, np.sqrt(3.0) * R5, rtol=1e-9)
