@@ -260,6 +260,49 @@ def _explode_collections():
     return run
 
 
+@step("check-geometry")
+def _check_geometry(drop_invalid: bool = False):
+    """Adds a `geom_problems` column (empty string = valid); optionally
+    drops invalid rows — `gdal vector check-geometry`."""
+
+    def run(ds):
+        def f(t: pa.Table) -> pa.Table:
+            probs = [
+                "; ".join(GF.check_geometry(W.parse_wkb(b))) if b is not None else "null"
+                for b in t["geometry"].to_pylist()
+            ]
+            t = t.append_column("geom_problems", pa.array(probs, pa.string()))
+            if drop_invalid:
+                t = t.filter(pc.equal(t["geom_problems"], ""))
+            return t
+
+        return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+    return run
+
+
+@step("make-valid")
+def _make_valid():
+    """Close/normalize rings, drop degenerate ones; rows whose geometry
+    vanishes entirely are dropped — `gdal vector make-valid` (limited)."""
+
+    def run(ds):
+        def f(t: pa.Table) -> pa.Table:
+            keep, geoms = [], []
+            for i, b in enumerate(t["geometry"].to_pylist()):
+                g = GF.make_valid(W.parse_wkb(b)) if b is not None else None
+                if g is not None:
+                    keep.append(i)
+                    geoms.append(W.geom_to_wkb(g))
+            sub = t.take(pa.array(keep, pa.int64()))
+            idx = sub.schema.get_field_index("geometry")
+            return sub.set_column(idx, "geometry", pa.array(geoms, pa.binary()))
+
+        return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+    return run
+
+
 @step("sort-hilbert")
 def _sort_hilbert(order: int = 16):
     """Spatial sort by hilbert code of the geometry centroid — `gdal vector

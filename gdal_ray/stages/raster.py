@@ -211,6 +211,54 @@ def overview_reduce(tiles_ds, *, dtype=np.uint32, agg: str = "sum"):
     return shifted.groupby(["p_x", "p_y"]).map_groups(compose, batch_format="pandas")
 
 
+def mosaic_tiles(*tile_datasets, op: str = "first", dtype=np.uint32, nodata=0):
+    """`gdal raster mosaic` / `stack` / `blend`: N tile tables -> one.
+    op: first (first non-nodata wins, priority = dataset order) | sum |
+    mean | max. Implemented as union + groupby(tile).map_groups(composite).
+    """
+    import pyarrow.compute as pc_
+
+    tagged = []
+    for pri, ds in enumerate(tile_datasets):
+        def tag(t: pa.Table, p=pri) -> pa.Table:
+            return t.append_column("__pri", pa.array(np.full(len(t), p, np.int32)))
+
+        tagged.append(ds.map_batches(tag, batch_format="pyarrow", batch_size=None))
+    u = tagged[0]
+    for d in tagged[1:]:
+        u = u.union(d)
+
+    def compose(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("__pri", kind="mergesort")
+        arrs = [np.frombuffer(b, dtype=dtype).reshape(TILE, TILE).astype(np.float64)
+                for b in g["data"]]
+        if op == "first":
+            out = arrs[0].copy()
+            for a in arrs[1:]:
+                m = out == nodata
+                out[m] = a[m]
+        elif op == "sum":
+            out = np.sum(arrs, axis=0)
+        elif op == "mean":
+            out = np.mean(arrs, axis=0)
+        elif op == "max":
+            out = np.max(arrs, axis=0)
+        else:
+            raise ValueError(op)
+        arr = out.astype(dtype)
+        return pd.DataFrame(
+            {
+                "zoom": [int(g["zoom"].iloc[0])],
+                "tile_x": [int(g["tile_x"].iloc[0])],
+                "tile_y": [int(g["tile_y"].iloc[0])],
+                "data": [arr.tobytes()],
+                "checksum": [_checksum(arr)],
+            }
+        )
+
+    return u.groupby(["tile_x", "tile_y"]).map_groups(compose, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # distributed polygonize
 # ---------------------------------------------------------------------------

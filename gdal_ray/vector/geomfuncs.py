@@ -252,6 +252,91 @@ def centroid(geom) -> tuple[float, float]:
     return float(pts[:, 0].mean()), float(pts[:, 1].mean())
 
 
+# ---- validity (check-geometry / make-valid, limited scope) -----------------
+
+
+def _segments_self_intersect(pts: np.ndarray) -> bool:
+    """Any two non-adjacent segments of a closed ring properly intersect?"""
+    from gdal_ray.vector.algebra import _seg_inter
+
+    n = len(pts) - 1
+    for i in range(n):
+        for j in range(i + 2, n):
+            if i == 0 and j == n - 1:
+                continue  # first/last share the closing vertex
+            res = _seg_inter(pts[i], pts[i + 1], pts[j], pts[j + 1])
+            if res[0] == "overlap":
+                return True
+            if res[0] == "point":
+                # shared endpoints of adjacent-ish segments are fine;
+                # anything else is a self-intersection
+                p = res[2]
+                endpoints = (pts[i], pts[i + 1], pts[j], pts[j + 1])
+                if not any(np.allclose(p, e) for e in endpoints):
+                    return True
+    return False
+
+
+def check_geometry(geom) -> list[str]:
+    """Validity report (`gdal vector check-geometry` analog). Returns a
+    list of problems (empty = valid). Checks: ring closure, min vertex
+    count, zero area, ring self-intersection."""
+    kind, data = geom
+    problems = []
+    if kind == "polygon":
+        for i, r in enumerate(data):
+            r = np.asarray(r)
+            if len(r) < 4:
+                problems.append(f"ring {i}: fewer than 4 points")
+                continue
+            if not np.allclose(r[0], r[-1]):
+                problems.append(f"ring {i}: not closed")
+            x, y = r[:, 0], r[:, 1]
+            # independent checks: a bowtie has zero SIGNED area AND
+            # self-intersects — report both
+            if abs(float(np.dot(x[:-1], y[1:]) - np.dot(x[1:], y[:-1]))) < 1e-30:
+                problems.append(f"ring {i}: zero area")
+            if _segments_self_intersect(r if np.allclose(r[0], r[-1]) else np.vstack([r, r[:1]])):
+                problems.append(f"ring {i}: self-intersection")
+    elif kind == "linestring":
+        if len(data) < 2:
+            problems.append("linestring: fewer than 2 points")
+    elif kind in ("multipolygon", "multilinestring", "multipoint", "geometrycollection"):
+        for i, p in enumerate(data):
+            problems += [f"part {i}: {m}" for m in check_geometry(p)]
+    return problems
+
+
+def make_valid(geom):
+    """Limited MakeValid (ogrgeometry.cpp:4183 analog): close unclosed
+    rings, drop degenerate (sub-4-point / zero-area) rings, normalize ring
+    orientation (exterior CCW). Self-intersecting rings are NOT repaired
+    (GEOS-class node-splitting is out of scope) — check first."""
+    kind, data = geom
+    if kind == "polygon":
+        rings = []
+        for r in data:
+            r = np.asarray(r, dtype=np.float64)
+            if len(r) >= 3 and not np.allclose(r[0], r[-1]):
+                r = np.vstack([r, r[:1]])
+            if len(r) < 4:
+                continue
+            x, y = r[:, 0], r[:, 1]
+            if abs(float(np.dot(x[:-1], y[1:]) - np.dot(x[1:], y[:-1]))) < 1e-30:
+                continue
+            rings.append(r)
+        if not rings:
+            return None
+        from gdal_ray.vector.algebra import norm_rings, _close
+
+        return ("polygon", [_close(r) for r in norm_rings(rings)])
+    if kind in ("multipolygon", "geometrycollection"):
+        parts = [make_valid(p) for p in data]
+        parts = [p for p in parts if p is not None]
+        return (kind, parts) if parts else None
+    return geom
+
+
 # ---- collections -----------------------------------------------------------
 
 
