@@ -211,6 +211,105 @@ def overview_reduce(tiles_ds, *, dtype=np.uint32, agg: str = "sum"):
     return shifted.groupby(["p_x", "p_y"]).map_groups(compose, batch_format="pandas")
 
 
+def warp_tiles_to_platecarree(tiles_ds, zoom: int, *, out_cell_deg: float,
+                              method: str = "nearest", dtype=np.uint32,
+                              nodata=0, out_block: int = 64):
+    """Warp a WebMercator z/x/y tile table to a plate-carrée (EPSG:4326)
+    regular grid — the reference's warp (alg/gdalwarpkernel.cpp) restated
+    as a tile shuffle: each SOURCE tile fans out to the output blocks its
+    mercator footprint covers, groupby(output block) gathers exactly the
+    source tiles it needs, and one vectorized inverse-transform resample
+    (dst pixel -> lon/lat -> mercator global pixel -> src tile pixel) fills
+    the block. method: nearest | bilinear.
+
+    Output rows: (block_x, block_y, data[out_block^2 dtype], checksum) with
+    geotransform (-180 + bx*out_block*cell, cell, 0, 90 - by*out_block*cell,
+    0, -cell)."""
+    import pyarrow.compute as pc_
+
+    nblk_x = int(np.ceil(360.0 / (out_cell_deg * out_block)))
+    nblk_y = int(np.ceil(180.0 / (out_cell_deg * out_block)))
+
+    def fan(t: pa.Table) -> pa.Table:
+        rows = {"b_x": [], "b_y": [], "tile_x": [], "tile_y": [], "data": []}
+        for tx, ty, buf in zip(
+            t["tile_x"].to_pylist(), t["tile_y"].to_pylist(), t["data"].to_pylist()
+        ):
+            lon0, lat_min, lon1, lat_max = wm.tile_bounds(tx, ty, zoom)
+            bx0 = int((lon0 + 180.0) // (out_cell_deg * out_block))
+            bx1 = int((lon1 + 180.0) // (out_cell_deg * out_block))
+            by0 = int((90.0 - lat_max) // (out_cell_deg * out_block))
+            by1 = int((90.0 - lat_min) // (out_cell_deg * out_block))
+            for bx in range(max(bx0, 0), min(bx1, nblk_x - 1) + 1):
+                for by in range(max(by0, 0), min(by1, nblk_y - 1) + 1):
+                    rows["b_x"].append(bx)
+                    rows["b_y"].append(by)
+                    rows["tile_x"].append(tx)
+                    rows["tile_y"].append(ty)
+                    rows["data"].append(buf)
+        return pa.table(
+            {
+                "b_x": pa.array(rows["b_x"], pa.int64()),
+                "b_y": pa.array(rows["b_y"], pa.int64()),
+                "tile_x": pa.array(rows["tile_x"], pa.int64()),
+                "tile_y": pa.array(rows["tile_y"], pa.int64()),
+                "data": pa.array(rows["data"], pa.binary()),
+            }
+        )
+
+    fanned = tiles_ds.map_batches(fan, batch_format="pyarrow", batch_size=None)
+
+    def resample(g: pd.DataFrame) -> pd.DataFrame:
+        bx, by = int(g["b_x"].iloc[0]), int(g["b_y"].iloc[0])
+        src = {
+            (int(r["tile_x"]), int(r["tile_y"])): np.frombuffer(r["data"], dtype=dtype).reshape(TILE, TILE)
+            for _, r in g.iterrows()
+        }
+        # dst pixel centers -> lon/lat
+        lons = -180.0 + (bx * out_block + np.arange(out_block) + 0.5) * out_cell_deg
+        lats = 90.0 - (by * out_block + np.arange(out_block) + 0.5) * out_cell_deg
+        LON, LAT = np.meshgrid(lons, lats)
+        px, py = wm.lonlat_to_pixel(LON.ravel(), LAT.ravel(), zoom)
+        out = np.full(out_block * out_block, nodata, dtype=np.float64)
+        if method == "nearest":
+            gx = px.astype(np.int64)
+            gy = py.astype(np.int64)
+            txs, tys = gx // TILE, gy // TILE
+            ox, oy = gx % TILE, gy % TILE
+            for (tx, ty), arr in src.items():
+                m = (txs == tx) & (tys == ty)
+                out[m] = arr[oy[m], ox[m]]
+        else:  # bilinear over the global mercator pixel grid
+            fx = px - 0.5
+            fy = py - 0.5
+            x0 = np.floor(fx).astype(np.int64)
+            y0 = np.floor(fy).astype(np.int64)
+            wx = fx - x0
+            wy = fy - y0
+            acc = np.zeros_like(out)
+            wsum = np.zeros_like(out)
+            for dx, dy, w in (
+                (0, 0, (1 - wx) * (1 - wy)), (1, 0, wx * (1 - wy)),
+                (0, 1, (1 - wx) * wy), (1, 1, wx * wy),
+            ):
+                gx, gy = x0 + dx, y0 + dy
+                txs, tys = gx // TILE, gy // TILE
+                ox, oy = gx % TILE, gy % TILE
+                for (tx, ty), arr in src.items():
+                    m = (txs == tx) & (tys == ty)
+                    acc[m] += w[m] * arr[oy[m], ox[m]]
+                    wsum[m] += w[m]
+            has = wsum > 0
+            out[has] = acc[has] / wsum[has]
+        arr = out.reshape(out_block, out_block).astype(dtype)
+        return pd.DataFrame(
+            {"block_x": [bx], "block_y": [by], "data": [arr.tobytes()],
+             "checksum": [_checksum(arr)]}
+        )
+
+    return fanned.groupby(["b_x", "b_y"]).map_groups(resample, batch_format="pandas")
+
+
 def mosaic_tiles(*tile_datasets, op: str = "first", dtype=np.uint32, nodata=0):
     """`gdal raster mosaic` / `stack` / `blend`: N tile tables -> one.
     op: first (first non-nodata wins, priority = dataset order) | sum |
