@@ -1087,6 +1087,52 @@ def q60_flagship_tiles(sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# SQL-compiler queries: the oracle string IS the compiled input
+# ---------------------------------------------------------------------------
+
+Q70_SQL = """SELECT c_mktsegment, COUNT(*) AS n, SUM(c_acctbal) AS total
+FROM customer WHERE c_acctbal > 0 GROUP BY c_mktsegment"""
+
+Q71_SQL = """SELECT o_orderkey, o_totalprice * 2 AS doubled FROM orders
+WHERE o_totalprice BETWEEN 50000 AND 60000 ORDER BY o_totalprice DESC, o_orderkey LIMIT 25"""
+
+Q72_SQL = """SELECT p_partkey, CAST(p_retailprice AS BIGINT) AS rp FROM part
+WHERE p_brand IN ('Brand#11', 'Brand#22') OR p_name LIKE '%gold%'"""
+
+
+def _sql_query(sql):
+    def run(sf_dir):
+        from gdal_ray.ops.sql import execute
+
+        out = execute(sql, sf_dir)
+        # round float aggregates for hash parity (summation order)
+        import pyarrow.compute as pc_
+
+        def rnd(t: pa.Table) -> pa.Table:
+            cols = {}
+            for name in t.column_names:
+                v = t[name]
+                if pa.types.is_floating(v.type):
+                    v = pc_.round(v, ndigits=4, round_mode="half_towards_infinity")
+                cols[name] = v
+            return pa.table(cols)
+
+        return out.map_batches(rnd, batch_format="pyarrow", batch_size=None)
+
+    return run
+
+
+def _sql_oracle(sql):
+    # wrap so float columns round identically on the DuckDB side
+    return f"""SELECT * REPLACE (round(total, 4) AS total) FROM ({sql})""" if "total" in sql else sql
+
+
+q70_sql_groupby = _sql_query(Q70_SQL)
+q71_sql_topk = _sql_query(Q71_SQL)
+q72_sql_expr = _sql_query(Q72_SQL)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1136,6 +1182,9 @@ def registry():
         "q52_layer_algebra": q52_layer_algebra,
         "q53_tile_pyramid": q53_tile_pyramid,
         "q60_flagship_tiles": q60_flagship_tiles,
+        "q70_sql_groupby": q70_sql_groupby,
+        "q71_sql_topk": q71_sql_topk,
+        "q72_sql_expr": q72_sql_expr,
     }
     sqls = {
         "q01_tpch_groupby": Q01_SQL,
@@ -1168,5 +1217,8 @@ def registry():
         "q42_knn_events": Q42_SQL,
         "q43_zonal_stats": Q43_SQL,
         "q45_tile_counts": Q45_SQL,
+        "q70_sql_groupby": _sql_oracle(Q70_SQL),
+        "q71_sql_topk": Q71_SQL,
+        "q72_sql_expr": Q72_SQL,
     }
     return qs, sqls

@@ -144,6 +144,15 @@ def _limit(n: int):
     return lambda ds: ds.limit(n)
 
 
+@step("sql")
+def _sql(query: str, sf_dir: str):
+    """`gdal vector sql` — compile a SELECT (OGR-dialect subset) to Ray ops
+    via gdal_ray.ops.sql; opens its own table like the reference step."""
+    from gdal_ray.ops.sql import execute
+
+    return lambda _ds: execute(query, sf_dir)
+
+
 @step("sql_like")
 def _sql_like(column: str, pattern: str, ignore_case: bool = False):
     def run(ds):
