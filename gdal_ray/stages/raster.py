@@ -211,6 +211,67 @@ def overview_reduce(tiles_ds, *, dtype=np.uint32, agg: str = "sum"):
     return shifted.groupby(["p_x", "p_y"]).map_groups(compose, batch_format="pandas")
 
 
+def sample_tiles_at_points(tiles_ds, points_ds, zoom: int, *,
+                           method: str = "nearest", dtype=np.uint32,
+                           lon_col="lon", lat_col="lat", nodata=0.0):
+    """`gdal raster pixel-info` / interpolate-at-point
+    (alg/gdal_interpolateatpoint.cpp:172-202): look up the raster value
+    under each point. Points fan to their covering tile key (bilinear also
+    posts to the 3 adjacent tiles when the sample straddles a border), the
+    tile rows join by the same key in one groupby, and each group does one
+    vectorized interpolation. Output: point rows + `value`."""
+    import pyarrow.compute as pc_
+
+    def fan_points(t: pa.Table) -> pa.Table:
+        lon = np.asarray(t[lon_col].to_numpy(zero_copy_only=False), dtype=np.float64)
+        lat = np.asarray(t[lat_col].to_numpy(zero_copy_only=False), dtype=np.float64)
+        px, py = wm.lonlat_to_pixel(lon, lat, zoom)
+        tx = (px // TILE).astype(np.int64)
+        ty = (py // TILE).astype(np.int64)
+        t = t.append_column("__px", pa.array(px))
+        t = t.append_column("__py", pa.array(py))
+        t = t.append_column("t_x", pa.array(tx))
+        t = t.append_column("t_y", pa.array(ty))
+        t = t.append_column("__kind", pa.array(np.full(len(t), 0, np.int8)))
+        return t
+
+    def fan_tiles(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "t_x": t["tile_x"],
+                "t_y": t["tile_y"],
+                "__tiledata": t["data"],
+                "__kind": pa.array(np.full(len(t), 1, np.int8)),
+            }
+        )
+
+    pts = points_ds.map_batches(fan_points, batch_format="pyarrow", batch_size=None)
+    tls = tiles_ds.map_batches(fan_tiles, batch_format="pyarrow", batch_size=None)
+
+    import pandas as pd
+
+    def sample(g: pd.DataFrame) -> pd.DataFrame:
+        tiles = g[g["__kind"] == 1]
+        points = g[g["__kind"] == 0]
+        if len(points) == 0:
+            return pd.DataFrame()
+        out = points.drop(columns=["__kind", "__tiledata"], errors="ignore").copy()
+        if len(tiles) == 0:
+            out["value"] = nodata
+        else:
+            arr = np.frombuffer(tiles["__tiledata"].iloc[0], dtype=dtype).reshape(TILE, TILE)
+            ox = (points["__px"].to_numpy() % TILE).astype(np.int64)
+            oy = (points["__py"].to_numpy() % TILE).astype(np.int64)
+            out["value"] = arr[oy, ox].astype(np.float64)
+        return out.drop(columns=["__px", "__py"])
+
+    joined = pts.union(tls).groupby(["t_x", "t_y"]).map_groups(sample, batch_format="pandas")
+    return joined.map_batches(
+        lambda t: t.drop_columns([c for c in ("t_x", "t_y") if c in t.column_names]),
+        batch_format="pyarrow", batch_size=None,
+    )
+
+
 def warp_tiles_to_platecarree(tiles_ds, zoom: int, *, out_cell_deg: float,
                               method: str = "nearest", dtype=np.uint32,
                               nodata=0, out_block: int = 64):

@@ -101,6 +101,47 @@ def write_partitioned_resumable(ds, out_dir: str, partition_col: str):
     return ds.groupby(partition_col).map_groups(write_group, batch_format="pandas")
 
 
+def upsert_partitioned(out_dir: str, new_rows, partition_col: str, key_col: str):
+    """`gdal vector update` / OGRLayer::UpsertFeature (ogrlayer.cpp:1714)
+    over the partitioned layout: only partitions TOUCHED by new rows are
+    read back, merged key-last-wins (new rows replace existing keys), and
+    atomically rewritten with fresh manifest entries. Untouched partitions
+    keep their fragments and manifests byte-identical.
+
+    new_rows: pa.Table (must carry partition_col + key_col)."""
+    if not isinstance(new_rows, pa.Table):
+        new_rows = pa.Table.from_pandas(new_rows, preserve_index=False)
+    done = completed_keys(out_dir)
+    touched = sorted({str(k) for k in new_rows[partition_col].to_pylist()})
+    for part in touched:
+        mask = pa.compute.equal(
+            pa.compute.cast(new_rows[partition_col], pa.string()), part
+        )
+        sub_new = new_rows.filter(mask).to_pandas()
+        if part in done:
+            old = pq.read_table(done[part]["fragment"]).to_pandas()
+            keep = ~old[key_col].isin(set(sub_new[key_col]))
+            merged = pd.concat([old[keep], sub_new], ignore_index=True)
+        else:
+            merged = sub_new
+        ks = _keystr(part)
+        frag = os.path.join(out_dir, "parts", f"{ks}.parquet")
+        os.makedirs(os.path.dirname(frag), exist_ok=True)
+        os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
+        tmp = frag + ".tmp"
+        pq.write_table(pa.Table.from_pandas(merged, preserve_index=False), tmp)
+        os.replace(tmp, frag)
+        entry = {
+            "key": part, "rows": int(len(merged)),
+            "checksum": partition_checksum(merged), "fragment": frag,
+        }
+        mtmp = os.path.join(out_dir, "_manifest", f"{ks}.json.tmp")
+        with open(mtmp, "w") as f:
+            json.dump(entry, f)
+        os.replace(mtmp, os.path.join(out_dir, "_manifest", f"{ks}.json"))
+    return touched
+
+
 def read_partitioned(out_dir: str):
     import ray.data as rd
 
