@@ -67,10 +67,11 @@ def tile_scale(tiles_ds, *, gain: float, offset: float = 0.0, dtype=np.uint32,
                      dtype=dtype, out_dtype=out_dtype)
 
 
-def focal_stats(tiles_ds, *, stat: str = "mean", radius: int = 1,
-                dtype=np.uint32, out_dtype=np.float32):
-    """`gdal raster neighbors`: moving-window stat over a (2r+1)^2 window,
-    with cross-tile halo exchange so tile borders are exact."""
+def halo_apply(tiles_ds, kernel, *, radius: int = 1, dtype=np.uint32,
+               out_dtype=np.float32):
+    """Generic halo-exchange stage: assemble each tile with `radius` halo
+    pixels from its 8 neighbors, apply kernel(padded (TILE+2r)^2 float64) ->
+    (TILE, TILE) array. Powers focal stats and the DEM ops."""
 
     def fan(t: pa.Table) -> pa.Table:
         rows = {"t_x": [], "t_y": [], "role": [], "src_x": [], "src_y": [], "data": []}
@@ -95,9 +96,6 @@ def focal_stats(tiles_ds, *, stat: str = "mean", radius: int = 1,
         return pa.table({k: pa.array(v) for k, v in rows.items()})
 
     fanned = tiles_ds.map_batches(fan, batch_format="pyarrow", batch_size=None)
-
-    red = {"mean": np.mean, "sum": np.sum, "min": np.min, "max": np.max,
-           "std": np.std, "median": np.median}[stat]
 
     def assemble(g: pd.DataFrame) -> pd.DataFrame:
         sel = g[g["role"] == "self"]
@@ -125,15 +123,81 @@ def focal_stats(tiles_ds, *, stat: str = "mean", radius: int = 1,
                 pad[-radius:, :radius] = strip.reshape(radius, radius)
             elif dx == 1 and dy == 1:
                 pad[-radius:, -radius:] = strip.reshape(radius, radius)
-        # windowed stat via stacked shifts (vectorized; window is small)
-        k = 2 * radius + 1
-        stack = np.stack(
-            [pad[i : i + TILE, j : j + TILE] for i in range(k) for j in range(k)]
-        )
-        out = red(stack, axis=0).astype(out_dtype)
+        out = kernel(pad).astype(out_dtype)
         return pd.DataFrame(
             {"tile_x": [tx], "tile_y": [ty], "data": [out.tobytes()],
              "checksum": [_checksum(out)]}
         )
 
     return fanned.groupby(["t_x", "t_y"]).map_groups(assemble, batch_format="pandas")
+
+
+def focal_stats(tiles_ds, *, stat: str = "mean", radius: int = 1,
+                dtype=np.uint32, out_dtype=np.float32):
+    """`gdal raster neighbors`: moving-window stat over a (2r+1)^2 window,
+    with cross-tile halo exchange so tile borders are exact."""
+    red = {"mean": np.mean, "sum": np.sum, "min": np.min, "max": np.max,
+           "std": np.std, "median": np.median}[stat]
+    k = 2 * radius + 1
+
+    def kernel(pad: np.ndarray) -> np.ndarray:
+        stack = np.stack(
+            [pad[i : i + TILE, j : j + TILE] for i in range(k) for j in range(k)]
+        )
+        return red(stack, axis=0)
+
+    return halo_apply(tiles_ds, kernel, radius=radius, dtype=dtype, out_dtype=out_dtype)
+
+
+def _horn_gradients(pad: np.ndarray, cellsize: float):
+    """Horn's 3x3 finite differences (the gdaldem kernel,
+    apps/gdalalg_raster_*.cpp dem ops / alg gdaldem lineage)."""
+    a = pad[0:TILE, 0:TILE];  b = pad[0:TILE, 1:TILE+1];  c = pad[0:TILE, 2:TILE+2]
+    d = pad[1:TILE+1, 0:TILE];                             f = pad[1:TILE+1, 2:TILE+2]
+    g = pad[2:TILE+2, 0:TILE]; h = pad[2:TILE+2, 1:TILE+1]; i = pad[2:TILE+2, 2:TILE+2]
+    dzdx = ((c + 2 * f + i) - (a + 2 * d + g)) / (8.0 * cellsize)
+    dzdy = ((g + 2 * h + i) - (a + 2 * b + c)) / (8.0 * cellsize)
+    return dzdx, dzdy
+
+
+def dem_slope(tiles_ds, *, cellsize: float = 1.0, dtype=np.float32,
+              z_factor: float = 1.0):
+    """`gdal raster slope` (degrees, Horn's method)."""
+
+    def kernel(pad):
+        dzdx, dzdy = _horn_gradients(pad, cellsize)
+        return np.degrees(np.arctan(z_factor * np.hypot(dzdx, dzdy)))
+
+    return halo_apply(tiles_ds, kernel, radius=1, dtype=dtype, out_dtype=np.float32)
+
+
+def dem_aspect(tiles_ds, *, cellsize: float = 1.0, dtype=np.float32):
+    """`gdal raster aspect`: downslope direction, degrees clockwise from
+    north; flat cells get -9999 (gdaldem's flat marker convention)."""
+
+    def kernel(pad):
+        dzdx, dzdy = _horn_gradients(pad, cellsize)
+        asp = np.degrees(np.arctan2(dzdy, -dzdx))
+        out = np.where(asp < 0, 90.0 - asp,
+                       np.where(asp > 90.0, 360.0 - asp + 90.0, 90.0 - asp))
+        flat = (dzdx == 0) & (dzdy == 0)
+        return np.where(flat, -9999.0, out)
+
+    return halo_apply(tiles_ds, kernel, radius=1, dtype=dtype, out_dtype=np.float32)
+
+
+def dem_hillshade(tiles_ds, *, cellsize: float = 1.0, azimuth: float = 315.0,
+                  altitude: float = 45.0, z_factor: float = 1.0,
+                  dtype=np.float32):
+    """`gdal raster hillshade` (0-255, standard illumination model)."""
+    az = np.radians(360.0 - azimuth + 90.0)
+    alt = np.radians(altitude)
+
+    def kernel(pad):
+        dzdx, dzdy = _horn_gradients(pad, cellsize)
+        slope = np.arctan(z_factor * np.hypot(dzdx, dzdy))
+        aspect = np.arctan2(dzdy, -dzdx)
+        shaded = np.sin(alt) * np.cos(slope) + np.cos(alt) * np.sin(slope) * np.cos(az - aspect)
+        return np.clip(shaded * 255.0, 0, 255)
+
+    return halo_apply(tiles_ds, kernel, radius=1, dtype=dtype, out_dtype=np.float32)

@@ -60,3 +60,30 @@ def test_focal_mean_matches_direct():
         got = np.frombuffer(out["data"][i].as_py(), np.float32).reshape(TILE, TILE)
         exp = direct[ty * TILE : (ty + 1) * TILE, tx * TILE : (tx + 1) * TILE].astype(np.float32)
         assert np.allclose(got, exp), f"tile {tx},{ty} mismatch"
+
+
+def test_dem_ops_on_plane():
+    # a perfect inclined plane: slope/aspect are analytic everywhere,
+    # including across tile borders (halo correctness)
+    import numpy as np
+
+    yy, xx = np.mgrid[0 : 2 * TILE, 0 : 2 * TILE]
+    dem = (2.0 * xx + 1.0 * yy).astype(np.float32)  # dz/dx=2, dz/dy=1
+    tiles = _tiles_from(dem, dtype=np.float32)
+    slope = to_arrow(MO.dem_slope(tiles, cellsize=1.0, dtype=np.float32))
+    expect = np.degrees(np.arctan(np.hypot(2.0, 1.0)))
+    for i in range(4):
+        arr = np.frombuffer(slope["data"][i].as_py(), np.float32).reshape(TILE, TILE)
+        tx, ty = slope["tile_x"][i].as_py(), slope["tile_y"][i].as_py()
+        # exclude only GLOBAL borders (zero halo there); shared tile borders
+        # must be exact thanks to the halo exchange
+        r0, r1 = (1 if ty == 0 else 0), (TILE - 1 if ty == 1 else TILE)
+        c0, c1 = (1 if tx == 0 else 0), (TILE - 1 if tx == 1 else TILE)
+        assert np.allclose(arr[r0:r1, c0:c1], expect, atol=1e-4), (tx, ty)
+    hs = to_arrow(MO.dem_hillshade(tiles, cellsize=1.0, dtype=np.float32))
+    h0 = np.frombuffer(hs["data"][0].as_py(), np.float32).reshape(TILE, TILE)
+    assert 0 <= h0[10:-10, 10:-10].min() and h0.max() <= 255
+    asp = to_arrow(MO.dem_aspect(tiles, cellsize=1.0, dtype=np.float32))
+    a0 = np.frombuffer(asp["data"][0].as_py(), np.float32).reshape(TILE, TILE)
+    vals = a0[4:-4, 4:-4]
+    assert vals.std() < 1e-3  # constant aspect on a plane
