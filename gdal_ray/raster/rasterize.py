@@ -122,6 +122,100 @@ def _burn_line(burn_mask: np.ndarray, pts_px: np.ndarray) -> None:
                     err += xerr
 
 
+_EPS_INTERSECT = 1e-4  # llrasterize.cpp EPSILON_INTERSECT_ONLY
+
+
+def _burn_line_all_touched(burn_mask: np.ndarray, pts_px: np.ndarray,
+                           intersect_only: bool) -> None:
+    """ALL_TOUCHED line walk (llrasterize.cpp:407-747
+    GDALdllImageLineAllTouched): burn every pixel the segment passes
+    through. intersect_only=True skips pixel-aligned horizontal/vertical
+    edges (polygon-outline mode)."""
+    h, w = burn_mask.shape
+
+    def burn(iy, ix):
+        if 0 <= iy < h and 0 <= ix < w:
+            burn_mask[iy, ix] = True
+
+    for j in range(len(pts_px) - 1):
+        x0, y0 = float(pts_px[j][0]), float(pts_px[j][1])
+        x1, y1 = float(pts_px[j + 1][0]), float(pts_px[j + 1][1])
+        if (y0 < 0 and y1 < 0) or (y0 > h and y1 > h) or \
+           (x0 < 0 and x1 < 0) or (x0 > w and x1 > w):
+            continue
+        if x0 > x1:
+            x0, x1, y0, y1 = x1, x0, y1, y0
+        if abs(x0 - x1) < 0.01:  # vertical
+            if intersect_only and abs(x0 - round(x0)) < _EPS_INTERSECT \
+               and abs(x1 - round(x1)) < _EPS_INTERSECT:
+                continue
+            if y1 < y0:
+                y0, y1 = y1, y0
+            ix = int(np.floor(x1))
+            iy = int(np.floor(y0))
+            iy_end = int(np.floor(y1 - _EPS_INTERSECT))
+            if ix < 0 or ix >= w:
+                continue
+            iy = max(iy, 0)
+            iy_end = min(iy_end, h - 1)
+            for yy in range(iy, iy_end + 1):
+                burn(yy, ix)
+            continue
+        if abs(y0 - y1) < 0.01:  # horizontal
+            if intersect_only and abs(y0 - round(y0)) < _EPS_INTERSECT \
+               and abs(y1 - round(y1)) < _EPS_INTERSECT:
+                continue
+            ix = int(np.floor(x0))
+            iy = int(np.floor(y0))
+            ix_end = int(np.floor(x1 - _EPS_INTERSECT))
+            if iy < 0 or iy >= h:
+                continue
+            ix = max(ix, 0)
+            ix_end = min(ix_end, w - 1)
+            for xx in range(ix, ix_end + 1):
+                burn(iy, xx)
+            continue
+        # general sloped case, stepped pixel by pixel
+        slope = (y1 - y0) / (x1 - x0)
+        if x1 > w:
+            y1 -= (x1 - w) * slope
+            x1 = float(w)
+        if x0 < 0.0:
+            y0 += (0.0 - x0) * slope
+            x0 = 0.0
+        if y1 > y0:
+            if y0 < 0.0:
+                x0 += (0.0 - y0) / slope
+                y0 = 0.0
+            if y1 >= h:
+                x1 += (y1 - h) / slope
+                x1 = min(x1, float(w))
+        else:
+            if y0 >= h:
+                x0 += (h - y0) / slope
+                y0 = float(h)
+            if y1 < 0.0:
+                x1 -= (y1 - 0.0) / slope
+        x, y = x0, y0
+        while x >= 0.0 and x < x1:
+            ix = int(np.floor(x))
+            iy = int(np.floor(y))
+            burn(iy, ix)
+            step_x = np.floor(x + 1.0) - x
+            step_y = step_x * slope
+            if int(np.floor(y + step_y)) == iy:
+                x += step_x
+                y += step_y
+            elif slope < 0:
+                step_y = min(iy - y, -1e-9)
+                x += step_y / slope
+                y += step_y
+            else:
+                step_y = max((iy + 1) - y, 1e-9)
+                x += step_y / slope
+                y += step_y
+
+
 def _burn_points(burn_mask: np.ndarray, pts_px: np.ndarray) -> None:
     h, w = burn_mask.shape
     for x, y in pts_px:
@@ -134,7 +228,7 @@ def _signed_area2(pts: np.ndarray) -> float:
     return float(np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y))
 
 
-def _geom_mask(geom, shape, gt) -> np.ndarray:
+def _geom_mask(geom, shape, gt, all_touched: bool = False) -> np.ndarray:
     mask = np.zeros(shape, dtype=bool)
 
     def px(pts):
@@ -146,17 +240,25 @@ def _geom_mask(geom, shape, gt) -> np.ndarray:
         # ring collection rule (alg/gdalrasterize.cpp GDALCollectRings...):
         # clockwise rings keep their order, counter-clockwise are reversed
         rings = [r if _signed_area2(r) < 0 else r[::-1] for r in data]
+        if all_touched:
+            # outline in intersect-only all-touched mode, then the fill
+            # (gdalrasterize.cpp default-polygon branch with bAllTouched)
+            for r in rings:
+                _burn_line_all_touched(mask, px(r), intersect_only=True)
         _fill_polygon(mask, [px(r) for r in rings])
     elif kind == "linestring":
         # linestring points are collected in REVERSE order
         # (gdalrasterize.cpp wkbLineString branch) — affects which pixel the
         # Bresenham tie-step lands on, and hence golden checksums
-        _burn_line(mask, px(data[::-1]))
+        if all_touched:
+            _burn_line_all_touched(mask, px(data[::-1]), intersect_only=False)
+        else:
+            _burn_line(mask, px(data[::-1]))
     elif kind == "point":
         _burn_points(mask, px(data))
     elif kind in ("multipolygon", "multilinestring", "multipoint", "geometrycollection"):
         for part in data:
-            mask |= _geom_mask(part, shape, gt)
+            mask |= _geom_mask(part, shape, gt, all_touched)
     else:
         raise ValueError(kind)
     return mask
@@ -172,6 +274,7 @@ def rasterize(
     dtype=np.uint8,
     merge: str = "replace",
     init: float = 0,
+    all_touched: bool = False,
 ) -> np.ndarray:
     """Burn geometries into a (height, width) array.
 
@@ -185,7 +288,7 @@ def rasterize(
     for geom, bv in zip(geoms, burn_values):
         if isinstance(geom, (bytes, bytearray)):
             geom = W.parse_wkb(bytes(geom))
-        mask = _geom_mask(geom, (height, width), geotransform)
+        mask = _geom_mask(geom, (height, width), geotransform, all_touched)
         if merge == "add":
             out[mask] += bv
         else:

@@ -211,6 +211,44 @@ def overview_reduce(tiles_ds, *, dtype=np.uint32, agg: str = "sum"):
     return shifted.groupby(["p_x", "p_y"]).map_groups(compose, batch_format="pandas")
 
 
+def tiles_as_features(tiles_ds, zoom: int, *, dtype=np.uint32, nodata=None):
+    """`gdal raster as-features` (apps/gdalalg_raster_as_features.h:29-30:
+    'Create features from pixels'): tile table -> one row per (non-nodata)
+    pixel with global pixel coords, lon/lat of the pixel center, and value.
+    The raster->table equivalence the whole tile model is built on."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        gx_all, gy_all, v_all = [], [], []
+        for tx, ty, buf in zip(
+            t["tile_x"].to_pylist(), t["tile_y"].to_pylist(), t["data"].to_pylist()
+        ):
+            arr = np.frombuffer(buf, dtype=dtype).reshape(TILE, TILE)
+            if nodata is not None:
+                ys, xs = np.nonzero(arr != nodata)
+            else:
+                ys, xs = np.nonzero(np.ones_like(arr, dtype=bool))
+            gx_all.append(tx * TILE + xs)
+            gy_all.append(ty * TILE + ys)
+            v_all.append(arr[ys, xs])
+        gx = np.concatenate(gx_all) if gx_all else np.array([], np.int64)
+        gy = np.concatenate(gy_all) if gy_all else np.array([], np.int64)
+        vv = np.concatenate(v_all) if v_all else np.array([], dtype)
+        n = float((1 << zoom) * TILE)
+        lon = (gx + 0.5) / n * 360.0 - 180.0
+        lat = np.degrees(np.arctan(np.sinh(np.pi * (1.0 - 2.0 * (gy + 0.5) / n))))
+        return pa.table(
+            {
+                "pixel_x": pa.array(gx.astype(np.int64)),
+                "pixel_y": pa.array(gy.astype(np.int64)),
+                "lon": pa.array(lon),
+                "lat": pa.array(lat),
+                "value": pa.array(vv.astype(np.float64)),
+            }
+        )
+
+    return tiles_ds.map_batches(explode, batch_format="pyarrow", batch_size=None)
+
+
 def sample_tiles_at_points(tiles_ds, points_ds, zoom: int, *,
                            method: str = "nearest", dtype=np.uint32,
                            lon_col="lon", lat_col="lat", nodata=0.0):

@@ -86,3 +86,19 @@ def test_polygonize_area_preservation():
         # over every ring of a region is minus twice its pixel area
         total += -sum(ring_area2(r) for r in rings)
     assert abs(total - 2 * 144.0) < 1e-9
+
+
+def test_rasterize_all_touched_golden_121():
+    """autotest/alg/rasterize.py test_rasterize_2 re-expressed: 12x12, GT
+    (0,1,0,12,0,-1), cutline polygons, ALL_TOUCHED -> checksum 121."""
+    wkts = [
+        "POLYGON((6.25 1.25,7.25 1.25,7.25 2.25,6.25 2.25,6.25 1.25))",
+        "POLYGON((4.25 4.25,6.25 4.25,6.25 6.25,4.25 6.25,4.25 4.25))",
+        "POLYGON((1.001 1.001,3.999 3.999,3.2 1.6,1.001 1.001))",
+    ]
+    geoms = [W.wkt_to_geom(w) for w in wkts]
+    band2 = rasterize(geoms, 12, 12, (0, 1, 0, 12, 0, -1), [220] * 3, all_touched=True)
+    assert checksum(band2) == 121
+    # all-touched burns a superset of the pixel-center fill
+    plain = rasterize(geoms, 12, 12, (0, 1, 0, 12, 0, -1), [220] * 3)
+    assert ((band2 > 0) | ~(plain > 0)).all()

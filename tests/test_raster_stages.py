@@ -97,3 +97,18 @@ def test_cross_tile_region_merged():
     assert v == 9 and len(rings) == 1
     xs = rings[0][:, 0]
     assert xs.min() == 2.0 and xs.max() == 6.0  # spans the border seamlessly
+
+
+def test_tiles_as_features_roundtrip():
+    """as-features of a density raster recovers every counted point's pixel."""
+    rng = np.random.RandomState(31)
+    lon = rng.uniform(-5, 5, 3000)
+    lat = rng.uniform(45, 55, 3000)
+    ds = rd.from_arrow(pa.table({"lon": lon, "lat": lat}))
+    tiles = RS.points_to_tile_counts(ds, zoom=6).materialize()
+    feats = to_arrow(
+        RS.tiles_as_features(tiles.drop_columns(["n_points"]), 6, nodata=0)
+    )
+    assert sum(feats["value"].to_pylist()) == 3000  # every point accounted
+    # feature lon/lat are pixel centers inside the original bbox (padded)
+    assert min(feats["lon"].to_pylist()) > -6 and max(feats["lat"].to_pylist()) < 56
