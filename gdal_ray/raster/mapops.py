@@ -201,3 +201,31 @@ def dem_hillshade(tiles_ds, *, cellsize: float = 1.0, azimuth: float = 315.0,
         return np.clip(shaded * 255.0, 0, 255)
 
     return halo_apply(tiles_ds, kernel, radius=1, dtype=dtype, out_dtype=np.float32)
+
+
+def fill_nodata(tiles_ds, *, nodata=0, iterations: int = 1, dtype=np.float32):
+    """`gdal raster fill-nodata` (alg/rasterfill.cpp) as iterative halo
+    relaxation: each round replaces nodata cells that have >=1 valid
+    3x3 neighbor with the mean of their valid neighbors. `iterations`
+    rounds = `iterations` halo exchanges; holes wider than 2*iterations
+    pixels remain (documented bound)."""
+
+    def kernel(pad: np.ndarray) -> np.ndarray:
+        center = pad[1 : TILE + 1, 1 : TILE + 1]
+        valid = pad != nodata
+        k = 3
+        vstack = np.stack(
+            [pad[i : i + TILE, j : j + TILE] for i in range(k) for j in range(k)]
+        )
+        mstack = np.stack(
+            [valid[i : i + TILE, j : j + TILE] for i in range(k) for j in range(k)]
+        )
+        s = (vstack * mstack).sum(axis=0)
+        n = mstack.sum(axis=0)
+        fill = np.where(n > 0, s / np.maximum(n, 1), nodata)
+        return np.where(center != nodata, center, fill)
+
+    out = tiles_ds
+    for _ in range(iterations):
+        out = halo_apply(out, kernel, radius=1, dtype=dtype, out_dtype=dtype)
+    return out

@@ -87,3 +87,20 @@ def test_dem_ops_on_plane():
     a0 = np.frombuffer(asp["data"][0].as_py(), np.float32).reshape(TILE, TILE)
     vals = a0[4:-4, 4:-4]
     assert vals.std() < 1e-3  # constant aspect on a plane
+
+
+def test_fill_nodata_crosses_tile_border():
+    import numpy as np
+
+    field = np.full((2 * TILE, 2 * TILE), 7.0, np.float32)
+    field[250:262, 250:262] = 0.0  # a nodata hole straddling all 4 tiles
+    tiles = _tiles_from(field, dtype=np.float32)
+    filled = to_arrow(MO.fill_nodata(tiles, nodata=0, iterations=6, dtype=np.float32))
+    full = np.zeros((2 * TILE, 2 * TILE), np.float32)
+    for i in range(4):
+        tx, ty = filled["tile_x"][i].as_py(), filled["tile_y"][i].as_py()
+        full[ty * TILE : (ty + 1) * TILE, tx * TILE : (tx + 1) * TILE] = np.frombuffer(
+            filled["data"][i].as_py(), np.float32
+        ).reshape(TILE, TILE)
+    # constant field: hole must fill back to exactly 7 (interior untouched)
+    assert (full == 7.0).all()
