@@ -102,3 +102,21 @@ def test_rasterize_all_touched_golden_121():
     # all-touched burns a superset of the pixel-center fill
     plain = rasterize(geoms, 12, 12, (0, 1, 0, 12, 0, -1), [220] * 3)
     assert ((band2 > 0) | ~(plain > 0)).all()
+
+
+def test_rasterize_attribute_golden_16265():
+    """autotest/alg/rasterize.py test_rasterize_4 (ATTRIBUTE=CELSIUS):
+    per-feature burn values over 3 polygons (one with a hole) + 2
+    multi-segment linestrings -> band-2 checksum 16265."""
+    wkts = [
+        "POLYGON((1020 1030 40,1020 1045 30,1050 1045 20,1050 1030 35,1020 1030 40))",
+        "POLYGON((1010 1046 85,1015 1055 35,1055 1060 26,1054 1048 35,1010 1046 85))",
+        "POLYGON((1020 1076 190,1025 1085 35,1065 1090 26,1064 1078 35,1020 1076 190),"
+        "(1023 1079 5,1061 1081 35,1062 1087 26,1028 1082 35,1023 1079 85))",
+        "LINESTRING(1005 1000 10, 1100 1050 120)",
+        "LINESTRING(1000 1000 150, 1095 1050 -5, 1080 1080 200)",
+    ]
+    vals = [50, 255, 60, 100, 180]
+    geoms = [W.wkt_to_geom(w) for w in wkts]
+    band2 = rasterize(geoms, 100, 100, (1000, 1, 0, 1100, 0, -1), vals)
+    assert checksum(band2) == 16265
