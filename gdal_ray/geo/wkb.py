@@ -157,6 +157,42 @@ def geom_to_wkt(g) -> str:
     raise ValueError(kind)
 
 
+def wkt_to_geom_z(wkt: str):
+    """Parse WKT that may carry Z coordinates. Returns (geom2d, z) where z
+    mirrors the structure: polygon -> [ring z arrays], linestring -> array,
+    None when the WKT is 2-D. (Z feeds rasterize BURN_VALUE_FROM=Z.)"""
+    wkt = wkt.strip()
+    head = wkt.split("(", 1)[0].strip().upper()
+    body = wkt[wkt.index("(") :]
+
+    def parse3(s: str):
+        xs, zs = [], []
+        has_z = False
+        for pair in s.split(","):
+            nums = pair.replace("(", " ").replace(")", " ").split()
+            xs.append((float(nums[0]), float(nums[1])))
+            if len(nums) >= 3:
+                has_z = True
+                zs.append(float(nums[2]))
+            else:
+                zs.append(0.0)
+        return np.array(xs), (np.array(zs) if has_z else None)
+
+    if head == "LINESTRING":
+        pts, z = parse3(body.strip("() "))
+        return ("linestring", pts), z
+    if head == "POLYGON":
+        rings, ring_z = [], []
+        any_z = False
+        for grp in _split_groups(body):
+            pts, z = parse3(grp)
+            rings.append(pts)
+            ring_z.append(z)
+            any_z = any_z or z is not None
+        return ("polygon", rings), (ring_z if any_z else None)
+    return wkt_to_geom(wkt), None
+
+
 def wkt_to_geom(wkt: str):
     wkt = wkt.strip()
     head, _, rest = wkt.partition("(")

@@ -216,6 +216,58 @@ def _burn_line_all_touched(burn_mask: np.ndarray, pts_px: np.ndarray,
                 y += step_y
 
 
+def _burn_line_z(out: np.ndarray, pts_px: np.ndarray, zs: np.ndarray,
+                 burn: float) -> None:
+    """Bresenham with linear variant interpolation (BURN_VALUE_FROM=Z,
+    llrasterize.cpp GDALdllImageLine variant path): each visited pixel gets
+    burn + interpolated Z, replace mode."""
+    h, w = out.shape
+    nseg = len(pts_px) - 1
+    for j in range(nseg):
+        x0, y0 = pts_px[j]
+        x1, y1 = pts_px[j + 1]
+        v0, v1 = float(zs[j]), float(zs[j + 1])
+        ix, iy = int(np.floor(x0)), int(np.floor(y0))
+        ix1, iy1 = int(np.floor(x1)), int(np.floor(y1))
+        dx_n, dy_n = abs(ix1 - ix), abs(iy1 - iy)
+        sx = -1 if ix > ix1 else 1
+        sy = -1 if iy > iy1 else 1
+        last = j == nseg - 1
+        var = v0
+        if dx_n >= dy_n:
+            dvar = 0.0 if dx_n == 0 else (v1 - v0) / dx_n
+            xerr = dy_n << 1
+            yerr = xerr - (dx_n << 1)
+            err = xerr - dx_n
+            steps = dx_n if last else dx_n - 1
+            for _ in range(steps + 1):
+                if 0 <= ix < w and 0 <= iy < h:
+                    out[iy, ix] = burn + var
+                var += dvar
+                ix += sx
+                if err > 0:
+                    iy += sy
+                    err += yerr
+                else:
+                    err += xerr
+        else:
+            dvar = 0.0 if dy_n == 0 else (v1 - v0) / dy_n
+            xerr = dx_n << 1
+            yerr = xerr - (dy_n << 1)
+            err = xerr - dy_n
+            steps = dy_n if last else dy_n - 1
+            for _ in range(steps + 1):
+                if 0 <= ix < w and 0 <= iy < h:
+                    out[iy, ix] = burn + var
+                var += dvar
+                iy += sy
+                if err > 0:
+                    ix += sx
+                    err += yerr
+                else:
+                    err += xerr
+
+
 def _burn_points(burn_mask: np.ndarray, pts_px: np.ndarray) -> None:
     h, w = burn_mask.shape
     for x, y in pts_px:
@@ -275,20 +327,35 @@ def rasterize(
     merge: str = "replace",
     init: float = 0,
     all_touched: bool = False,
+    z_values=None,
 ) -> np.ndarray:
     """Burn geometries into a (height, width) array.
 
     geoms: iterable of parsed geometry tuples (gdal_ray.geo.wkb) or WKB
     bytes. burn_values: scalar or per-geometry sequence. merge: replace|add
-    (MERGE_ALG, alg/gdalrasterize.cpp)."""
+    (MERGE_ALG, alg/gdalrasterize.cpp). z_values: per-geometry Z data (from
+    wkb.wkt_to_geom_z) enables BURN_VALUE_FROM=Z: polygons burn
+    burn + Z(first collected vertex) (gvBurnScanline passes padfVariant[0],
+    llrasterize.cpp:179), lines burn burn + Z linearly interpolated along
+    each segment."""
     out = np.full((height, width), init, dtype=np.float64)
     geoms = list(geoms)
     if np.isscalar(burn_values):
         burn_values = [burn_values] * len(geoms)
-    for geom, bv in zip(geoms, burn_values):
+    if z_values is None:
+        z_values = [None] * len(geoms)
+    for geom, bv, zv in zip(geoms, burn_values, z_values):
         if isinstance(geom, (bytes, bytearray)):
             geom = W.parse_wkb(bytes(geom))
+        if zv is not None and geom[0] == "linestring":
+            # Z-interpolating line burn (points collected reversed, like the
+            # plain path; Z reverses with them)
+            x, y = geo_to_pixel(geom[1][::-1, 0], geom[1][::-1, 1], geotransform)
+            _burn_line_z(out, np.column_stack([x, y]), np.asarray(zv)[::-1], bv)
+            continue
         mask = _geom_mask(geom, (height, width), geotransform, all_touched)
+        if zv is not None and geom[0] == "polygon":
+            bv = bv + float(np.asarray(zv[0])[0])  # first collected vertex Z
         if merge == "add":
             out[mask] += bv
         else:

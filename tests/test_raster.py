@@ -120,3 +120,23 @@ def test_rasterize_attribute_golden_16265():
     geoms = [W.wkt_to_geom(w) for w in wkts]
     band2 = rasterize(geoms, 100, 100, (1000, 1, 0, 1100, 0, -1), vals)
     assert checksum(band2) == 16265
+
+
+def test_rasterize_burn_value_from_z_golden_15037():
+    """autotest/alg/rasterize.py test_rasterize_3 (BURN_VALUE_FROM=Z):
+    polygons burn burn+Z(first vertex), lines interpolate Z along segments
+    -> band-2 checksum 15037."""
+    wkts = [
+        "POLYGON((1020 1030 40,1020 1045 30,1050 1045 20,1050 1030 35,1020 1030 40))",
+        "POLYGON((1010 1046 85,1015 1055 35,1055 1060 26,1054 1048 35,1010 1046 85))",
+        "POLYGON((1020 1076 190,1025 1085 35,1065 1090 26,1064 1078 35,1020 1076 190),"
+        "(1023 1079 5,1061 1081 35,1062 1087 26,1028 1082 35,1023 1079 85))",
+        "LINESTRING(1005 1000 10, 1100 1050 120)",
+        "LINESTRING(1000 1000 150, 1095 1050 -5, 1080 1080 200)",
+    ]
+    parsed = [W.wkt_to_geom_z(w) for w in wkts]
+    band2 = rasterize(
+        [g for g, _ in parsed], 100, 100, (1000, 1, 0, 1100, 0, -1),
+        [10] * 5, z_values=[z for _, z in parsed],
+    )
+    assert checksum(band2) == 15037
