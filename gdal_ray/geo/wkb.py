@@ -61,7 +61,20 @@ def decode_points(wkbs) -> tuple[np.ndarray, np.ndarray]:
 def _parse(buf: bytes, off: int):
     little = buf[off] == 1
     bo = "<" if little else ">"
-    gtype = struct.unpack_from(bo + "I", buf, off + 1)[0] & 0xFF
+    raw_type = struct.unpack_from(bo + "I", buf, off + 1)[0]
+    # EWKB dimension/SRID flags (0x80000000 Z, 0x40000000 M, 0x20000000 SRID)
+    # and ISO 1000/2000/3000-series codes would shift every byte offset below;
+    # refuse loudly instead of misreading Z doubles as coordinates.
+    if raw_type & 0xE0000000:
+        raise ValueError(
+            f"EWKB Z/M/SRID-flagged geometry (type word 0x{raw_type:08x}) unsupported: "
+            "only 2-D WKB is handled"
+        )
+    if raw_type >= 1000:
+        raise ValueError(
+            f"ISO WKB Z/M geometry (type code {raw_type}) unsupported: only 2-D WKB is handled"
+        )
+    gtype = raw_type & 0xFF
     off += 5
     if gtype == WKB_POINT:
         x, y = struct.unpack_from(bo + "2d", buf, off)

@@ -71,7 +71,17 @@ def halo_apply(tiles_ds, kernel, *, radius: int = 1, dtype=np.uint32,
                out_dtype=np.float32):
     """Generic halo-exchange stage: assemble each tile with `radius` halo
     pixels from its 8 neighbors, apply kernel(padded (TILE+2r)^2 float64) ->
-    (TILE, TILE) array. Powers focal stats and the DEM ops."""
+    (TILE, TILE) array. Powers focal stats and the DEM ops.
+
+    Raster-boundary tiles have no neighbor on some sides; those halo cells
+    are filled by REPLICATING the tile's own edge pixels (gdaldem's edge
+    convention) — never phantom zeros. Kernels that need to distinguish
+    real from replicated halo accept a second arg: kernel(pad, have) where
+    `have` is True only for cells backed by an actual tile (fill_nodata
+    uses this so replicated halo never counts as a valid neighbor)."""
+    import inspect
+
+    kernel_wants_mask = len(inspect.signature(kernel).parameters) >= 2
 
     def fan(t: pa.Table) -> pa.Table:
         rows = {"t_x": [], "t_y": [], "role": [], "src_x": [], "src_y": [], "data": []}
@@ -102,28 +112,40 @@ def halo_apply(tiles_ds, kernel, *, radius: int = 1, dtype=np.uint32,
         if len(sel) == 0:
             return pd.DataFrame()  # halo for a tile that doesn't exist
         tx, ty = int(sel["t_x"].iloc[0]), int(sel["t_y"].iloc[0])
-        pad = np.zeros((TILE + 2 * radius, TILE + 2 * radius), dtype=np.float64)
+        n = TILE + 2 * radius
+        pad = np.zeros((n, n), dtype=np.float64)
+        have = np.zeros((n, n), dtype=bool)
         pad[radius:-radius, radius:-radius] = _tile_arr(sel["data"].iloc[0], dtype)
+        have[radius:-radius, radius:-radius] = True
+        regions = {
+            (-1, 0): (slice(radius, -radius), slice(0, radius), (TILE, radius)),
+            (1, 0): (slice(radius, -radius), slice(-radius, None), (TILE, radius)),
+            (0, -1): (slice(0, radius), slice(radius, -radius), (radius, TILE)),
+            (0, 1): (slice(-radius, None), slice(radius, -radius), (radius, TILE)),
+            (-1, -1): (slice(0, radius), slice(0, radius), (radius, radius)),
+            (1, -1): (slice(0, radius), slice(-radius, None), (radius, radius)),
+            (-1, 1): (slice(-radius, None), slice(0, radius), (radius, radius)),
+            (1, 1): (slice(-radius, None), slice(-radius, None), (radius, radius)),
+        }
         for _, row in g[g["role"] != "self"].iterrows():
             dx, dy = (int(v) for v in row["role"].split("_")[1:])
-            strip = np.frombuffer(row["data"], dtype=dtype)
-            if dx == -1 and dy == 0:
-                pad[radius:-radius, :radius] = strip.reshape(TILE, radius)
-            elif dx == 1 and dy == 0:
-                pad[radius:-radius, -radius:] = strip.reshape(TILE, radius)
-            elif dx == 0 and dy == -1:
-                pad[:radius, radius:-radius] = strip.reshape(radius, TILE)
-            elif dx == 0 and dy == 1:
-                pad[-radius:, radius:-radius] = strip.reshape(radius, TILE)
-            elif dx == -1 and dy == -1:
-                pad[:radius, :radius] = strip.reshape(radius, radius)
-            elif dx == 1 and dy == -1:
-                pad[:radius, -radius:] = strip.reshape(radius, radius)
-            elif dx == -1 and dy == 1:
-                pad[-radius:, :radius] = strip.reshape(radius, radius)
-            elif dx == 1 and dy == 1:
-                pad[-radius:, -radius:] = strip.reshape(radius, radius)
-        out = kernel(pad).astype(out_dtype)
+            rs, cs, shape = regions[(dx, dy)]
+            pad[rs, cs] = np.frombuffer(row["data"], dtype=dtype).reshape(shape)
+            have[rs, cs] = True
+        if not have.all():
+            # raster-boundary sides: edge replication matching a whole-array
+            # np.pad(mode="edge") — clip one axis at a time, preferring a
+            # received side strip over the tile interior so corners next to
+            # an existing neighbor replicate that neighbor's edge pixel
+            ii, jj = np.nonzero(~have)
+            ci = np.clip(ii, radius, radius + TILE - 1)
+            cj = np.clip(jj, radius, radius + TILE - 1)
+            vert = have[ci, jj]
+            horiz = have[ii, cj]
+            src_i = np.where(vert, ci, np.where(horiz, ii, ci))
+            src_j = np.where(vert, jj, np.where(horiz, cj, cj))
+            pad[ii, jj] = pad[src_i, src_j]
+        out = (kernel(pad, have) if kernel_wants_mask else kernel(pad)).astype(out_dtype)
         return pd.DataFrame(
             {"tile_x": [tx], "tile_y": [ty], "data": [out.tobytes()],
              "checksum": [_checksum(out)]}
@@ -210,9 +232,11 @@ def fill_nodata(tiles_ds, *, nodata=0, iterations: int = 1, dtype=np.float32):
     rounds = `iterations` halo exchanges; holes wider than 2*iterations
     pixels remain (documented bound)."""
 
-    def kernel(pad: np.ndarray) -> np.ndarray:
+    def kernel(pad: np.ndarray, have: np.ndarray) -> np.ndarray:
         center = pad[1 : TILE + 1, 1 : TILE + 1]
-        valid = pad != nodata
+        # replicated (raster-boundary) halo cells are never valid neighbors,
+        # whatever their value — only real pixels that aren't nodata count
+        valid = (pad != nodata) & have
         k = 3
         vstack = np.stack(
             [pad[i : i + TILE, j : j + TILE] for i in range(k) for j in range(k)]

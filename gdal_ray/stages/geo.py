@@ -188,9 +188,25 @@ def knn_all_points_cell_partitioned(ds, k: int, *, cell_size: float,
     and is duplicated into each adjacent cell it lies within `fringe` of.
     A per-cell group answers kNN for its core points against core+fringe.
     Exact iff each point's k-th neighbor is within `fringe`; the output's
-    `exact` column certifies this per row (kth_dist <= fringe).
+    `exact` column certifies this per row (kth_dist <= fringe AND the group
+    exposed at least k candidates). fringe must be <= cell_size: beyond one
+    cell width the fan-out only reaches the 8 adjacent cells, so a larger
+    fringe could not certify anything.
+
+    Per-cell memory is bounded: query rows are processed in fixed-size
+    chunks of `chunk` rows, so the distance matrix is O(chunk * cell_pts)
+    regardless of how skewed a hot cell is (a 10^6-point urban cell never
+    allocates a 10^12-entry matrix).
     """
     import pandas as pd
+
+    if fringe > cell_size:
+        raise ValueError(
+            f"fringe ({fringe}) must be <= cell_size ({cell_size}): neighbors beyond "
+            "the 8 adjacent cells are never duplicated, so the exactness certificate "
+            "would be unsound"
+        )
+    chunk = 256
 
     def fan(t: pa.Table) -> pa.Table:
         x = np.asarray(t[lon_col].to_numpy(zero_copy_only=False), dtype=np.float64)
@@ -227,28 +243,29 @@ def knn_all_points_cell_partitioned(ds, k: int, *, cell_size: float,
         ids = g["id"].to_numpy()
         core = g["core"].to_numpy()
         qi = np.nonzero(core)[0]
-        if qi.size == 0:
+        kk = min(k, x.size - 1)
+        if qi.size == 0 or kk <= 0:  # empty cell or a lone point
             return pd.DataFrame(
                 {"query_id": [], "neighbor_id": [], "dist": [], "rank": [], "exact": []}
             )
-        d2 = (x[qi, None] - x[None, :]) ** 2 + (y[qi, None] - y[None, :]) ** 2
-        d2[np.arange(qi.size), qi] = np.inf  # self
-        kk = min(k, d2.shape[1] - 1)
-        if kk <= 0:  # a lone point with no visible neighbors at all
-            return pd.DataFrame(
-                {"query_id": [], "neighbor_id": [], "dist": [], "rank": [], "exact": []}
-            )
-        order = np.lexsort((np.broadcast_to(ids, d2.shape), d2), axis=1)[:, :kk]
-        dist = np.sqrt(np.take_along_axis(d2, order, axis=1))
-        out_q = np.repeat(ids[qi], kk)
-        out_n = ids[order].ravel()
-        out_d = dist.ravel()
-        out_r = np.tile(np.arange(1, kk + 1), qi.size)
-        exact = np.repeat(dist[:, -1] <= fringe, kk)
-        return pd.DataFrame(
-            {"query_id": out_q, "neighbor_id": out_n, "dist": out_d,
-             "rank": out_r, "exact": exact}
-        )
+        parts = []
+        for c0 in range(0, qi.size, chunk):
+            qc = qi[c0 : c0 + chunk]
+            d2 = (x[qc, None] - x[None, :]) ** 2 + (y[qc, None] - y[None, :]) ** 2
+            d2[np.arange(qc.size), qc] = np.inf  # self
+            order = np.lexsort((np.broadcast_to(ids, d2.shape), d2), axis=1)[:, :kk]
+            dist = np.sqrt(np.take_along_axis(d2, order, axis=1))
+            # sound certificate only when the k-th neighbor is inside the
+            # fringe AND the group actually exposed k candidates
+            exact = (dist[:, -1] <= fringe) & (kk >= k)
+            parts.append(pd.DataFrame(
+                {"query_id": np.repeat(ids[qc], kk),
+                 "neighbor_id": ids[order].ravel(),
+                 "dist": dist.ravel(),
+                 "rank": np.tile(np.arange(1, kk + 1), qc.size),
+                 "exact": np.repeat(exact, kk)}
+            ))
+        return pd.concat(parts, ignore_index=True)
 
     return fanned.groupby(["cx", "cy"]).map_groups(solve, batch_format="pandas")
 

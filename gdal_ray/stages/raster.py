@@ -254,11 +254,14 @@ def sample_tiles_at_points(tiles_ds, points_ds, zoom: int, *,
                            lon_col="lon", lat_col="lat", nodata=0.0):
     """`gdal raster pixel-info` / interpolate-at-point
     (alg/gdal_interpolateatpoint.cpp:172-202): look up the raster value
-    under each point. Points fan to their covering tile key (bilinear also
-    posts to the 3 adjacent tiles when the sample straddles a border), the
-    tile rows join by the same key in one groupby, and each group does one
-    vectorized interpolation. Output: point rows + `value`."""
-    import pyarrow.compute as pc_
+    under each point. Points fan to their covering tile key; for bilinear
+    each TILE also posts 1-pixel halo strips to its 8 neighbors (the 2x2
+    sample window near a border reaches at most one pixel into an adjacent
+    tile), so every group interpolates locally from a padded array. One
+    groupby, one vectorized interpolation per group. Output: point rows +
+    `value`. method: nearest | bilinear."""
+    if method not in ("nearest", "bilinear"):
+        raise ValueError(f"method must be 'nearest' or 'bilinear', got {method!r}")
 
     def fan_points(t: pa.Table) -> pa.Table:
         lon = np.asarray(t[lon_col].to_numpy(zero_copy_only=False), dtype=np.float64)
@@ -271,15 +274,34 @@ def sample_tiles_at_points(tiles_ds, points_ds, zoom: int, *,
         t = t.append_column("t_x", pa.array(tx))
         t = t.append_column("t_y", pa.array(ty))
         t = t.append_column("__kind", pa.array(np.full(len(t), 0, np.int8)))
+        t = t.append_column("__role", pa.array(["pt"] * len(t)))
         return t
 
     def fan_tiles(t: pa.Table) -> pa.Table:
+        xs, ys, roles, datas = [], [], [], []
+        for tx, ty, buf in zip(
+            t["tile_x"].to_pylist(), t["tile_y"].to_pylist(), t["data"].to_pylist()
+        ):
+            xs.append(tx); ys.append(ty); roles.append("self"); datas.append(buf)
+            if method == "bilinear":
+                arr = np.frombuffer(buf, dtype=dtype).reshape(TILE, TILE)
+                strips = {
+                    (-1, 0): arr[:, :1], (1, 0): arr[:, -1:],
+                    (0, -1): arr[:1, :], (0, 1): arr[-1:, :],
+                    (-1, -1): arr[:1, :1], (1, -1): arr[:1, -1:],
+                    (-1, 1): arr[-1:, :1], (1, 1): arr[-1:, -1:],
+                }
+                for (dx, dy), strip in strips.items():
+                    xs.append(tx + dx); ys.append(ty + dy)
+                    roles.append(f"{-dx}_{-dy}")
+                    datas.append(np.ascontiguousarray(strip).tobytes())
         return pa.table(
             {
-                "t_x": t["tile_x"],
-                "t_y": t["tile_y"],
-                "__tiledata": t["data"],
-                "__kind": pa.array(np.full(len(t), 1, np.int8)),
+                "t_x": pa.array(xs, pa.int64()),
+                "t_y": pa.array(ys, pa.int64()),
+                "__tiledata": pa.array(datas, pa.binary()),
+                "__kind": pa.array(np.full(len(xs), 1, np.int8)),
+                "__role": pa.array(roles),
             }
         )
 
@@ -288,19 +310,68 @@ def sample_tiles_at_points(tiles_ds, points_ds, zoom: int, *,
 
     import pandas as pd
 
+    _REGION = {
+        (-1, 0): (slice(1, -1), slice(0, 1), (TILE, 1)),
+        (1, 0): (slice(1, -1), slice(-1, None), (TILE, 1)),
+        (0, -1): (slice(0, 1), slice(1, -1), (1, TILE)),
+        (0, 1): (slice(-1, None), slice(1, -1), (1, TILE)),
+        (-1, -1): (slice(0, 1), slice(0, 1), (1, 1)),
+        (1, -1): (slice(0, 1), slice(-1, None), (1, 1)),
+        (-1, 1): (slice(-1, None), slice(0, 1), (1, 1)),
+        (1, 1): (slice(-1, None), slice(-1, None), (1, 1)),
+    }
+
     def sample(g: pd.DataFrame) -> pd.DataFrame:
-        tiles = g[g["__kind"] == 1]
+        tiles = g[(g["__kind"] == 1) & (g["__role"] == "self")]
         points = g[g["__kind"] == 0]
         if len(points) == 0:
             return pd.DataFrame()
-        out = points.drop(columns=["__kind", "__tiledata"], errors="ignore").copy()
+        out = points.drop(columns=["__kind", "__role", "__tiledata"], errors="ignore").copy()
         if len(tiles) == 0:
             out["value"] = nodata
-        else:
-            arr = np.frombuffer(tiles["__tiledata"].iloc[0], dtype=dtype).reshape(TILE, TILE)
+            return out.drop(columns=["__px", "__py"])
+        arr = np.frombuffer(tiles["__tiledata"].iloc[0], dtype=dtype).reshape(TILE, TILE)
+        if method == "nearest":
             ox = (points["__px"].to_numpy() % TILE).astype(np.int64)
             oy = (points["__py"].to_numpy() % TILE).astype(np.int64)
             out["value"] = arr[oy, ox].astype(np.float64)
+            return out.drop(columns=["__px", "__py"])
+        # bilinear: padded array from halo strips, edge-replicated where a
+        # neighbor tile doesn't exist
+        tx, ty = int(tiles["t_x"].iloc[0]), int(tiles["t_y"].iloc[0])
+        pad = np.zeros((TILE + 2, TILE + 2), np.float64)
+        have = np.zeros((TILE + 2, TILE + 2), bool)
+        pad[1:-1, 1:-1] = arr
+        have[1:-1, 1:-1] = True
+        for _, row in g[(g["__kind"] == 1) & (g["__role"] != "self")].iterrows():
+            dx, dy = (int(v) for v in row["__role"].split("_"))
+            rs, cs, shape = _REGION[(dx, dy)]
+            pad[rs, cs] = np.frombuffer(row["__tiledata"], dtype=dtype).reshape(shape)
+            have[rs, cs] = True
+        if not have.all():
+            ii, jj = np.nonzero(~have)
+            ci = np.clip(ii, 1, TILE)
+            cj = np.clip(jj, 1, TILE)
+            vert = have[ci, jj]
+            horiz = have[ii, cj]
+            src_i = np.where(vert, ci, np.where(horiz, ii, ci))
+            src_j = np.where(vert, jj, np.where(horiz, cj, cj))
+            pad[ii, jj] = pad[src_i, src_j]
+        # sample in local padded coords: pixel-center convention (value at
+        # px=col+0.5), pad offset +1
+        fx = points["__px"].to_numpy() - tx * TILE - 0.5 + 1.0
+        fy = points["__py"].to_numpy() - ty * TILE - 0.5 + 1.0
+        x0 = np.floor(fx).astype(np.int64)
+        y0 = np.floor(fy).astype(np.int64)
+        wx = fx - x0
+        wy = fy - y0
+        x0 = np.clip(x0, 0, TILE)
+        y0 = np.clip(y0, 0, TILE)
+        v = (pad[y0, x0] * (1 - wx) * (1 - wy)
+             + pad[y0, x0 + 1] * wx * (1 - wy)
+             + pad[y0 + 1, x0] * (1 - wx) * wy
+             + pad[y0 + 1, x0 + 1] * wx * wy)
+        out["value"] = v
         return out.drop(columns=["__px", "__py"])
 
     joined = pts.union(tls).groupby(["t_x", "t_y"]).map_groups(sample, batch_format="pandas")

@@ -17,7 +17,6 @@ import hashlib
 import json
 import os
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -29,10 +28,10 @@ def _keystr(key) -> str:
 
 
 def partition_checksum(df: pd.DataFrame) -> str:
-    """Order-insensitive content hash of a partition (row-wise md5 xor)."""
+    """Order-insensitive content hash of a partition: md5 of the
+    row-sorted CSV serialization."""
     if len(df) == 0:
         return "0" * 16
-    h = np.zeros(8, dtype=np.uint64)
     payload = df.sort_values(list(df.columns), kind="mergesort").to_csv(index=False)
     return hashlib.md5(payload.encode()).hexdigest()[:16]
 
@@ -70,8 +69,9 @@ def write_partitioned_resumable(ds, out_dir: str, partition_col: str):
         done_ref = ray.put(done)
 
         def drop_done(t: pa.Table) -> pa.Table:
+            done_keys = ray.get(done_ref)  # zero-copy local fetch, once per batch
             keys = [str(k) for k in t[partition_col].to_pylist()]
-            mask = pa.array([k not in ray.get(done_ref) for k in keys])
+            mask = pa.array([k not in done_keys for k in keys])
             return t.filter(mask)
 
         ds = ds.map_batches(drop_done, batch_format="pyarrow", batch_size=None)

@@ -49,9 +49,9 @@ def test_focal_mean_matches_direct():
     out = to_arrow(MO.focal_stats(tiles, stat="mean", radius=1))
     assert out.num_rows == 4
 
-    # direct whole-array computation with zero padding
-    pad = np.zeros((2 * TILE + 2, 2 * TILE + 2), np.float64)
-    pad[1:-1, 1:-1] = arr
+    # direct whole-array computation with edge replication (the halo stage's
+    # raster-boundary convention — no phantom zeros)
+    pad = np.pad(arr.astype(np.float64), 1, mode="edge")
     stack = np.stack([pad[i : i + 2 * TILE, j : j + 2 * TILE] for i in range(3) for j in range(3)])
     direct = stack.mean(axis=0)
 

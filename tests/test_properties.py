@@ -108,3 +108,18 @@ def test_algebra_area_conservation(ox, oy, w, h):
     diff = ALG.difference_geom(A, B)
     total = area(inter) + area(diff)
     assert abs(total - 25.0) < 1e-6
+
+
+def test_wkb_rejects_zm_and_ewkb_flags():
+    import struct
+
+    import pytest as _pytest
+
+    # EWKB Z point (0x80000000 flag) and ISO 1001 — both must raise, not
+    # silently misparse Z doubles as coordinates
+    ewkb_z = struct.pack("<BIddd", 1, 0x80000001, 1.0, 2.0, 3.0)
+    iso_z = struct.pack("<BIddd", 1, 1001, 1.0, 2.0, 3.0)
+    with _pytest.raises(ValueError, match="EWKB"):
+        W.parse_wkb(ewkb_z)
+    with _pytest.raises(ValueError, match="ISO"):
+        W.parse_wkb(iso_z)

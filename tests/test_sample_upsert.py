@@ -60,3 +60,42 @@ def test_upsert_partitioned(tmp_path):
     assert len(df) == 302  # 300 + 2 inserts
     assert (df[df["id"].isin([1, 6, 11, 9001, 9002])]["v"] == 9.0).all()
     assert all(M.verify_manifest(out).values())
+
+
+def test_sample_bilinear_linear_field():
+    # zoom 1: a 2x2 tile world; value = gx + 2*gy is linear in global pixel
+    # coords, so bilinear sampling must reproduce it EXACTLY — including at
+    # points whose 2x2 window straddles a tile border (halo strips).
+    zoom = 1
+    rows = []
+    for ty in range(2):
+        for tx in range(2):
+            gx = tx * TILE + np.arange(TILE)[None, :]
+            gy = ty * TILE + np.arange(TILE)[None, :].T
+            arr = (gx + 2.0 * gy).astype(np.float64)
+            rows.append({"zoom": zoom, "tile_x": tx, "tile_y": ty,
+                         "data": arr.tobytes()})
+    tiles = rd.from_pandas(pd.DataFrame(rows))
+
+    n = float(1 << zoom) * TILE
+    # sample pixels: interior fractional + straddling the x=256 and y=256
+    # tile borders
+    px = np.array([100.3, 255.9, 256.1, 400.0, 255.5, 300.7])
+    py = np.array([200.8, 100.2, 300.6, 255.9, 256.4, 257.0])
+    lon = px / n * 360.0 - 180.0
+    lat = np.degrees(np.arctan(np.sinh(np.pi * (1.0 - 2.0 * py / n))))
+    pts = rd.from_arrow(pa.table({
+        "pid": pa.array(np.arange(px.size), pa.int64()),
+        "lon": pa.array(lon), "lat": pa.array(lat)}))
+    out = to_arrow(sample_tiles_at_points(
+        tiles, pts, zoom, method="bilinear", dtype=np.float64
+    )).to_pandas().sort_values("pid")
+    expect = (px - 0.5) + 2.0 * (py - 0.5)
+    assert np.allclose(out["value"].to_numpy(), expect, atol=1e-9), out
+
+
+def test_sample_rejects_unknown_method():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sample_tiles_at_points(None, None, 5, method="cubic")
