@@ -29,6 +29,44 @@ import pyarrow.compute as pc
 
 
 # ---------------------------------------------------------------------------
+# hash-partitioned reduce (the scale-safe merge for first_by / distinct /
+# groupby_agg): every row is routed to hash(key) % num_parts, the shuffle key
+# is ONE narrow int64 column, and each partition reduces its disjoint key set
+# independently — no single-task winners-of-winners funnel anywhere.
+# ---------------------------------------------------------------------------
+
+_PART_COL = "__part"
+
+
+def _append_hash_part(t: pa.Table, keys: Sequence[str], num_parts: int) -> pa.Table:
+    """Deterministic vectorized key hash -> partition id column. Uses
+    pandas' siphash (stable across processes for a fixed hash key)."""
+    import pandas as pd
+
+    df = t.select(list(keys)).to_pandas()
+    h = pd.util.hash_pandas_object(df, index=False).to_numpy()
+    return t.append_column(_PART_COL, pa.array((h % np.uint64(num_parts)).astype(np.int64)))
+
+
+def hash_partition_reduce(ds, keys: Sequence[str], reduce_tbl, *, num_parts: int = 64):
+    """Route rows to hash(keys) % num_parts and apply reduce_tbl(pa.Table)
+    -> pa.Table within each partition. Keys are partition-disjoint, so a
+    per-partition reduce is globally correct for key-local reductions
+    (winner-per-group, distinct, algebraic aggregate merges)."""
+    keys = list(keys)
+
+    parted = ds.map_batches(
+        lambda t: _append_hash_part(t, keys, num_parts),
+        batch_format="pyarrow", batch_size=None,
+    )
+
+    def reduce_group(t: pa.Table) -> pa.Table:
+        return reduce_tbl(t.drop_columns([_PART_COL]))
+
+    return parted.groupby(_PART_COL).map_groups(reduce_group, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # groupby_agg: two-level distributed aggregation
 # ---------------------------------------------------------------------------
 
@@ -97,8 +135,13 @@ def groupby_agg(
     per block -> single final merge). All aggregates here are algebraic, so
     this is exact, and it avoids Ray's sort-based Aggregate entirely (which
     costs seconds of fixed overhead per call). Valid while the DISTINCT KEY
-    SET fits one block (~10M keys); for larger cardinality pass
-    merge="shuffle" to use Ray's hash/sort aggregate.
+    SET fits one block (~10M keys).
+
+    merge="hash": partials are hash-partitioned by key (one narrow int64
+    shuffle column) and each partition merges its disjoint key set
+    independently — no single-task stage, the right mode past the ~10M-key
+    tree bound. merge="shuffle": Ray's native sort aggregate (kept as the
+    engine-native fallback).
     """
     from ray.data.aggregate import Count, Max, Min, Sum
 
@@ -164,6 +207,23 @@ def groupby_agg(
             .repartition(1)
             .map_batches(merge_batch, batch_format="pyarrow", batch_size=None)
         )
+    elif merge == "hash":
+        def merge_part(t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return t
+            out = t.group_by(global_key, use_threads=False).aggregate(merge_plan)
+            names = []
+            for name in out.column_names:
+                for pname, mfn in merge_plan:
+                    if name == f"{pname}_{mfn}":
+                        name = pname
+                        break
+                names.append(name)
+            return out.rename_columns(names)
+
+        merged = hash_partition_reduce(
+            partial_ds, global_key, merge_part, num_parts=shuffle_partitions * 8
+        )
     else:
         merge_aggs = []
         for pname, mfn in merge_plan:
@@ -209,17 +269,25 @@ def groupby_agg(
 # ---------------------------------------------------------------------------
 
 
-def topk(ds, sort_cols: Sequence[tuple[str, bool]], k: int):
+def topk(ds, sort_cols: Sequence[tuple[str, bool]], k: int,
+         *, tree_width: int = 16):
     """ORDER BY ... LIMIT k. sort_cols = [(col, descending)]. Per-block
-    partial top-k, then final sort over <= num_blocks*k rows."""
+    partial top-k, then a TWO-LEVEL tree merge: tree_width intermediate
+    partial top-k tasks, then one final over <= tree_width*k rows — the
+    final task's input is bounded by tree_width*k regardless of how many
+    blocks the input had (no num_blocks*k funnel). No Ray sort anywhere."""
     by = [c for c, _ in sort_cols]
     asc = [not d for _, d in sort_cols]
 
     def partial(df):
         return df.sort_values(by, ascending=asc, kind="mergesort").head(k)
 
-    # final merge over <= num_blocks*k rows in a single task — no Ray sort
-    reduced = ds.map_batches(partial, batch_format="pandas", batch_size=None).repartition(1)
+    reduced = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=None)
+        .repartition(tree_width)
+        .map_batches(partial, batch_format="pandas", batch_size=None)
+        .repartition(1)
+    )
     return reduced.map_batches(partial, batch_format="pandas", batch_size=None)
 
 
@@ -228,20 +296,24 @@ def topk(ds, sort_cols: Sequence[tuple[str, bool]], k: int):
 # ---------------------------------------------------------------------------
 
 
-def distinct(ds, cols: Sequence[str]):
+def distinct(ds, cols: Sequence[str], *, merge: str = "tree", num_parts: int = 64):
     """SELECT DISTINCT cols (SWQM_DISTINCT_LIST, ogr_swq.h:322): per-batch
-    distinct combiner, then a groupby over the survivors."""
+    distinct combiner, then a merge over the survivors.
+
+    merge="tree" (default): one final distinct task — valid while the true
+    distinct set fits one block. merge="hash": hash-partition survivors by
+    the key and deduplicate each partition independently (scale-safe for
+    distinct sets that don't fit one task)."""
     cols = list(cols)
 
     def batch_distinct(t: pa.Table) -> pa.Table:
         return t.select(cols).group_by(cols, use_threads=False).aggregate([])
 
-    # tree distinct: per-block distinct, then one final distinct pass —
-    # survivors are bounded by the true distinct count
-    return (
-        ds.map_batches(batch_distinct, batch_format="pyarrow", batch_size=None)
-        .repartition(1)
-        .map_batches(batch_distinct, batch_format="pyarrow", batch_size=None)
+    partial = ds.map_batches(batch_distinct, batch_format="pyarrow", batch_size=None)
+    if merge == "hash":
+        return hash_partition_reduce(partial, cols, batch_distinct, num_parts=num_parts)
+    return partial.repartition(1).map_batches(
+        batch_distinct, batch_format="pyarrow", batch_size=None
     )
 
 
@@ -358,11 +430,18 @@ def explode_list(ds, list_col: str, *, value_name: str, pos_name: str, keep: Seq
 # ---------------------------------------------------------------------------
 
 
-def first_by(ds, group_keys: Sequence[str], order_cols: Sequence[str]):
+def first_by(ds, group_keys: Sequence[str], order_cols: Sequence[str],
+             *, merge: str = "tree", num_parts: int = 64):
     """One row per group: the minimum row under (order_cols) ordering.
     order_cols must end with a unique tiebreaker for determinism.
-    Two-level: per-batch winner, then per-group winner of winners — the
-    shuffle only moves one row per (group, block)."""
+    Two-level: per-batch winner, then a winners-of-winners merge — the
+    shuffle only moves one row per (group, block).
+
+    merge="tree": final merge in ONE task — lowest latency, valid while the
+    winner set (== #distinct groups) fits one block. merge="hash": the
+    winners are hash-partitioned by group key and each partition picks its
+    winners independently — no single-task stage anywhere, the north-star
+    path for deduping 10^12 urls where #groups ~ #rows."""
     group_keys, order_cols = list(group_keys), list(order_cols)
     by = group_keys + order_cols
 
@@ -371,8 +450,13 @@ def first_by(ds, group_keys: Sequence[str], order_cols: Sequence[str]):
             group_keys, keep="first"
         )
 
-    # winners-of-winners in one final task (rows bounded by #groups)
-    reduced = ds.map_batches(winners, batch_format="pandas", batch_size=None).repartition(1)
+    partial = ds.map_batches(winners, batch_format="pandas", batch_size=None)
+    if merge == "hash":
+        def reduce_tbl(t: pa.Table) -> pa.Table:
+            return pa.Table.from_pandas(winners(t.to_pandas()), preserve_index=False)
+
+        return hash_partition_reduce(partial, group_keys, reduce_tbl, num_parts=num_parts)
+    reduced = partial.repartition(1)
     return reduced.map_batches(winners, batch_format="pandas", batch_size=None)
 
 

@@ -130,3 +130,41 @@ def test_first_by(sf_dir, con):
               from events) where rn=1 order by user_id"""
     ).df()
     assert got["event_id"].tolist() == exp["event_id"].tolist()
+
+
+def test_first_by_hash_merge_matches_tree(sf_dir):
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    tree = _sorted_df(to_arrow(R.first_by(ds, ["user_id"], ["ts", "event_id"])), "user_id")
+    hashed = _sorted_df(
+        to_arrow(R.first_by(ds, ["user_id"], ["ts", "event_id"], merge="hash", num_parts=7)),
+        "user_id",
+    )
+    assert tree["event_id"].tolist() == hashed["event_id"].tolist()
+    assert tree["user_id"].tolist() == hashed["user_id"].tolist()
+
+
+def test_distinct_hash_merge_matches_tree(sf_dir):
+    ds = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus"])
+    tree = to_arrow(R.distinct(ds, ["l_returnflag", "l_linestatus"])).to_pandas()
+    hashed = to_arrow(
+        R.distinct(ds, ["l_returnflag", "l_linestatus"], merge="hash", num_parts=5)
+    ).to_pandas()
+    key = lambda df: sorted(map(tuple, df.to_numpy().tolist()))
+    assert key(tree) == key(hashed)
+
+
+def test_groupby_agg_hash_merge(sf_dir, con):
+    ds = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+    out = R.groupby_agg(
+        ds, ["l_returnflag"],
+        [("sum_qty", "sum", "l_quantity"), ("n", "count_star", None)],
+        round_to={"sum_qty": 4}, merge="hash",
+    )
+    got = _sorted_df(to_arrow(out), "l_returnflag")
+    exp = con.execute(
+        "select l_returnflag, round(sum(l_quantity),4) sum_qty, count(*) n "
+        "from lineitem group by 1 order by 1"
+    ).df()
+    assert got["l_returnflag"].tolist() == exp["l_returnflag"].tolist()
+    assert got["sum_qty"].tolist() == exp["sum_qty"].tolist()
+    assert got["n"].tolist() == exp["n"].tolist()
