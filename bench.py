@@ -92,6 +92,57 @@ def run_bench() -> dict:
     timed("q44_cells", Q.q44_cells)
     timed("q45_tile_counts", Q.q45_tile_counts)
 
+    if run_queries:
+        # north-star dedup: >= 10^7 synthetic urls (~50% dup rate), first-wins
+        # by url with the hash-partitioned merge — NO single-task merge stage
+        # anywhere in the executor plan (VERDICT r1 item 1 done-criterion)
+        import numpy as np
+        import pyarrow as pa_
+        import pyarrow.compute as pc_
+
+        from gdal_ray.ops.relational import first_by
+
+        n_urls = int(os.environ.get("GRAFT_DEDUP_N", "10000000"))
+        distinct_urls = n_urls // 2
+
+        def synth_urls(b: pa_.Table) -> pa_.Table:
+            ids = b["id"].to_numpy()
+            key = (ids * 2654435761) % distinct_urls
+            site = pc_.cast(pa_.array(key % 997), pa_.string())
+            page = pc_.cast(pa_.array(key), pa_.string())
+            url = pc_.binary_join_element_wise(site, page, "/page")
+            return pa_.table({"id": pa_.array(ids), "url": url})
+
+        urls = rd.range(n_urls, override_num_blocks=num_cpus * 4).map_batches(
+            synth_urls, batch_format="pyarrow", batch_size=None
+        )
+        s = time.time()
+        survivors = first_by(urls, ["url"], ["id"], merge="hash",
+                             num_parts=num_cpus * 4).count()
+        dt = time.time() - s
+        timings["dedup10m_urls"] = round(dt, 3)
+        timings["dedup10m_urls_per_sec"] = round(n_urls / dt, 1)
+        assert survivors == distinct_urls, (survivors, distinct_urls)
+
+        # MinHash signature throughput on the real documents table
+        # (vectorized FNV + Mersenne-fold path; VERDICT r1 item 2 criterion)
+        from gdal_ray.text.dedup import MinHasher
+
+        doc_tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        rep = max(1, 200000 // max(doc_tbl.num_rows, 1))
+        n_docs_mh = doc_tbl.num_rows * rep
+        # pre-split blocks so every core gets work; hasher state is ~2 KB so
+        # a captured instance (stateless tasks) beats actor-pool spawn cost
+        chunks = [doc_tbl] * rep
+        hasher = MinHasher(num_perm=128)
+        s = time.time()
+        rd.from_arrow(chunks).map_batches(
+            hasher, batch_format="pyarrow", batch_size=None
+        ).count()
+        dt = time.time() - s
+        timings["minhash_sig"] = round(dt, 3)
+        timings["minhash_docs_per_sec"] = round(n_docs_mh / dt, 1)
+
     result = {
         "metric": "flagship pages pipeline end-to-end (synth+extract+cells+PIP+tile pyramid)",
         "value": round(headline, 3),
