@@ -11,17 +11,28 @@ DISTINCT -> distinct.
 Supported grammar (the OGR dialect subset that maps to our operator layer):
 
   SELECT [DISTINCT] expr [AS name] (, ...)
-  FROM <table>
+  FROM <table> [alias]
+  [[LEFT] JOIN <table> [alias] ON a.x = b.y ...]
   [WHERE <boolean expr>]
   [GROUP BY col (, ...)]
+  [HAVING <boolean expr over aggregates>]
+  [UNION ALL SELECT ...]
   [ORDER BY col [ASC|DESC] (, ...)]
-  [LIMIT n]
+  [LIMIT n [OFFSET m]]
 
-Expressions: identifiers, numeric/string literals, + - * / %, comparisons
-= <> != < <= > >=, AND OR NOT, IN (...), [NOT] BETWEEN a AND b, [NOT] LIKE,
-IS [NOT] NULL, CAST(x AS INTEGER|BIGINT|FLOAT|TEXT), and aggregates
-COUNT(*) COUNT(x) SUM MIN MAX AVG. The same SQL string is DuckDB-runnable,
-so every compiled query is oracle-checkable verbatim.
+Expressions: identifiers (optionally table-qualified), numeric/string
+literals, + - * / % ||, comparisons = <> != < <= > >=, AND OR NOT, IN (...),
+[NOT] BETWEEN a AND b, [NOT] LIKE/ILIKE, IS [NOT] NULL,
+CAST(x AS INTEGER|BIGINT|FLOAT|TEXT), string fns CONCAT/SUBSTR/UPPER/LOWER/
+LENGTH, and aggregates COUNT(*) COUNT(x) SUM MIN MAX AVG. The same SQL
+string is DuckDB-runnable, so every compiled query is oracle-checkable
+verbatim.
+
+JOIN follows the reference's planner shape (secondary tables are read
+whole and joined in memory, ogr_gensql.cpp:109 / ogr_sql_dialect.rst:410-441)
+restated as a broadcast join; match semantics are standard SQL (all matches)
+so the identical string oracles in DuckDB — OGR's first-match-wins variant
+remains available via relational.broadcast_join(first_match_order=...).
 """
 
 from __future__ import annotations
@@ -39,14 +50,16 @@ import pyarrow.compute as pc
 
 _TOKEN_RE = re.compile(
     r"\s*(?:(?P<num>\d+\.\d*|\.\d+|\d+)|(?P<str>'(?:[^']|'')*')|"
-    r"(?P<id>[A-Za-z_][A-Za-z_0-9]*)|(?P<op><>|!=|<=|>=|[(),*=<>+\-/%]))"
+    r"(?P<id>[A-Za-z_][A-Za-z_0-9]*)|(?P<op>\|\||<>|!=|<=|>=|[(),*=<>+\-/%.]))"
 )
 
 _KEYWORDS = {
     "SELECT", "DISTINCT", "FROM", "WHERE", "GROUP", "ORDER", "BY", "LIMIT",
     "AND", "OR", "NOT", "IN", "BETWEEN", "LIKE", "IS", "NULL", "AS", "ASC",
     "DESC", "CAST", "COUNT", "SUM", "MIN", "MAX", "AVG", "INTEGER", "BIGINT",
-    "FLOAT", "DOUBLE", "TEXT", "VARCHAR",
+    "FLOAT", "DOUBLE", "TEXT", "VARCHAR", "JOIN", "LEFT", "ON", "UNION",
+    "ALL", "HAVING", "OFFSET", "ILIKE", "CONCAT", "SUBSTR", "SUBSTRING",
+    "UPPER", "LOWER", "LENGTH",
 }
 
 
@@ -144,6 +157,9 @@ class Parser:
         if t[0] == "op" and t[1] in ("=", "<>", "!=", "<", "<=", ">", ">="):
             self.next()
             node = Node("bin", {"!=": "<>"}.get(t[1], t[1]), (left, self.add_expr()))
+        elif t == ("kw", "ILIKE"):
+            self.next()
+            node = Node("like", "i", (left, self.add_expr()))
         elif t == ("kw", "IN"):
             self.next()
             self.expect("op", "(")
@@ -176,7 +192,7 @@ class Parser:
         left = self.mul_expr()
         while True:
             t = self.peek()
-            if t[0] == "op" and t[1] in ("+", "-"):
+            if t[0] == "op" and t[1] in ("+", "-", "||"):
                 self.next()
                 left = Node("bin", t[1], (left, self.mul_expr()))
             else:
@@ -228,9 +244,46 @@ class Parser:
             kinds = {"COUNT": "count", "SUM": "sum", "MIN": "min",
                      "MAX": "max", "AVG": "mean"}
             return Node("agg", (kinds[t[1]], inner.value))
+        if t == ("kw", "CONCAT"):
+            self.expect("op", "(")
+            args = [self.expr()]
+            while self.accept("op", ","):
+                args.append(self.expr())
+            self.expect("op", ")")
+            return Node("call", "concat", tuple(args))
+        if t[0] == "kw" and t[1] in ("SUBSTR", "SUBSTRING"):
+            self.expect("op", "(")
+            s = self.expr()
+            self.expect("op", ",")
+            start = self.expr()
+            length = None
+            if self.accept("op", ","):
+                length = self.expr()
+            self.expect("op", ")")
+            return Node("call", "substr", (s, start, length))
+        if t[0] == "kw" and t[1] in ("UPPER", "LOWER", "LENGTH"):
+            self.expect("op", "(")
+            e = self.expr()
+            self.expect("op", ")")
+            return Node("call", t[1].lower(), (e,))
         if t[0] == "id":
-            return Node("col", t[1])
+            name = t[1]
+            # table-qualified reference tbl.col — resolved to the bare
+            # column name (column names are unique across joined tables)
+            if self.peek() == ("op", ".") and self.toks[self.i + 1][0] == "id":
+                self.next()
+                name = self.next()[1]
+            return Node("col", name)
         raise ValueError(f"unexpected token {t}")
+
+
+@dataclass
+class Join:
+    table: str
+    alias: str | None
+    left: bool           # LEFT JOIN vs inner JOIN
+    left_key: str        # bare column name on the accumulated left side
+    right_key: str       # bare column name on the joined table
 
 
 @dataclass
@@ -242,10 +295,30 @@ class Select:
     group_by: list
     order_by: list       # [(col, desc)]
     limit: int | None
+    joins: list = None   # [Join]
+    having: Node | None = None
+    offset: int | None = None
 
 
-def parse_select(sql: str) -> Select:
-    p = Parser(tokenize(sql))
+@dataclass
+class Query:
+    cores: list          # [Select]; >1 means UNION ALL chain
+    order_by: list
+    limit: int | None
+    offset: int | None
+
+
+def _parse_table_ref(p: Parser):
+    name = p.expect("id")[1]
+    alias = None
+    if p.accept("kw", "AS"):
+        alias = p.expect("id")[1]
+    elif p.peek()[0] == "id":
+        alias = p.next()[1]
+    return name, alias
+
+
+def _parse_core(p: Parser) -> Select:
     p.expect("kw", "SELECT")
     distinct = p.accept("kw", "DISTINCT")
     items = []
@@ -258,7 +331,28 @@ def parse_select(sql: str) -> Select:
         if not p.accept("op", ","):
             break
     p.expect("kw", "FROM")
-    table = p.expect("id")[1]
+    table, _table_alias = _parse_table_ref(p)
+    joins = []
+    while True:
+        left = False
+        if p.peek() == ("kw", "LEFT"):
+            p.next()
+            left = True
+            p.expect("kw", "JOIN")
+        elif p.peek() == ("kw", "JOIN"):
+            p.next()
+        else:
+            break
+        jtable, jalias = _parse_table_ref(p)
+        p.expect("kw", "ON")
+        cond = p.expr()
+        # OGR SQL joins are equi-joins on a single field pair
+        # (ogr_sql_dialect.rst:425: "ON <secondary>.field = <primary>.field")
+        if not (cond.kind == "bin" and cond.value == "="
+                and cond.args[0].kind == "col" and cond.args[1].kind == "col"):
+            raise ValueError("JOIN ON must be <col> = <col>")
+        joins.append(Join(jtable, jalias, left,
+                          cond.args[0].value, cond.args[1].value))
     where = None
     if p.accept("kw", "WHERE"):
         where = p.expr()
@@ -268,6 +362,20 @@ def parse_select(sql: str) -> Select:
         group_by.append(p.expect("id")[1])
         while p.accept("op", ","):
             group_by.append(p.expect("id")[1])
+    having = None
+    if p.accept("kw", "HAVING"):
+        having = p.expr()
+    return Select(items, distinct, table, where, group_by, [], None,
+                  joins=joins, having=having)
+
+
+def parse_query(sql: str) -> Query:
+    p = Parser(tokenize(sql))
+    cores = [_parse_core(p)]
+    while p.peek() == ("kw", "UNION"):
+        p.next()
+        p.expect("kw", "ALL")
+        cores.append(_parse_core(p))
     order_by = []
     if p.accept("kw", "ORDER"):
         p.expect("kw", "BY")
@@ -282,10 +390,26 @@ def parse_select(sql: str) -> Select:
             if not p.accept("op", ","):
                 break
     limit = None
+    offset = None
     if p.accept("kw", "LIMIT"):
         limit = int(p.expect("num")[1])
+        if p.accept("kw", "OFFSET"):
+            offset = int(p.expect("num")[1])
     p.expect("end")
-    return Select(items, distinct, table, where, group_by, order_by, limit)
+    return Query(cores, order_by, limit, offset)
+
+
+def parse_select(sql: str) -> Select:
+    """Single-core parse (back-compat): ORDER BY/LIMIT/OFFSET are folded
+    into the core."""
+    q = parse_query(sql)
+    if len(q.cores) != 1:
+        raise ValueError("parse_select: UNION query, use parse_query")
+    core = q.cores[0]
+    core.order_by = q.order_by
+    core.limit = q.limit
+    core.offset = q.offset
+    return core
 
 
 # ---------------------------------------------------------------------------
@@ -303,6 +427,8 @@ def eval_expr(node: Node, t: pa.Table):
         a = eval_expr(node.args[0], t)
         b = eval_expr(node.args[1], t)
         op = node.value
+        if op == "||":
+            return _concat(a, b)
         if op in ("+", "-", "*", "/", "%"):
             if op == "/":  # SQL: integer/integer stays exact in DuckDB as double
                 a = pc.cast(a, pa.float64()) if not pa.types.is_floating(_type_of(a)) else a
@@ -326,7 +452,28 @@ def eval_expr(node: Node, t: pa.Table):
             pc.less_equal(x, eval_expr(node.args[2], t)),
         )
     if k == "like":
-        return pc.match_like(eval_expr(node.args[0], t), node.args[1].value)
+        return pc.match_like(eval_expr(node.args[0], t), node.args[1].value,
+                             ignore_case=(node.value == "i"))
+    if k == "call":
+        fn = node.value
+        if fn == "concat":
+            out = eval_expr(node.args[0], t)
+            for arg in node.args[1:]:
+                out = _concat(out, eval_expr(arg, t))
+            return out
+        if fn == "substr":
+            s = eval_expr(node.args[0], t)
+            start = node.args[1].value  # 1-based literal
+            if node.args[2] is None:
+                return pc.utf8_slice_codeunits(s, start - 1)
+            return pc.utf8_slice_codeunits(s, start - 1, start - 1 + node.args[2].value)
+        if fn == "upper":
+            return pc.utf8_upper(eval_expr(node.args[0], t))
+        if fn == "lower":
+            return pc.utf8_lower(eval_expr(node.args[0], t))
+        if fn == "length":
+            return pc.cast(pc.utf8_length(eval_expr(node.args[0], t)), pa.int64())
+        raise ValueError(f"unknown function {fn}")
     if k == "isnull":
         v = pc.is_null(eval_expr(node.args[0], t))
         return v if node.value else pc.invert(v)
@@ -345,6 +492,17 @@ def eval_expr(node: Node, t: pa.Table):
 
 def _type_of(v):
     return v.type
+
+
+def _concat(a, b):
+    """SQL || / CONCAT: non-string operands cast to string first."""
+    if not pa.types.is_string(_type_of(a)):
+        a = pc.cast(a, pa.string())
+    if not pa.types.is_string(_type_of(b)):
+        b = pc.cast(b, pa.string())
+    if isinstance(a, pa.Scalar) and isinstance(b, pa.Scalar):
+        return pa.scalar((a.as_py() or "") + (b.as_py() or ""))
+    return pc.binary_join_element_wise(a, b, "")
 
 
 def _sql_mod(a, b):
@@ -371,14 +529,102 @@ def _item_name(node: Node, alias, idx) -> str:
     return f"expr_{idx}"
 
 
+def _rewrite_having(node: Node, specs: list, hidden: list) -> Node:
+    """Replace aggregate calls in a HAVING expression with column refs to
+    the matching output spec (or a hidden spec computed just for the
+    filter)."""
+    if node.kind == "agg":
+        kind, col = node.value
+        for name, k, c in specs + hidden:
+            if (k, c) == (kind, col):
+                return Node("col", name)
+        hname = f"__hv{len(hidden)}"
+        hidden.append((hname, kind, col))
+        return Node("col", hname)
+    if node.args:
+        new_args = tuple(
+            _rewrite_having(a, specs, hidden) if isinstance(a, Node)
+            else tuple(_rewrite_having(x, specs, hidden) for x in a) if isinstance(a, tuple)
+            else a
+            for a in node.args
+        )
+        return Node(node.kind, node.value, new_args)
+    return node
+
+
+def _apply_offset(out, offset: int):
+    """OFFSET skip — applied after LIMIT/topk, so the input is small by
+    construction (single-block slice)."""
+
+    def drop(t: pa.Table) -> pa.Table:
+        return t.slice(offset)
+
+    return out.repartition(1).map_batches(drop, batch_format="pyarrow", batch_size=None)
+
+
 def execute(sql: str, sf_dir: str):
-    """Compile + run a SELECT against the sf_dir parquet tables."""
+    """Compile + run a SELECT (or UNION ALL chain) against the sf_dir
+    parquet tables."""
+    from gdal_ray.ops.relational import topk, union_all
+
+    q = parse_query(sql)
+    if len(q.cores) == 1:
+        return _execute_core(q.cores[0], sf_dir, q.order_by, q.limit, q.offset)
+    # UNION ALL: each core compiles independently; schemas align by POSITION
+    # to the first core's output names (ogr_sql_dialect.rst:515-533 resolves
+    # union layer fields by the first layer's definition)
+    first_names = _out_names(q.cores[0])
+    outs = []
+    for core in q.cores:
+        o = _execute_core(core, sf_dir, [], None, None)
+        if _out_names(core) != first_names:
+            o = o.map_batches(
+                lambda t, names=list(first_names): t.rename_columns(names),
+                batch_format="pyarrow", batch_size=None,
+            )
+        outs.append(o)
+    out = union_all(*outs)
+    want = q.limit + (q.offset or 0) if q.limit is not None else None
+    if q.order_by:
+        if want is not None:
+            out = topk(out, q.order_by, want)
+        else:
+            out = out.sort([c for c, _ in q.order_by],
+                           descending=[d for _, d in q.order_by])
+    elif want is not None:
+        out = out.limit(want)
+    if q.offset:
+        out = _apply_offset(out, q.offset)
+    return out
+
+
+def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
+    """Compile + run one SELECT core."""
+    from gdal_ray.ops.relational import broadcast_join
     from gdal_ray.ops.relational import distinct as op_distinct
     from gdal_ray.ops.relational import groupby_agg, topk
     from gdal_ray.util import read_table
 
-    q = parse_select(sql)
+    q = Select(q.items, q.distinct, q.table, q.where, q.group_by,
+               list(order_by), limit, joins=q.joins, having=q.having,
+               offset=offset)
     ds = read_table(sf_dir, q.table)
+
+    for j in (q.joins or []):
+        import pyarrow.parquet as pq
+
+        from gdal_ray.util import sf_path
+
+        right = pq.read_table(sf_path(sf_dir, j.table))
+        # ON a = b: decide which side names a right-table column
+        if j.right_key in right.column_names:
+            lk, rk = j.left_key, j.right_key
+        elif j.left_key in right.column_names:
+            lk, rk = j.right_key, j.left_key
+        else:
+            raise ValueError(f"JOIN key not found in {j.table}")
+        ds = broadcast_join(ds, right, keys=[lk], right_keys=[rk],
+                            how="left" if j.left else "inner")
 
     if q.where is not None:
         where = q.where
@@ -403,10 +649,17 @@ def execute(sql: str, sf_dir: str):
                     raise ValueError(f"non-aggregated column {item.value}")
             else:
                 raise ValueError("select items in GROUP BY mode must be columns or aggregates")
-        out = groupby_agg(ds, q.group_by, specs)
-        # order output columns as written
-        def proj(t: pa.Table) -> pa.Table:
-            return t.select(names)
+        having = q.having
+        hidden: list = []
+        if having is not None:
+            having = _rewrite_having(having, specs, hidden)
+        out = groupby_agg(ds, q.group_by, specs + hidden)
+
+        def proj(t: pa.Table, hv=having, nm=list(names)) -> pa.Table:
+            if hv is not None:
+                t = t.filter(eval_expr(hv, t))
+            # order output columns as written (hidden HAVING specs dropped)
+            return t.select(nm)
 
         out = out.map_batches(proj, batch_format="pyarrow", batch_size=None)
     else:
@@ -432,29 +685,35 @@ def execute(sql: str, sf_dir: str):
         for idx, (item, alias) in enumerate(items):
             if item.kind != "star":
                 out_cols.add(_item_name(item, alias, idx))
+        want = q.limit + (q.offset or 0) if q.limit is not None else None
         order_pre = bool(q.order_by) and not all(c in out_cols for c, _ in q.order_by)
         if order_pre:
-            if q.limit is not None:
-                ds = topk(ds, q.order_by, q.limit)
+            if want is not None:
+                ds = topk(ds, q.order_by, want)
             else:
                 ds = ds.sort([c for c, _ in q.order_by],
                              descending=[d for _, d in q.order_by])
             out = ds.map_batches(project, batch_format="pyarrow", batch_size=None)
             if q.distinct:
                 out = op_distinct(out, [c for c in _out_names(q)])
+            if q.offset:
+                out = _apply_offset(out, q.offset)
             return out
         out = ds.map_batches(project, batch_format="pyarrow", batch_size=None)
 
     if q.distinct:
         out = op_distinct(out, [c for c in _out_names(q)])
+    want = q.limit + (q.offset or 0) if q.limit is not None else None
     if q.order_by:
-        if q.limit is not None:
-            out = topk(out, q.order_by, q.limit)
+        if want is not None:
+            out = topk(out, q.order_by, want)
         else:
             out = out.sort([c for c, _ in q.order_by],
                            descending=[d for _, d in q.order_by])
-    elif q.limit is not None:
-        out = out.limit(q.limit)
+    elif want is not None:
+        out = out.limit(want)
+    if q.offset:
+        out = _apply_offset(out, q.offset)
     return out
 
 

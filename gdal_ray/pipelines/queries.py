@@ -1127,9 +1127,26 @@ def _sql_oracle(sql):
     return f"""SELECT * REPLACE (round(total, 4) AS total) FROM ({sql})""" if "total" in sql else sql
 
 
+Q73_SQL = """SELECT o_orderkey, o_totalprice, c_name, c_mktsegment FROM orders
+LEFT JOIN customer ON o_custkey = c_custkey WHERE o_orderkey < 5000"""
+
+Q74_SQL = """SELECT c_mktsegment AS seg, c_acctbal AS val FROM customer WHERE c_custkey < 500
+UNION ALL SELECT o_orderpriority AS seg, o_totalprice AS val FROM orders WHERE o_orderkey < 500"""
+
+Q75_SQL = """SELECT c_nationkey, COUNT(*) AS n, SUM(c_acctbal) AS total FROM customer
+GROUP BY c_nationkey HAVING COUNT(*) > 3"""
+
+Q76_SQL = """SELECT c_custkey, UPPER(SUBSTR(c_name, 1, 12)) AS pre,
+c_name || '-' || c_mktsegment AS tag FROM customer
+WHERE c_name ILIKE '%customer%' ORDER BY c_custkey LIMIT 40 OFFSET 10"""
+
 q70_sql_groupby = _sql_query(Q70_SQL)
 q71_sql_topk = _sql_query(Q71_SQL)
 q72_sql_expr = _sql_query(Q72_SQL)
+q73_sql_left_join = _sql_query(Q73_SQL)
+q74_sql_union_all = _sql_query(Q74_SQL)
+q75_sql_having = _sql_query(Q75_SQL)
+q76_sql_strings = _sql_query(Q76_SQL)
 
 
 # ---------------------------------------------------------------------------
@@ -1185,6 +1202,10 @@ def registry():
         "q70_sql_groupby": q70_sql_groupby,
         "q71_sql_topk": q71_sql_topk,
         "q72_sql_expr": q72_sql_expr,
+        "q73_sql_left_join": q73_sql_left_join,
+        "q74_sql_union_all": q74_sql_union_all,
+        "q75_sql_having": q75_sql_having,
+        "q76_sql_strings": q76_sql_strings,
     }
     sqls = {
         "q01_tpch_groupby": Q01_SQL,
@@ -1220,5 +1241,9 @@ def registry():
         "q70_sql_groupby": _sql_oracle(Q70_SQL),
         "q71_sql_topk": Q71_SQL,
         "q72_sql_expr": Q72_SQL,
+        "q73_sql_left_join": Q73_SQL,
+        "q74_sql_union_all": Q74_SQL,
+        "q75_sql_having": _sql_oracle(Q75_SQL),
+        "q76_sql_strings": Q76_SQL,
     }
     return qs, sqls

@@ -18,13 +18,24 @@ CASES = [
     "SELECT p_partkey, CAST(p_retailprice AS BIGINT) AS rp FROM part WHERE p_name LIKE '%ol%' LIMIT 5000",
     "SELECT s_suppkey FROM supplier WHERE NOT s_acctbal < 0",
     "SELECT event_id, event_id % 7 AS bucket FROM events WHERE event_id < 100",
+    # round-2 surface: JOIN / LEFT JOIN / UNION ALL / HAVING / OFFSET /
+    # string fns — every string still runs verbatim in DuckDB
+    "SELECT c_custkey, c_name, n_name FROM customer JOIN nation ON c_nationkey = n_nationkey WHERE c_custkey < 200",
+    "SELECT o_orderkey, c_name FROM orders LEFT JOIN customer ON o_custkey = c_custkey WHERE o_orderkey < 300",
+    "SELECT c_mktsegment AS seg FROM customer UNION ALL SELECT o_orderpriority AS seg FROM orders",
+    "SELECT c_mktsegment, COUNT(*) AS n FROM customer GROUP BY c_mktsegment HAVING COUNT(*) > 25",
+    "SELECT c_nationkey, SUM(c_acctbal) AS total FROM customer GROUP BY c_nationkey HAVING SUM(c_acctbal) > 10000 AND COUNT(*) > 2",
+    "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 5",
+    "SELECT p_partkey, UPPER(p_brand) AS ub, LOWER(p_type) AS lt FROM part WHERE p_name ILIKE '%OL%' LIMIT 4000",
+    "SELECT c_custkey, CONCAT(c_name, '-', c_mktsegment) AS tag, SUBSTR(c_name, 1, 8) AS pre FROM customer WHERE c_custkey < 50",
+    "SELECT s_suppkey, s_name || '_' || CAST(s_nationkey AS TEXT) AS label, LENGTH(s_name) AS ln FROM supplier",
 ]
 
 
 @pytest.fixture(scope="module")
 def con(sf_dir):
     con = duckdb.connect()
-    for t in ["lineitem", "orders", "customer", "part", "supplier", "events"]:
+    for t in ["lineitem", "orders", "customer", "part", "supplier", "events", "nation"]:
         con.execute(f"create view {t} as select * from read_parquet('{sf_path(sf_dir, t)}')")
     return con
 
