@@ -1016,15 +1016,29 @@ def q51_polygonize(sf_dir):
 
     from gdal_ray.stages.raster import polygonize_tiles
 
-    # deterministic small raster: 32x32 grid of point-count classes
+    # deterministic small raster: 32x32 grid of point-count classes.
+    # The counts grid is a DISTRIBUTED aggregation (per-batch partial counts
+    # -> groupby merge); only the <=1024 (gx, gy, n) rows reach the driver.
     ds = events_points(sf_dir)
-    t = pa.concat_tables(ds.iter_batches(batch_size=None, batch_format="pyarrow"))
-    lon = t["lon"].to_numpy()
-    lat = t["lat"].to_numpy()
-    gx = np.clip(((lon + 180.0) / 360.0 * 32).astype(np.int64), 0, 31)
-    gy = np.clip(((90.0 - lat) / 180.0 * 32).astype(np.int64), 0, 31)
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        gx = np.clip(((lon + 180.0) / 360.0 * 32).astype(np.int64), 0, 31)
+        gy = np.clip(((90.0 - lat) / 180.0 * 32).astype(np.int64), 0, 31)
+        df = pd.DataFrame({"gx": gx, "gy": gy})
+        g = df.groupby(["gy", "gx"], sort=False).size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = R.groupby_agg(
+        ds.map_batches(partial_counts, batch_format="pyarrow", batch_size=None),
+        ["gy", "gx"], [("n", "sum", "n")],
+    )
+    cell_t = pa.concat_tables(cells.iter_batches(batch_size=None, batch_format="pyarrow"))
     counts = np.zeros((32, 32), dtype=np.int64)
-    np.add.at(counts, (gy, gx), 1)
+    counts[cell_t["gy"].to_numpy(zero_copy_only=False),
+           cell_t["gx"].to_numpy(zero_copy_only=False)] = (
+        cell_t["n"].to_numpy(zero_copy_only=False))
     classes = np.digitize(counts, [1, counts.max() / 2 + 1]).astype(np.uint8)
     tiles = [
         ((tx, ty), classes[ty * 16 : (ty + 1) * 16, tx * 16 : (tx + 1) * 16])

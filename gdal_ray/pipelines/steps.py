@@ -75,6 +75,26 @@ def _read(path: str, columns=None, filter=None):
     return run
 
 
+@step("read_geo")
+def _read_geo(path: str, bbox=None, columns=None):
+    """GeoParquet read with bbox row-group pruning (sources.geoparquet)."""
+    from gdal_ray.sources.geoparquet import read_geoparquet
+
+    return lambda _: read_geoparquet(path, bbox=bbox, columns=columns)
+
+
+@step("write_geo")
+def _write_geo(path: str, geometry_col: str = "geometry"):
+    """GeoParquet write: bbox covering column + `geo` metadata."""
+    from gdal_ray.sources.geoparquet import write_geoparquet
+
+    def run(ds):
+        write_geoparquet(ds, path, geometry_col=geometry_col).count()
+        return ds
+
+    return run
+
+
 @step("write")
 def _write(path: str, partition_cols=None, mode: str = "overwrite"):
     def run(ds):

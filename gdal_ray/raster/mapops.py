@@ -225,6 +225,96 @@ def dem_hillshade(tiles_ds, *, cellsize: float = 1.0, azimuth: float = 315.0,
     return halo_apply(tiles_ds, kernel, radius=1, dtype=dtype, out_dtype=np.float32)
 
 
+def _window_stack(pad: np.ndarray):
+    """The 9 shifted views of a radius-1 padded array, center last removed:
+    returns (center, neighbors stack of 8)."""
+    wins = [pad[i : i + TILE, j : j + TILE] for i in range(3) for j in range(3)]
+    center = wins.pop(4)
+    return center, np.stack(wins)
+
+
+def dem_roughness(tiles_ds, *, dtype=np.float32):
+    """`gdal raster roughness` (gdaldem roughness kernel,
+    apps/gdalalg_raster_neighbors.cpp lineage): largest inter-cell
+    difference in the 3x3 window = max9 - min9."""
+
+    def kernel(pad):
+        center, nb = _window_stack(pad)
+        mx = np.maximum(nb.max(axis=0), center)
+        mn = np.minimum(nb.min(axis=0), center)
+        return mx - mn
+
+    return halo_apply(tiles_ds, kernel, radius=1, dtype=dtype, out_dtype=np.float32)
+
+
+def dem_tpi(tiles_ds, *, dtype=np.float32):
+    """`gdal raster tpi` — Topographic Position Index: center minus the
+    mean of its 8 neighbors."""
+
+    def kernel(pad):
+        center, nb = _window_stack(pad)
+        return center - nb.mean(axis=0)
+
+    return halo_apply(tiles_ds, kernel, radius=1, dtype=dtype, out_dtype=np.float32)
+
+
+def dem_tri(tiles_ds, *, alg: str = "riley", dtype=np.float32):
+    """`gdal raster tri` — Terrain Ruggedness Index. alg='riley' (default,
+    sqrt of sum of squared center-neighbor differences) or 'wilson' (mean
+    absolute difference), the reference's two -alg choices."""
+    if alg not in ("riley", "wilson"):
+        raise ValueError("alg must be 'riley' or 'wilson'")
+
+    def kernel(pad):
+        center, nb = _window_stack(pad)
+        d = center[None, :, :] - nb
+        if alg == "riley":
+            return np.sqrt((d * d).sum(axis=0))
+        return np.abs(d).mean(axis=0)
+
+    return halo_apply(tiles_ds, kernel, radius=1, dtype=dtype, out_dtype=np.float32)
+
+
+def tile_color_map(tiles_ds, colors: list[tuple[float, tuple[int, int, int]]],
+                   *, interpolate: bool = True, dtype=np.float32):
+    """`gdal raster color-map` (gdaldem color-relief): value -> RGBA packed
+    uint32 (R | G<<8 | B<<16 | 255<<24). colors: sorted [(value, (r,g,b))];
+    interpolate=True blends linearly between entries (the reference
+    default), else nearest-below ("exact color entry") semantics."""
+    colors = sorted(colors)
+    vals = np.array([v for v, _ in colors], dtype=np.float64)
+    rgb = np.array([c for _, c in colors], dtype=np.float64)  # (n, 3)
+
+    def fn(arr):
+        a = arr.astype(np.float64)
+        idx = np.clip(np.searchsorted(vals, a, side="right") - 1, 0, len(vals) - 1)
+        if interpolate:
+            hi = np.minimum(idx + 1, len(vals) - 1)
+            span = vals[hi] - vals[idx]
+            w = np.where(span > 0, (a - vals[idx]) / np.where(span > 0, span, 1.0), 0.0)
+            w = np.clip(w, 0.0, 1.0)
+            col = rgb[idx] * (1.0 - w)[..., None] + rgb[hi] * w[..., None]
+        else:
+            col = rgb[idx]
+        col = np.clip(np.round(col), 0, 255).astype(np.uint32)
+        return (col[..., 0] | (col[..., 1] << 8) | (col[..., 2] << 16)
+                | np.uint32(255) << 24)
+
+    return tile_calc(tiles_ds, fn, dtype=dtype, out_dtype=np.uint32)
+
+
+def tile_nodata_to_alpha(tiles_ds, *, nodata=0, dtype=np.float32):
+    """`gdal raster nodata-to-alpha`: grayscale + alpha RGBA packing where
+    nodata pixels get alpha 0 (fully transparent), everything else 255."""
+
+    def fn(arr):
+        g = np.clip(np.round(arr.astype(np.float64)), 0, 255).astype(np.uint32)
+        alpha = np.where(arr == nodata, np.uint32(0), np.uint32(255))
+        return g | (g << 8) | (g << 16) | (alpha << 24)
+
+    return tile_calc(tiles_ds, fn, dtype=dtype, out_dtype=np.uint32)
+
+
 def fill_nodata(tiles_ds, *, nodata=0, iterations: int = 1, dtype=np.float32):
     """`gdal raster fill-nodata` (alg/rasterfill.cpp) as iterative halo
     relaxation: each round replaces nodata cells that have >=1 valid

@@ -104,3 +104,66 @@ def test_fill_nodata_crosses_tile_border():
         ).reshape(TILE, TILE)
     # constant field: hole must fill back to exactly 7 (interior untouched)
     assert (full == 7.0).all()
+
+
+def test_dem_roughness_tpi_tri_on_plane():
+    # inclined plane dz/dx=2, dz/dy=1: every 3x3 window is analytic
+    yy, xx = np.mgrid[0 : 2 * TILE, 0 : 2 * TILE]
+    dem = (2.0 * xx + 1.0 * yy).astype(np.float32)
+    tiles = _tiles_from(dem, dtype=np.float32)
+
+    # roughness = max9-min9 = |2*1+1*1|*2 = 6 on a plane (corner to corner)
+    r = to_arrow(MO.dem_roughness(tiles, dtype=np.float32))
+    arr = np.frombuffer(r["data"][0].as_py(), np.float32).reshape(TILE, TILE)
+    assert np.allclose(arr[2:-2, 2:-2], 6.0)
+
+    # TPI = center - mean(8 neighbors) = 0 on a plane
+    t = to_arrow(MO.dem_tpi(tiles, dtype=np.float32))
+    arr = np.frombuffer(t["data"][0].as_py(), np.float32).reshape(TILE, TILE)
+    assert np.allclose(arr[2:-2, 2:-2], 0.0, atol=1e-5)
+
+    # TRI riley = sqrt(sum d^2) over the 8 analytic differences
+    d = [2*dx + 1*dy for dx in (-1,0,1) for dy in (-1,0,1) if (dx,dy)!=(0,0)]
+    exp_r = float(np.sqrt(sum(x*x for x in d)))
+    exp_w = float(np.mean([abs(x) for x in d]))
+    tr = to_arrow(MO.dem_tri(tiles, alg="riley", dtype=np.float32))
+    arr = np.frombuffer(tr["data"][0].as_py(), np.float32).reshape(TILE, TILE)
+    assert np.allclose(arr[2:-2, 2:-2], exp_r, atol=1e-4)
+    tw = to_arrow(MO.dem_tri(tiles, alg="wilson", dtype=np.float32))
+    arr = np.frombuffer(tw["data"][0].as_py(), np.float32).reshape(TILE, TILE)
+    assert np.allclose(arr[2:-2, 2:-2], exp_w, atol=1e-4)
+
+
+def test_color_map_and_nodata_alpha():
+    arr = np.zeros((2 * TILE, 2 * TILE), np.float32)
+    arr[:TILE] = 50.0
+    arr[TILE:] = 100.0
+    arr[0, 0] = 75.0
+    tiles = _tiles_from(arr, dtype=np.float32)
+    cm = to_arrow(MO.tile_color_map(
+        tiles, [(0.0, (0, 0, 0)), (100.0, (200, 100, 50))], interpolate=True,
+        dtype=np.float32))
+    for i in range(cm.num_rows):
+        tx, ty = cm["tile_x"][i].as_py(), cm["tile_y"][i].as_py()
+        rgba = np.frombuffer(cm["data"][i].as_py(), np.uint32).reshape(TILE, TILE)
+        r, g, b, a = rgba & 255, (rgba >> 8) & 255, (rgba >> 16) & 255, rgba >> 24
+        assert (a == 255).all()
+        if ty == 0 and tx == 0:
+            assert r[1, 1] == 100 and g[1, 1] == 50 and b[1, 1] == 25  # 50 -> half
+            assert r[0, 0] == 150  # 75 -> 3/4 of 200
+        if ty == 1:
+            assert (r == 200).all() and (g == 100).all() and (b == 50).all()
+
+    na = to_arrow(MO.tile_nodata_to_alpha(tiles, nodata=0, dtype=np.float32))
+    for i in range(na.num_rows):
+        if na["tile_y"][i].as_py() == 0 and na["tile_x"][i].as_py() == 0:
+            rgba = np.frombuffer(na["data"][i].as_py(), np.uint32).reshape(TILE, TILE)
+            assert rgba[5, 5] >> 24 == 255
+    # a tile containing actual nodata
+    arr2 = np.full((2 * TILE, 2 * TILE), 9.0, np.float32)
+    arr2[0:10, 0:10] = 0.0
+    na2 = to_arrow(MO.tile_nodata_to_alpha(_tiles_from(arr2, dtype=np.float32), nodata=0, dtype=np.float32))
+    for i in range(na2.num_rows):
+        if na2["tile_y"][i].as_py() == 0 and na2["tile_x"][i].as_py() == 0:
+            rgba = np.frombuffer(na2["data"][i].as_py(), np.uint32).reshape(TILE, TILE)
+            assert rgba[5, 5] >> 24 == 0 and rgba[50, 50] >> 24 == 255
