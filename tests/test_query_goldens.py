@@ -1,0 +1,60 @@
+"""Value-hash goldens for the deterministic no-oracle queries.
+
+These queries have no SQL-expressible oracle (stateful/streaming/geometric),
+but every one of them is DETERMINISTIC (fixed seeds, integer tile math,
+order-insensitive normalization), so their full result sets are pinned as
+md5 value-hashes at sf0.001 — the FIXTURES.md §5 golden pattern extended
+from single checksums to whole result tables. A hash change means the
+operator's semantics changed, not just its schedule.
+
+The normalization mirrors tools/check_correctness.py (sorted columns,
+int64/float64 casts, float round(9), row-sorted CSV).
+"""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gdal_ray.util import to_arrow
+
+GOLDENS = {
+    "q18_hll_distinct": (1, "0e2e2bdb1cdde7d5"),
+    "q23_simhash": (500, "58ffef84cb098f3c"),
+    "q24_langid": (500, "2b1395df46f6452a"),
+    "q25_minhash_pairs": (28, "8c71ff1773c927b9"),
+    "q34_lsh_ann": (20, "305a4a51311ee64f"),
+    "q44_cells": (1000, "29ea38fef238d557"),
+    "q46_hilbert": (1000, "d8edd04885254e34"),
+    "q48_cell_knn": (3000, "db4514295e933095"),
+    "q50_rasterize_tiles": (256, "acf01b44b47bfab1"),
+    "q51_polygonize": (204, "57ef88d713f9a3f2"),
+    "q52_layer_algebra": (7, "04b09b04545942c0"),
+    "q53_tile_pyramid": (1481, "cf52e763b8dfee3b"),
+    "q60_flagship_tiles": (543, "913113e2b8aa96c8"),
+}
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype(np.float64).round(9)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype(np.int64)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", sorted(GOLDENS))
+def test_query_golden(sf_dir, name):
+    from gdal_ray.pipelines.queries import registry
+
+    qs, _ = registry()
+    df = to_arrow(qs[name](sf_dir)).to_pandas()
+    rows, want = GOLDENS[name]
+    assert len(df) == rows, f"{name}: {len(df)} rows != {rows}"
+    got = hashlib.md5(_normalize(df).to_csv(index=False).encode()).hexdigest()[:16]
+    assert got == want, f"{name}: value-hash {got} != pinned {want}"
