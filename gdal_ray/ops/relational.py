@@ -373,29 +373,38 @@ def broadcast_join(
 def semi_anti_join(ds, keys: Sequence[str], key_set, *, anti: bool = False):
     """Semi/anti join by broadcast key set (ray guide pattern: broadcast the
     key set, filter inside map_batches — no shuffle). key_set: pa.Table with
-    the key columns, or an iterable of tuples/scalars."""
+    the key columns, or an iterable of tuples/scalars.
+
+    Multi-key membership runs through pyarrow's native left-semi/anti hash
+    join per batch (fully vectorized — no Python row loop)."""
     import ray
 
     keys = list(keys)
     if isinstance(key_set, pa.Table):
-        if len(keys) == 1:
-            vals = set(key_set[keys[0]].to_pylist())
-        else:
-            vals = set(zip(*[key_set[k].to_pylist() for k in keys]))
+        key_tbl = key_set.select(keys)
     else:
-        vals = set(key_set)
-    ref = ray.put(vals)
+        vals = list(key_set)
+        if len(keys) == 1:
+            key_tbl = pa.table({keys[0]: pa.array(vals)})
+        else:
+            key_tbl = pa.table({k: pa.array([v[i] for v in vals])
+                                for i, k in enumerate(keys)})
+    key_tbl = key_tbl.group_by(keys, use_threads=False).aggregate([])
+    ref = ray.put(key_tbl)
+    join_type = "left anti" if anti else "left semi"
 
     def f(t: pa.Table) -> pa.Table:
-        s = ray.get(ref)
+        kt = ray.get(ref)
         if len(keys) == 1:
-            mask = pc.is_in(t[keys[0]], value_set=pa.array(sorted(s)))
-        else:
-            rows = list(zip(*[t[k].to_pylist() for k in keys]))
-            mask = pa.array([r in s for r in rows])
-        if anti:
-            mask = pc.invert(pc.fill_null(mask, False))
-        return t.filter(mask)
+            mask = pc.is_in(t[keys[0]], value_set=kt[keys[0]].combine_chunks())
+            if anti:
+                mask = pc.invert(pc.fill_null(mask, False))
+            return t.filter(mask)
+        # preserve input row order: join on an added row-index column
+        t2 = t.append_column("__ri", pa.array(np.arange(len(t), dtype=np.int64)))
+        out = t2.join(kt, keys=keys, join_type=join_type)
+        out = out.take(pc.sort_indices(out["__ri"]))
+        return out.drop_columns(["__ri"])
 
     return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
 

@@ -205,12 +205,34 @@ def _make_point(x_col: str = "lon", y_col: str = "lat"):
 
 
 @step("reproject")
-def _reproject(dst: str = "webmercator"):
-    fwd = GF.lonlat_to_webmercator if dst == "webmercator" else GF.webmercator_to_lonlat
+def _reproject(dst: str = "webmercator", src: str = "lonlat"):
+    """`gdal vector reproject`. dst/src: 'lonlat' (EPSG:4326),
+    'webmercator' (EPSG:3857), or any EPSG code in the analytic family
+    (UTM EPSG:326xx/327xx, LAEA EPSG:3035 — gdal_ray.geo.crs)."""
+
+    def xform(name: str, forward: bool):
+        if name in ("lonlat", "EPSG:4326", "4326"):
+            return None
+        if name in ("webmercator", "EPSG:3857", "3857"):
+            return GF.lonlat_to_webmercator if forward else GF.webmercator_to_lonlat
+        from gdal_ray.geo.crs import epsg_transformer
+
+        tr = epsg_transformer(name)
+        return tr.forward if forward else tr.inverse
+
+    inv = xform(src, forward=False)
+    fwd = xform(dst, forward=True)
+
+    def chain(x, y):
+        if inv is not None:
+            x, y = inv(x, y)
+        if fwd is not None:
+            x, y = fwd(x, y)
+        return x, y
 
     def run(ds):
         return ds.map_batches(
-            map_geoms(lambda g: GF.transform_geom(g, fwd)), batch_format="pyarrow", batch_size=None)
+            map_geoms(lambda g: GF.transform_geom(g, chain)), batch_format="pyarrow", batch_size=None)
 
     return run
 

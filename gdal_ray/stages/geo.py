@@ -302,23 +302,25 @@ class SpatialKNN:
         k = min(self.k, d2.shape[1])
         # deterministic ordering: (distance, ref_id)
         order = np.lexsort((np.broadcast_to(self.rid, d2.shape), d2), axis=-1)[:, :k]
-        rows_q, rows_n, rows_d, rows_r = [], [], [], []
         dist = np.sqrt(np.take_along_axis(d2, order, axis=1))
-        for i in range(len(lon)):
-            sel = order[i]
-            d = dist[i]
-            if self.radius is not None:
-                m = d <= self.radius
-                sel, d = sel[m], d[m]
-            rows_q.append(np.full(sel.size, qid[i]))
-            rows_n.append(self.rid[sel])
-            rows_d.append(d)
-            rows_r.append(np.arange(1, sel.size + 1, dtype=np.int64))
+        # flat assembly (no per-row loop): radius filter is one mask
+        nq = len(lon)
+        out_q = np.repeat(qid, k)
+        out_n = self.rid[order].ravel()
+        out_d = dist.ravel()
+        out_r = np.tile(np.arange(1, k + 1, dtype=np.int64), nq)
+        if self.radius is not None:
+            keep = out_d <= self.radius
+            out_q, out_n, out_d = out_q[keep], out_n[keep], out_d[keep]
+            # re-rank within each query after the filter (ranks stay dense)
+            kept_per_q = keep.reshape(nq, k).sum(axis=1)
+            out_r = (np.arange(keep.sum(), dtype=np.int64)
+                     - np.repeat(np.cumsum(kept_per_q) - kept_per_q, kept_per_q) + 1)
         return pa.table(
             {
-                "query_id": pa.array(np.concatenate(rows_q)),
-                "neighbor_id": pa.array(np.concatenate(rows_n)),
-                "dist": pa.array(np.concatenate(rows_d)),
-                "rank": pa.array(np.concatenate(rows_r)),
+                "query_id": pa.array(out_q),
+                "neighbor_id": pa.array(out_n),
+                "dist": pa.array(out_d),
+                "rank": pa.array(out_r),
             }
         )

@@ -115,3 +115,26 @@ def test_registry_complete():
                  "convex-hull", "clip", "explode-collections", "sort-hilbert",
                  "dissolve", "sql_like"]:
         assert name in STEPS
+
+
+def test_reproject_utm_step():
+    import ray.data as rd
+
+    from gdal_ray.geo.crs import utm_zone_transformer
+    from gdal_ray.pipelines.steps import run_pipeline
+
+    lon = np.array([2.5, 3.0, 3.5])
+    lat = np.array([48.0, 49.0, 50.0])
+    geoms = W.encode_points(lon, lat)
+    ds = rd.from_arrow(pa.table({"id": [1, 2, 3], "geometry": pa.array(geoms, pa.binary())}))
+    out = run_pipeline([("reproject", {"dst": "EPSG:32631"})], ds)
+    t = to_arrow(out)
+    ge, gn = W.decode_points(t["geometry"].to_pylist())
+    ee, en = utm_zone_transformer(31).forward(lon, lat)
+    assert np.allclose(sorted(ge), sorted(ee))
+    assert np.allclose(sorted(gn), sorted(en))
+    # and back: utm -> lonlat
+    back = to_arrow(run_pipeline([("reproject", {"src": "EPSG:32631", "dst": "lonlat"})], out))
+    blon, blat = W.decode_points(back["geometry"].to_pylist())
+    assert np.allclose(sorted(blon), sorted(lon), atol=1e-9)
+    assert np.allclose(sorted(blat), sorted(lat), atol=1e-9)
