@@ -164,6 +164,58 @@ def _limit(n: int):
     return lambda ds: ds.limit(n)
 
 
+@step("edit")
+def _edit(rename: dict | None = None, set_fields: dict | None = None,
+          drop: list | None = None, domains: dict | None = None):
+    """`gdal vector edit` (apps/gdalalg_vector_edit.cpp): rename / set /
+    drop fields, plus field-domain validation (OGRFieldDomain,
+    ogr/ogr_feature.h:1779). domains: {col: spec} with spec
+    {"kind": "coded", "values": [...]} or {"kind": "range", "min": m,
+    "max": M}, optional "policy": "error" (default, raise on violation) |
+    "null" (null out offending values, the reference's SetNull coercion)."""
+
+    def run(ds):
+        def f(t: pa.Table) -> pa.Table:
+            if drop:
+                t = t.drop_columns([c for c in drop if c in t.column_names])
+            for col, spec in (domains or {}).items():
+                v = t[col]
+                if spec["kind"] == "coded":
+                    ok = pc.is_in(v, value_set=pa.array(spec["values"]))
+                elif spec["kind"] == "range":
+                    ok = pc.and_(
+                        pc.greater_equal(v, spec["min"]),
+                        pc.less_equal(v, spec["max"]),
+                    )
+                else:
+                    raise ValueError(f"unknown domain kind {spec['kind']!r}")
+                ok = pc.fill_null(ok, False)
+                ok = pc.or_(ok, pc.is_null(v))  # nulls always pass domains
+                if spec.get("policy", "error") == "null":
+                    bad = pc.invert(ok)
+                    col_v = pc.if_else(bad, pa.scalar(None, type=v.type), v)
+                    t = t.set_column(t.schema.get_field_index(col), col, col_v)
+                elif not pc.all(ok).as_py():
+                    n_bad = len(t) - pc.sum(pc.cast(ok, pa.int64())).as_py()
+                    raise ValueError(
+                        f"field domain violation: {n_bad} value(s) of {col!r} "
+                        f"outside {spec['kind']} domain"
+                    )
+            for col, val in (set_fields or {}).items():
+                arr = pa.array([val] * len(t))
+                if col in t.column_names:
+                    t = t.set_column(t.schema.get_field_index(col), col, arr)
+                else:
+                    t = t.append_column(col, arr)
+            if rename:
+                t = t.rename_columns([rename.get(c, c) for c in t.column_names])
+            return t
+
+        return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+    return run
+
+
 @step("sql")
 def _sql(query: str, sf_dir: str):
     """`gdal vector sql` — compile a SELECT (OGR-dialect subset) to Ray ops
@@ -264,6 +316,24 @@ def _buffer(distance: float):
 @step("convex-hull")
 def _hull():
     return lambda ds: ds.map_batches(map_geoms(GF.convex_hull), batch_format="pyarrow", batch_size=None)
+
+
+@step("concave-hull")
+def _concave_hull(ratio: float = 0.3):
+    """`gdal vector concave-hull` (apps/gdalalg_vector_concave_hull.cpp):
+    per-feature chi-shape hull of the geometry's vertices; ratio=1 is the
+    convex hull, smaller ratios hug tighter (gdal_ray.geo.delaunay)."""
+    from gdal_ray.geo.delaunay import concave_hull
+
+    def geom_hull(g):
+        pts = GF._geom_points(g)
+        rings = concave_hull(pts, ratio=ratio)
+        if not rings:
+            return GF.convex_hull(g)
+        return ("polygon", [rings[0]]) if len(rings) == 1 else (
+            "multipolygon", [("polygon", [r]) for r in rings])
+
+    return lambda ds: ds.map_batches(map_geoms(geom_hull), batch_format="pyarrow", batch_size=None)
 
 
 @step("clip")

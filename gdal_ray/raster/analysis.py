@@ -27,55 +27,78 @@ from gdal_ray.raster.polygonize import UnionFind, label_array
 # ---------------------------------------------------------------------------
 
 
-def contour_segments(arr: np.ndarray, level: float):
-    """Iso-line segments at `level`. Grid samples sit at pixel centers
-    (x+0.5, y+0.5); each 2x2 sample cell contributes 0-2 segments with
-    linearly interpolated crossings. Saddles resolved by the cell-center
-    average (the standard marching-squares disambiguation)."""
+#: marching-squares case table: config index -> [(edge_from, edge_to)];
+#: edges named t/b/l/r. Saddles (5, 10) handled separately.
+_MS_CASES = {
+    1: [("l", "t")], 2: [("t", "r")], 3: [("l", "r")],
+    4: [("r", "b")], 6: [("t", "b")], 7: [("l", "b")],
+    8: [("b", "l")], 9: [("b", "t")], 11: [("b", "r")],
+    12: [("r", "l")], 13: [("r", "t")], 14: [("t", "l")],
+}
+
+
+def contour_segments(arr: np.ndarray, level: float, *, valid: np.ndarray | None = None):
+    """Iso-line segments at `level`, fully vectorized marching squares.
+    Grid samples sit at pixel centers (x+0.5, y+0.5); each 2x2 sample cell
+    contributes 0-2 segments with linearly interpolated crossings. Saddles
+    resolved by the cell-center average (standard disambiguation).
+    `valid` (same shape as arr): cells touching an invalid sample emit
+    nothing (used by the tiled path at raster boundaries)."""
     a = arr.astype(np.float64)
-    h, w = a.shape
-    segs = []
+    tl, tr = a[:-1, :-1], a[:-1, 1:]
+    bl, br = a[1:, :-1], a[1:, 1:]
+    idx = (
+        (tl >= level).astype(np.uint8)
+        | ((tr >= level).astype(np.uint8) << 1)
+        | ((br >= level).astype(np.uint8) << 2)
+        | ((bl >= level).astype(np.uint8) << 3)
+    )
+    live = (idx != 0) & (idx != 15)
+    if valid is not None:
+        v = valid
+        live &= v[:-1, :-1] & v[:-1, 1:] & v[1:, :-1] & v[1:, 1:]
+    ys, xs = np.nonzero(live)
+    if ys.size == 0:
+        return []
+    ii = idx[ys, xs]
+    vtl, vtr = tl[ys, xs], tr[ys, xs]
+    vbl, vbr = bl[ys, xs], br[ys, xs]
+    xf, yf = xs.astype(np.float64), ys.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        edges = {
+            "t": (xf + 0.5 + (level - vtl) / (vtr - vtl), yf + 0.5),
+            "b": (xf + 0.5 + (level - vbl) / (vbr - vbl), yf + 1.5),
+            "l": (xf + 0.5, yf + 0.5 + (level - vtl) / (vbl - vtl)),
+            "r": (xf + 1.5, yf + 0.5 + (level - vtr) / (vbr - vtr)),
+        }
+    segs_x1, segs_y1, segs_x2, segs_y2 = [], [], [], []
 
-    def interp(p1, v1, p2, v2):
-        t = (level - v1) / (v2 - v1)
-        return (p1[0] + t * (p2[0] - p1[0]), p1[1] + t * (p2[1] - p1[1]))
+    def emit(mask, e1, e2):
+        if not mask.any():
+            return
+        segs_x1.append(edges[e1][0][mask]); segs_y1.append(edges[e1][1][mask])
+        segs_x2.append(edges[e2][0][mask]); segs_y2.append(edges[e2][1][mask])
 
-    for y in range(h - 1):
-        for x in range(w - 1):
-            tl, tr = a[y, x], a[y, x + 1]
-            bl, br = a[y + 1, x], a[y + 1, x + 1]
-            idx = (
-                (1 if tl >= level else 0)
-                | (2 if tr >= level else 0)
-                | (4 if br >= level else 0)
-                | (8 if bl >= level else 0)
-            )
-            if idx in (0, 15):
-                continue
-            # corner coords at pixel centers
-            TL, TR = (x + 0.5, y + 0.5), (x + 1.5, y + 0.5)
-            BL, BR = (x + 0.5, y + 1.5), (x + 1.5, y + 1.5)
-            top = lambda: interp(TL, tl, TR, tr)
-            bottom = lambda: interp(BL, bl, BR, br)
-            left = lambda: interp(TL, tl, BL, bl)
-            right = lambda: interp(TR, tr, BR, br)
-            table = {
-                1: [(left, top)], 2: [(top, right)], 3: [(left, right)],
-                4: [(right, bottom)], 6: [(top, bottom)], 7: [(left, bottom)],
-                8: [(bottom, left)], 9: [(bottom, top)], 11: [(bottom, right)],
-                12: [(right, left)], 13: [(right, top)], 14: [(top, left)],
-            }
-            if idx in (5, 10):
-                center = (tl + tr + bl + br) / 4.0
-                if idx == 5:
-                    pairs = [(left, top), (right, bottom)] if center < level else [(left, bottom), (right, top)]
-                else:
-                    pairs = [(top, right), (bottom, left)] if center < level else [(top, left), (bottom, right)]
-            else:
-                pairs = table[idx]
-            for f1, f2 in pairs:
-                segs.append((f1(), f2()))
-    return segs
+    for case, pairs in _MS_CASES.items():
+        m = ii == case
+        for e1, e2 in pairs:
+            emit(m, e1, e2)
+    for case in (5, 10):
+        m = ii == case
+        if not m.any():
+            continue
+        center = (vtl + vtr + vbl + vbr) / 4.0
+        below = center < level
+        if case == 5:
+            emit(m & below, "l", "t"); emit(m & below, "r", "b")
+            emit(m & ~below, "l", "b"); emit(m & ~below, "r", "t")
+        else:
+            emit(m & below, "t", "r"); emit(m & below, "b", "l")
+            emit(m & ~below, "t", "l"); emit(m & ~below, "b", "r")
+    x1 = np.concatenate(segs_x1); y1 = np.concatenate(segs_y1)
+    x2 = np.concatenate(segs_x2); y2 = np.concatenate(segs_y2)
+    return [((a_, b_), (c_, d_)) for a_, b_, c_, d_ in
+            zip(x1.tolist(), y1.tolist(), x2.tolist(), y2.tolist())]
 
 
 def stitch_polylines(segs, tol: float = 1e-9):

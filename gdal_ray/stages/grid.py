@@ -46,10 +46,49 @@ def grid_points(ds, *, extent, cell: float, radius: float, method: str = "invdis
                 power: float = 2.0, value_col: str = "value"):
     """-> Dataset (gx, gy, value[, n]) for cells with >=1 point in radius.
 
-    extent: (x0, y0, x1, y1). method: invdist | average | nearest."""
+    extent: (x0, y0, x1, y1). method: invdist | average | nearest | linear.
+
+    method='linear' is the reference's TIN interpolation (GGA_Linear,
+    alg/delaunay.c builds ONE global triangulation): the point set is
+    collected and broadcast (same memory contract as the reference), the
+    Bowyer-Watson TIN is built once, and grid ROW BLOCKS interpolate in
+    parallel against the broadcast TIN. Cells outside the hull are
+    omitted (reference emits nodata there)."""
     x0, y0, x1, y1 = extent
     nx = int(np.ceil((x1 - x0) / cell))
     ny = int(np.ceil((y1 - y0) / cell))
+
+    if method == "linear":
+        import ray
+        import ray.data as rd
+
+        from gdal_ray.geo.delaunay import delaunay, interpolate_linear
+
+        tbl = pa.concat_tables(ds.iter_batches(batch_size=None, batch_format="pyarrow"))
+        px = (tbl["lon"] if "lon" in tbl.column_names else tbl["x"]).to_numpy(zero_copy_only=False)
+        py = (tbl["lat"] if "lat" in tbl.column_names else tbl["y"]).to_numpy(zero_copy_only=False)
+        pv = tbl[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        pts = np.column_stack([px, py]).astype(np.float64)
+        tin_ref = ray.put((pts, pv, delaunay(pts)))
+
+        rows_per_block = max(1, 4096 // max(nx, 1))
+
+        def block(t: pa.Table) -> pa.Table:
+            p, v, tris = ray.get(tin_ref)
+            gys = t["id"].to_numpy(zero_copy_only=False)
+            gy_all = np.repeat(gys, nx)
+            gx_all = np.tile(np.arange(nx, dtype=np.int64), gys.size)
+            cx = x0 + (gx_all + 0.5) * cell
+            cy = y0 + (gy_all + 0.5) * cell
+            val = interpolate_linear(p, v, cx, cy, tris=tris)
+            keep = ~np.isnan(val)
+            return pa.table({"gx": pa.array(gx_all[keep]), "gy": pa.array(gy_all[keep]),
+                             "value": pa.array(val[keep])})
+
+        nblocks = max(1, int(np.ceil(ny / rows_per_block)))
+        return rd.range(ny, override_num_blocks=nblocks).map_batches(
+            block, batch_format="pyarrow", batch_size=None
+        )
 
     if method == "nearest":
         def part(t: pa.Table) -> pa.Table:

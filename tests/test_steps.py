@@ -138,3 +138,26 @@ def test_reproject_utm_step():
     blon, blat = W.decode_points(back["geometry"].to_pylist())
     assert np.allclose(sorted(blon), sorted(lon), atol=1e-9)
     assert np.allclose(sorted(blat), sorted(lat), atol=1e-9)
+
+
+def test_edit_step_fields_and_domains():
+    ds = rd.from_arrow(pa.table({
+        "a": [1, 2, 3], "b": ["x", "y", "z"], "c": [0.5, 1.5, 2.5]}))
+    out = to_arrow(run_pipeline([("edit", {
+        "rename": {"a": "ident"}, "set_fields": {"src": "events"},
+        "drop": ["c"],
+        "domains": {"a": {"kind": "range", "min": 0, "max": 10}},
+    })], ds))
+    assert out.column_names == ["ident", "b", "src"]
+    assert out["src"].to_pylist() == ["events"] * 3
+
+    # coded domain, error policy
+    with pytest.raises(Exception, match="domain violation"):
+        to_arrow(run_pipeline([("edit", {
+            "domains": {"b": {"kind": "coded", "values": ["x", "y"]}},
+        })], ds))
+    # null policy coerces instead
+    out2 = to_arrow(run_pipeline([("edit", {
+        "domains": {"b": {"kind": "coded", "values": ["x", "y"], "policy": "null"}},
+    })], ds))
+    assert out2["b"].to_pylist() == ["x", "y", None]
