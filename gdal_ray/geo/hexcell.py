@@ -16,7 +16,15 @@ construction.
 
 Honest scope note: NOT bit-compatible with Uber H3 (whose 122 base cells
 live on an icosahedral gnomonic projection; no H3 oracle exists in this
-sandbox). The grid plane here is equirectangular (x=lon, y=lat degrees).
+sandbox). Bit-parity was evaluated and deliberately NOT attempted in this
+environment: it requires H3's published baseCellData[122] /
+faceCenterGeo[20] / faceAxesAzRadsCII orientation tables, which are fixed
+published constants, not derivable from first principles — with no network
+and no h3 package in the sandbox there is no authoritative source to take
+them from or validate against, and a from-memory table would silently
+mismatch. The plug-point is `lonlat_to_cell` below: swap in
+h3.latlng_to_cell (vectorized) where the h3 wheel exists and every
+consumer (joins, salting, groupbys) works unchanged. The grid plane here is equirectangular (x=lon, y=lat degrees).
 The index is exact, deterministic, hierarchical and hexagonal — the
 properties the engine needs for join keys, salting and locality. Like real
 H3, child hexes can overhang the parent hex boundary, so

@@ -420,6 +420,12 @@ def parse_select(sql: str) -> Select:
 def eval_expr(node: Node, t: pa.Table):
     k = node.kind
     if k == "col":
+        if node.value == "OGR_GEOM_AREA" and "OGR_GEOM_AREA" not in t.column_names:
+            # special field (ogr/ogrfeaturequery.cpp:37-38): shoelace area of
+            # the WKB geometry column. FID is deliberately unsupported: a
+            # distributed engine has no stable implicit row number — use an
+            # explicit key column.
+            return pa.array(_geom_areas(t["geometry"]))
         return t[node.value]
     if k == "lit":
         return pa.scalar(node.value)
@@ -492,6 +498,16 @@ def eval_expr(node: Node, t: pa.Table):
 
 def _type_of(v):
     return v.type
+
+
+def _geom_areas(col) -> list[float]:
+    from gdal_ray.geo import wkb as W
+    from gdal_ray.vector.geomfuncs import area
+
+    return [
+        0.0 if b is None else float(area(W.parse_wkb(b)))
+        for b in col.to_pylist()
+    ]
 
 
 def _concat(a, b):

@@ -336,6 +336,52 @@ def _concave_hull(ratio: float = 0.3):
     return lambda ds: ds.map_batches(map_geoms(geom_hull), batch_format="pyarrow", batch_size=None)
 
 
+@step("simplify-coverage")
+def _simplify_coverage(tolerance: float):
+    """`gdal vector simplify-coverage`: topology-preserving layer
+    simplification — shared boundaries simplify identically on both sides
+    (gdal_ray.vector.coverage). Whole-layer op (same as the reference);
+    the layer's geometry is gathered, arcs simplified once, features
+    rebuilt."""
+    from gdal_ray.vector.coverage import simplify_coverage_rings
+
+    def run(ds):
+        import ray.data as rd
+
+        t = pa.concat_tables(ds.iter_batches(batch_size=None, batch_format="pyarrow"))
+        geoms = [W.parse_wkb(b) for b in t["geometry"].to_pylist()]
+        rings, owners = [], []
+        for fi, (kind, data) in enumerate(geoms):
+            if kind == "polygon":
+                for ri, r in enumerate(data):
+                    rings.append(np.asarray(r, np.float64))
+                    owners.append((fi, None, ri))
+            elif kind == "multipolygon":
+                for pi, (pk, prings) in enumerate(data):
+                    for ri, r in enumerate(prings):
+                        rings.append(np.asarray(r, np.float64))
+                        owners.append((fi, pi, ri))
+            else:
+                raise ValueError("simplify-coverage requires polygon geometries")
+        simp = simplify_coverage_rings(rings, tolerance)
+        per_feature: dict = {}
+        for (fi, pi, ri), ring in zip(owners, simp):
+            per_feature.setdefault(fi, {}).setdefault(pi, []).append(ring)
+        out_wkbs = []
+        for fi, (kind, _) in enumerate(geoms):
+            parts = per_feature.get(fi, {})
+            if kind == "polygon":
+                out_wkbs.append(W.geom_to_wkb(("polygon", parts.get(None, []))))
+            else:
+                polys = [("polygon", parts[pi]) for pi in sorted(parts)]
+                out_wkbs.append(W.geom_to_wkb(("multipolygon", polys)))
+        idx = t.schema.get_field_index("geometry")
+        t = t.set_column(idx, "geometry", pa.array(out_wkbs, pa.binary()))
+        return rd.from_arrow(t)
+
+    return run
+
+
 @step("clip")
 def _clip(clip_wkt: str):
     """Clip geometries to a polygon (broadcast clip geometry), attributes

@@ -65,3 +65,22 @@ def test_parse_errors():
         parse_select("SELECT a lineitem")
     with pytest.raises(ValueError):
         parse_select("SELECT SUM(a + b) FROM t")
+
+
+def test_ogr_geom_area_special_field(tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gdal_ray.geo import wkb as W
+
+    tri = ("polygon", [np.array([[0.0, 0.0], [4.0, 0.0], [0.0, 3.0], [0.0, 0.0]])])
+    sq = ("polygon", [np.array([[0.0, 0.0], [2.0, 0.0], [2.0, 2.0], [0.0, 2.0], [0.0, 0.0]])])
+    pq.write_table(pa.table({
+        "id": pa.array([1, 2], pa.int64()),
+        "geometry": pa.array([W.geom_to_wkb(tri), W.geom_to_wkb(sq)], pa.binary()),
+    }), str(tmp_path / "polys.parquet"))
+    out = to_arrow(execute(
+        "SELECT id, OGR_GEOM_AREA AS a FROM polys WHERE OGR_GEOM_AREA > 5", str(tmp_path)
+    )).to_pandas().sort_values("id")
+    assert out["id"].tolist() == [1] and out["a"].tolist() == [6.0]

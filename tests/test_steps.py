@@ -161,3 +161,34 @@ def test_edit_step_fields_and_domains():
         "domains": {"b": {"kind": "coded", "values": ["x", "y"], "policy": "null"}},
     })], ds))
     assert out2["b"].to_pylist() == ["x", "y", None]
+
+
+def test_simplify_coverage_shared_boundary():
+    # two polygons sharing a wiggly vertical boundary inside [0,2]x[0,1]:
+    # coverage simplification must keep the shared arc IDENTICAL on both
+    # sides so the union area is exactly the rectangle
+    ys = np.linspace(0.0, 1.0, 21)
+    wig = 1.0 + 0.05 * np.sin(ys * 40.0)
+    shared_down = np.column_stack([wig, ys])[::-1]  # from (w,1) down to (w,0)
+    left = np.vstack([[0.0, 0.0], [wig[0], 0.0],
+                      np.column_stack([wig, ys])[1:],  # up the wiggle
+                      [[0.0, 1.0], [0.0, 0.0]]])
+    right = np.vstack([[wig[0], 0.0], [2.0, 0.0], [2.0, 1.0], [wig[-1], 1.0],
+                       shared_down[1:]])
+    ds = rd.from_arrow(pa.table({
+        "id": pa.array([1, 2], pa.int64()),
+        "geometry": pa.array([W.geom_to_wkb(("polygon", [left])),
+                              W.geom_to_wkb(("polygon", [right]))], pa.binary()),
+    }))
+    out = to_arrow(run_pipeline([("simplify-coverage", {"tolerance": 0.2})], ds))
+    a = W.parse_wkb(out["geometry"][0].as_py())
+    b = W.parse_wkb(out["geometry"][1].as_py())
+    area_a, area_b = GF.area(a), GF.area(b)
+    assert abs((area_a + area_b) - 2.0) < 1e-9  # no gaps, no overlaps
+    # shared arc collapsed identically: both rings lost the wiggle verts
+    assert len(a[1][0]) < len(left)
+    va = {tuple(np.round(p, 9)) for p in a[1][0]}
+    vb = {tuple(np.round(p, 9)) for p in b[1][0]}
+    # the two simplified boundaries share exactly the simplified arc's verts
+    shared = va & vb
+    assert len(shared) >= 2
