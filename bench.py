@@ -118,7 +118,7 @@ def run_bench() -> dict:
         )
         s = time.time()
         survivors = first_by(urls, ["url"], ["id"], merge="hash",
-                             num_parts=num_cpus * 4).count()
+                             num_parts=num_cpus * 8).count()
         dt = time.time() - s
         timings["dedup10m_urls"] = round(dt, 3)
         timings["dedup10m_urls_per_sec"] = round(n_urls / dt, 1)

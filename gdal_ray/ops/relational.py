@@ -48,7 +48,7 @@ def _append_hash_part(t: pa.Table, keys: Sequence[str], num_parts: int) -> pa.Ta
     return t.append_column(_PART_COL, pa.array((h % np.uint64(num_parts)).astype(np.int64)))
 
 
-def hash_partition_reduce(ds, keys: Sequence[str], reduce_tbl, *, num_parts: int = 64):
+def hash_partition_reduce(ds, keys: Sequence[str], reduce_tbl, *, num_parts: int = 256):
     """Route rows to hash(keys) % num_parts and apply reduce_tbl(pa.Table)
     -> pa.Table within each partition. Keys are partition-disjoint, so a
     per-partition reduce is globally correct for key-local reductions
@@ -222,7 +222,7 @@ def groupby_agg(
             return out.rename_columns(names)
 
         merged = hash_partition_reduce(
-            partial_ds, global_key, merge_part, num_parts=shuffle_partitions * 8
+            partial_ds, global_key, merge_part, num_parts=shuffle_partitions * 32
         )
     else:
         merge_aggs = []
@@ -296,7 +296,7 @@ def topk(ds, sort_cols: Sequence[tuple[str, bool]], k: int,
 # ---------------------------------------------------------------------------
 
 
-def distinct(ds, cols: Sequence[str], *, merge: str = "tree", num_parts: int = 64):
+def distinct(ds, cols: Sequence[str], *, merge: str = "tree", num_parts: int = 256):
     """SELECT DISTINCT cols (SWQM_DISTINCT_LIST, ogr_swq.h:322): per-batch
     distinct combiner, then a merge over the survivors.
 
@@ -440,7 +440,7 @@ def explode_list(ds, list_col: str, *, value_name: str, pos_name: str, keep: Seq
 
 
 def first_by(ds, group_keys: Sequence[str], order_cols: Sequence[str],
-             *, merge: str = "tree", num_parts: int = 64):
+             *, merge: str = "tree", num_parts: int = 256):
     """One row per group: the minimum row under (order_cols) ordering.
     order_cols must end with a unique tiebreaker for determinism.
     Two-level: per-batch winner, then a winners-of-winners merge — the
