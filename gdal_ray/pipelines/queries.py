@@ -993,6 +993,55 @@ def q46_hilbert(sf_dir):
     return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
 
 
+def q47_utm_project(sf_dir):
+    """UTM zone-31N projection of event points (geo.crs Krueger series) —
+    deterministic, golden-pinned (no UTM in DuckDB). Coordinates round to
+    mm so the value-hash is reproducible."""
+    from gdal_ray.geo.crs import utm_zone_transformer
+
+    tm = utm_zone_transformer(31)
+    ds = events_points(sf_dir)
+
+    def f(t: pa.Table) -> pa.Table:
+        lon = np.clip(t["lon"].to_numpy(zero_copy_only=False), -2.9, 8.9)
+        lat = np.clip(t["lat"].to_numpy(zero_copy_only=False), -79.9, 83.9)
+        e, n = tm.forward(lon, lat)
+        return pa.table({
+            "event_id": t["event_id"],
+            "easting_mm": pa.array(np.round(e * 1000.0).astype(np.int64)),
+            "northing_mm": pa.array(np.round(n * 1000.0).astype(np.int64)),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
+def q54_contour_lines(sf_dir):
+    """Tiled distributed contour of the z5 event-density raster
+    (stages.contour): per-level line count, vertex count, and length
+    (rounded) — deterministic, golden-pinned."""
+    from gdal_ray.stages.contour import contour_tiles_ds
+    from gdal_ray.stages.raster import points_to_tile_counts
+
+    pts = events_points(sf_dir)
+    tiles = points_to_tile_counts(pts, zoom=5).drop_columns(["n_points"])
+    lines = contour_tiles_ds(tiles, [0.5, 1.5, 2.5], dtype=np.uint32)
+    agg: dict = {}
+    for lv, line in lines:
+        n_pts = len(line)
+        seg = np.hypot(np.diff(line[:, 0]), np.diff(line[:, 1])).sum()
+        c = agg.setdefault(lv, [0, 0, 0.0])
+        c[0] += 1
+        c[1] += n_pts
+        c[2] += float(seg)
+    levels = sorted(agg)
+    return pa.table({
+        "level": pa.array(levels, pa.float64()),
+        "n_lines": pa.array([agg[lv][0] for lv in levels], pa.int64()),
+        "n_vertices": pa.array([agg[lv][1] for lv in levels], pa.int64()),
+        "total_len": pa.array([round(agg[lv][2], 6) for lv in levels], pa.float64()),
+    })
+
+
 def q50_rasterize_tiles(sf_dir):
     """Burn the admin diamond polygons into z5 WebMercator tiles —
     rows-only oracle (deterministic checksums; validated against the
@@ -1207,6 +1256,8 @@ def registry():
         "q44_cells": q44_cells,
         "q45_tile_counts": q45_tile_counts,
         "q46_hilbert": q46_hilbert,
+        "q47_utm_project": q47_utm_project,
+        "q54_contour_lines": q54_contour_lines,
         "q48_cell_knn": q48_cell_knn,
         "q50_rasterize_tiles": q50_rasterize_tiles,
         "q51_polygonize": q51_polygonize,

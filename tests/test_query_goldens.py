@@ -26,6 +26,8 @@ GOLDENS = {
     "q25_minhash_pairs": (28, "8c71ff1773c927b9"),
     "q34_lsh_ann": (20, "305a4a51311ee64f"),
     "q44_cells": (1000, "29ea38fef238d557"),
+    "q47_utm_project": (1000, "b5f7e96a4e4dc199"),
+    "q54_contour_lines": (1, "0c43b5da12463843"),
     "q46_hilbert": (1000, "d8edd04885254e34"),
     "q48_cell_knn": (3000, "db4514295e933095"),
     "q50_rasterize_tiles": (256, "acf01b44b47bfab1"),
