@@ -45,6 +45,23 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 # ---------------------------------------------------------------------------
+# user-extensible SQL functions (§2.12 extension surface — the analog of
+# OGR's custom-SQL-function registration). fn receives evaluated pyarrow
+# arrays/scalars and returns an Array/Scalar; the NAME must be registered
+# before parsing (unregistered identifiers followed by '(' are errors).
+# ---------------------------------------------------------------------------
+
+_SQL_FUNCTIONS: dict = {}
+
+
+def register_sql_function(name: str, fn):
+    """Register a custom scalar SQL function usable in `execute` queries.
+    Example: register_sql_function("haversine_km", lambda lon1, lat1, lon2,
+    lat2: ...pyarrow/numpy math...)."""
+    _SQL_FUNCTIONS[name.lower()] = fn
+
+
+# ---------------------------------------------------------------------------
 # tokenizer
 # ---------------------------------------------------------------------------
 
@@ -268,6 +285,19 @@ class Parser:
             return Node("call", t[1].lower(), (e,))
         if t[0] == "id":
             name = t[1]
+            # user-registered SQL function? (register_sql_function)
+            if name.lower() in _SQL_FUNCTIONS and self.peek() == ("op", "("):
+                self.next()
+                args = []
+                if self.peek() != ("op", ")"):
+                    args.append(self.expr())
+                    while self.accept("op", ","):
+                        args.append(self.expr())
+                self.expect("op", ")")
+                # bind the CALLABLE into the AST node at parse time: the
+                # registry lives on the driver, but eval runs in Ray worker
+                # processes — the closure ships with the task
+                return Node("udf", _SQL_FUNCTIONS[name.lower()], tuple(args))
             # table-qualified reference tbl.col — resolved to the bare
             # column name (column names are unique across joined tables)
             if self.peek() == ("op", ".") and self.toks[self.i + 1][0] == "id":
@@ -460,6 +490,8 @@ def eval_expr(node: Node, t: pa.Table):
     if k == "like":
         return pc.match_like(eval_expr(node.args[0], t), node.args[1].value,
                              ignore_case=(node.value == "i"))
+    if k == "udf":
+        return node.value(*(eval_expr(a, t) for a in node.args))
     if k == "call":
         fn = node.value
         if fn == "concat":

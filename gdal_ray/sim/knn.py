@@ -78,6 +78,87 @@ def brute_force_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int,
     return partials.map_batches(merge, batch_format="pandas", batch_size=None)
 
 
+def kmeans_centroids(X: np.ndarray, nlist: int, *, iters: int = 8, seed: int = 7) -> np.ndarray:
+    """Tiny deterministic Lloyd's k-means for the IVF coarse quantizer
+    (trained once on a driver-side sample — FAISS-IVF's train step)."""
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=min(nlist, len(X)), replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(1)
+        for c in range(len(C)):
+            m = assign == c
+            if m.any():
+                C[c] = X[m].mean(0)
+    return C
+
+
+def ivf_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int,
+             *, nlist: int = 16, nprobe: int = 4, train_sample: int = 2048,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             exclude_self: bool = True):
+    """IVF approximate top-k (the scale path beyond LSH buckets): a coarse
+    k-means quantizer partitions vectors into nlist inverted lists; each
+    query scans only its nprobe nearest lists, so per-batch work drops by
+    ~nprobe/nlist vs brute force. The centroid set is trained on a
+    driver-side sample and broadcast; everything else streams.
+
+    Returns (query_id, vec_id, score) rows, top-k per query (approximate:
+    recall < 1 when the true neighbor's list isn't probed — brute_force_topk
+    is the exactness baseline)."""
+    import ray
+
+    sample = pa.concat_tables(
+        ds.limit(train_sample).iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    C = kmeans_centroids(_matrix(sample, vec_col), nlist)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    # nprobe nearest centroids per query (cosine)
+    probe = np.argsort(-(qn @ Cn.T), axis=1)[:, :nprobe]  # (q, nprobe)
+    ref = ray.put((C, qn, np.asarray(query_ids), probe))
+
+    def partial(t: pa.Table) -> pa.Table:
+        Cb, Q, qids, P = ray.get(ref)
+        X = _matrix(t, vec_col)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        d2 = ((X[:, None, :] - Cb[None, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(1)  # (n,)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+        out_q, out_id, out_s = [], [], []
+        for j in range(Q.shape[0]):
+            m = np.isin(assign, P[j])
+            if not m.any():
+                continue
+            s = Xn[m] @ Q[j]
+            sub_ids = ids[m]
+            kk = min(k + (1 if exclude_self else 0), s.size)
+            cand = np.argpartition(-s, kk - 1)[:kk]
+            if exclude_self:
+                cand = cand[sub_ids[cand] != qids[j]]
+            out_q.append(np.full(cand.size, qids[j]))
+            out_id.append(sub_ids[cand])
+            out_s.append(s[cand])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            id_col: pa.array(np.concatenate(out_id)),
+            "score": pa.array(np.concatenate(out_s)),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).repartition(1)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["query_id", "score", id_col],
+                            ascending=[True, False, True], kind="mergesort")
+        return df.groupby("query_id", sort=False).head(k).reset_index(drop=True)
+
+    return partials.map_batches(merge, batch_format="pandas", batch_size=None)
+
+
 class HyperplaneLSH:
     """Random-hyperplane signature stage (actor pool): planes generated once
     per actor from a fixed seed; adds a `bucket` int64 column. ANN = only

@@ -211,6 +211,63 @@ def overview_reduce(tiles_ds, *, dtype=np.uint32, agg: str = "sum"):
     return shifted.groupby(["p_x", "p_y"]).map_groups(compose, batch_format="pandas")
 
 
+def band_statistics(tiles_ds, *, dtype=np.uint32, nodata=None):
+    """`gdal raster info` band statistics (GDALComputeRasterStatistics,
+    gcore/rasterband.cpp lineage) — EXACT distributed min/max/mean/std/
+    count over the tile table: one vectorized partial row per tile
+    (n, sum, sumsq, min, max), merged with the algebraic tree reduce.
+    Returns a 1-row table (or one row per `band` column value)."""
+    import pyarrow.compute as pc_
+
+    from gdal_ray.ops.relational import groupby_agg
+
+    def part(t: pa.Table) -> pa.Table:
+        has_band = "band" in t.column_names
+        rows = {"n": [], "s": [], "s2": [], "mn": [], "mx": []}
+        bands = []
+        for i, buf in enumerate(t["data"].to_pylist()):
+            arr = np.frombuffer(buf, dtype=dtype).astype(np.float64)
+            if nodata is not None:
+                arr = arr[arr != nodata]
+            rows["n"].append(arr.size)
+            rows["s"].append(arr.sum() if arr.size else 0.0)
+            rows["s2"].append((arr * arr).sum() if arr.size else 0.0)
+            rows["mn"].append(arr.min() if arr.size else np.inf)
+            rows["mx"].append(arr.max() if arr.size else -np.inf)
+            if has_band:
+                bands.append(t["band"][i].as_py())
+        out = {k: pa.array(v) for k, v in rows.items()}
+        if has_band:
+            out["band"] = pa.array(bands)
+        return pa.table(out)
+
+    partials = tiles_ds.map_batches(part, batch_format="pyarrow", batch_size=None)
+    keys = ["band"] if "band" in tiles_ds.schema().names else []
+    agg = groupby_agg(partials, keys, [
+        ("n", "sum", "n"), ("s", "sum", "s"), ("s2", "sum", "s2"),
+        ("mn", "min", "mn"), ("mx", "max", "mx"),
+    ])
+
+    def fin(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = t["s"].to_numpy(zero_copy_only=False)
+        s2 = t["s2"].to_numpy(zero_copy_only=False)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean = s / n
+            var = np.maximum(s2 / n - mean * mean, 0.0)  # population, GDAL's convention
+        cols = {}
+        for k in (keys or []):
+            cols[k] = t[k]
+        cols.update({
+            "count": pc_.cast(t["n"], pa.int64()),
+            "min": t["mn"], "max": t["mx"],
+            "mean": pa.array(mean), "std": pa.array(np.sqrt(var)),
+        })
+        return pa.table(cols)
+
+    return agg.map_batches(fin, batch_format="pyarrow", batch_size=None)
+
+
 def tiles_as_features(tiles_ds, zoom: int, *, dtype=np.uint32, nodata=None):
     """`gdal raster as-features` (apps/gdalalg_raster_as_features.h:29-30:
     'Create features from pixels'): tile table -> one row per (non-nodata)

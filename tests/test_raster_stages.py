@@ -112,3 +112,30 @@ def test_tiles_as_features_roundtrip():
     assert sum(feats["value"].to_pylist()) == 3000  # every point accounted
     # feature lon/lat are pixel centers inside the original bbox (padded)
     assert min(feats["lon"].to_pylist()) > -6 and max(feats["lat"].to_pylist()) < 56
+
+
+def test_band_statistics_exact():
+    TILE = RS.TILE
+    rng = np.random.RandomState(44)
+    arr = rng.randint(0, 1000, size=(2 * TILE, 2 * TILE)).astype(np.uint32)
+    rows = []
+    for ty in range(2):
+        for tx in range(2):
+            sub = arr[ty * TILE : (ty + 1) * TILE, tx * TILE : (tx + 1) * TILE]
+            rows.append({"zoom": 5, "tile_x": tx, "tile_y": ty,
+                         "data": np.ascontiguousarray(sub).tobytes()})
+    import pandas as pd
+
+    out = to_arrow(RS.band_statistics(
+        rd.from_pandas(pd.DataFrame(rows)), dtype=np.uint32)).to_pandas()
+    a = arr.astype(np.float64)
+    assert out["count"].iloc[0] == a.size
+    assert out["min"].iloc[0] == a.min() and out["max"].iloc[0] == a.max()
+    assert abs(out["mean"].iloc[0] - a.mean()) < 1e-9
+    assert abs(out["std"].iloc[0] - a.std()) < 1e-9
+    # nodata excluded
+    out2 = to_arrow(RS.band_statistics(
+        rd.from_pandas(pd.DataFrame(rows)), dtype=np.uint32, nodata=0)).to_pandas()
+    nz = a[a != 0]
+    assert out2["count"].iloc[0] == nz.size
+    assert abs(out2["mean"].iloc[0] - nz.mean()) < 1e-9

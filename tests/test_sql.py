@@ -84,3 +84,23 @@ def test_ogr_geom_area_special_field(tmp_path):
         "SELECT id, OGR_GEOM_AREA AS a FROM polys WHERE OGR_GEOM_AREA > 5", str(tmp_path)
     )).to_pandas().sort_values("id")
     assert out["id"].tolist() == [1] and out["a"].tolist() == [6.0]
+
+
+def test_custom_sql_function():
+    import numpy as np
+    import pyarrow as pa
+
+    from gdal_ray.ops.sql import register_sql_function
+
+    def double_plus(col, k):
+        import pyarrow.compute as pc
+
+        kv = k.as_py() if isinstance(k, pa.Scalar) else k
+        return pc.add(pc.multiply(col, 2), kv)
+
+    register_sql_function("double_plus", double_plus)
+    got = to_arrow(execute(
+        "SELECT event_id, double_plus(event_id, 5) AS dp FROM events WHERE event_id < 4",
+        "/root/testdata/sf0.001",
+    )).to_pandas().sort_values("event_id")
+    assert got["dp"].tolist() == [5, 7, 9, 11]

@@ -116,3 +116,33 @@ def test_lsh_topk_subset_of_brute(sf_dir):
     assert out.num_rows >= 1
     out2 = to_arrow(knn.lsh_topk(ds, q, np.array([0]), k=5, dim=emb.shape[1]))
     assert sorted(out["vec_id"].to_pylist()) == sorted(out2["vec_id"].to_pylist())
+
+
+def test_ivf_topk_recall(sf_dir):
+    import numpy as np
+    import pyarrow as pa
+
+    from gdal_ray.sim.knn import brute_force_topk, ivf_topk
+    from gdal_ray.util import read_table, to_arrow
+
+    ds = read_table(sf_dir, "embeddings")
+    tbl = pa.concat_tables(ds.iter_batches(batch_size=None, batch_format="pyarrow"))
+    Q = np.stack([np.asarray(v, dtype=np.float64) for v in tbl["embedding"].to_pylist()[:5]])
+    qids = np.asarray(tbl["vec_id"].to_pylist()[:5])
+
+    exact = to_arrow(brute_force_topk(ds, Q, qids, 5)).to_pandas()
+    approx = to_arrow(ivf_topk(ds, Q, qids, 5, nlist=8, nprobe=4)).to_pandas()
+    assert len(approx) <= len(exact)
+    # per-query recall vs exact must be high with half the lists probed
+    recalls = []
+    for qid in qids:
+        e = set(exact[exact.query_id == qid]["vec_id"])
+        a = set(approx[approx.query_id == qid]["vec_id"])
+        recalls.append(len(e & a) / max(len(e), 1))
+    assert np.mean(recalls) >= 0.6, recalls
+    # probing ALL lists must be exact
+    full = to_arrow(ivf_topk(ds, Q, qids, 5, nlist=8, nprobe=8)).to_pandas()
+    for qid in qids:
+        e = set(exact[exact.query_id == qid]["vec_id"])
+        f = set(full[full.query_id == qid]["vec_id"])
+        assert e == f, qid
