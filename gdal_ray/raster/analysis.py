@@ -151,6 +151,38 @@ def contour(arr: np.ndarray, levels, geotransform=(0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
 
 
 # ---------------------------------------------------------------------------
+# clean-collar (nearblack)
+# ---------------------------------------------------------------------------
+
+
+def clean_collar(arr: np.ndarray, *, threshold: float = 0, nodata=0) -> np.ndarray:
+    """`gdal raster clean-collar` (apps/gdalalg_raster_clean_collar.cpp /
+    nearblack): pixels <= threshold that are EDGE-CONNECTED (4-conn) to the
+    image border become nodata; identical dark pixels in the interior are
+    untouched. Whole-image op (the collar is defined from the edges);
+    iterative numpy dilation, iterations = collar depth."""
+    near = arr <= threshold
+    collar = np.zeros_like(near)
+    collar[0, :] = near[0, :]
+    collar[-1, :] = near[-1, :]
+    collar[:, 0] |= near[:, 0]
+    collar[:, -1] |= near[:, -1]
+    while True:
+        grown = collar.copy()
+        grown[1:, :] |= collar[:-1, :]
+        grown[:-1, :] |= collar[1:, :]
+        grown[:, 1:] |= collar[:, :-1]
+        grown[:, :-1] |= collar[:, 1:]
+        grown &= near
+        if (grown == collar).all():
+            break
+        collar = grown
+    out = arr.copy()
+    out[collar] = nodata
+    return out
+
+
+# ---------------------------------------------------------------------------
 # sieve
 # ---------------------------------------------------------------------------
 

@@ -55,3 +55,16 @@ def test_proximity_exact():
     )
     assert np.allclose(d, brute)
     assert (d[mask] == 0).all()
+
+
+def test_clean_collar():
+    from gdal_ray.raster.analysis import clean_collar
+
+    arr = np.full((20, 20), 50, dtype=np.int64)
+    arr[:3, :] = 1          # top collar
+    arr[:, :2] = 1          # left collar (connected)
+    arr[10:12, 10:12] = 1   # interior dark patch — must SURVIVE
+    out = clean_collar(arr, threshold=1, nodata=0)
+    assert (out[:3, :] == 0).all() and (out[:, :2] == 0).all()
+    assert (out[10:12, 10:12] == 1).all()
+    assert (out[5:9, 5:9] == 50).all()
