@@ -74,7 +74,8 @@ _KEYWORDS = {
     "SELECT", "DISTINCT", "FROM", "WHERE", "GROUP", "ORDER", "BY", "LIMIT",
     "AND", "OR", "NOT", "IN", "BETWEEN", "LIKE", "IS", "NULL", "AS", "ASC",
     "DESC", "CAST", "COUNT", "SUM", "MIN", "MAX", "AVG", "INTEGER", "BIGINT",
-    "FLOAT", "DOUBLE", "TEXT", "VARCHAR", "JOIN", "LEFT", "ON", "UNION",
+    "FLOAT", "DOUBLE", "TEXT", "VARCHAR", "DATE", "TIMESTAMP", "BOOLEAN",
+    "JOIN", "LEFT", "ON", "UNION",
     "ALL", "HAVING", "OFFSET", "ILIKE", "CONCAT", "SUBSTR", "SUBSTRING",
     "UPPER", "LOWER", "LENGTH",
 }
@@ -254,6 +255,12 @@ class Parser:
             if t[1] == "COUNT" and self.accept("op", "*"):
                 self.expect("op", ")")
                 return Node("agg", ("count_star", None))
+            if t[1] == "COUNT" and self.accept("kw", "DISTINCT"):
+                inner = self.expr()
+                self.expect("op", ")")
+                if inner.kind != "col":
+                    raise ValueError("COUNT(DISTINCT ...) supports plain columns only")
+                return Node("agg", ("count_distinct", inner.value))
             inner = self.expr()
             self.expect("op", ")")
             if inner.kind != "col":
@@ -472,6 +479,10 @@ def eval_expr(node: Node, t: pa.Table):
             fn = {"+": pc.add, "-": pc.subtract, "*": pc.multiply,
                   "/": pc.divide, "%": _sql_mod}[op]
             return fn(a, b)
+        if op in ("=", "<>", "<", "<=", ">", ">="):
+            # SQL implicit coercion: comparing a temporal column to a string
+            # literal parses the literal (DuckDB does the same)
+            a, b = _coerce_temporal(a, b)
         fn = {"=": pc.equal, "<>": pc.not_equal, "<": pc.less,
               "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal,
               "and": pc.and_kleene, "or": pc.or_kleene}[op]
@@ -518,7 +529,9 @@ def eval_expr(node: Node, t: pa.Table):
     if k == "cast":
         ty = {"INTEGER": pa.int32(), "BIGINT": pa.int64(),
               "FLOAT": pa.float64(), "DOUBLE": pa.float64(),
-              "TEXT": pa.string(), "VARCHAR": pa.string()}[node.value]
+              "TEXT": pa.string(), "VARCHAR": pa.string(),
+              "DATE": pa.date32(), "TIMESTAMP": pa.timestamp("us"),
+              "BOOLEAN": pa.bool_()}[node.value]
         v = eval_expr(node.args[0], t)
         if pa.types.is_integer(ty) and pa.types.is_floating(_type_of(v)):
             # DuckDB CAST(double AS INT) rounds half to EVEN (measured:
@@ -530,6 +543,15 @@ def eval_expr(node: Node, t: pa.Table):
 
 def _type_of(v):
     return v.type
+
+
+def _coerce_temporal(a, b):
+    ta, tb = _type_of(a), _type_of(b)
+    if (pa.types.is_timestamp(ta) or pa.types.is_date(ta)) and pa.types.is_string(tb):
+        b = pc.cast(b, ta)
+    elif (pa.types.is_timestamp(tb) or pa.types.is_date(tb)) and pa.types.is_string(ta):
+        a = pc.cast(a, tb)
+    return a, b
 
 
 def _geom_areas(col) -> list[float]:
@@ -598,6 +620,51 @@ def _rewrite_having(node: Node, specs: list, hidden: list) -> Node:
         )
         return Node(node.kind, node.value, new_args)
     return node
+
+
+def _collect(ds) -> pa.Table:
+    batches = list(ds.iter_batches(batch_size=None, batch_format="pyarrow"))
+    return pa.concat_tables(batches) if batches else pa.table({})
+
+
+def _execute_with_count_distinct(ds, q, specs, cd_specs, names, having):
+    """GROUP BY with COUNT(DISTINCT ...): each distinct-agg runs as its own
+    distinct + count pipeline; the per-key result tables (small: bounded by
+    group count) join on the group keys. ORDER/LIMIT apply in-memory."""
+    import ray.data as rd
+
+    from gdal_ray.ops.relational import distinct as op_distinct
+    from gdal_ray.ops.relational import groupby_agg
+
+    keys = list(q.group_by)
+    tables = []
+    if specs or not cd_specs:
+        tables.append(_collect(groupby_agg(ds, keys, specs)))
+    for name, col in cd_specs:
+        d = op_distinct(ds, keys + [col])
+        tables.append(_collect(groupby_agg(d, keys, [(name, "count_star", None)])))
+    if keys:
+        out = tables[0]
+        for t2 in tables[1:]:
+            out = out.join(t2, keys=keys, join_type="inner")
+    else:
+        cols = {}
+        for t2 in tables:
+            for n2 in t2.column_names:
+                cols[n2] = t2[n2]
+        out = pa.table(cols)
+    if having is not None:
+        out = out.filter(eval_expr(having, out))
+    out = out.select(names)
+    if q.order_by:
+        out = out.take(pc.sort_indices(
+            out, sort_keys=[(c, "descending" if d else "ascending")
+                            for c, d in q.order_by]))
+    if q.offset:
+        out = out.slice(q.offset)
+    if q.limit is not None:
+        out = out.slice(0, q.limit)
+    return rd.from_arrow(out)
 
 
 def _apply_offset(out, offset: int):
@@ -685,13 +752,17 @@ def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
     has_agg = any(item.kind == "agg" for item, _ in q.items)
     if has_agg or q.group_by:
         specs = []
+        cd_specs = []  # COUNT(DISTINCT col) computed via a distinct pass
         names = []
         for idx, (item, alias) in enumerate(q.items):
             name = _item_name(item, alias, idx)
             names.append(name)
             if item.kind == "agg":
                 kind, col = item.value
-                specs.append((name, kind, col))
+                if kind == "count_distinct":
+                    cd_specs.append((name, col))
+                else:
+                    specs.append((name, kind, col))
             elif item.kind == "col":
                 if item.value not in q.group_by:
                     raise ValueError(f"non-aggregated column {item.value}")
@@ -701,6 +772,9 @@ def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
         hidden: list = []
         if having is not None:
             having = _rewrite_having(having, specs, hidden)
+        if cd_specs:
+            return _execute_with_count_distinct(
+                ds, q, specs + hidden, cd_specs, names, having)
         out = groupby_agg(ds, q.group_by, specs + hidden)
 
         def proj(t: pa.Table, hv=having, nm=list(names)) -> pa.Table:

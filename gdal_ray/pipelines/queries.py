@@ -1209,7 +1209,11 @@ q72_sql_expr = _sql_query(Q72_SQL)
 q73_sql_left_join = _sql_query(Q73_SQL)
 q74_sql_union_all = _sql_query(Q74_SQL)
 q75_sql_having = _sql_query(Q75_SQL)
+Q77_SQL = """SELECT event_type, COUNT(DISTINCT user_id) AS users, COUNT(*) AS n
+FROM events WHERE ts < '2024-03-01 00:00:00' GROUP BY event_type"""
+
 q76_sql_strings = _sql_query(Q76_SQL)
+q77_sql_count_distinct = _sql_query(Q77_SQL)
 
 
 # ---------------------------------------------------------------------------
@@ -1271,6 +1275,7 @@ def registry():
         "q74_sql_union_all": q74_sql_union_all,
         "q75_sql_having": q75_sql_having,
         "q76_sql_strings": q76_sql_strings,
+        "q77_sql_count_distinct": q77_sql_count_distinct,
     }
     sqls = {
         "q01_tpch_groupby": Q01_SQL,
@@ -1310,5 +1315,6 @@ def registry():
         "q74_sql_union_all": Q74_SQL,
         "q75_sql_having": _sql_oracle(Q75_SQL),
         "q76_sql_strings": Q76_SQL,
+        "q77_sql_count_distinct": Q77_SQL,
     }
     return qs, sqls

@@ -29,6 +29,11 @@ CASES = [
     "SELECT p_partkey, UPPER(p_brand) AS ub, LOWER(p_type) AS lt FROM part WHERE p_name ILIKE '%OL%' LIMIT 4000",
     "SELECT c_custkey, CONCAT(c_name, '-', c_mktsegment) AS tag, SUBSTR(c_name, 1, 8) AS pre FROM customer WHERE c_custkey < 50",
     "SELECT s_suppkey, s_name || '_' || CAST(s_nationkey AS TEXT) AS label, LENGTH(s_name) AS ln FROM supplier",
+    "SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nat, COUNT(*) AS n FROM customer GROUP BY c_mktsegment",
+    "SELECT COUNT(DISTINCT l_partkey) AS np FROM lineitem",
+    "SELECT c_nationkey, COUNT(DISTINCT c_mktsegment) AS segs FROM customer GROUP BY c_nationkey ORDER BY segs DESC, c_nationkey LIMIT 5",
+    "SELECT event_id FROM events WHERE ts < '2024-01-01 01:00:00'",
+    "SELECT event_id, CAST(ts AS DATE) AS d FROM events WHERE event_id < 50",
 ]
 
 
