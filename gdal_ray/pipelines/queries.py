@@ -605,6 +605,25 @@ SELECT id_a, id_b, round(s, 6) AS cos FROM sims WHERE s > 0.35
 """
 
 
+def q26_bpe_tokens(sf_dir):
+    """GPT-2-style pre-tokenizer token counts (the training-pipeline
+    'BPE-ish regex' op) — both engines run the SAME RE2 pattern."""
+    from gdal_ray.text.analysis import add_token_count
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = add_token_count(ds, pattern="bpe", out="n_bpe")
+    return out.map_batches(lambda t: t.select(["doc_id", "n_bpe"]),
+                           batch_format="pyarrow", batch_size=None)
+
+
+def _q26_sql():
+    from gdal_ray.text.analysis import _BPE_RE
+
+    pat = _BPE_RE.replace("'", "''")
+    return (f"SELECT doc_id, length(regexp_extract_all(text, '{pat}')) "
+            f"AS n_bpe FROM documents")
+
+
 def q20_token_stats(sf_dir):
     from gdal_ray.text.analysis import add_quality_metrics
 
@@ -1244,6 +1263,7 @@ def registry():
         "q18_hll_distinct": q18_hll_distinct,
         "q19_grid_invdist": q19_grid_invdist,
         "q20_token_stats": q20_token_stats,
+        "q26_bpe_tokens": q26_bpe_tokens,
         "q21_lang_stats": q21_lang_stats,
         "q22_dedup_exact": q22_dedup_exact,
         "q23_simhash": q23_simhash,
@@ -1298,6 +1318,7 @@ def registry():
         "q17_zonal_mode": Q17_SQL,
         "q19_grid_invdist": Q19_SQL,
         "q20_token_stats": Q20_SQL,
+        "q26_bpe_tokens": _q26_sql(),
         "q21_lang_stats": Q21_SQL,
         "q22_dedup_exact": Q22_SQL,
         "q30_knn_cosine": Q30_SQL,

@@ -19,6 +19,14 @@ import pyarrow.compute as pc
 # length(regexp_extract_all(text, '\S+')); both engines use RE2.
 _TOKEN_RE = r"\S+"
 
+# GPT-2-style pre-tokenizer pattern (the public BPE split regex restated in
+# RE2 syntax — RE2 has no lookahead, so the trailing-space variants reduce
+# to the plain classes; counts approximate BPE token counts closely).
+# Both our pc kernel and DuckDB run RE2, so this is oracle-checkable.
+_BPE_RE = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+_TOKEN_PATTERNS = {"whitespace": _TOKEN_RE, "bpe": _BPE_RE}
+
 # tiny per-language stopword profiles for the n-gram/stopword heuristic
 # language-ID (deterministic; tie broken by profile order)
 LANG_PROFILES: list[tuple[str, list[str]]] = [
@@ -30,9 +38,14 @@ LANG_PROFILES: list[tuple[str, list[str]]] = [
 ]
 
 
-def add_token_count(ds, text_col: str = "text", out: str = "n_tokens"):
+def add_token_count(ds, text_col: str = "text", out: str = "n_tokens",
+                    pattern: str = "whitespace"):
+    """pattern: 'whitespace' (plain \\S+ runs) or 'bpe' (GPT-2-style
+    pre-tokenizer split — approximates BPE token counts, RE2-vectorized)."""
+    regex = _TOKEN_PATTERNS[pattern]
+
     def f(t: pa.Table) -> pa.Table:
-        n = pc.cast(pc.count_substring_regex(t[text_col], _TOKEN_RE), pa.int64())
+        n = pc.cast(pc.count_substring_regex(t[text_col], regex), pa.int64())
         return t.append_column(out, n)
 
     return ds.map_batches(f, batch_format="pyarrow", batch_size=None)

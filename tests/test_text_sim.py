@@ -146,3 +146,23 @@ def test_ivf_topk_recall(sf_dir):
         e = set(exact[exact.query_id == qid]["vec_id"])
         f = set(full[full.query_id == qid]["vec_id"])
         assert e == f, qid
+
+
+def test_bpe_token_count_matches_duckdb(sf_dir):
+    import duckdb
+
+    from gdal_ray.text.analysis import _BPE_RE, add_token_count
+    from gdal_ray.util import read_table, sf_path, to_arrow
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    got = to_arrow(add_token_count(ds, pattern="bpe")).to_pandas().sort_values("doc_id")
+    con = duckdb.connect()
+    pat = _BPE_RE.replace("'", "''")
+    exp = con.execute(
+        f"""select doc_id, length(regexp_extract_all(text, '{pat}')) n
+            from read_parquet('{sf_path(sf_dir, "documents")}') order by doc_id"""
+    ).df()
+    assert got["n_tokens"].tolist() == exp["n"].tolist()
+    # bpe counts >= whitespace counts (punctuation splits off)
+    ws = to_arrow(add_token_count(ds, pattern="whitespace")).to_pandas().sort_values("doc_id")
+    assert (got["n_tokens"].to_numpy() >= ws["n_tokens"].to_numpy()).all()
