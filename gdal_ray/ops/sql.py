@@ -622,6 +622,15 @@ def _rewrite_having(node: Node, specs: list, hidden: list) -> Node:
     return node
 
 
+def _filter_table(t: pa.Table, mask) -> pa.Table:
+    """t.filter with SQL constant-predicate semantics: a scalar mask (the
+    WHERE clause referenced no columns) keeps all rows when true, none when
+    false/null — found by the hypothesis fuzzer (WHERE NOT (1 < 2))."""
+    if isinstance(mask, pa.Scalar):
+        return t if mask.is_valid and mask.as_py() else t.slice(0, 0)
+    return t.filter(mask)
+
+
 def _collect(ds) -> pa.Table:
     batches = list(ds.iter_batches(batch_size=None, batch_format="pyarrow"))
     return pa.concat_tables(batches) if batches else pa.table({})
@@ -654,7 +663,7 @@ def _execute_with_count_distinct(ds, q, specs, cd_specs, names, having):
                 cols[n2] = t2[n2]
         out = pa.table(cols)
     if having is not None:
-        out = out.filter(eval_expr(having, out))
+        out = _filter_table(out, eval_expr(having, out))
     out = out.select(names)
     if q.order_by:
         out = out.take(pc.sort_indices(
@@ -745,7 +754,7 @@ def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
         where = q.where
 
         def filt(t: pa.Table) -> pa.Table:
-            return t.filter(eval_expr(where, t))
+            return _filter_table(t, eval_expr(where, t))
 
         ds = ds.map_batches(filt, batch_format="pyarrow", batch_size=None)
 
@@ -779,7 +788,7 @@ def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
 
         def proj(t: pa.Table, hv=having, nm=list(names)) -> pa.Table:
             if hv is not None:
-                t = t.filter(eval_expr(hv, t))
+                t = _filter_table(t, eval_expr(hv, t))
             # order output columns as written (hidden HAVING specs dropped)
             return t.select(nm)
 

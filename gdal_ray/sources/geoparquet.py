@@ -125,6 +125,38 @@ def write_geoparquet(ds, path: str, *, geometry_col: str = "geometry",
     return ds.map_batches(write_block, batch_format="pyarrow", batch_size=None)
 
 
+def write_geoparquet_resumable(ds, out_dir: str, partition_col: str,
+                               *, geometry_col: str = "geometry"):
+    """Resumable partitioned GeoParquet: the lineage-manifest writer
+    (state.manifest — atomic fragments, skip-completed-keys resume) with
+    per-fragment `geo` metadata + bbox covering column attached just before
+    write. Restart-safe 100-TB output layout with spatial pruning intact.
+    Returns the manifest Dataset; fragments live under out_dir/parts."""
+
+    def prepare(t: pa.Table) -> pa.Table:
+        # bbox computed HERE (Arrow-side, post-shuffle) — a pre-added struct
+        # column would break the manifest's pandas row-sort checksum
+        x0, y0, x1, y1 = _row_envelopes(t[geometry_col].to_pylist())
+        st = pa.StructArray.from_arrays(
+            [pa.array(x0), pa.array(y0), pa.array(x1), pa.array(y1)],
+            names=["xmin", "ymin", "xmax", "ymax"],
+        )
+        if "bbox" in t.column_names:
+            t = t.drop_columns(["bbox"])
+        t = t.append_column("bbox", st)
+        file_bbox = None
+        if len(t):
+            file_bbox = [float(np.nanmin(x0)), float(np.nanmin(y0)),
+                         float(np.nanmax(x1)), float(np.nanmax(y1))]
+        meta = dict(t.schema.metadata or {})
+        meta[b"geo"] = _geo_metadata(geometry_col, file_bbox)
+        return t.replace_schema_metadata(meta)
+
+    from gdal_ray.state.manifest import write_partitioned_resumable
+
+    return write_partitioned_resumable(ds, out_dir, partition_col, prepare=prepare)
+
+
 def read_geoparquet(path: str, *, bbox: tuple[float, float, float, float] | None = None,
                     columns: list[str] | None = None):
     """Read GeoParquet with spatial pushdown: the bbox window becomes a

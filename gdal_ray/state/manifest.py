@@ -50,11 +50,16 @@ def completed_keys(out_dir: str) -> dict[str, dict]:
     return out
 
 
-def write_partitioned_resumable(ds, out_dir: str, partition_col: str):
+def write_partitioned_resumable(ds, out_dir: str, partition_col: str,
+                                prepare=None):
     """groupby(partition_col) -> one parquet fragment per key, written
     atomically, with a manifest entry committed after the data rename.
     Already-completed keys are SKIPPED (their groups are filtered before the
     shuffle, so a resume does not even move their rows).
+
+    prepare: optional pa.Table -> pa.Table hook applied to each fragment
+    just before writing (e.g. attach GeoParquet `geo` schema metadata —
+    sources.geoparquet.write_geoparquet_resumable uses this).
 
     Returns a Dataset of manifest rows (key, rows, checksum, skipped)."""
     import pyarrow.compute as pc
@@ -82,6 +87,8 @@ def write_partitioned_resumable(ds, out_dir: str, partition_col: str):
         frag = os.path.join(out_dir, "parts", f"{ks}.parquet")
         tmp = frag + ".tmp"
         table = pa.Table.from_pandas(g, preserve_index=False)
+        if prepare is not None:
+            table = prepare(table)
         pq.write_table(table, tmp)
         os.replace(tmp, frag)  # atomic commit of the data
         entry = {

@@ -91,3 +91,28 @@ def test_geoparquet_polygon_envelopes(tmp_path):
     assert back["bbox"] == {"xmin": 0.0, "ymin": 0.0, "xmax": 4.0, "ymax": 3.0}
     meta = read_geo_metadata(out)
     assert meta["columns"]["geometry"]["bbox"] == [0.0, 0.0, 4.0, 3.0]
+
+
+def test_geoparquet_resumable(tmp_path):
+    from gdal_ray.sources.geoparquet import write_geoparquet_resumable
+
+    out = str(tmp_path / "gpr")
+    lon = np.concatenate([np.linspace(0, 1, 50), np.linspace(100, 101, 50)])
+    lat = np.concatenate([np.linspace(0, 1, 50), np.linspace(50, 51, 50)])
+    geoms = W.encode_points(lon, lat)
+    ds = rd.from_arrow(pa.table({
+        "id": pa.array(np.arange(100), pa.int64()),
+        "part": pa.array(["west"] * 50 + ["east"] * 50),
+        "geometry": pa.array(geoms, pa.binary()),
+    }))
+    m1 = to_arrow(write_geoparquet_resumable(ds, out, "part")).to_pandas()
+    assert sorted(m1["key"]) == ["east", "west"] and (~m1["skipped"]).all()
+    # resume: nothing rewritten
+    m2 = to_arrow(write_geoparquet_resumable(ds, out, "part")).to_pandas()
+    assert len(m2) == 0
+
+    # geo metadata + bbox pruning work on the fragment directory
+    meta = read_geo_metadata(out + "/parts")
+    assert meta and meta["columns"]["geometry"]["encoding"] == "WKB"
+    got = to_arrow(read_geoparquet(out + "/parts", bbox=(-1, -1, 2, 2))).to_pandas()
+    assert len(got) == 50 and (got["part"] == "west").all()
