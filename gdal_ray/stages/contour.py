@@ -65,7 +65,7 @@ def contour_tiles_ds(tiles_ds, levels, *, dtype=np.float32):
         sel = g[g["role"] == "self"]
         if len(sel) == 0:
             return pd.DataFrame({c: [] for c in
-                                 ("level_i", "pts", "k0", "k1")})
+                                 ("uid", "level_i", "pts", "k0", "k1")})
         tx, ty = int(sel["t_x"].iloc[0]), int(sel["t_y"].iloc[0])
         pad = np.zeros((TILE + 1, TILE + 1), np.float64)
         have = np.zeros((TILE + 1, TILE + 1), bool)
@@ -81,54 +81,98 @@ def contour_tiles_ds(tiles_ds, levels, *, dtype=np.float32):
             else:
                 pad[TILE, TILE] = strip[0]; have[TILE, TILE] = True
         ox, oy = tx * TILE, ty * TILE
-        out = {"level_i": [], "pts": [], "k0": [], "k1": []}
+        out = {"uid": [], "level_i": [], "pts": [], "k0": [], "k1": []}
+
+        def seam_key(p, li):
+            # only endpoints ON a tile seam can continue into another tile;
+            # samples sit at pixel centers, so seams run at N*TILE + 0.5
+            def on(v):
+                q = v - 0.5
+                return abs(q - round(q)) < 1e-9 and round(q) % TILE == 0
+
+            return _endpoint_key(p, li) if (on(p[0]) or on(p[1])) else ""
+
         for li, lv in enumerate(levels):
             segs = contour_segments(pad, lv, valid=have)
-            for line in stitch_polylines(segs):
+            for j, line in enumerate(stitch_polylines(segs)):
                 line = line + np.array([ox, oy], np.float64)
+                out["uid"].append(f"{tx}_{ty}_{li}_{j}")
                 out["level_i"].append(li)
                 out["pts"].append(json.dumps(line.tolist()))
-                out["k0"].append(_endpoint_key(line[0], li))
-                out["k1"].append(_endpoint_key(line[-1], li))
+                out["k0"].append(seam_key(line[0], li))
+                out["k1"].append(seam_key(line[-1], li))
         return pd.DataFrame(out)
 
     lines = fanned.groupby(["t_x", "t_y"]).map_groups(
         lines_per_tile, batch_format="pandas"
     ).materialize()
 
-    # --- cross-tile merge: endpoint-shared polylines union into one ----
-    # line ids: (block-stable) global enumeration via collected endpoints
-    rows = pa.concat_tables(
-        list(lines.iter_batches(batch_size=None, batch_format="pyarrow"))
-        or [pa.table({"level_i": pa.array([], pa.int64()),
-                      "pts": pa.array([], pa.string()),
-                      "k0": pa.array([], pa.string()),
-                      "k1": pa.array([], pa.string())})]
+    # --- cross-tile merge, polygonize-shaped: ONLY seam-endpoint keys
+    # shuffle for pairing; the driver sees just the equivalence PAIRS ----
+    def endpoints(t: pa.Table) -> pa.Table:
+        uids, keys = [], []
+        for uid, k0v, k1v in zip(t["uid"].to_pylist(), t["k0"].to_pylist(),
+                                 t["k1"].to_pylist()):
+            for k in (k0v, k1v):
+                if k:
+                    uids.append(uid)
+                    keys.append(k)
+        return pa.table({"key": pa.array(keys), "uid": pa.array(uids)})
+
+    def pair_group(g: pd.DataFrame) -> pd.DataFrame:
+        u = sorted(set(g["uid"]))
+        if len(u) < 2:
+            return pd.DataFrame({"a": [], "b": []})
+        return pd.DataFrame({"a": u[:-1], "b": u[1:]})
+
+    pair_batches = list(
+        lines.map_batches(endpoints, batch_format="pyarrow", batch_size=None)
+        .groupby("key").map_groups(pair_group, batch_format="pandas")
+        .iter_batches(batch_size=None, batch_format="pandas")
     )
-    n = rows.num_rows
     uf = UnionFind()
-    by_key: dict = {}
-    k0 = rows["k0"].to_pylist()
-    k1 = rows["k1"].to_pylist()
-    for i in range(n):
-        for k in (k0[i], k1[i]):
-            j = by_key.get(k)
-            if j is None:
-                by_key[k] = i
-            else:
-                uf.union(i, j)
-    comps: dict = {}
-    for i in range(n):
-        comps.setdefault(uf.find(i), []).append(i)
-    levels_arr = rows["level_i"].to_pylist()
-    pts = rows["pts"].to_pylist()
+    for b in pair_batches:
+        for a, bb in zip(b["a"], b["b"]):
+            uf.union(a, bb)
+    root_map = {x: str(uf.find(x)) for x in list(uf.parent)}
+    map_ref = ray.put(root_map)
+
+    # --- per-component polyline join as a Ray stage (hash-partitioned) ---
+    P = 32
+
+    def relabel(t: pa.Table) -> pa.Table:
+        rm = ray.get(map_ref)
+        roots = [rm.get(u, u) for u in t["uid"].to_pylist()]
+        part = pd.util.hash_pandas_object(
+            pd.Series(roots), index=False).to_numpy() % np.uint64(P)
+        return pa.table({
+            "part": pa.array(part.astype(np.int64)),
+            "root": pa.array(roots),
+            "level_i": t["level_i"], "pts": t["pts"],
+        })
+
+    def join_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("root", kind="mergesort").reset_index(drop=True)
+        roots = g["root"].to_numpy()
+        bounds = np.concatenate(
+            [[0], np.nonzero(roots[1:] != roots[:-1])[0] + 1, [len(g)]])
+        out_li, out_pts = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            polylines = [np.array(json.loads(p), np.float64)
+                         for p in g["pts"].iloc[s:e]]
+            for line in _join_polylines(polylines):
+                out_li.append(int(g["level_i"].iloc[s]))
+                out_pts.append(json.dumps(line.tolist()))
+        return pd.DataFrame({"level_i": out_li, "pts": out_pts})
+
+    joined = (
+        lines.map_batches(relabel, batch_format="pyarrow", batch_size=None)
+        .groupby("part").map_groups(join_partition, batch_format="pandas")
+    )
     out = []
-    for members in comps.values():
-        polylines = [np.array(json.loads(pts[i]), np.float64) for i in members]
-        merged = _join_polylines(polylines)
-        lv = levels[levels_arr[members[0]]]
-        for line in merged:
-            out.append((lv, line))
+    for b in joined.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for li, pj in zip(b["level_i"].to_pylist(), b["pts"].to_pylist()):
+            out.append((levels[li], np.array(json.loads(pj), np.float64)))
     return out
 
 
