@@ -463,6 +463,13 @@ def eval_expr(node: Node, t: pa.Table):
             # distributed engine has no stable implicit row number — use an
             # explicit key column.
             return pa.array(_geom_areas(t["geometry"]))
+        if node.value == "OGR_GEOM_WKT" and "OGR_GEOM_WKT" not in t.column_names:
+            from gdal_ray.geo import wkb as _W
+
+            return pa.array([
+                None if b is None else _W.geom_to_wkt(_W.parse_wkb(b))
+                for b in t["geometry"].to_pylist()
+            ], type=pa.string())
         return t[node.value]
     if k == "lit":
         return pa.scalar(node.value)

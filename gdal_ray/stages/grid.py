@@ -43,10 +43,15 @@ def _fan_to_cells(t: pa.Table, *, x0, y0, nx, ny, cell, radius, value_col):
 
 
 def grid_points(ds, *, extent, cell: float, radius: float, method: str = "invdist",
-                power: float = 2.0, value_col: str = "value"):
+                power: float = 2.0, value_col: str = "value",
+                max_points: int = 12):
     """-> Dataset (gx, gy, value[, n]) for cells with >=1 point in radius.
 
-    extent: (x0, y0, x1, y1). method: invdist | average | nearest | linear.
+    extent: (x0, y0, x1, y1). method: invdist | average | nearest | linear
+    | invdistnn (inverse distance over only the `max_points` NEAREST points
+    within radius — GDALGridInverseDistanceToAPowerNearestNeighbor,
+    alg/gdal_alg.h:402-416; two-level: per-batch nearest-N partials, then a
+    per-cell merge keeps the global nearest N).
 
     method='linear' is the reference's TIN interpolation (GGA_Linear,
     alg/delaunay.c builds ONE global triangulation): the point set is
@@ -103,6 +108,29 @@ def grid_points(ds, *, extent, cell: float, radius: float, method: str = "invdis
         return out.map_batches(
             lambda t: t.select(["gx", "gy", "value"]), batch_format="pyarrow", batch_size=None
         )
+
+    if method == "invdistnn":
+        def part_nn(t: pa.Table) -> pa.Table:
+            gx, gy, pv, d2 = _fan_to_cells(t, x0=x0, y0=y0, nx=nx, ny=ny,
+                                           cell=cell, radius=radius, value_col=value_col)
+            df = pd.DataFrame({"gx": gx, "gy": gy, "d2": d2, "value": pv})
+            df = df.sort_values(["gx", "gy", "d2", "value"], kind="mergesort")
+            return pa.Table.from_pandas(
+                df.groupby(["gx", "gy"], sort=False).head(max_points),
+                preserve_index=False,
+            )
+
+        partials = ds.map_batches(part_nn, batch_format="pyarrow", batch_size=None)
+
+        def fin_nn(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["d2", "value"], kind="mergesort").head(max_points)
+            w = 1.0 / np.maximum(np.power(np.sqrt(g["d2"].to_numpy()), power), 1e-12)
+            return pd.DataFrame({
+                "gx": [int(g["gx"].iloc[0])], "gy": [int(g["gy"].iloc[0])],
+                "value": [float((w * g["value"].to_numpy()).sum() / w.sum())],
+            })
+
+        return partials.groupby(["gx", "gy"]).map_groups(fin_nn, batch_format="pandas")
 
     def part(t: pa.Table) -> pa.Table:
         gx, gy, pv, d2 = _fan_to_cells(t, x0=x0, y0=y0, nx=nx, ny=ny,

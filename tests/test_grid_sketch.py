@@ -62,3 +62,35 @@ def test_hll_within_error(sf_dir):
     est = approx_count_distinct(ds, "l_partkey")
     exact = count_distinct(read_table(sf_dir, "lineitem", columns=["l_partkey"]), "l_partkey")
     assert abs(est - exact) / exact < 0.06  # ~3 sigma for p=12
+
+
+def test_grid_invdistnn_matches_bruteforce():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.stages.grid import grid_points
+    from gdal_ray.util import to_arrow
+
+    rng = np.random.RandomState(17)
+    n = 400
+    x = rng.uniform(0, 10, n)
+    y = rng.uniform(0, 10, n)
+    v = rng.uniform(0, 100, n)
+    ds = rd.from_arrow(pa.table({"x": x, "y": y, "value": v}))
+    cell, radius, N = 1.0, 2.0, 5
+    out = to_arrow(grid_points(ds, extent=(0, 0, 10, 10), cell=cell,
+                               radius=radius, method="invdistnn",
+                               max_points=N)).to_pandas()
+    assert len(out) > 0
+    # brute-force check on a handful of cells
+    for _, row in out.sample(n=10, random_state=1).iterrows():
+        cx = (row.gx + 0.5) * cell
+        cy = (row.gy + 0.5) * cell
+        d2 = (x - cx) ** 2 + (y - cy) ** 2
+        m = d2 <= radius * radius
+        order = np.lexsort((v[m], d2[m]))[:N]
+        dd, vv = d2[m][order], v[m][order]
+        w = 1.0 / np.maximum(np.sqrt(dd), 1e-12) ** 2
+        expect = (w * vv).sum() / w.sum()
+        assert abs(row.value - expect) < 1e-9, (row.gx, row.gy)

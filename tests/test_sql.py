@@ -109,3 +109,20 @@ def test_custom_sql_function():
         "/root/testdata/sf0.001",
     )).to_pandas().sort_values("event_id")
     assert got["dp"].tolist() == [5, 7, 9, 11]
+
+
+def test_ogr_geom_wkt_special_field(tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gdal_ray.geo import wkb as W
+
+    pts = W.encode_points(np.array([1.5]), np.array([2.5]))
+    pq.write_table(pa.table({
+        "id": pa.array([1], pa.int64()),
+        "geometry": pa.array(pts, pa.binary()),
+    }), str(tmp_path / "pts.parquet"))
+    out = to_arrow(execute("SELECT id, OGR_GEOM_WKT AS w FROM pts", str(tmp_path)))
+    assert out["w"][0].as_py().startswith("POINT")
+    assert "1.5" in out["w"][0].as_py() and "2.5" in out["w"][0].as_py()
