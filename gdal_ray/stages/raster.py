@@ -537,6 +537,102 @@ def warp_tiles_to_platecarree(tiles_ds, zoom: int, *, out_cell_deg: float,
     return fanned.groupby(["b_x", "b_y"]).map_groups(resample, batch_format="pandas")
 
 
+def warp_tiles_to_crs(tiles_ds, zoom: int, transformer, *, extent,
+                      out_cell: float, method: str = "nearest",
+                      dtype=np.uint32, nodata=0, out_block: int = 64,
+                      boundary_samples: int = 8):
+    """Warp a WebMercator z/x/y tile table to a regular grid in ANY CRS with
+    a forward/inverse Transformer (geo.crs: UTM zones, LAEA, ... — the
+    generalization of warp_tiles_to_platecarree beyond EPSG:4326).
+
+    Same shuffle shape as the reference warp (alg/gdalwarpkernel.cpp):
+    each SOURCE tile fans to the output blocks its projected footprint
+    covers (footprint = forward-transform of boundary samples, robust to
+    projection curvature), groupby(block) gathers the needed tiles, one
+    vectorized inverse-transform resample per block (dst pixel -> CRS
+    inverse -> lon/lat -> mercator global pixel -> src tile pixel).
+
+    extent: (x0, y0, x1, y1) in TARGET CRS units; output rows
+    (block_x, block_y, data, checksum) with geotransform
+    (x0 + bx*out_block*cell, cell, 0, y1 - by*out_block*cell, 0, -cell)."""
+    x0e, y0e, x1e, y1e = extent
+    nblk_x = int(np.ceil((x1e - x0e) / (out_cell * out_block)))
+    nblk_y = int(np.ceil((y1e - y0e) / (out_cell * out_block)))
+
+    def fan(t: pa.Table) -> pa.Table:
+        rows = {"b_x": [], "b_y": [], "tile_x": [], "tile_y": [], "data": []}
+        s = np.linspace(0.0, 1.0, boundary_samples)
+        for tx, ty, buf in zip(
+            t["tile_x"].to_pylist(), t["tile_y"].to_pylist(), t["data"].to_pylist()
+        ):
+            lon0, lat_min, lon1, lat_max = wm.tile_bounds(tx, ty, zoom)
+            # boundary ring samples -> forward CRS -> projected bbox
+            lons = np.concatenate([
+                lon0 + (lon1 - lon0) * s, np.full_like(s, lon1),
+                lon1 - (lon1 - lon0) * s, np.full_like(s, lon0)])
+            lats = np.concatenate([
+                np.full_like(s, lat_max), lat_max - (lat_max - lat_min) * s,
+                np.full_like(s, lat_min), lat_min + (lat_max - lat_min) * s])
+            with np.errstate(all="ignore"):
+                px, py = transformer.forward(lons, lats)
+            good = np.isfinite(px) & np.isfinite(py)
+            if not good.any():
+                continue
+            bx0 = int((px[good].min() - x0e) // (out_cell * out_block))
+            bx1 = int((px[good].max() - x0e) // (out_cell * out_block))
+            by0 = int((y1e - py[good].max()) // (out_cell * out_block))
+            by1 = int((y1e - py[good].min()) // (out_cell * out_block))
+            for bx in range(max(bx0, 0), min(bx1, nblk_x - 1) + 1):
+                for by in range(max(by0, 0), min(by1, nblk_y - 1) + 1):
+                    rows["b_x"].append(bx)
+                    rows["b_y"].append(by)
+                    rows["tile_x"].append(tx)
+                    rows["tile_y"].append(ty)
+                    rows["data"].append(buf)
+        return pa.table({
+            "b_x": pa.array(rows["b_x"], pa.int64()),
+            "b_y": pa.array(rows["b_y"], pa.int64()),
+            "tile_x": pa.array(rows["tile_x"], pa.int64()),
+            "tile_y": pa.array(rows["tile_y"], pa.int64()),
+            "data": pa.array(rows["data"], pa.binary()),
+        })
+
+    fanned = tiles_ds.map_batches(fan, batch_format="pyarrow", batch_size=None)
+
+    def resample(g: pd.DataFrame) -> pd.DataFrame:
+        bx, by = int(g["b_x"].iloc[0]), int(g["b_y"].iloc[0])
+        src = {
+            (int(r["tile_x"]), int(r["tile_y"])): np.frombuffer(
+                r["data"], dtype=dtype).reshape(TILE, TILE)
+            for _, r in g.iterrows()
+        }
+        xs = x0e + (bx * out_block + np.arange(out_block) + 0.5) * out_cell
+        ys = y1e - (by * out_block + np.arange(out_block) + 0.5) * out_cell
+        XX, YY = np.meshgrid(xs, ys)
+        with np.errstate(all="ignore"):
+            lon, lat = transformer.inverse(XX.ravel(), YY.ravel())
+        ok = np.isfinite(lon) & np.isfinite(lat) & (np.abs(lat) <= 85.05)
+        out = np.full(out_block * out_block, nodata, dtype=np.float64)
+        if ok.any():
+            px, py = wm.lonlat_to_pixel(lon[ok], lat[ok], zoom)
+            gx = px.astype(np.int64)
+            gy = py.astype(np.int64)
+            txs, tys = gx // TILE, gy // TILE
+            ox, oy = gx % TILE, gy % TILE
+            vals = np.full(int(ok.sum()), nodata, dtype=np.float64)
+            for (tx, ty), arr in src.items():
+                m = (txs == tx) & (tys == ty)
+                vals[m] = arr[oy[m], ox[m]]
+            out[ok] = vals
+        arr = out.reshape(out_block, out_block).astype(dtype)
+        return pd.DataFrame(
+            {"block_x": [bx], "block_y": [by], "data": [arr.tobytes()],
+             "checksum": [_checksum(arr)]}
+        )
+
+    return fanned.groupby(["b_x", "b_y"]).map_groups(resample, batch_format="pandas")
+
+
 def mosaic_tiles(*tile_datasets, op: str = "first", dtype=np.uint32, nodata=0):
     """`gdal raster mosaic` / `stack` / `blend`: N tile tables -> one.
     op: first (first non-nodata wins, priority = dataset order) | sum |

@@ -63,3 +63,62 @@ def test_warp_nearest_and_bilinear():
     arr_b = np.frombuffer(blk_b["data"].iloc[0], np.uint32).reshape(64, 64)
     err_b = np.abs(arr_b.astype(np.float64) - truth)
     assert err_b.max() <= 3 and err_b.mean() < 1.0
+
+
+def test_warp_to_utm_analytic_field():
+    # analytic field f(lon, lat) = floor(lon) + 2*floor(lat) burned into z6
+    # tiles over the UTM zone 31 area; warping to a UTM-31N grid must
+    # reproduce f at every output cell whose center maps into the source
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from gdal_ray.geo import webmercator as wm
+    from gdal_ray.geo.crs import utm_zone_transformer
+    from gdal_ray.stages.raster import TILE, warp_tiles_to_crs
+
+    zoom = 6
+    tm = utm_zone_transformer(31)
+    # source tiles covering lon 0..6, lat 44..52
+    tx0, ty1 = wm.lonlat_to_tile(np.array([0.0]), np.array([44.0]), zoom)
+    tx1, ty0 = wm.lonlat_to_tile(np.array([6.0]), np.array([52.0]), zoom)
+    rows = []
+    n = float(1 << zoom) * TILE
+    for tx in range(int(tx0[0]), int(tx1[0]) + 1):
+        for ty in range(int(ty0[0]), int(ty1[0]) + 1):
+            gx = tx * TILE + np.arange(TILE)[None, :]
+            gy = ty * TILE + np.arange(TILE)[None, :].T
+            lon = (gx + 0.5) / n * 360.0 - 180.0
+            lat = np.degrees(np.arctan(np.sinh(np.pi * (1.0 - 2.0 * (gy + 0.5) / n))))
+            arr = (np.floor(lon) + 2.0 * np.floor(lat) + 200.0).astype(np.uint32)
+            rows.append({"zoom": zoom, "tile_x": tx, "tile_y": ty,
+                         "data": np.ascontiguousarray(arr).tobytes()})
+    tiles = rd.from_pandas(pd.DataFrame(rows))
+
+    # target: UTM grid around the middle of the area (lon 2..4, lat 46..50)
+    e0, n0 = tm.forward(np.array([2.0]), np.array([46.0]))
+    e1, n1 = tm.forward(np.array([4.0]), np.array([50.0]))
+    extent = (float(e0[0]), float(n0[0]), float(e1[0]), float(n1[0]))
+    out = warp_tiles_to_crs(tiles, zoom, tm, extent=extent, out_cell=2000.0,
+                            out_block=32, dtype=np.uint32, nodata=0)
+    from gdal_ray.util import to_arrow
+
+    t = to_arrow(out)
+    assert t.num_rows > 0
+    checked = 0
+    for i in range(t.num_rows):
+        bx, by = t["block_x"][i].as_py(), t["block_y"][i].as_py()
+        arr = np.frombuffer(t["data"][i].as_py(), np.uint32).reshape(32, 32)
+        xs = extent[0] + (bx * 32 + np.arange(32) + 0.5) * 2000.0
+        ys = extent[3] - (by * 32 + np.arange(32) + 0.5) * 2000.0
+        XX, YY = np.meshgrid(xs, ys)
+        lon, lat = tm.inverse(XX.ravel(), YY.ravel())
+        expect = (np.floor(lon) + 2.0 * np.floor(lat) + 200.0)
+        got = arr.ravel().astype(np.float64)
+        m = got != 0  # inside source coverage
+        # nearest-neighbor resample: allow the half-pixel boundary cells to
+        # differ (floor() jumps at integer lon/lat); the bulk must be exact
+        frac_exact = (got[m] == expect[m]).mean()
+        assert frac_exact > 0.97, frac_exact
+        checked += int(m.sum())
+    assert checked > 1000
