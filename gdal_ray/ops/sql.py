@@ -470,6 +470,15 @@ def eval_expr(node: Node, t: pa.Table):
                 None if b is None else _W.geom_to_wkt(_W.parse_wkb(b))
                 for b in t["geometry"].to_pylist()
             ], type=pa.string())
+        if node.value == "OGR_GEOMETRY" and "OGR_GEOMETRY" not in t.column_names:
+            # geometry type name, as used in WHERE OGR_GEOMETRY = 'POINT'
+            # (ogr_sql_dialect.rst special fields)
+            from gdal_ray.geo import wkb as _W
+
+            return pa.array([
+                None if b is None else _W.parse_wkb(b)[0].upper()
+                for b in t["geometry"].to_pylist()
+            ], type=pa.string())
         return t[node.value]
     if k == "lit":
         return pa.scalar(node.value)

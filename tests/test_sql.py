@@ -126,3 +126,21 @@ def test_ogr_geom_wkt_special_field(tmp_path):
     out = to_arrow(execute("SELECT id, OGR_GEOM_WKT AS w FROM pts", str(tmp_path)))
     assert out["w"][0].as_py().startswith("POINT")
     assert "1.5" in out["w"][0].as_py() and "2.5" in out["w"][0].as_py()
+
+
+def test_ogr_geometry_special_field(tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gdal_ray.geo import wkb as W
+
+    tri = ("polygon", [np.array([[0.0, 0.0], [4.0, 0.0], [0.0, 3.0], [0.0, 0.0]])])
+    pt = W.encode_points(np.array([1.0]), np.array([2.0]))[0]
+    pq.write_table(pa.table({
+        "id": pa.array([1, 2], pa.int64()),
+        "geometry": pa.array([W.geom_to_wkb(tri), pt], pa.binary()),
+    }), str(tmp_path / "mix.parquet"))
+    out = to_arrow(execute(
+        "SELECT id FROM mix WHERE OGR_GEOMETRY = 'POINT'", str(tmp_path)))
+    assert out["id"].to_pylist() == [2]
