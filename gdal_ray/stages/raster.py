@@ -47,21 +47,43 @@ def points_to_tile_counts(ds, zoom: int, *, lon_col="lon", lat_col="lat"):
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
 
-    def densify(g: pd.DataFrame) -> pd.DataFrame:
-        arr = np.zeros(TILE * TILE, dtype=np.uint32)
-        np.add.at(arr, g["pix"].to_numpy(), g["n"].to_numpy().astype(np.uint32))
-        return pd.DataFrame(
-            {
-                "zoom": [zoom],
-                "tile_x": [int(g["tile_x"].iloc[0])],
-                "tile_y": [int(g["tile_y"].iloc[0])],
-                "data": [arr.tobytes()],
-                "n_points": [int(g["n"].sum())],
-                "checksum": [_checksum(arr.reshape(TILE, TILE))],
-            }
-        )
+    # hash-partitioned densify: tiles hash into P partitions (one narrow
+    # int64 shuffle key) and each partition densifies ALL its tiles with a
+    # sorted boundary scan — per-tile map_groups was one pandas slice per
+    # tile, seconds of overhead at thousands of tiles
+    P = 32
 
-    return partials.groupby(["tile_x", "tile_y"]).map_groups(densify, batch_format="pandas")
+    def add_part(t: pa.Table) -> pa.Table:
+        tx = t["tile_x"].to_numpy(zero_copy_only=False)
+        ty = t["tile_y"].to_numpy(zero_copy_only=False)
+        part = ((tx * 73856093) ^ (ty * 19349663)) % P
+        return t.append_column("part", pa.array(part.astype(np.int64)))
+
+    def densify_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["tile_x", "tile_y"], kind="mergesort").reset_index(drop=True)
+        tx = g["tile_x"].to_numpy()
+        ty = g["tile_y"].to_numpy()
+        pix = g["pix"].to_numpy()
+        n = g["n"].to_numpy().astype(np.uint32)
+        key_change = np.nonzero((tx[1:] != tx[:-1]) | (ty[1:] != ty[:-1]))[0] + 1
+        bounds = np.concatenate([[0], key_change, [len(g)]])
+        rows = {"zoom": [], "tile_x": [], "tile_y": [], "data": [],
+                "n_points": [], "checksum": []}
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            arr = np.zeros(TILE * TILE, dtype=np.uint32)
+            np.add.at(arr, pix[s:e], n[s:e])
+            rows["zoom"].append(zoom)
+            rows["tile_x"].append(int(tx[s]))
+            rows["tile_y"].append(int(ty[s]))
+            rows["data"].append(arr.tobytes())
+            rows["n_points"].append(int(n[s:e].sum()))
+            rows["checksum"].append(_checksum(arr.reshape(TILE, TILE)))
+        return pd.DataFrame(rows)
+
+    return (
+        partials.map_batches(add_part, batch_format="pyarrow", batch_size=None)
+        .groupby("part").map_groups(densify_partition, batch_format="pandas")
+    )
 
 
 def tile_geotransform(tx: int, ty: int, zoom: int):
@@ -186,29 +208,46 @@ def overview_reduce(tiles_ds, *, dtype=np.uint32, agg: str = "sum"):
 
     shifted = tiles_ds.map_batches(shift, batch_format="pyarrow", batch_size=None)
 
-    def compose(g: pd.DataFrame) -> pd.DataFrame:
-        z = int(g["zoom"].iloc[0]) - 1
-        px, py = int(g["p_x"].iloc[0]), int(g["p_y"].iloc[0])
-        parent = np.zeros((TILE, TILE), dtype=np.float64)
-        for _, row in g.iterrows():
-            child = np.frombuffer(row["data"], dtype=dtype).reshape(TILE, TILE)
-            # 2x2 reduce to 128x128
-            r = child.reshape(TILE // 2, 2, TILE // 2, 2).astype(np.float64)
-            small = r.sum(axis=(1, 3)) if agg == "sum" else r.mean(axis=(1, 3))
-            ox = (int(row["tile_x"]) & 1) * (TILE // 2)
-            oy = (int(row["tile_y"]) & 1) * (TILE // 2)
-            parent[oy : oy + TILE // 2, ox : ox + TILE // 2] = small
-        arr = parent.astype(dtype)
-        return pd.DataFrame(
-            {
-                "zoom": [z], "tile_x": [px], "tile_y": [py],
-                "data": [arr.tobytes()],
-                "n_points": [int(parent.sum())] if agg == "sum" else [0],
-                "checksum": [_checksum(arr)],
-            }
-        )
+    # hash-partitioned compose (same rationale as the densify partition scan)
+    P = 32
 
-    return shifted.groupby(["p_x", "p_y"]).map_groups(compose, batch_format="pandas")
+    def add_part(t: pa.Table) -> pa.Table:
+        px = t["p_x"].to_numpy(zero_copy_only=False)
+        py = t["p_y"].to_numpy(zero_copy_only=False)
+        part = ((px * 73856093) ^ (py * 19349663)) % P
+        return t.append_column("part", pa.array(part.astype(np.int64)))
+
+    def compose_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["p_x", "p_y"], kind="mergesort").reset_index(drop=True)
+        pxa = g["p_x"].to_numpy()
+        pya = g["p_y"].to_numpy()
+        key_change = np.nonzero((pxa[1:] != pxa[:-1]) | (pya[1:] != pya[:-1]))[0] + 1
+        bounds = np.concatenate([[0], key_change, [len(g)]])
+        rows = {"zoom": [], "tile_x": [], "tile_y": [], "data": [],
+                "n_points": [], "checksum": []}
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            z = int(g["zoom"].iloc[s]) - 1
+            parent = np.zeros((TILE, TILE), dtype=np.float64)
+            for i in range(s, e):
+                child = np.frombuffer(g["data"].iloc[i], dtype=dtype).reshape(TILE, TILE)
+                r = child.reshape(TILE // 2, 2, TILE // 2, 2).astype(np.float64)
+                small = r.sum(axis=(1, 3)) if agg == "sum" else r.mean(axis=(1, 3))
+                ox = (int(g["tile_x"].iloc[i]) & 1) * (TILE // 2)
+                oy = (int(g["tile_y"].iloc[i]) & 1) * (TILE // 2)
+                parent[oy : oy + TILE // 2, ox : ox + TILE // 2] = small
+            arr = parent.astype(dtype)
+            rows["zoom"].append(z)
+            rows["tile_x"].append(int(pxa[s]))
+            rows["tile_y"].append(int(pya[s]))
+            rows["data"].append(arr.tobytes())
+            rows["n_points"].append(int(parent.sum()) if agg == "sum" else 0)
+            rows["checksum"].append(_checksum(arr))
+        return pd.DataFrame(rows)
+
+    return (
+        shifted.map_batches(add_part, batch_format="pyarrow", batch_size=None)
+        .groupby("part").map_groups(compose_partition, batch_format="pandas")
+    )
 
 
 def band_statistics(tiles_ds, *, dtype=np.uint32, nodata=None):
