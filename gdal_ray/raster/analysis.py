@@ -227,6 +227,45 @@ def sieve(arr: np.ndarray, threshold: int, connectivity: int = 4) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# viewshed (R2 ray-march)
+# ---------------------------------------------------------------------------
+
+
+def viewshed(dem: np.ndarray, ox: int, oy: int, *, obs_height: float = 2.0,
+             rays_per_cell: float = 2.0) -> np.ndarray:
+    """`gdal raster viewshed` (alg/viewshed/) as the standard R2
+    approximation: cast dense azimuthal rays from the observer; along each
+    ray the elevation ANGLE must exceed the running maximum to be visible
+    (np.maximum.accumulate over ray steps — fully vectorized over all rays
+    at once). Whole-array op (visibility is a global property of the line
+    of sight). Returns a bool visibility mask; the observer cell is True."""
+    h, w = dem.shape
+    z0 = float(dem[oy, ox]) + obs_height
+    max_r = int(np.ceil(np.hypot(max(ox, w - 1 - ox), max(oy, h - 1 - oy)))) + 1
+    n_rays = max(16, int(2 * np.pi * max_r * rays_per_cell))
+    az = np.linspace(0.0, 2 * np.pi, n_rays, endpoint=False)
+    steps = np.arange(1, max_r + 1, dtype=np.float64)
+    # (n_rays, n_steps) sample positions
+    xs = ox + np.cos(az)[:, None] * steps[None, :]
+    ys = oy + np.sin(az)[:, None] * steps[None, :]
+    ix = np.round(xs).astype(np.int64)
+    iy = np.round(ys).astype(np.int64)
+    inside = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
+    ixc = np.clip(ix, 0, w - 1)
+    iyc = np.clip(iy, 0, h - 1)
+    z = dem[iyc, ixc].astype(np.float64)
+    ang = (z - z0) / steps[None, :]
+    # a sample is visible iff its angle >= every PRIOR angle on the ray
+    prior = np.full_like(ang, -np.inf)
+    prior[:, 1:] = np.maximum.accumulate(ang, axis=1)[:, :-1]
+    vis_samples = (ang >= prior) & inside
+    out = np.zeros((h, w), dtype=bool)
+    out[iy[vis_samples], ix[vis_samples]] = True
+    out[oy, ox] = True
+    return out
+
+
+# ---------------------------------------------------------------------------
 # proximity (exact euclidean distance transform)
 # ---------------------------------------------------------------------------
 

@@ -672,6 +672,60 @@ def warp_tiles_to_crs(tiles_ds, zoom: int, transformer, *, extent,
     return fanned.groupby(["b_x", "b_y"]).map_groups(resample, batch_format="pandas")
 
 
+def pansharpen_tiles(rgb_ds, pan_ds, *, weights=(1 / 3, 1 / 3, 1 / 3),
+                     dtype=np.uint32):
+    """`gdal raster pansharpen` — weighted Brovey
+    (alg/gdalpansharpen.cpp: out_b = in_b * pan / pseudo_pan, pseudo_pan =
+    sum(w_b * in_b)) as a tile-key compose: the 3 RGB band tables carry a
+    `band` column (0/1/2), the pan table rides as band 3; groupby(tile)
+    gathers the 4 arrays, one vectorized ratio per tile. Output: packed
+    RGBA tiles."""
+    import pyarrow.compute as pc_
+
+    def tag(ds, band):
+        def f(t: pa.Table, b=band) -> pa.Table:
+            return pa.table({
+                "tile_x": t["tile_x"], "tile_y": t["tile_y"],
+                "band": pa.array(np.full(len(t), b, np.int32)),
+                "data": t["data"],
+            })
+
+        return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+    # rgb_ds must provide its own band column (0..2); pan is band 3
+    def keep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "tile_x": t["tile_x"], "tile_y": t["tile_y"],
+            "band": pc_.cast(t["band"], pa.int32()), "data": t["data"],
+        })
+
+    u = rgb_ds.map_batches(keep, batch_format="pyarrow", batch_size=None).union(
+        tag(pan_ds, 3))
+
+    w = np.asarray(weights, np.float64)
+
+    def compose(g: pd.DataFrame) -> pd.DataFrame:
+        by_band = {int(r["band"]): np.frombuffer(r["data"], dtype=dtype)
+                   .reshape(TILE, TILE).astype(np.float64)
+                   for _, r in g.iterrows()}
+        if 3 not in by_band or not all(b in by_band for b in (0, 1, 2)):
+            return pd.DataFrame()
+        pan = by_band[3]
+        pseudo = sum(w[b] * by_band[b] for b in range(3))
+        ratio = np.where(pseudo > 0, pan / np.where(pseudo > 0, pseudo, 1.0), 0.0)
+        rgb = [np.clip(np.round(by_band[b] * ratio), 0, 255).astype(np.uint32)
+               for b in range(3)]
+        packed = rgb[0] | (rgb[1] << 8) | (rgb[2] << 16) | (np.uint32(255) << 24)
+        return pd.DataFrame({
+            "tile_x": [int(g["tile_x"].iloc[0])],
+            "tile_y": [int(g["tile_y"].iloc[0])],
+            "data": [packed.tobytes()],
+            "checksum": [_checksum(packed)],
+        })
+
+    return u.groupby(["tile_x", "tile_y"]).map_groups(compose, batch_format="pandas")
+
+
 def mosaic_tiles(*tile_datasets, op: str = "first", dtype=np.uint32, nodata=0):
     """`gdal raster mosaic` / `stack` / `blend`: N tile tables -> one.
     op: first (first non-nodata wins, priority = dataset order) | sum |

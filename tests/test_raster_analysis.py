@@ -68,3 +68,20 @@ def test_clean_collar():
     assert (out[:3, :] == 0).all() and (out[:, :2] == 0).all()
     assert (out[10:12, 10:12] == 1).all()
     assert (out[5:9, 5:9] == 50).all()
+
+
+def test_viewshed_wall_shadow():
+    from gdal_ray.raster.analysis import viewshed
+
+    dem = np.zeros((60, 60), np.float64)
+    dem[:, 30] = 50.0  # a tall north-south wall at x=30
+    vis = viewshed(dem, ox=10, oy=30, obs_height=2.0)
+    assert vis[30, 10]            # observer
+    assert vis[30, 20]            # open ground before the wall
+    assert vis[30, 30]            # the wall face itself is visible
+    assert not vis[30, 45]        # shadowed behind the wall
+    assert not vis[30, 55]
+    # flat plane with no wall: everything visible
+    flat = np.zeros((40, 40), np.float64)
+    v2 = viewshed(flat, 20, 20)
+    assert v2.mean() > 0.98

@@ -139,3 +139,27 @@ def test_band_statistics_exact():
     nz = a[a != 0]
     assert out2["count"].iloc[0] == nz.size
     assert abs(out2["mean"].iloc[0] - nz.mean()) < 1e-9
+
+
+def test_pansharpen_brovey():
+    TILE = RS.TILE
+    rows_rgb, rows_pan = [], []
+    r = np.full((TILE, TILE), 80, np.uint32)
+    g = np.full((TILE, TILE), 40, np.uint32)
+    b = np.full((TILE, TILE), 30, np.uint32)
+    pan = np.full((TILE, TILE), 100, np.uint32)  # pseudo_pan = 50 -> ratio 2
+    import pandas as pd
+
+    for band, arr in ((0, r), (1, g), (2, b)):
+        rows_rgb.append({"tile_x": 0, "tile_y": 0, "band": band,
+                         "data": arr.tobytes()})
+    rows_pan.append({"tile_x": 0, "tile_y": 0, "data": pan.tobytes()})
+    out = to_arrow(RS.pansharpen_tiles(
+        rd.from_pandas(pd.DataFrame(rows_rgb)),
+        rd.from_pandas(pd.DataFrame(rows_pan))))
+    assert out.num_rows == 1
+    packed = np.frombuffer(out["data"][0].as_py(), np.uint32).reshape(TILE, TILE)
+    assert (packed & 255 == 160).all()
+    assert ((packed >> 8) & 255 == 80).all()
+    assert ((packed >> 16) & 255 == 60).all()
+    assert (packed >> 24 == 255).all()
