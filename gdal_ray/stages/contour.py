@@ -138,7 +138,8 @@ def contour_tiles_ds(tiles_ds, levels, *, dtype=np.float32):
     map_ref = ray.put(root_map)
 
     # --- per-component polyline join as a Ray stage (hash-partitioned) ---
-    P = 32
+    from gdal_ray.util import default_num_parts
+    P = default_num_parts()
 
     def relabel(t: pa.Table) -> pa.Table:
         rm = ray.get(map_ref)

@@ -165,16 +165,27 @@ def knn_points(ds, queries: pa.Table, k: int, *, id_col="id", lon_col="lon",
             }
         )
 
-    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).repartition(1)
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        # single-task final merge: q*k*num_blocks rows, vectorized head-k
+    def reduce_k(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["query_id", "dist", "neighbor_id"], kind="mergesort")
-        df = df.groupby("query_id", sort=False).head(k).reset_index(drop=True)
+        return df.groupby("query_id", sort=False).head(k).reset_index(drop=True)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df = reduce_k(df)
         df["rank"] = df.groupby("query_id", sort=False).cumcount() + 1
         return df
 
-    return partials.map_batches(merge, batch_format="pandas", batch_size=None)
+    # two-level tree merge (the topk pattern): tree_width intermediate
+    # per-query head-k tasks, then one final over <= tree_width*q*k rows —
+    # bounded regardless of input block count (no num_blocks funnel)
+    tree_width = 16
+    reduced = (
+        partials.repartition(tree_width)
+        .map_batches(reduce_k, batch_format="pandas", batch_size=None)
+        .repartition(1)
+    )
+    return reduced.map_batches(finalize, batch_format="pandas", batch_size=None)
 
 
 def knn_all_points_cell_partitioned(ds, k: int, *, cell_size: float,

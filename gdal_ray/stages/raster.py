@@ -51,7 +51,8 @@ def points_to_tile_counts(ds, zoom: int, *, lon_col="lon", lat_col="lat"):
     # int64 shuffle key) and each partition densifies ALL its tiles with a
     # sorted boundary scan — per-tile map_groups was one pandas slice per
     # tile, seconds of overhead at thousands of tiles
-    P = 32
+    from gdal_ray.util import default_num_parts
+    P = default_num_parts()
 
     def add_part(t: pa.Table) -> pa.Table:
         tx = t["tile_x"].to_numpy(zero_copy_only=False)
@@ -209,7 +210,8 @@ def overview_reduce(tiles_ds, *, dtype=np.uint32, agg: str = "sum"):
     shifted = tiles_ds.map_batches(shift, batch_format="pyarrow", batch_size=None)
 
     # hash-partitioned compose (same rationale as the densify partition scan)
-    P = 32
+    from gdal_ray.util import default_num_parts
+    P = default_num_parts()
 
     def add_part(t: pa.Table) -> pa.Table:
         px = t["p_x"].to_numpy(zero_copy_only=False)
@@ -965,7 +967,8 @@ def polygonize_tiles_ds(tiles_ds, *, connectivity: int = 4, nodata=None,
     # A side key must meet its twin in ONE task, but one task per key would
     # be millions of tiny groups; instead keys hash into P partitions and
     # each partition pairs ALL its keys vectorized (sort + adjacent-compare).
-    P = 32
+    from gdal_ray.util import default_num_parts
+    P = default_num_parts()
 
     def borders_parted(t: pa.Table) -> pa.Table:
         t = t.filter(pa.compute.equal(t["kind"], 1))

@@ -123,7 +123,8 @@ def sieve_tiles_ds(tiles_ds, threshold: int, *, connectivity: int = 4,
 
     # border pairing (hash-partitioned): equal values -> equivalence;
     # different values -> cross-tile adjacency
-    P = 32
+    from gdal_ray.util import default_num_parts
+    P = default_num_parts()
 
     def borders_parted(t: pa.Table) -> pa.Table:
         t = t.filter(pa.compute.equal(t["kind"], 2))

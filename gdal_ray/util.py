@@ -33,6 +33,20 @@ def tune_data_context() -> None:
     ctx._max_num_blocks_in_streaming_gen_buffer = 32
 
 
+def default_num_parts(multiplier: int = 2, floor: int = 32) -> int:
+    """Shuffle-partition count keyed off the CLUSTER size, not a constant:
+    2x total CPUs (floor 32). Every hash-partitioned wide op calls this
+    lazily at pipeline-build time, so the same code that runs 32-wide on
+    the test node runs 2048-wide on a 256-node cluster."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 0)) if ray.is_initialized() else 0
+    except Exception:
+        cpus = 0
+    return max(floor, cpus * multiplier)
+
+
 def sf_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 

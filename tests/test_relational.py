@@ -168,3 +168,58 @@ def test_groupby_agg_hash_merge(sf_dir, con):
     assert got["l_returnflag"].tolist() == exp["l_returnflag"].tolist()
     assert got["sum_qty"].tolist() == exp["sum_qty"].tolist()
     assert got["n"].tolist() == exp["n"].tolist()
+
+
+def test_std_large_mean_welford():
+    """mean ~ 1e9, std ~ 1: the naive E[x^2]-E[x]^2 formula cancels
+    catastrophically (double has ~1e-16 relative precision; x^2 ~ 1e18
+    swallows a variance of 1). The Welford partial merge must hold <1e-6
+    relative error across multi-block merges (both tree and hash)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    rng = np.random.RandomState(7)
+    n = 40_000
+    base = 1e9
+    x = base + rng.standard_normal(n)
+    grp = rng.randint(0, 3, size=n)
+    # many small blocks -> many partials per key -> exercises the merge
+    tables = [
+        pa.table({"g": pa.array(grp[i:i + 1000]), "x": pa.array(x[i:i + 1000])})
+        for i in range(0, n, 1000)
+    ]
+    ds = rd.from_arrow(tables)
+    for merge in ("tree", "hash"):
+        out = to_arrow(R.groupby_agg(
+            ds, ["g"], [("sd", "std", "x"), ("mu", "mean", "x")], merge=merge,
+        )).to_pandas().sort_values("g").reset_index(drop=True)
+        for g in range(3):
+            ref_sd = np.std(x[grp == g], ddof=1)
+            ref_mu = np.mean(x[grp == g])
+            got_sd = out.loc[out["g"] == g, "sd"].iloc[0]
+            got_mu = out.loc[out["g"] == g, "mu"].iloc[0]
+            assert abs(got_sd - ref_sd) / ref_sd < 1e-6, (merge, g, got_sd, ref_sd)
+            assert abs(got_mu - ref_mu) < 1e-3, (merge, g, got_mu, ref_mu)
+
+
+def test_std_with_nulls_and_single_row_groups(sf_dir, con):
+    """STDDEV over a column with NULLs + groups of size 1 (NULL stddev)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    t = pa.table({
+        "g": pa.array(["a", "a", "a", "b", "c", "c"]),
+        "x": pa.array([1.0, None, 3.0, 5.0, None, None], pa.float64()),
+    })
+    out = to_arrow(R.groupby_agg(
+        rd.from_arrow([t.slice(0, 3), t.slice(3)]), ["g"],
+        [("sd", "std", "x"), ("n", "count", "x")],
+    )).to_pandas().sort_values("g").reset_index(drop=True)
+    exp = duckdb.sql(
+        "select g, stddev_samp(x) sd, count(x) n from t group by g order by g"
+    ).df()
+    assert out["n"].tolist() == exp["n"].tolist()
+    import numpy as np
+    for a, b in zip(out["sd"], exp["sd"]):
+        assert (np.isnan(a) and (b is None or np.isnan(b))) or abs(a - b) < 1e-12

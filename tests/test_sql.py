@@ -144,3 +144,57 @@ def test_ogr_geometry_special_field(tmp_path):
     out = to_arrow(execute(
         "SELECT id FROM mix WHERE OGR_GEOMETRY = 'POINT'", str(tmp_path)))
     assert out["id"].to_pylist() == [2]
+
+
+# ---------------------------------------------------------------------------
+# round-3 NULL-semantics parity (ADVICE fixes): COUNT(DISTINCT) ignores
+# NULLs / all-NULL groups appear with 0; HAVING COUNT(DISTINCT) not in the
+# SELECT list; CONCAT skips NULLs while || propagates; SUBSTR with computed
+# start/length. Every string runs verbatim in DuckDB.
+# ---------------------------------------------------------------------------
+
+NULL_CASES = [
+    "SELECT grp, COUNT(DISTINCT val) AS nd FROM nully GROUP BY grp",
+    "SELECT grp, COUNT(DISTINCT val) AS nd, COUNT(*) AS n FROM nully GROUP BY grp",
+    "SELECT COUNT(DISTINCT val) AS nd FROM nully",
+    "SELECT COUNT(DISTINCT val) AS nd FROM nully WHERE grp = 'empty'",
+    "SELECT grp, COUNT(*) AS n FROM nully GROUP BY grp HAVING COUNT(DISTINCT val) >= 2",
+    "SELECT grp, CONCAT(s, '-', s2) AS c3 FROM nully",
+    "SELECT grp, s || s2 AS cat FROM nully",
+    "SELECT grp, SUBSTR(s, CAST(pos AS INTEGER)) AS tail FROM nully WHERE s IS NOT NULL",
+    "SELECT grp, SUBSTR(s, CAST(pos AS INTEGER), 2) AS mid FROM nully WHERE s IS NOT NULL",
+]
+
+
+@pytest.fixture(scope="module")
+def nully_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("nully")
+    pq.write_table(pa.table({
+        "grp": pa.array(["a", "a", "a", "b", "b", "empty", "empty"]),
+        "val": pa.array([1, 2, None, 7, None, None, None], pa.int64()),
+        "s": pa.array(["hello", None, "world", "xy", None, "qrs", None]),
+        "s2": pa.array([None, "B", "C", None, "E", None, "G"]),
+        "pos": pa.array([2, 1, 3, 1, 2, 2, 1], pa.int64()),
+    }), str(d / "nully.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("sql", NULL_CASES)
+def test_null_semantics_match_duckdb(nully_dir, sql):
+    con = duckdb.connect()
+    con.execute(
+        f"create view nully as select * from read_parquet('{nully_dir}/nully.parquet')")
+    got = to_arrow(execute(sql, nully_dir)).to_pandas()
+    exp = con.execute(sql).df()
+    assert sorted(got.columns) == sorted(exp.columns), sql
+    cols = sorted(got.columns)
+    got = got[cols].sort_values(cols).reset_index(drop=True)
+    exp = exp[cols].sort_values(cols).reset_index(drop=True)
+    assert len(got) == len(exp), (sql, got, exp)
+    for c in cols:
+        gv = got[c].where(got[c].notna(), None).astype(str)
+        ev = exp[c].where(exp[c].notna(), None).astype(str)
+        assert (gv == ev).all(), (sql, c, got, exp)

@@ -16,16 +16,21 @@ from gdal_ray.util import sf_path, to_arrow
 NUM_COLS = ["o_orderkey", "o_custkey", "o_totalprice"]
 
 
+# Integer literals are emitted as CAST(n AS BIGINT): the engine types bare
+# int literals int64 (pa.scalar), but DuckDB types them INT32 and raises
+# "Overflow in multiplication of INT32" on e.g. (12*445)*(595*676) — the
+# cast pins both engines to the same 64-bit arithmetic.
+_INT_LIT = st.integers(min_value=0, max_value=1000).map(
+    lambda n: f"CAST({n} AS BIGINT)")
+
+
 def _num_expr(depth: int):
     if depth <= 0:
-        return st.one_of(
-            st.sampled_from(NUM_COLS),
-            st.integers(min_value=0, max_value=1000).map(str),
-        )
+        return st.one_of(st.sampled_from(NUM_COLS), _INT_LIT)
     sub = _num_expr(depth - 1)
     return st.one_of(
         st.sampled_from(NUM_COLS),
-        st.integers(min_value=0, max_value=1000).map(str),
+        _INT_LIT,
         st.tuples(sub, st.sampled_from(["+", "-", "*"]), sub).map(
             lambda t: f"({t[0]} {t[1]} {t[2]})"
         ),
