@@ -228,25 +228,82 @@ def minhash_bands(ds, id_col: str, *, num_perm=128, bands=16, text_col="text", s
     return sig_ds.map_batches(bandify, batch_format="pyarrow", batch_size=None)
 
 
-def minhash_candidate_pairs(ds, id_col: str, **kw):
-    """LSH candidate pairs (id_a < id_b), distinct. The groupby key is
-    (band_id, band_hash): only colliding bands meet, so the wide step is a
-    shuffle of fixed-width triples."""
-    banded = minhash_bands(ds, id_col, **kw)
+def _bucket_pairs_partition(t: pa.Table, id_col: str, pair_cap: int) -> pa.Table:
+    """Emit candidate pairs for EVERY (band_id, band_hash) bucket in one
+    hash partition, vectorized: sort + boundary scan finds buckets, buckets
+    are grouped BY SIZE so each distinct size is one batched triu gather
+    (no per-bucket Python for the tiny-bucket common case).
 
-    def pairs(g):
-        ids = np.sort(g[id_col].to_numpy())
-        if ids.size < 2 or ids.size > 200:  # degenerate mega-bucket guard (logged idea: salt)
-            ia, ib = np.array([], dtype=ids.dtype), np.array([], dtype=ids.dtype)
+    Mega-buckets (> pair_cap members — boilerplate-heavy corpora produce
+    them constantly) are SALTED, not dropped: members are split into
+    pair_cap-sized salt chunks (all pairs within each chunk) plus a chain
+    edge linking consecutive chunks, so the bucket stays one connected
+    component for clustering while pair count stays O(size * pair_cap)
+    instead of O(size^2)."""
+    n = len(t)
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64())})
+    if n == 0:
+        return empty
+    t = t.take(pc.sort_indices(t, sort_keys=[
+        ("band_id", "ascending"), ("band_hash", "ascending"),
+        (id_col, "ascending")]))
+    band = t["band_id"].to_numpy(zero_copy_only=False)
+    bh = t["band_hash"].to_numpy(zero_copy_only=False)
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    change = np.flatnonzero((band[1:] != band[:-1]) | (bh[1:] != bh[:-1])) + 1
+    starts = np.concatenate([[0], change])
+    sizes = np.diff(np.concatenate([starts, [n]]))
+    out_a, out_b = [], []
+    for s in np.unique(sizes):
+        s = int(s)
+        if s < 2:
+            continue
+        sel = starts[sizes == s]
+        if s <= pair_cap:
+            mem = ids[sel[:, None] + np.arange(s)[None, :]]
+            ii, jj = np.triu_indices(s, k=1)
+            out_a.append(mem[:, ii].ravel())
+            out_b.append(mem[:, jj].ravel())
         else:
-            ii, jj = np.triu_indices(ids.size, k=1)
-            ia, ib = ids[ii], ids[jj]
-        import pandas as pd
+            for st in sel:  # mega-buckets are rare; per-bucket loop is fine
+                b_ids = ids[st:st + s]
+                for c0 in range(0, s, pair_cap):
+                    chunk = b_ids[c0:c0 + pair_cap]
+                    ii, jj = np.triu_indices(chunk.size, k=1)
+                    out_a.append(chunk[ii])
+                    out_b.append(chunk[jj])
+                    if c0 > 0:  # chain edge keeps the bucket connected
+                        out_a.append(b_ids[c0 - 1:c0])
+                        out_b.append(chunk[:1])
+    if not out_a:
+        return empty
+    ia = np.concatenate(out_a)
+    ib = np.concatenate(out_b)
+    # partition-local dedupe shrinks the downstream distinct's input
+    u = np.unique(np.stack([ia, ib], axis=1), axis=0)
+    return pa.table({"id_a": pa.array(u[:, 0], pa.int64()),
+                     "id_b": pa.array(u[:, 1], pa.int64())})
 
-        return pd.DataFrame({"id_a": ia, "id_b": ib})
 
-    cand = banded.repartition(8).groupby(["band_id", "band_hash"]).map_groups(pairs, batch_format="pandas")
-    return distinct(cand, ["id_a", "id_b"])
+def minhash_candidate_pairs(ds, id_col: str, *, pair_cap: int = 256,
+                            merge: str = "tree", num_parts: int | None = None,
+                            **kw):
+    """LSH candidate pairs (id_a < id_b), distinct. The wide step is ONE
+    hash-partitioned shuffle of fixed-width (band_id, band_hash, id)
+    triples at cluster-native parallelism (no fixed repartition); each
+    partition's buckets are paired vectorized (see _bucket_pairs_partition;
+    mega-buckets are salted, never silently dropped). merge='hash' is the
+    at-scale mode for the final pair distinct."""
+    from gdal_ray.ops.relational import hash_partition_reduce
+
+    banded = minhash_bands(ds, id_col, **kw)
+    cand = hash_partition_reduce(
+        banded, ["band_id", "band_hash"],
+        lambda t: _bucket_pairs_partition(t, id_col, pair_cap),
+        num_parts=num_parts,
+    )
+    return distinct(cand, ["id_a", "id_b"], merge=merge)
 
 
 _EMPTY_PAIRS = pa.table({"id_a": pa.array([], pa.int64()),
@@ -254,78 +311,165 @@ _EMPTY_PAIRS = pa.table({"id_a": pa.array([], pa.int64()),
                          "jaccard": pa.array([], pa.float64())})
 
 
-def exact_jaccard_pairs(ds, pairs_ds, id_col: str, *, text_col="text", shingle_w=3, threshold=0.5):
+def _unique_shingle_lists(texts, w: int):
+    """Per-doc UNIQUE shingle-hash sets for a list of texts, vectorized
+    across the whole batch (one lexsort + adjacent-dedupe instead of a
+    per-doc np.unique loop). Returns (values uint64, offsets int64[nd+1]);
+    bit-identical sets to _shingle_hashes per doc."""
+    nd = len(texts)
+    if nd == 0:
+        return np.empty(0, np.uint64), np.zeros(1, np.int64)
+    sh, starts = _batch_shingles(texts, w)
+    counts = np.diff(np.concatenate([starts, [sh.size]]))
+    doc_idx = np.repeat(np.arange(nd, dtype=np.int64), counts)
+    order = np.lexsort((sh, doc_idx))
+    dv, sv = doc_idx[order], sh[order]
+    keep = np.concatenate([[True], (dv[1:] != dv[:-1]) | (sv[1:] != sv[:-1])])
+    dv, sv = dv[keep], sv[keep]
+    offs = np.zeros(nd + 1, dtype=np.int64)
+    offs[1:] = np.cumsum(np.bincount(dv, minlength=nd))
+    return sv, offs
+
+
+def _join_emit_partition(t: pa.Table, shingle_w: int) -> pa.Table:
+    """One hash partition holding BOTH doc rows (__side=-1, __text set) and
+    need rows (__side 0/1, pair key set) for the same __doc hash range:
+    match needs to docs with a sorted searchsorted join, compute unique
+    shingle sets ONLY for matched docs (vectorized), and emit one
+    (id_a, id_b, side, sh) row per need."""
+    empty = pa.table({
+        "id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+        "side": pa.array([], pa.int8()), "sh": pa.array([], pa.list_(pa.uint64())),
+    })
+    side_all = t["__side"].to_numpy(zero_copy_only=False)
+    is_doc = side_all < 0
+    if not is_doc.any() or is_doc.all():
+        return empty
+    docs_t = t.filter(pa.array(is_doc))
+    needs_t = t.filter(pa.array(~is_doc))
+    doc_ids = docs_t["__doc"].to_numpy(zero_copy_only=False)
+    need_doc = needs_t["__doc"].to_numpy(zero_copy_only=False)
+    no = np.argsort(need_doc, kind="mergesort")
+    need_doc_s = need_doc[no]
+    na = needs_t["id_a"].to_numpy(zero_copy_only=False)[no]
+    nb = needs_t["id_b"].to_numpy(zero_copy_only=False)[no]
+    nside = needs_t["__side"].to_numpy(zero_copy_only=False)[no]
+    left = np.searchsorted(need_doc_s, doc_ids, "left")
+    counts = np.searchsorted(need_doc_s, doc_ids, "right") - left
+    midx = np.flatnonzero(counts > 0)
+    if midx.size == 0:
+        return empty
+    texts = docs_t["__text"].to_pylist()
+    values, offs = _unique_shingle_lists([texts[i] for i in midx], shingle_w)
+    c = counts[midx]
+    total = int(c.sum())
+    rep_sub = np.repeat(np.arange(midx.size, dtype=np.int64), c)
+    cum = np.concatenate([[0], np.cumsum(c)[:-1]])
+    pos = np.repeat(left[midx], c) + (np.arange(total, dtype=np.int64)
+                                      - np.repeat(cum, c))
+    sh_list = pa.ListArray.from_arrays(pa.array(offs, pa.int64()),
+                                       pa.array(values, pa.uint64()))
+    return pa.table({
+        "id_a": pa.array(na[pos], pa.int64()),
+        "id_b": pa.array(nb[pos], pa.int64()),
+        "side": pa.array(nside[pos], pa.int8()),
+        "sh": sh_list.take(pa.array(rep_sub)),
+    })
+
+
+def _verify_pairs_partition(t: pa.Table, threshold: float) -> pa.Table:
+    """Exact Jaccard for every pair in one hash partition, vectorized: rows
+    sorted by pair key, shingle lists flattened with a pair gid, one lexsort
+    — a hash appearing twice within a pair (each side's set is unique) is
+    exactly one intersection element, counted with a cumsum over adjacent
+    duplicates. No per-pair Python."""
+    if len(t) == 0:
+        return _EMPTY_PAIRS
+    t = t.take(pc.sort_indices(t, sort_keys=[
+        ("id_a", "ascending"), ("id_b", "ascending"), ("side", "ascending")]))
+    ia = t["id_a"].to_numpy(zero_copy_only=False)
+    ib = t["id_b"].to_numpy(zero_copy_only=False)
+    sh = t["sh"].combine_chunks()
+    offs = sh.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = np.asarray(sh.values)[offs[0]:offs[-1]]
+    lens = np.diff(offs)
+    n = len(ia)
+    change = np.flatnonzero((ia[1:] != ia[:-1]) | (ib[1:] != ib[:-1])) + 1
+    rstarts = np.concatenate([[0], change])
+    rows_per = np.diff(np.concatenate([rstarts, [n]]))
+    gid_row = np.repeat(np.arange(rstarts.size, dtype=np.int64), rows_per)
+    rep = np.repeat(gid_row, lens)
+    order = np.lexsort((vals, rep))
+    rv, vv = rep[order], vals[order]
+    dup = (rv[1:] == rv[:-1]) & (vv[1:] == vv[:-1])
+    cum = np.concatenate([[0], np.cumsum(dup)])
+    flat_per_pair = np.add.reduceat(lens, rstarts) if n else np.array([], np.int64)
+    fend = np.cumsum(flat_per_pair)
+    fstart = fend - flat_per_pair
+    with np.errstate(invalid="ignore", divide="ignore"):
+        inter = np.where(flat_per_pair > 0,
+                         cum[np.maximum(fend - 1, fstart)] - cum[fstart], 0)
+        union = flat_per_pair - inter
+        j = np.round(np.where(union > 0, inter / np.maximum(union, 1), 0.0), 6)
+    mask = (rows_per == 2) & (j >= threshold)
+    return pa.table({
+        "id_a": pa.array(ia[rstarts][mask], pa.int64()),
+        "id_b": pa.array(ib[rstarts][mask], pa.int64()),
+        "jaccard": pa.array(j[mask], pa.float64()),
+    })
+
+
+def exact_jaccard_pairs(ds, pairs_ds, id_col: str, *, text_col="text",
+                        shingle_w=3, threshold=0.5, num_parts: int | None = None):
     """Verify candidate pairs with exact shingle-set Jaccard — fully
-    distributed. The (small) candidate-pair LIST is broadcast; documents
-    stream through a map_batches that emits (pair_idx, side, shingle set)
-    only for docs appearing in a pair; a groupby(pair_idx) co-locates each
-    pair's two shingle sets and verifies inside the group. No document text
-    or shingle set ever materializes on the driver — the driver only ever
-    holds the pair list and the verified (id_a, id_b, jaccard) rows."""
-    import pandas as pd
-    import ray
+    distributed, no driver-side materialization of pairs, docs or shingle
+    sets (the round-2 liability: a 100-TB near-dedup emits 1e8-1e9
+    candidates, far past driver memory).
+
+    Plan: pairs flat_map to (doc, id_a, id_b, side) "need" rows; docs and
+    needs are UNIONed and hash-partitioned by doc id (ONE corpus-wide
+    shuffle — the unavoidable distributed-join cost); each partition joins
+    needs to its docs and emits per-need shingle sets (computed only for
+    matched docs); a second hash partition by pair key co-locates each
+    pair's two sets and verifies vectorized. Returns a Dataset
+    (id_a, id_b, jaccard >= threshold)."""
+    import ray.data as rd
+
+    from gdal_ray.ops.relational import hash_partition_reduce
 
     if isinstance(pairs_ds, pa.Table):
-        cand = pairs_ds
-    else:
-        batches = list(pairs_ds.iter_batches(batch_size=None, batch_format="pyarrow"))
-        cand = pa.concat_tables(batches) if batches else _EMPTY_PAIRS.select(["id_a", "id_b"])
-    if cand.num_rows == 0:
-        return _EMPTY_PAIRS
-    ids_a = cand["id_a"].to_pylist()
-    ids_b = cand["id_b"].to_pylist()
-    memberships: dict = {}
-    for p, (a, b) in enumerate(zip(ids_a, ids_b)):
-        memberships.setdefault(a, []).append((p, 0))
-        memberships.setdefault(b, []).append((p, 1))
-    mem_ref = ray.put(memberships)
-    pair_ids_ref = ray.put((np.asarray(ids_a), np.asarray(ids_b)))
+        pairs_ds = rd.from_arrow(pairs_ds)
 
-    def emit(t: pa.Table) -> pa.Table:
-        mem = ray.get(mem_ref)
-        mask = pa.array([i in mem for i in t[id_col].to_pylist()])
-        sub = t.filter(mask)
-        out_pair, out_side, out_sh = [], [], []
-        for d, s in zip(sub[id_col].to_pylist(), sub[text_col].to_pylist()):
-            sh = _shingle_hashes(s or "", shingle_w)
-            for p, side in mem[d]:
-                out_pair.append(p)
-                out_side.append(side)
-                out_sh.append(sh)
+    def to_needs(t: pa.Table) -> pa.Table:
+        ia = t["id_a"].to_numpy(zero_copy_only=False)
+        ib = t["id_b"].to_numpy(zero_copy_only=False)
         return pa.table({
-            "pair": pa.array(out_pair, pa.int64()),
-            "side": pa.array(out_side, pa.int32()),
-            "sh": pa.array(out_sh, pa.list_(pa.uint64())),
+            "__doc": pa.array(np.concatenate([ia, ib]), pa.int64()),
+            "id_a": pa.array(np.concatenate([ia, ia]), pa.int64()),
+            "id_b": pa.array(np.concatenate([ib, ib]), pa.int64()),
+            "__side": pa.array(np.concatenate([
+                np.zeros(ia.size, np.int8), np.ones(ib.size, np.int8)])),
+            "__text": pa.nulls(2 * ia.size, pa.string()),
         })
 
-    emitted = ds.map_batches(emit, batch_format="pyarrow", batch_size=None)
+    def to_docrows(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({
+            "__doc": pc.cast(t[id_col], pa.int64()),
+            "id_a": pa.nulls(n, pa.int64()),
+            "id_b": pa.nulls(n, pa.int64()),
+            "__side": pa.array(np.full(n, -1, np.int8)),
+            "__text": pc.cast(t[text_col], pa.string()),
+        })
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:  # a candidate id missing from the corpus
-            return pd.DataFrame({"pair": [], "jaccard": []})
-        g = g.sort_values("side")
-        sa = np.asarray(g["sh"].iloc[0], dtype=np.uint64)
-        sb = np.asarray(g["sh"].iloc[1], dtype=np.uint64)
-        inter = np.intersect1d(sa, sb, assume_unique=True).size
-        union = sa.size + sb.size - inter
-        j = inter / union if union else 0.0
-        return pd.DataFrame({"pair": [int(g["pair"].iloc[0])], "jaccard": [round(j, 6)]})
-
-    out_batches = list(
-        emitted.groupby("pair").map_groups(verify, batch_format="pandas")
-        .iter_batches(batch_size=None, batch_format="pyarrow")
-    )
-    if not out_batches:
-        return _EMPTY_PAIRS
-    res = pa.concat_tables(out_batches)
-    res = res.filter(pc.greater_equal(res["jaccard"], threshold))
-    pa_ids_a, pa_ids_b = ray.get(pair_ids_ref)
-    pidx = res["pair"].to_numpy(zero_copy_only=False).astype(np.int64)
-    return pa.table({
-        "id_a": pa.array(pa_ids_a[pidx], pa.int64()),
-        "id_b": pa.array(pa_ids_b[pidx], pa.int64()),
-        "jaccard": res["jaccard"],
-    })
+    needs = pairs_ds.map_batches(to_needs, batch_format="pyarrow", batch_size=None)
+    docrows = ds.map_batches(to_docrows, batch_format="pyarrow", batch_size=None)
+    emitted = hash_partition_reduce(
+        docrows.union(needs), ["__doc"],
+        lambda t: _join_emit_partition(t, shingle_w), num_parts=num_parts)
+    return hash_partition_reduce(
+        emitted, ["id_a", "id_b"],
+        lambda t: _verify_pairs_partition(t, threshold), num_parts=num_parts)
 
 
 class SimHasher:

@@ -83,5 +83,14 @@ def to_arrow(result) -> pa.Table:
     # ray.data.Dataset
     tables = [b for b in result.iter_batches(batch_size=None, batch_format="pyarrow")]
     if not tables:
+        # iter_batches yields nothing for an all-empty dataset — recover
+        # the column schema so callers can still select columns
+        try:
+            sch = result.schema()
+            base = getattr(sch, "base_schema", None)
+            if isinstance(base, pa.Schema):
+                return base.empty_table()
+        except Exception:
+            pass
         return pa.table({})
     return pa.concat_tables(tables, promote_options="permissive")

@@ -2,6 +2,7 @@
 
 import duckdb
 import numpy as np
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 import ray.data as rd
@@ -69,7 +70,7 @@ def test_minhash_lsh_finds_exact_dups(sf_dir):
     cand = to_arrow(DD.minhash_candidate_pairs(ds, "doc_id"))
     cand_set = set(zip(cand["id_a"].to_pylist(), cand["id_b"].to_pylist()))
     assert dup_pairs <= cand_set
-    verified = DD.exact_jaccard_pairs(ds, cand, "doc_id", threshold=0.999)
+    verified = to_arrow(DD.exact_jaccard_pairs(ds, cand, "doc_id", threshold=0.999))
     vset = set(zip(verified["id_a"].to_pylist(), verified["id_b"].to_pylist()))
     assert dup_pairs <= vset
 
@@ -166,3 +167,71 @@ def test_bpe_token_count_matches_duckdb(sf_dir):
     # bpe counts >= whitespace counts (punctuation splits off)
     ws = to_arrow(add_token_count(ds, pattern="whitespace")).to_pandas().sort_values("doc_id")
     assert (got["n_tokens"].to_numpy() >= ws["n_tokens"].to_numpy()).all()
+
+
+def test_lsh_mega_bucket_salting_preserves_recall():
+    """A synthetic corpus where >10^4 near-identical docs collide in one
+    LSH bucket: the salted pair generator must keep the bucket CONNECTED
+    (one component under union-find) and must not silently drop it — the
+    round-2 behavior dropped buckets >200 ids entirely."""
+    import ray.data as rd
+
+    n = 12_000
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    texts = [base + ("extra" if i % 2 else "") for i in range(n)]  # 2 variants
+    t = pa.table({"doc_id": pa.array(np.arange(n), pa.int64()),
+                  "text": pa.array(texts)})
+    ds = rd.from_arrow([t.slice(i, 3000) for i in range(0, n, 3000)])
+    cand = to_arrow(DD.minhash_candidate_pairs(ds, "doc_id", bands=4, num_perm=16))
+    assert cand.num_rows > 0
+    ia = cand["id_a"].to_numpy()
+    ib = cand["id_b"].to_numpy()
+    # union-find: all docs of each variant must form one component
+    parent = np.arange(n)
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(ia, ib):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    roots = {find(i) for i in range(0, n, 2)}
+    assert len(roots) == 1, f"even-variant split into {len(roots)} components"
+    roots_odd = {find(i) for i in range(1, n, 2)}
+    assert len(roots_odd) == 1
+    # pair count stays O(n * pair_cap), not O(n^2)
+    assert cand.num_rows < 10_000_000
+
+
+def test_exact_jaccard_distributed_matches_bruteforce():
+    """Distributed verify == per-pair brute force on a small corpus."""
+    import ray.data as rd
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "alpha beta gamma delta epsilon zeta eta iota",   # near-dup of 0
+        "one two three four five six seven eight nine",
+        "alpha beta gamma delta epsilon zeta eta theta",  # exact dup of 0
+        "totally different words here nothing shared at all",
+    ]
+    t = pa.table({"doc_id": pa.array(np.arange(5), pa.int64()),
+                  "text": pa.array(texts)})
+    pairs = pa.table({"id_a": pa.array([0, 0, 0, 2], pa.int64()),
+                      "id_b": pa.array([1, 3, 4, 4], pa.int64())})
+    ds = rd.from_arrow([t.slice(0, 2), t.slice(2)])
+    got = to_arrow(DD.exact_jaccard_pairs(
+        ds, pairs, "doc_id", threshold=0.0)).to_pandas()
+    got = got.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    exp = {}
+    for a, b in zip([0, 0, 0, 2], [1, 3, 4, 4]):
+        sa = DD._shingle_hashes(texts[a], 3)
+        sb = DD._shingle_hashes(texts[b], 3)
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        exp[(a, b)] = round(inter / (sa.size + sb.size - inter), 6)
+    assert len(got) == 4
+    for _, r in got.iterrows():
+        assert abs(r["jaccard"] - exp[(int(r["id_a"]), int(r["id_b"]))]) < 1e-9
