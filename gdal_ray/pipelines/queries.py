@@ -557,6 +557,98 @@ FROM pairs GROUP BY gx, gy
 """
 
 
+def _grid_metric_query(sf_dir, method: str):
+    """Shared builder for the q56 data-metrics family (same grid as q19)."""
+    from gdal_ray.stages.grid import grid_points
+
+    ds = events_points(sf_dir, columns=("event_id", "value"))
+    out = grid_points(
+        ds, extent=(-180.0, -80.0, 180.0, 80.0), cell=20.0, radius=30.0,
+        method=method, value_col="value",
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"gx": pc.cast(t["gx"], pa.int64()), "gy": pc.cast(t["gy"], pa.int64()),
+             "value": pc.round(t["value"], ndigits=4, round_mode="half_towards_infinity")}
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow", batch_size=None)
+
+
+def q56a_grid_minimum(sf_dir):
+    return _grid_metric_query(sf_dir, "minimum")
+
+
+def q56b_grid_maximum(sf_dir):
+    return _grid_metric_query(sf_dir, "maximum")
+
+
+def q56c_grid_range(sf_dir):
+    return _grid_metric_query(sf_dir, "range")
+
+
+def q56d_grid_count(sf_dir):
+    return _grid_metric_query(sf_dir, "count")
+
+
+def q56e_grid_avg_distance(sf_dir):
+    return _grid_metric_query(sf_dir, "average_distance")
+
+
+def _grid_metric_sql(agg_expr: str) -> str:
+    return f"""
+WITH pts AS (
+  SELECT {LON_EXPR_SQL} AS x, {LAT_EXPR_SQL} AS y, value FROM events
+), cells AS (
+  SELECT gx.range AS gx, gy.range AS gy,
+         -180.0 + (gx.range + 0.5) * 20.0 AS cx,
+         -80.0 + (gy.range + 0.5) * 20.0 AS cy
+  FROM range(18) gx, range(8) gy
+), pairs AS (
+  SELECT c.gx, c.gy, p.value,
+         sqrt((p.x - c.cx) * (p.x - c.cx) + (p.y - c.cy) * (p.y - c.cy)) AS d
+  FROM cells c JOIN pts p
+    ON (p.x - c.cx) * (p.x - c.cx) + (p.y - c.cy) * (p.y - c.cy) <= 900.0
+)
+SELECT gx, gy, round({agg_expr}, 4) AS value
+FROM pairs GROUP BY gx, gy
+"""
+
+
+Q56A_SQL = _grid_metric_sql("min(value)")
+Q56B_SQL = _grid_metric_sql("max(value)")
+Q56C_SQL = _grid_metric_sql("max(value) - min(value)")
+Q56D_SQL = _grid_metric_sql("CAST(count(*) AS DOUBLE)")
+Q56E_SQL = _grid_metric_sql("sum(d) / count(*)")
+
+
+def q56f_grid_avg_distance_pts(sf_dir):
+    return _grid_metric_query(sf_dir, "average_distance_pts")
+
+
+Q56F_SQL = f"""
+WITH pts AS (
+  SELECT event_id, {LON_EXPR_SQL} AS x, {LAT_EXPR_SQL} AS y FROM events
+), cells AS (
+  SELECT gx.range AS gx, gy.range AS gy,
+         -180.0 + (gx.range + 0.5) * 20.0 AS cx,
+         -80.0 + (gy.range + 0.5) * 20.0 AS cy
+  FROM range(18) gx, range(8) gy
+), m AS (
+  SELECT c.gx, c.gy, p.event_id, p.x, p.y
+  FROM cells c JOIN pts p
+    ON (p.x - c.cx) * (p.x - c.cx) + (p.y - c.cy) * (p.y - c.cy) <= 900.0
+), pp AS (
+  SELECT a.gx, a.gy,
+         sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) AS d
+  FROM m a JOIN m b
+    ON a.gx = b.gx AND a.gy = b.gy AND a.event_id < b.event_id
+)
+SELECT gx, gy, round(sum(d) / count(*), 4) AS value FROM pp GROUP BY gx, gy
+"""
+
+
 def q33_embed_dup_pairs(sf_dir):
     """Embedding-cosine near-duplicate pairs (cos > 0.35, id_a < id_b) —
     brute-force per batch against the broadcast matrix."""
@@ -996,6 +1088,51 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q55_band_histogram(sf_dir):
+    """Raster band histogram with GDAL GetHistogram bucket semantics
+    (gcore/gdalrasterband.cpp:4224-4250) over the zoom-6 point-density
+    raster: bucket = floor((v - min) * n / (max - min)), out-of-range
+    clamped into the end buckets. The zero-pixel count (dense raster!) is
+    part of bucket 0, so the oracle reproduces it as
+    n_tiles * 65536 - occupied_pixels."""
+    from gdal_ray.stages.raster import band_histogram, points_to_tile_counts
+
+    ds = events_points(sf_dir)
+    tiles = points_to_tile_counts(ds, 6)
+    return band_histogram(tiles, nbuckets=8, bucket_min=-0.5, bucket_max=7.5,
+                          include_out_of_range=True)
+
+
+# pixel grid at zoom 6 (256px tiles) == tile grid at zoom 14: the SAME
+# integer floor math as Q45, factor 2^14 (only the floor INTEGER of the
+# ln/tan expression crosses engines — float-parity rule)
+_GX14 = f"CAST(floor(({LON_EXPR_SQL} + 180.0) / 360.0 * 16384) AS BIGINT)"
+_GY14 = (f"CAST(floor((1.0 - ln(tan(radians({LAT_EXPR_SQL}))"
+         f" + 1.0 / cos(radians({LAT_EXPR_SQL}))) / pi()) / 2.0 * 16384) AS BIGINT)")
+
+Q55_SQL = f"""
+WITH px AS (
+  SELECT gx // 256 AS tile_x, gy // 256 AS tile_y,
+         gx % 256 AS ox, gy % 256 AS oy, count(*) AS v
+  FROM (SELECT {_GX14} AS gx, {_GY14} AS gy FROM events)
+  GROUP BY 1, 2, 3, 4
+),
+occ AS (
+  SELECT LEAST(GREATEST(CAST(floor((CAST(v AS DOUBLE) + 0.5) * 8.0 / 8.0)
+               AS BIGINT), 0), 7) AS bucket,
+         count(*) AS n
+  FROM px GROUP BY 1
+),
+nt AS (SELECT count(*) AS c FROM (SELECT DISTINCT tile_x, tile_y FROM px))
+SELECT bucket, CAST(sum(n) AS BIGINT) AS n FROM (
+  SELECT bucket, n FROM occ
+  UNION ALL
+  SELECT 0 AS bucket,
+         (SELECT c FROM nt) * 65536 - (SELECT sum(n) FROM occ) AS n
+) GROUP BY bucket
+"""
+
+
 def q46_hilbert(sf_dir):
     """Spatial sort key (gdal vector sort analog) — rows-only oracle."""
     from gdal_ray.geo.hilbert import lonlat_hilbert
@@ -1279,6 +1416,13 @@ def registry():
         "q43_zonal_stats": q43_zonal_stats,
         "q44_cells": q44_cells,
         "q45_tile_counts": q45_tile_counts,
+        "q55_band_histogram": q55_band_histogram,
+        "q56a_grid_minimum": q56a_grid_minimum,
+        "q56b_grid_maximum": q56b_grid_maximum,
+        "q56c_grid_range": q56c_grid_range,
+        "q56d_grid_count": q56d_grid_count,
+        "q56e_grid_avg_distance": q56e_grid_avg_distance,
+        "q56f_grid_avg_distance_pts": q56f_grid_avg_distance_pts,
         "q46_hilbert": q46_hilbert,
         "q47_utm_project": q47_utm_project,
         "q54_contour_lines": q54_contour_lines,
@@ -1329,6 +1473,13 @@ def registry():
         "q42_knn_events": Q42_SQL,
         "q43_zonal_stats": Q43_SQL,
         "q45_tile_counts": Q45_SQL,
+        "q55_band_histogram": Q55_SQL,
+        "q56a_grid_minimum": Q56A_SQL,
+        "q56b_grid_maximum": Q56B_SQL,
+        "q56c_grid_range": Q56C_SQL,
+        "q56d_grid_count": Q56D_SQL,
+        "q56e_grid_avg_distance": Q56E_SQL,
+        "q56f_grid_avg_distance_pts": Q56F_SQL,
         "q70_sql_groupby": _sql_oracle(Q70_SQL),
         "q71_sql_topk": Q71_SQL,
         "q72_sql_expr": Q72_SQL,

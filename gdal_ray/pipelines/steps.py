@@ -75,6 +75,36 @@ def _read(path: str, columns=None, filter=None):
     return run
 
 
+@step("read_csv")
+def _read_csv(path: str, geometry: str = "auto", x_col=None, y_col=None,
+              wkt_col=None):
+    """OGR CSV driver analog (schema inference + X/Y/WKT geometry
+    building) — sources.text.read_csv."""
+    from gdal_ray.sources.text import read_csv
+
+    return lambda _: read_csv(path, geometry=geometry, x_col=x_col,
+                              y_col=y_col, wkt_col=wkt_col)
+
+
+@step("read_geojson")
+def _read_geojson(path: str):
+    """OGR GeoJSON driver analog — sources.text.read_geojson."""
+    from gdal_ray.sources.text import read_geojson
+
+    return lambda _: read_geojson(path)
+
+
+@step("write_geojson")
+def _write_geojson(path: str, geometry_col: str = "geometry"):
+    from gdal_ray.sources.text import write_geojson
+
+    def run(ds):
+        write_geojson(ds, path, geometry_col=geometry_col)
+        return ds
+
+    return run
+
+
 @step("read_geo")
 def _read_geo(path: str, bbox=None, columns=None):
     """GeoParquet read with bbox row-group pruning (sources.geoparquet)."""

@@ -39,7 +39,7 @@ def _fan_to_cells(t: pa.Table, *, x0, y0, nx, ny, cell, radius, value_col):
     cy = y0 + (gy + 0.5) * cell
     d2 = (px - cx) ** 2 + (py - cy) ** 2
     keep = (d2 <= radius * radius) & (gx >= 0) & (gx < nx) & (gy >= 0) & (gy < ny)
-    return gx[keep], gy[keep], pv[keep], d2[keep]
+    return gx[keep], gy[keep], pv[keep], d2[keep], px[keep], py[keep]
 
 
 def grid_points(ds, *, extent, cell: float, radius: float, method: str = "invdist",
@@ -51,7 +51,9 @@ def grid_points(ds, *, extent, cell: float, radius: float, method: str = "invdis
     | invdistnn (inverse distance over only the `max_points` NEAREST points
     within radius — GDALGridInverseDistanceToAPowerNearestNeighbor,
     alg/gdal_alg.h:402-416; two-level: per-batch nearest-N partials, then a
-    per-cell merge keeps the global nearest N).
+    per-cell merge keeps the global nearest N) | the data-metrics family
+    minimum | maximum | range | count | average_distance |
+    average_distance_pts (alg/gdal_alg.h:402-416 GDALGridDataMetric*).
 
     method='linear' is the reference's TIN interpolation (GGA_Linear,
     alg/delaunay.c builds ONE global triangulation): the point set is
@@ -97,8 +99,8 @@ def grid_points(ds, *, extent, cell: float, radius: float, method: str = "invdis
 
     if method == "nearest":
         def part(t: pa.Table) -> pa.Table:
-            gx, gy, pv, d2 = _fan_to_cells(t, x0=x0, y0=y0, nx=nx, ny=ny,
-                                           cell=cell, radius=radius, value_col=value_col)
+            gx, gy, pv, d2, _, _ = _fan_to_cells(t, x0=x0, y0=y0, nx=nx, ny=ny,
+                                                 cell=cell, radius=radius, value_col=value_col)
             df = pd.DataFrame({"gx": gx, "gy": gy, "d2": d2, "value": pv})
             idx = df.groupby(["gx", "gy"], sort=False)["d2"].idxmin()
             return pa.Table.from_pandas(df.loc[idx], preserve_index=False)
@@ -111,8 +113,8 @@ def grid_points(ds, *, extent, cell: float, radius: float, method: str = "invdis
 
     if method == "invdistnn":
         def part_nn(t: pa.Table) -> pa.Table:
-            gx, gy, pv, d2 = _fan_to_cells(t, x0=x0, y0=y0, nx=nx, ny=ny,
-                                           cell=cell, radius=radius, value_col=value_col)
+            gx, gy, pv, d2, _, _ = _fan_to_cells(t, x0=x0, y0=y0, nx=nx, ny=ny,
+                                                 cell=cell, radius=radius, value_col=value_col)
             df = pd.DataFrame({"gx": gx, "gy": gy, "d2": d2, "value": pv})
             df = df.sort_values(["gx", "gy", "d2", "value"], kind="mergesort")
             return pa.Table.from_pandas(
@@ -132,9 +134,95 @@ def grid_points(ds, *, extent, cell: float, radius: float, method: str = "invdis
 
         return partials.groupby(["gx", "gy"]).map_groups(fin_nn, batch_format="pandas")
 
+    if method in ("minimum", "maximum", "range", "count", "average_distance"):
+        # GDAL data-metrics family (GDALGridDataMetricMinimum/Maximum/
+        # Range/Count/AverageDistance, alg/gdal_alg.h:402-416 +
+        # alg/gdalgrid.cpp): all algebraic over the radius neighborhood,
+        # so they reuse the point-side fan-out + partial-merge shape
+        def part_dm(t: pa.Table) -> pa.Table:
+            gx, gy, pv, d2, _, _ = _fan_to_cells(
+                t, x0=x0, y0=y0, nx=nx, ny=ny, cell=cell, radius=radius,
+                value_col=value_col)
+            df = pd.DataFrame({"gx": gx, "gy": gy, "v": pv, "d": np.sqrt(d2)})
+            g = df.groupby(["gx", "gy"], sort=False).agg(
+                mn=("v", "min"), mx=("v", "max"), n=("v", "size"),
+                sd=("d", "sum")).reset_index()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        partials = ds.map_batches(part_dm, batch_format="pyarrow", batch_size=None)
+        summed = groupby_agg(partials, ["gx", "gy"], [
+            ("mn", "min", "mn"), ("mx", "max", "mx"),
+            ("n", "sum", "n"), ("sd", "sum", "sd")])
+
+        def fin_dm(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            if method == "minimum":
+                v = pc.cast(t["mn"], pa.float64())
+            elif method == "maximum":
+                v = pc.cast(t["mx"], pa.float64())
+            elif method == "range":
+                v = pc.subtract(pc.cast(t["mx"], pa.float64()),
+                                pc.cast(t["mn"], pa.float64()))
+            elif method == "count":
+                v = pc.cast(t["n"], pa.float64())
+            else:  # average_distance (cell center -> each point in radius)
+                v = pc.divide(pc.cast(t["sd"], pa.float64()),
+                              pc.cast(t["n"], pa.float64()))
+            return pa.table({"gx": t["gx"], "gy": t["gy"], "value": v})
+
+        return summed.map_batches(fin_dm, batch_format="pyarrow", batch_size=None)
+
+    if method == "average_distance_pts":
+        # GDALGridDataMetricAverageDistancePts: mean PAIRWISE distance
+        # between the points inside each cell's radius — not algebraic, so
+        # points co-locate per cell (hash partition + boundary scan; the
+        # per-cell point count is bounded by density * radius^2)
+        from gdal_ray.ops.relational import hash_partition_reduce
+
+        def fan_xy(t: pa.Table) -> pa.Table:
+            gx, gy, _, _, px, py = _fan_to_cells(
+                t, x0=x0, y0=y0, nx=nx, ny=ny, cell=cell, radius=radius,
+                value_col=value_col)
+            return pa.table({"gx": pa.array(gx), "gy": pa.array(gy),
+                             "px": pa.array(px), "py": pa.array(py)})
+
+        fanned = ds.map_batches(fan_xy, batch_format="pyarrow", batch_size=None)
+
+        def pairwise_part(t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return pa.table({"gx": pa.array([], pa.int64()),
+                                 "gy": pa.array([], pa.int64()),
+                                 "value": pa.array([], pa.float64())})
+            df = t.to_pandas().sort_values(["gx", "gy"], kind="mergesort",
+                                           ignore_index=True)
+            gxa = df["gx"].to_numpy()
+            gya = df["gy"].to_numpy()
+            pxa = df["px"].to_numpy()
+            pya = df["py"].to_numpy()
+            change = np.flatnonzero((gxa[1:] != gxa[:-1]) | (gya[1:] != gya[:-1])) + 1
+            bounds = np.concatenate([[0], change, [len(df)]])
+            out_gx, out_gy, out_v = [], [], []
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                if e - s < 2:
+                    continue  # GDAL emits nodata for <2 points
+                X, Y = pxa[s:e], pya[s:e]
+                dx = X[:, None] - X[None, :]
+                dy = Y[:, None] - Y[None, :]
+                dm = np.sqrt(dx * dx + dy * dy)
+                iu = np.triu_indices(e - s, k=1)
+                out_gx.append(gxa[s])
+                out_gy.append(gya[s])
+                out_v.append(float(dm[iu].mean()))
+            return pa.table({"gx": pa.array(out_gx, pa.int64()),
+                             "gy": pa.array(out_gy, pa.int64()),
+                             "value": pa.array(out_v, pa.float64())})
+
+        return hash_partition_reduce(fanned, ["gx", "gy"], pairwise_part)
+
     def part(t: pa.Table) -> pa.Table:
-        gx, gy, pv, d2 = _fan_to_cells(t, x0=x0, y0=y0, nx=nx, ny=ny,
-                                       cell=cell, radius=radius, value_col=value_col)
+        gx, gy, pv, d2, _, _ = _fan_to_cells(t, x0=x0, y0=y0, nx=nx, ny=ny,
+                                             cell=cell, radius=radius, value_col=value_col)
         if method == "invdist":
             w = 1.0 / np.maximum(np.power(np.sqrt(d2), power), 1e-12)
         else:  # average

@@ -111,29 +111,48 @@ def burn_features_to_tiles(ds, zoom: int, *, wkb_col="geometry",
     from gdal_ray.pipelines.steps import _envelope
 
     def fan_out(t: pa.Table) -> pa.Table:
-        rows_t, rows_x, rows_y, rows_g, rows_v = [], [], [], [], []
+        """bbox -> tile-range fan, VECTORIZED: one envelope pass (the only
+        per-feature step — WKB structure is variable), then batch tile
+        math and np.repeat expansion; geometry buffers replicate with an
+        Arrow take (no Python list building)."""
+        n = len(t)
         vals = (
-            t[burn_col].to_numpy(zero_copy_only=False)
+            t[burn_col].to_numpy(zero_copy_only=False).astype(np.float64)
             if burn_col
-            else np.full(len(t), burn_value)
+            else np.full(n, burn_value, np.float64)
         )
+        if n == 0:
+            return pa.table({
+                "tile_x": pa.array([], pa.int64()),
+                "tile_y": pa.array([], pa.int64()),
+                "geometry": pa.array([], pa.binary()),
+                "burn": pa.array([], pa.float64()),
+            })
+        env = np.empty((n, 4), np.float64)
         for i, buf in enumerate(t[wkb_col].to_pylist()):
-            geom = W.parse_wkb(buf)
-            x0, y0, x1, y1 = _envelope(geom)
-            tx0, ty1 = wm.lonlat_to_tile(np.array([x0]), np.array([y0]), zoom)
-            tx1, ty0 = wm.lonlat_to_tile(np.array([x1]), np.array([y1]), zoom)
-            for tx in range(int(tx0[0]), int(tx1[0]) + 1):
-                for ty in range(int(ty0[0]), int(ty1[0]) + 1):
-                    rows_x.append(tx)
-                    rows_y.append(ty)
-                    rows_g.append(buf)
-                    rows_v.append(vals[i])
+            env[i] = _envelope(W.parse_wkb(buf))
+        tx0, ty1 = wm.lonlat_to_tile(env[:, 0], env[:, 1], zoom)
+        tx1, ty0 = wm.lonlat_to_tile(env[:, 2], env[:, 3], zoom)
+        tx0 = np.asarray(tx0, np.int64)
+        tx1 = np.asarray(tx1, np.int64)
+        ty0 = np.asarray(ty0, np.int64)
+        ty1 = np.asarray(ty1, np.int64)
+        w = tx1 - tx0 + 1
+        h = ty1 - ty0 + 1
+        cnt = w * h
+        total = int(cnt.sum())
+        fidx = np.repeat(np.arange(n, dtype=np.int64), cnt)
+        start = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        k = np.arange(total, dtype=np.int64) - np.repeat(start, cnt)
+        wrep = np.repeat(w, cnt)
+        geom = t[wkb_col].take(pa.array(fidx))
+        geom = geom.combine_chunks() if isinstance(geom, pa.ChunkedArray) else geom
         return pa.table(
             {
-                "tile_x": pa.array(rows_x, pa.int64()),
-                "tile_y": pa.array(rows_y, pa.int64()),
-                "geometry": pa.array(rows_g, pa.binary()),
-                "burn": pa.array(np.asarray(rows_v, dtype=np.float64)),
+                "tile_x": pa.array(np.repeat(tx0, cnt) + k % wrep),
+                "tile_y": pa.array(np.repeat(ty0, cnt) + k // wrep),
+                "geometry": geom,
+                "burn": pa.array(vals[fidx]),
             }
         )
 
@@ -196,9 +215,34 @@ def burn_features_to_tiles(ds, zoom: int, *, wkb_col="geometry",
     )
 
 
+def _reduce2x2(r: np.ndarray, agg: str) -> np.ndarray:
+    """2x2 block reduce for one child tile: r has shape (T/2, 2, T/2, 2).
+    agg: sum | mean | rms | mode (gcore/overview.cpp resampler family —
+    mode is the categorical-raster reducer: most frequent of the 4, ties
+    broken toward the SMALLEST value, matching a deterministic reading of
+    GDAL's first-bucket tie behavior)."""
+    if agg == "sum":
+        return r.sum(axis=(1, 3))
+    if agg == "mean":
+        return r.mean(axis=(1, 3))
+    if agg == "rms":
+        return np.sqrt((r * r).mean(axis=(1, 3)))
+    if agg == "mode":
+        v = r.transpose(0, 2, 1, 3).reshape(r.shape[0], r.shape[2], 4)
+        counts = np.zeros(v.shape, dtype=np.int8)
+        for i in range(4):
+            for j in range(4):
+                counts[:, :, i] += (v[:, :, i] == v[:, :, j]).astype(np.int8)
+        maxc = counts.max(axis=2, keepdims=True)
+        cand = np.where(counts == maxc, v, np.inf)
+        return cand.min(axis=2)
+    raise ValueError(f"unknown overview agg {agg}")
+
+
 def overview_reduce(tiles_ds, *, dtype=np.uint32, agg: str = "sum"):
     """One zoom level up: parent tile from <= 4 children, 2x2 block reduce
-    (sum for counts, mean for imagery)."""
+    (sum for counts, mean for imagery, rms, mode for categorical —
+    gcore/overview.cpp:4914 resampler family)."""
 
     def shift(t: pa.Table) -> pa.Table:
         tx = t["tile_x"].to_numpy(zero_copy_only=False)
@@ -233,7 +277,7 @@ def overview_reduce(tiles_ds, *, dtype=np.uint32, agg: str = "sum"):
             for i in range(s, e):
                 child = np.frombuffer(g["data"].iloc[i], dtype=dtype).reshape(TILE, TILE)
                 r = child.reshape(TILE // 2, 2, TILE // 2, 2).astype(np.float64)
-                small = r.sum(axis=(1, 3)) if agg == "sum" else r.mean(axis=(1, 3))
+                small = _reduce2x2(r, agg)
                 ox = (int(g["tile_x"].iloc[i]) & 1) * (TILE // 2)
                 oy = (int(g["tile_y"].iloc[i]) & 1) * (TILE // 2)
                 parent[oy : oy + TILE // 2, ox : ox + TILE // 2] = small
@@ -250,6 +294,55 @@ def overview_reduce(tiles_ds, *, dtype=np.uint32, agg: str = "sum"):
         shifted.map_batches(add_part, batch_format="pyarrow", batch_size=None)
         .groupby("part").map_groups(compose_partition, batch_format="pandas")
     )
+
+
+def band_histogram(tiles_ds, *, dtype=np.uint32, nbuckets: int = 256,
+                   bucket_min: float = -0.5, bucket_max: float = 255.5,
+                   include_out_of_range: bool = False,
+                   approx_ok: bool = False, approx_stride: int = 4,
+                   nodata=None):
+    """GDALRasterBand::GetHistogram semantics (gcore/gdalrasterband.cpp:
+    4224-4250): nbuckets equal-width buckets over [bucket_min, bucket_max);
+    bucket = floor((v - min) * nbuckets / (max - min)). Out-of-range values
+    are clamped into the end buckets when include_out_of_range (GDAL's
+    bIncludeOutOfRange), else dropped. approx_ok mirrors GDAL's bApproxOK:
+    sample every approx_stride-th pixel in BOTH axes (GDAL reads overviews
+    / decimated scanlines; deterministic here). Default bucket bounds are
+    GDAL's byte-band default (-0.5..255.5, 256 buckets).
+
+    Returns SPARSE rows (bucket, n) — only non-empty buckets (GDAL returns
+    the dense vector; densify with a small join client-side if needed).
+    Distributed shape: per-batch np.bincount partial -> groupby_agg sum
+    (the shuffle moves at most nbuckets rows per block)."""
+    from gdal_ray.ops.relational import groupby_agg
+
+    scale = nbuckets / (bucket_max - bucket_min)
+
+    def part(t: pa.Table) -> pa.Table:
+        counts = np.zeros(nbuckets, dtype=np.int64)
+        for buf in t["data"].to_pylist():
+            arr = np.frombuffer(buf, dtype=dtype)
+            if approx_ok:
+                side = int(np.sqrt(arr.size))
+                if side * side == arr.size:
+                    arr = arr.reshape(side, side)[::approx_stride, ::approx_stride].ravel()
+                else:
+                    arr = arr[::approx_stride]
+            v = arr.astype(np.float64)
+            if nodata is not None:
+                v = v[v != nodata]
+            idx = np.floor((v - bucket_min) * scale).astype(np.int64)
+            if include_out_of_range:
+                idx = np.clip(idx, 0, nbuckets - 1)
+            else:
+                idx = idx[(idx >= 0) & (idx < nbuckets)]
+            counts += np.bincount(idx, minlength=nbuckets)
+        nz = np.flatnonzero(counts)
+        return pa.table({"bucket": pa.array(nz, pa.int64()),
+                         "n": pa.array(counts[nz], pa.int64())})
+
+    partials = tiles_ds.map_batches(part, batch_format="pyarrow", batch_size=None)
+    return groupby_agg(partials, ["bucket"], [("n", "sum", "n")])
 
 
 def band_statistics(tiles_ds, *, dtype=np.uint32, nodata=None):
@@ -479,6 +572,102 @@ def sample_tiles_at_points(tiles_ds, points_ds, zoom: int, *,
     )
 
 
+def _kern_weights(method: str, t: np.ndarray) -> np.ndarray:
+    """1-D separable warp-kernel weight at signed distance t (pixel units).
+    The GDAL resampling kernels (gdalwarper.h:37-67, alg/gdalwarpkernel.cpp):
+    cubic = cubic convolution with A=-0.5 (GRA_Cubic), cubicspline = cubic
+    B-spline (GRA_CubicSpline, approximating — reproduces linear fields
+    exactly but does not interpolate samples), lanczos = a=3 windowed sinc
+    (GRA_Lanczos)."""
+    at = np.abs(t)
+    if method == "bilinear":
+        return np.maximum(1.0 - at, 0.0)
+    if method == "cubic":
+        A = -0.5
+        return np.where(
+            at <= 1.0, (A + 2) * at**3 - (A + 3) * at**2 + 1.0,
+            np.where(at < 2.0, A * (at**3 - 5 * at**2 + 8 * at - 4), 0.0))
+    if method == "cubicspline":
+        return np.where(
+            at < 1.0, (4.0 - 6 * at**2 + 3 * at**3) / 6.0,
+            np.where(at < 2.0, (2.0 - at) ** 3 / 6.0, 0.0))
+    if method == "lanczos":
+        return np.where(at < 3.0, np.sinc(t) * np.sinc(t / 3.0), 0.0)
+    raise ValueError(f"unknown kernel {method}")
+
+
+_KERNEL_RADIUS = {"bilinear": 1, "cubic": 2, "cubicspline": 2, "lanczos": 3}
+
+
+def _sample_kernel(src: dict, px: np.ndarray, py: np.ndarray,
+                   method: str, nodata) -> np.ndarray:
+    """Sample the global mercator pixel grid (dict (tile_x, tile_y) ->
+    TILExTILE array) at fractional pixel positions with the chosen kernel.
+    Pixel-center convention (value i at coordinate i+0.5). Source pixels
+    outside the available tiles get zero weight; the output normalizes by
+    the valid-weight sum (GDAL's behavior at edges) and stays `nodata`
+    where nothing contributes. method: nearest | bilinear | cubic |
+    cubicspline | lanczos | mode (categorical: most frequent of the 2x2
+    footprint, smallest value on ties — deterministic)."""
+    out = np.full(px.size, np.float64(nodata), dtype=np.float64)
+    if method == "nearest":
+        gx = px.astype(np.int64)
+        gy = py.astype(np.int64)
+        txs, tys = gx // TILE, gy // TILE
+        ox, oy = gx % TILE, gy % TILE
+        for (tx, ty), arr in src.items():
+            m = (txs == tx) & (tys == ty)
+            out[m] = arr[oy[m], ox[m]]
+        return out
+    fx = px - 0.5
+    fy = py - 0.5
+    x0 = np.floor(fx).astype(np.int64)
+    y0 = np.floor(fy).astype(np.int64)
+    ax = fx - x0
+    ay = fy - y0
+    if method == "mode":
+        vals = np.full((px.size, 4), np.nan)
+        for k, (dx, dy) in enumerate(((0, 0), (1, 0), (0, 1), (1, 1))):
+            gx, gy = x0 + dx, y0 + dy
+            txs, tys = gx // TILE, gy // TILE
+            ox, oy = gx % TILE, gy % TILE
+            for (tx, ty), arr in src.items():
+                m = (txs == tx) & (tys == ty)
+                vals[m, k] = arr[oy[m], ox[m]]
+        counts = np.zeros((px.size, 4), dtype=np.int8)
+        for i in range(4):
+            for j in range(4):
+                counts[:, i] += (vals[:, i] == vals[:, j]).astype(np.int8)
+        # most frequent valid value; ties broken toward the SMALLEST value
+        counts[np.isnan(vals)] = 0
+        maxc = counts.max(axis=1, keepdims=True)
+        cand = np.where((counts == maxc) & (counts > 0), vals, np.inf)
+        picked = cand.min(axis=1)
+        has = np.isfinite(picked)
+        out[has] = picked[has]
+        return out
+    r = _KERNEL_RADIUS[method]
+    acc = np.zeros_like(out)
+    wsum = np.zeros_like(out)
+    for dy in range(-r + 1, r + 1):
+        wy = _kern_weights(method, dy - ay)
+        for dx in range(-r + 1, r + 1):
+            w = _kern_weights(method, dx - ax) * wy
+            nzw = w != 0.0
+            if not nzw.any():
+                continue
+            gx, gy = x0 + dx, y0 + dy
+            txs, tys = gx // TILE, gy // TILE
+            ox, oy = gx % TILE, gy % TILE
+            for (tx, ty), arr in src.items():
+                m = (txs == tx) & (tys == ty) & nzw
+                acc[m] += w[m] * arr[oy[m], ox[m]]
+                wsum[m] += w[m]
+    has = np.abs(wsum) > 1e-9
+    out[has] = acc[has] / wsum[has]
+    return out
+
+
 def warp_tiles_to_platecarree(tiles_ds, zoom: int, *, out_cell_deg: float,
                               method: str = "nearest", dtype=np.uint32,
                               nodata=0, out_block: int = 64):
@@ -538,37 +727,9 @@ def warp_tiles_to_platecarree(tiles_ds, zoom: int, *, out_cell_deg: float,
         lats = 90.0 - (by * out_block + np.arange(out_block) + 0.5) * out_cell_deg
         LON, LAT = np.meshgrid(lons, lats)
         px, py = wm.lonlat_to_pixel(LON.ravel(), LAT.ravel(), zoom)
-        out = np.full(out_block * out_block, nodata, dtype=np.float64)
-        if method == "nearest":
-            gx = px.astype(np.int64)
-            gy = py.astype(np.int64)
-            txs, tys = gx // TILE, gy // TILE
-            ox, oy = gx % TILE, gy % TILE
-            for (tx, ty), arr in src.items():
-                m = (txs == tx) & (tys == ty)
-                out[m] = arr[oy[m], ox[m]]
-        else:  # bilinear over the global mercator pixel grid
-            fx = px - 0.5
-            fy = py - 0.5
-            x0 = np.floor(fx).astype(np.int64)
-            y0 = np.floor(fy).astype(np.int64)
-            wx = fx - x0
-            wy = fy - y0
-            acc = np.zeros_like(out)
-            wsum = np.zeros_like(out)
-            for dx, dy, w in (
-                (0, 0, (1 - wx) * (1 - wy)), (1, 0, wx * (1 - wy)),
-                (0, 1, (1 - wx) * wy), (1, 1, wx * wy),
-            ):
-                gx, gy = x0 + dx, y0 + dy
-                txs, tys = gx // TILE, gy // TILE
-                ox, oy = gx % TILE, gy % TILE
-                for (tx, ty), arr in src.items():
-                    m = (txs == tx) & (tys == ty)
-                    acc[m] += w[m] * arr[oy[m], ox[m]]
-                    wsum[m] += w[m]
-            has = wsum > 0
-            out[has] = acc[has] / wsum[has]
+        # shared kernel sampler: nearest | bilinear | cubic | cubicspline |
+        # lanczos | mode (gdalwarper.h:37-67)
+        out = _sample_kernel(src, px, py, method, nodata)
         arr = out.reshape(out_block, out_block).astype(dtype)
         return pd.DataFrame(
             {"block_x": [bx], "block_y": [by], "data": [arr.tobytes()],
@@ -656,15 +817,9 @@ def warp_tiles_to_crs(tiles_ds, zoom: int, transformer, *, extent,
         out = np.full(out_block * out_block, nodata, dtype=np.float64)
         if ok.any():
             px, py = wm.lonlat_to_pixel(lon[ok], lat[ok], zoom)
-            gx = px.astype(np.int64)
-            gy = py.astype(np.int64)
-            txs, tys = gx // TILE, gy // TILE
-            ox, oy = gx % TILE, gy % TILE
-            vals = np.full(int(ok.sum()), nodata, dtype=np.float64)
-            for (tx, ty), arr in src.items():
-                m = (txs == tx) & (tys == ty)
-                vals[m] = arr[oy[m], ox[m]]
-            out[ok] = vals
+            # full kernel family (round 2 ignored `method` here: nearest
+            # only — now routed through the shared sampler)
+            out[ok] = _sample_kernel(src, px, py, method, nodata)
         arr = out.reshape(out_block, out_block).astype(dtype)
         return pd.DataFrame(
             {"block_x": [bx], "block_y": [by], "data": [arr.tobytes()],

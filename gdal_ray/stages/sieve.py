@@ -94,12 +94,34 @@ def sieve_tiles_ds(tiles_ds, threshold: int, *, connectivity: int = 4,
 
     def extract(t: pa.Table) -> pa.Table:
         cols = {k: [] for k in ("kind", "tx", "ty", "lab", "value", "count",
-                                "o", "gx", "gy")}
+                                "o", "gx", "gy", "ghost")}
         for txv, tyv, buf in zip(t["tile_x"].to_pylist(), t["tile_y"].to_pylist(),
                                  t["data"].to_pylist()):
             arr = np.frombuffer(buf, dtype=dtype).reshape(TILE, TILE)
             stats, intra, borders = _tile_sieve_pieces(
                 arr, (int(txv), int(tyv)), connectivity, nodata)
+            if connectivity == 8:
+                # GHOST copies shifted +1 along the edge direction: a ghost
+                # at key k is the cell at k-1, so every DIAGONAL cross-tile
+                # neighbor pair meets at one shared key (including the
+                # 4-tile corner, where the corner cells of diagonal tiles
+                # lie on the same horizontal edge line). Ghosts join only
+                # same-value EQUIVALENCE pairs — the sieve's merge-target
+                # adjacency stays face-connected, matching the single-array
+                # sieve (its neighbor graph is h/v even at connectivity=8).
+                nb0 = borders["lab"].size
+                ghost = {k: np.concatenate([v, v]) for k, v in borders.items()}
+                ghost["gx"] = np.concatenate([
+                    borders["gx"],
+                    borders["gx"] + (borders["orient"] == 0).astype(np.int64)])
+                ghost["gy"] = np.concatenate([
+                    borders["gy"],
+                    borders["gy"] + (borders["orient"] == 1).astype(np.int64)])
+                borders = ghost
+                borders["__ghost"] = np.concatenate(
+                    [np.zeros(nb0, np.int8), np.ones(nb0, np.int8)])
+            else:
+                borders["__ghost"] = np.zeros(borders["lab"].size, np.int8)
             ns, ni, nb = stats["lab"].size, intra["lab_a"].size, borders["lab"].size
             cols["kind"].append(np.concatenate(
                 [np.zeros(ns, np.int8), np.ones(ni, np.int8), np.full(nb, 2, np.int8)]))
@@ -117,6 +139,8 @@ def sieve_tiles_ds(tiles_ds, threshold: int, *, connectivity: int = 4,
                 [np.zeros(ns, np.int64), np.zeros(ni, np.int64), borders["gx"]]))
             cols["gy"].append(np.concatenate(
                 [np.zeros(ns, np.int64), np.zeros(ni, np.int64), borders["gy"]]))
+            cols["ghost"].append(np.concatenate(
+                [np.zeros(ns, np.int8), np.zeros(ni, np.int8), borders["__ghost"]]))
         return pa.table({k: pa.array(np.concatenate(v)) for k, v in cols.items()})
 
     pieces = tiles_ds.map_batches(extract, batch_format="pyarrow", batch_size=None).materialize()
@@ -135,22 +159,44 @@ def sieve_tiles_ds(tiles_ds, threshold: int, *, connectivity: int = 4,
         return pa.table({
             "part": pa.array(part.astype(np.int64)),
             "o": t["o"], "gx": t["gx"], "gy": t["gy"], "value": t["value"],
-            "tx": t["tx"], "ty": t["ty"], "lab": t["lab"],
+            "tx": t["tx"], "ty": t["ty"], "lab": t["lab"], "ghost": t["ghost"],
         })
 
     def pair_partition(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o", "gx", "gy", "tx", "ty"], kind="mergesort").reset_index(drop=True)
+        g = g.sort_values(["o", "gx", "gy", "ghost", "tx", "ty"],
+                          kind="mergesort").reset_index(drop=True)
         key = g[["o", "gx", "gy"]].to_numpy()
-        same = (key[:-1] == key[1:]).all(axis=1)
-        first = np.nonzero(same)[0]
         va = g["value"].to_numpy()
-        eq = va[first] == va[first + 1]
+        gh = g["ghost"].to_numpy()
         cols = {n: g[n].to_numpy() for n in ("tx", "ty", "lab")}
-        return pd.DataFrame({
-            "eq": eq.astype(np.int8),
-            "tx_a": cols["tx"][first], "ty_a": cols["ty"][first], "lab_a": cols["lab"][first],
-            "tx_b": cols["tx"][first + 1], "ty_b": cols["ty"][first + 1], "lab_b": cols["lab"][first + 1],
-        })
+        out = {"eq": [], "tx_a": [], "ty_a": [], "lab_a": [],
+               "tx_b": [], "ty_b": [], "lab_b": []}
+        # a key group holds <= 2 entries per side (real + conn8 ghost):
+        # enumerate in-group pairs at offsets 1..3, vectorized
+        max_off = 3 if connectivity == 8 else 1
+        for off in range(1, max_off + 1):
+            if len(g) <= off:
+                break
+            same = (key[:-off] == key[off:]).all(axis=1)
+            a = np.nonzero(same)[0]
+            if a.size == 0:
+                continue
+            b = a + off
+            difftile = (cols["tx"][a] != cols["tx"][b]) | (cols["ty"][a] != cols["ty"][b])
+            ghsum = gh[a].astype(np.int64) + gh[b]
+            eqv = va[a] == va[b]
+            # face pairs (no ghost): equivalence or adjacency;
+            # real+ghost = diagonal: same-value equivalence ONLY;
+            # ghost+ghost duplicates a face pair at the previous key: skip
+            keep = difftile & ((ghsum == 0) | ((ghsum == 1) & eqv))
+            a, b = a[keep], b[keep]
+            out["eq"].append(eqv[keep].astype(np.int8))
+            for n, arr_ in (("tx", cols["tx"]), ("ty", cols["ty"]), ("lab", cols["lab"])):
+                out[f"{n}_a"].append(arr_[a])
+                out[f"{n}_b"].append(arr_[b])
+        if not out["eq"]:
+            return pd.DataFrame({k: np.array([], np.int64) for k in out})
+        return pd.DataFrame({k: np.concatenate(v) for k, v in out.items()})
 
     pair_batches = list(
         pieces.map_batches(borders_parted, batch_format="pyarrow", batch_size=None)

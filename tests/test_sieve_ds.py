@@ -55,3 +55,40 @@ def test_sieve_ds_threshold_keeps_everything():
     arr[0:50, 0:50] = 7
     got = _reassemble(to_arrow(sieve_tiles_ds(_tiles_from(arr, n), threshold=10)), n)
     assert (got == arr).all()
+
+
+def test_sieve_ds_connectivity8_corner_diagonal():
+    """connectivity=8: a region touching only DIAGONALLY at the 4-tile
+    corner must be united cross-tile (round-2 only paired face-adjacent
+    border cells, so the two halves sieved independently)."""
+    n = 2
+    arr = np.ones((n * TILE, n * TILE), np.uint32)
+    # two 40-px squares meeting only at the tile corner (255,255)/(256,256)
+    arr[TILE - 8 : TILE, TILE - 5 : TILE] = 9      # 40 px, upper-left of corner
+    arr[TILE : TILE + 8, TILE : TILE + 5] = 9      # 40 px, lower-right of corner
+    # under conn8 they are ONE 80-px region -> survives threshold=60;
+    # under conn4 each half (40 px) merges into background
+    tiles = _tiles_from(arr, n)
+    got8 = _reassemble(to_arrow(sieve_tiles_ds(tiles, threshold=60, connectivity=8)), n)
+    exp8 = sieve(arr.copy(), threshold=60, connectivity=8)
+    assert (got8 == exp8).all()
+    assert (got8[TILE - 8 : TILE, TILE - 5 : TILE] == 9).all()
+    got4 = _reassemble(to_arrow(sieve_tiles_ds(_tiles_from(arr, n), threshold=60, connectivity=4)), n)
+    assert (got4 == 1).all()
+
+
+def test_sieve_ds_connectivity8_edge_diagonal():
+    """conn8 diagonal adjacency ALONG a shared edge (not at a corner):
+    staircase region crossing the horizontal tile boundary diagonally."""
+    n = 2
+    arr = np.ones((n * TILE, n * TILE), np.uint32)
+    # cells (255, 100..139) and (256, 101..140): offset by one column, so
+    # they touch only diagonally across the tile edge
+    arr[TILE - 1, 100:140] = 5
+    arr[TILE, 101:141] = 5
+    tiles = _tiles_from(arr, n)
+    got = _reassemble(to_arrow(sieve_tiles_ds(tiles, threshold=60, connectivity=8)), n)
+    exp = sieve(arr.copy(), threshold=60, connectivity=8)
+    assert (got == exp).all()
+    # the 80-px staircase survives threshold=60 only if united
+    assert (got[TILE - 1, 100:140] == 5).all()

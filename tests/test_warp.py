@@ -122,3 +122,92 @@ def test_warp_to_utm_analytic_field():
         assert frac_exact > 0.97, frac_exact
         checked += int(m.sum())
     assert checked > 1000
+
+
+def test_warp_kernel_family_linear_field_and_tiled_equals_single():
+    """cubic / cubicspline / lanczos / mode kernels:
+    (1) on a LINEAR field (in mercator pixel coords) bilinear, cubic and
+        cubicspline reproduce the field exactly (all three kernels are
+        exact on linear polynomials); lanczos is near-exact;
+    (2) each kernel's tiled (distributed) output equals a single-array
+        reference evaluation built from the same mosaic — cross-tile seams
+        introduce no error."""
+    from gdal_ray.stages.raster import _sample_kernel
+
+    zoom = 3
+    n = (1 << zoom) * TILE
+
+    def lin_field(gx, gy):
+        # linear in GLOBAL mercator pixel coords (the interpolation domain)
+        return (3.0 * gx + 2.0 * gy + 100.0)
+
+    # mosaic 2x2 tiles around lon~33,lat~40 and a dict for the sampler
+    txs = range(4, 6)
+    tys = range(2, 4)
+    rows = []
+    src = {}
+    for tx in txs:
+        for ty in tys:
+            gx = tx * TILE + np.arange(TILE) + 0.5
+            gy = ty * TILE + np.arange(TILE) + 0.5
+            GX, GY = np.meshgrid(gx, gy)
+            arr = lin_field(GX, GY)
+            src[(tx, ty)] = arr
+            rows.append({"zoom": zoom, "tile_x": tx, "tile_y": ty,
+                         "data": arr.astype(np.float64).tobytes()})
+    tiles = rd.from_pandas(pd.DataFrame(rows))
+
+    # sample positions well inside the mosaic (away from outer edges)
+    rng = np.random.RandomState(3)
+    px = (4 * TILE + 20) + rng.uniform(0, 2 * TILE - 40, size=500)
+    py = (2 * TILE + 20) + rng.uniform(0, 2 * TILE - 40, size=500)
+    truth = lin_field(px, py)
+    for method, tol in (("bilinear", 1e-9), ("cubic", 1e-9),
+                        ("cubicspline", 1e-9), ("lanczos", 0.2)):
+        got = _sample_kernel(src, px, py, method, nodata=0)
+        err = np.abs(got - truth)
+        assert err.max() < tol, (method, err.max())
+
+    # distributed warp == single-array reference for every kernel
+    from gdal_ray.stages.raster import warp_tiles_to_platecarree
+
+    for method in ("cubic", "cubicspline", "lanczos", "mode"):
+        out = to_arrow(warp_tiles_to_platecarree(
+            tiles, zoom, out_cell_deg=0.5, method=method, out_block=32,
+            dtype=np.float64)).to_pandas()
+        for _, blk in out.iterrows():
+            bx, by = int(blk["block_x"]), int(blk["block_y"])
+            lons = -180.0 + (bx * 32 + np.arange(32) + 0.5) * 0.5
+            lats = 90.0 - (by * 32 + np.arange(32) + 0.5) * 0.5
+            LON, LAT = np.meshgrid(lons, lats)
+            ppx, ppy = wm.lonlat_to_pixel(LON.ravel(), LAT.ravel(), zoom)
+            ref = _sample_kernel(src, ppx, ppy, method, nodata=0)
+            got = np.frombuffer(blk["data"], np.float64)
+            assert np.array_equal(got, ref), (method, bx, by)
+
+
+def test_warp_mode_preserves_categories():
+    """mode warp on a categorical raster: every output value is one of the
+    input category labels (no blending), and constant regions stay exact."""
+    from gdal_ray.stages.raster import _sample_kernel
+
+    src = {(0, 0): np.full((TILE, TILE), 7.0)}
+    src[(0, 0)][:, :128] = 3.0
+    rng = np.random.RandomState(1)
+    px = rng.uniform(2, TILE - 2, size=300)
+    py = rng.uniform(2, TILE - 2, size=300)
+    got = _sample_kernel(src, px, py, "mode", nodata=0)
+    assert set(np.unique(got)) <= {3.0, 7.0}
+    deep_left = (px < 100)
+    assert np.all(got[deep_left] == 3.0)
+
+
+def test_overview_reduce_mode_and_rms():
+    from gdal_ray.stages.raster import _reduce2x2
+
+    r = np.array([[1, 1], [2, 3]], dtype=np.float64).reshape(1, 2, 1, 2)
+    assert _reduce2x2(r, "mode")[0, 0] == 1.0      # majority
+    r2 = np.array([[5, 5], [2, 2]], dtype=np.float64).reshape(1, 2, 1, 2)
+    assert _reduce2x2(r2, "mode")[0, 0] == 2.0     # tie -> smallest
+    r3 = np.array([[3, 4], [0, 0]], dtype=np.float64).reshape(1, 2, 1, 2)
+    assert abs(_reduce2x2(r3, "rms")[0, 0] - np.sqrt((9 + 16) / 4)) < 1e-12
