@@ -64,6 +64,44 @@ def register_sql_function(name: str, fn):
     _SQL_FUNCTIONS[name.lower()] = fn
 
 
+_HSTORE_RE = re.compile(
+    r'(?:"((?:[^"\\]|\\.)*)"|([^\s"=,]+))\s*=>\s*'
+    r'(?:"((?:[^"\\]|\\.)*)"|(NULL)|([^\s",]+))', re.IGNORECASE)
+
+
+def _parse_hstore(s: str) -> dict:
+    out = {}
+    for m in _HSTORE_RE.finditer(s):
+        k = m.group(1) if m.group(1) is not None else m.group(2)
+        if m.group(4) is not None:
+            v = None
+        else:
+            v = m.group(3) if m.group(3) is not None else m.group(5)
+        if k is not None:
+            k = k.replace('\\"', '"').replace("\\\\", "\\")
+        if v is not None:
+            v = v.replace('\\"', '"').replace("\\\\", "\\")
+        out[k] = v
+    return out
+
+
+def _hstore_get_value(col, key):
+    """HSTORE_GET_VALUE(field, 'key') — the reference's hstore accessor
+    (ogr/ogrfeaturequery.cpp:37-38, swq custom function): parses the
+    Postgres hstore text format ('"a"=>"1", b=>2')."""
+    k = key.as_py() if isinstance(key, pa.Scalar) else str(key)
+    if isinstance(col, pa.Scalar):
+        s = col.as_py()
+        return pa.scalar(None if s is None else _parse_hstore(s).get(k),
+                         pa.string())
+    vals = [None if s is None else _parse_hstore(s).get(k)
+            for s in col.to_pylist()]
+    return pa.array(vals, pa.string())
+
+
+_SQL_FUNCTIONS["hstore_get_value"] = _hstore_get_value
+
+
 # ---------------------------------------------------------------------------
 # tokenizer
 # ---------------------------------------------------------------------------
@@ -473,6 +511,11 @@ def eval_expr(node: Node, t: pa.Table):
                 None if b is None else _W.geom_to_wkt(_W.parse_wkb(b))
                 for b in t["geometry"].to_pylist()
             ], type=pa.string())
+        if node.value == "OGR_STYLE" and "OGR_STYLE" not in t.column_names:
+            # style special field (ogr/ogr_swq.h:66 SWQ_STYLE): features
+            # carry style in an OGR_STYLE column when present; absent
+            # means no style -> NULL (the reference's unset-style value)
+            return pa.nulls(len(t), pa.string())
         if node.value == "OGR_GEOMETRY" and "OGR_GEOMETRY" not in t.column_names:
             # geometry type name, as used in WHERE OGR_GEOMETRY = 'POINT'
             # (ogr_sql_dialect.rst special fields)

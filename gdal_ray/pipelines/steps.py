@@ -75,6 +75,16 @@ def _read(path: str, columns=None, filter=None):
     return run
 
 
+@step("open")
+def _open(uri: str):
+    """Driver-registry open (`scheme://path`) — the Python driver loader
+    surface (gcore/gdalpythondriverloader.cpp): built-ins parquet/
+    geoparquet/csv/geojson plus gdal_ray.sources.register_driver'd ones."""
+    from gdal_ray.sources import open_source
+
+    return lambda _: open_source(uri)
+
+
 @step("read_csv")
 def _read_csv(path: str, geometry: str = "auto", x_col=None, y_col=None,
               wkt_col=None):

@@ -1,0 +1,85 @@
+"""Source/sink registry — the Python-driver-loader extension surface.
+
+The reference lets users register format drivers implemented in Python
+(gcore/gdalpythondriverloader.cpp; SURVEY §2.12): a driver advertises a
+name and an Open() that yields features. The Ray restatement: a driver is
+a callable `reader(path, **kwargs) -> ray.data.Dataset`; `open_source`
+dispatches on the `scheme://` prefix (or file extension) to the built-in
+drivers (parquet, geoparquet, csv, geojson) or any user-registered one.
+
+    from gdal_ray.sources import register_driver, open_source
+
+    def read_mylog(path, **kw):
+        import ray.data as rd
+        return rd.read_text(path).map_batches(parse_lines, ...)
+
+    register_driver("mylog", read_mylog)
+    ds = open_source("mylog:///data/x.log")
+"""
+
+from __future__ import annotations
+
+_DRIVERS: dict = {}
+
+
+def register_driver(name: str, reader) -> None:
+    """Register `reader(path, **kwargs) -> Dataset` under a scheme name."""
+    _DRIVERS[name.lower()] = reader
+
+
+def unregister_driver(name: str) -> None:
+    _DRIVERS.pop(name.lower(), None)
+
+
+def _builtin(scheme: str):
+    if scheme == "parquet":
+        import ray.data as rd
+
+        return rd.read_parquet
+    if scheme == "geoparquet":
+        from gdal_ray.sources.geoparquet import read_geoparquet
+
+        return read_geoparquet
+    if scheme == "csv":
+        from gdal_ray.sources.text import read_csv
+
+        return read_csv
+    if scheme == "geojson":
+        from gdal_ray.sources.text import read_geojson
+
+        return read_geojson
+    return None
+
+
+_EXTENSIONS = {
+    ".parquet": "parquet",
+    ".csv": "csv",
+    ".geojson": "geojson",
+    ".json": "geojson",
+}
+
+
+def open_source(uri: str, **kwargs):
+    """Open `scheme://path` (or a bare path, dispatched on extension) with
+    the matching driver. User-registered drivers shadow built-ins, like the
+    reference's driver-registration order."""
+    if "://" in uri:
+        scheme, path = uri.split("://", 1)
+        scheme = scheme.lower()
+    else:
+        path = uri
+        scheme = None
+        for ext, s in _EXTENSIONS.items():
+            if uri.lower().endswith(ext):
+                scheme = s
+                break
+        if scheme is None:
+            raise ValueError(
+                f"cannot infer driver for {uri!r}; use scheme://path or "
+                f"register_driver")
+    reader = _DRIVERS.get(scheme) or _builtin(scheme)
+    if reader is None:
+        raise ValueError(
+            f"no driver for scheme {scheme!r} (registered: "
+            f"{sorted(_DRIVERS)}; built-in: parquet, geoparquet, csv, geojson)")
+    return reader(path, **kwargs)

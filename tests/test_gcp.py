@@ -1,0 +1,145 @@
+"""GCP polynomial / TPS / RPC transformers (alg/gdal_crs.cpp,
+alg/thinplatespline.cpp, alg/gdal_rpc.cpp analogs)."""
+
+import numpy as np
+import pytest
+
+from gdal_ray.geo.gcp import GCPPolynomial, RPCTransformer, ThinPlateSpline
+
+
+def _affine_gcps(n=12, seed=0):
+    rng = np.random.RandomState(seed)
+    px = rng.uniform(0, 1000, n)
+    py = rng.uniform(0, 800, n)
+    # true affine: x = 100 + 0.5 px - 0.1 py ; y = 40 - 0.05 px - 0.4 py
+    x = 100 + 0.5 * px - 0.1 * py
+    y = 40 - 0.05 * px - 0.4 * py
+    return np.column_stack([px, py, x, y]), (px, py, x, y)
+
+
+def test_gcp_polynomial_order1_recovers_affine_exactly():
+    gcps, (px, py, x, y) = _affine_gcps()
+    tr = GCPPolynomial(gcps, order=1)
+    fx, fy = tr.forward(px, py)
+    assert np.abs(fx - x).max() < 1e-9 and np.abs(fy - y).max() < 1e-9
+    ix, iy = tr.inverse(x, y)
+    assert np.abs(ix - px).max() < 1e-8 and np.abs(iy - py).max() < 1e-8
+    assert tr.residuals(gcps).max() < 1e-9
+
+
+def test_gcp_polynomial_order2_recovers_quadratic():
+    rng = np.random.RandomState(1)
+    px = rng.uniform(0, 100, 20)
+    py = rng.uniform(0, 100, 20)
+    x = 5 + px + 0.01 * px * py
+    y = py - 0.002 * px * px
+    tr = GCPPolynomial(np.column_stack([px, py, x, y]), order=2)
+    fx, fy = tr.forward(px, py)
+    assert np.abs(fx - x).max() < 1e-8 and np.abs(fy - y).max() < 1e-8
+
+
+def test_gcp_polynomial_min_points():
+    with pytest.raises(ValueError, match="order 3 needs"):
+        GCPPolynomial(np.zeros((5, 4)), order=3)
+
+
+def test_tps_interpolates_gcps_exactly_and_bends():
+    rng = np.random.RandomState(2)
+    px = rng.uniform(0, 10, 15)
+    py = rng.uniform(0, 10, 15)
+    # warped target with a non-polynomial bump
+    x = px + np.sin(py)
+    y = py + 0.3 * np.cos(px)
+    gcps = np.column_stack([px, py, x, y])
+    tps = ThinPlateSpline(gcps)
+    fx, fy = tps.forward(px, py)
+    # TPS passes through every control point exactly
+    assert np.abs(fx - x).max() < 1e-8 and np.abs(fy - y).max() < 1e-8
+    # in-hull interpolation stays close to the smooth truth
+    qx, qy = np.array([5.0]), np.array([5.0])
+    gx, gy = tps.forward(qx, qy)
+    assert abs(gx[0] - (5 + np.sin(5))) < 0.1
+    assert abs(gy[0] - (5 + 0.3 * np.cos(5))) < 0.1
+
+
+def test_rpc_affine_embedding_and_newton_inverse():
+    """An RPC whose numerators are affine and denominators 1 reduces to an
+    exact affine camera — forward must match analytic, inverse must invert
+    to <1e-9 normalized units."""
+    num_l = np.zeros(20)
+    num_l[0], num_l[1], num_l[2] = 0.02, 0.3, -1.1   # 1, L, P terms
+    den = np.zeros(20)
+    den[0] = 1.0
+    num_s = np.zeros(20)
+    num_s[0], num_s[1], num_s[2] = -0.01, 1.2, 0.25
+    rpc = RPCTransformer(
+        line_off=5000, samp_off=4000, lat_off=45.0, lon_off=10.0,
+        height_off=500, line_scale=5000, samp_scale=4000, lat_scale=0.5,
+        lon_scale=0.5, height_scale=500,
+        line_num_coeff=num_l, line_den_coeff=den,
+        samp_num_coeff=num_s, samp_den_coeff=den)
+    lon = np.array([10.1, 9.8, 10.3])
+    lat = np.array([45.2, 44.9, 45.05])
+    col, row = rpc.forward(lon, lat)
+    L = (lon - 10.0) / 0.5
+    P = (lat - 45.0) / 0.5
+    assert np.abs(row - ((0.02 + 0.3 * L - 1.1 * P) * 5000 + 5000)).max() < 1e-9
+    assert np.abs(col - ((-0.01 + 1.2 * L + 0.25 * P) * 4000 + 4000)).max() < 1e-9
+    ilon, ilat = rpc.inverse(col, row)
+    assert np.abs(ilon - lon).max() < 1e-9
+    assert np.abs(ilat - lat).max() < 1e-9
+
+
+def test_rpc_nonlinear_inverse_converges():
+    rng = np.random.RandomState(4)
+    num_l = rng.uniform(-0.01, 0.01, 20)
+    num_l[1], num_l[2] = 0.9, -0.15   # dominant linear part keeps it invertible
+    num_s = rng.uniform(-0.01, 0.01, 20)
+    num_s[1], num_s[2] = 0.2, 1.05
+    den = np.zeros(20)
+    den[0] = 1.0
+    den[1], den[2] = 0.001, -0.002
+    rpc = RPCTransformer(
+        line_off=1000, samp_off=1000, lat_off=0.0, lon_off=0.0,
+        height_off=0, line_scale=1000, samp_scale=1000, lat_scale=1.0,
+        lon_scale=1.0, height_scale=100,
+        line_num_coeff=num_l, line_den_coeff=den,
+        samp_num_coeff=num_s, samp_den_coeff=den)
+    lon = np.array([0.2, -0.3, 0.45])
+    lat = np.array([-0.1, 0.25, 0.4])
+    col, row = rpc.forward(lon, lat)
+    ilon, ilat = rpc.inverse(col, row)
+    assert np.abs(ilon - lon).max() < 1e-8
+    assert np.abs(ilat - lat).max() < 1e-8
+
+
+def test_gcp_transformer_drives_warp(tmp_path):
+    """A GCPPolynomial plugs into warp_tiles_to_crs as the transformer
+    (the composable-transformer-chain surface, alg/gdaltransformer.cpp)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gdal_ray.geo import webmercator as wm
+    from gdal_ray.stages.raster import TILE, warp_tiles_to_crs
+    from gdal_ray.util import to_arrow
+
+    zoom = 3
+    rows = []
+    for tx in range(4, 6):
+        for ty in range(2, 4):
+            gx = tx * TILE + np.arange(TILE) + 0.5
+            gy = ty * TILE + np.arange(TILE) + 0.5
+            GX, GY = np.meshgrid(gx, gy)
+            rows.append({"zoom": zoom, "tile_x": tx, "tile_y": ty,
+                         "data": (GX + GY).astype(np.float64).tobytes()})
+    tiles = rd.from_pandas(pd.DataFrame(rows))
+    # GCPs define lon/lat -> fake projected meters (affine)
+    lon = np.array([0.0, 40.0, 0.0, 40.0, 20.0, 10.0])
+    lat = np.array([20.0, 20.0, 50.0, 50.0, 35.0, 42.0])
+    X = 1000.0 + lon * 10.0
+    Y = 2000.0 + lat * 10.0
+    tr = GCPPolynomial(np.column_stack([lon, lat, X, Y]), order=1)
+    out = to_arrow(warp_tiles_to_crs(
+        tiles, zoom, tr, extent=(1000.0, 2150.0, 1450.0, 2550.0),
+        out_cell=5.0, method="bilinear", dtype=np.float64, out_block=32))
+    assert out.num_rows > 0

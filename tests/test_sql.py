@@ -198,3 +198,55 @@ def test_null_semantics_match_duckdb(nully_dir, sql):
         gv = got[c].where(got[c].notna(), None).astype(str)
         ev = exp[c].where(exp[c].notna(), None).astype(str)
         assert (gv == ev).all(), (sql, c, got, exp)
+
+
+def test_hstore_get_value_and_ogr_style(tmp_path):
+    """HSTORE_GET_VALUE special function + OGR_STYLE special field
+    (ogr/ogrfeaturequery.cpp:37-38, ogr_swq.h:66)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({
+        "id": pa.array([1, 2, 3], pa.int64()),
+        "tags": pa.array(['"name"=>"cafe", "amenity"=>"bar"',
+                          'name=>shop, floors=>2', None]),
+    }), str(tmp_path / "osm.parquet"))
+    out = to_arrow(execute(
+        "SELECT id, HSTORE_GET_VALUE(tags, 'name') AS name, "
+        "OGR_STYLE AS style FROM osm", str(tmp_path)
+    )).to_pandas().sort_values("id")
+    assert out["name"].tolist()[:2] == ["cafe", "shop"]
+    assert out["name"].isna().tolist() == [False, False, True]
+    assert out["style"].isna().all()
+    # quoted keys with escapes + missing key -> NULL
+    out2 = to_arrow(execute(
+        "SELECT id FROM osm WHERE HSTORE_GET_VALUE(tags, 'amenity') = 'bar'",
+        str(tmp_path))).to_pandas()
+    assert out2["id"].tolist() == [1]
+
+
+def test_driver_registry_open(tmp_path):
+    """register_driver + open_source (Python driver loader surface)."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    from gdal_ray.sources import open_source, register_driver, unregister_driver
+
+    pq.write_table(pa.table({"a": [1, 2]}), str(tmp_path / "t.parquet"))
+    # extension dispatch
+    assert to_arrow(open_source(str(tmp_path / "t.parquet"))).num_rows == 2
+    # custom scheme
+    def read_double(path):
+        import ray.data as rd
+        return rd.read_parquet(path).map_batches(
+            lambda t: t.set_column(0, "a", pa.compute.multiply(t["a"], 2)),
+            batch_format="pyarrow", batch_size=None)
+
+    register_driver("dbl", read_double)
+    try:
+        t = to_arrow(open_source(f"dbl://{tmp_path}/t.parquet"))
+        assert sorted(t["a"].to_pylist()) == [2, 4]
+    finally:
+        unregister_driver("dbl")
+    with pytest.raises(ValueError, match="no driver"):
+        open_source("nope://x")
