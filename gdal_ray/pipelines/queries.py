@@ -822,6 +822,20 @@ def _query_vec(sf_dir, vec_id=0):
     return v.reshape(1, -1)
 
 
+def q27_dedup_clusters(sf_dir):
+    """Full near-dedup clustering: MinHash-LSH candidate pairs ->
+    distributed connected components (hash-min + pointer jump) ->
+    per-component survivor flag. Rows-only (connected components is not
+    expressible in portable recursive SQL — the recursive term would need
+    aggregation); golden-pinned instead."""
+    from gdal_ray.ops.graph import dedup_survivors
+    from gdal_ray.text.dedup import minhash_candidate_pairs
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    cand = minhash_candidate_pairs(ds, "doc_id")
+    return dedup_survivors(cand)
+
+
 def q30_knn_cosine(sf_dir):
     from gdal_ray.sim.knn import brute_force_topk
 
@@ -1401,6 +1415,7 @@ def registry():
         "q19_grid_invdist": q19_grid_invdist,
         "q20_token_stats": q20_token_stats,
         "q26_bpe_tokens": q26_bpe_tokens,
+        "q27_dedup_clusters": q27_dedup_clusters,
         "q21_lang_stats": q21_lang_stats,
         "q22_dedup_exact": q22_dedup_exact,
         "q23_simhash": q23_simhash,

@@ -265,6 +265,48 @@ def viewshed(dem: np.ndarray, ox: int, oy: int, *, obs_height: float = 2.0,
     return out
 
 
+def line_of_sight(dem: np.ndarray, p0, p1, *, h0: float = 2.0,
+                  h1: float = 0.0):
+    """`gdal raster sight-line` analog (apps/gdalalg_raster_sightline
+    lineage): is target p1=(x1,y1) visible from observer p0=(x0,y0)?
+    Samples the DEM along the segment (Bresenham-density steps) and checks
+    every intermediate elevation angle against the observer->target angle.
+    Returns (visible: bool, blocked_at: (x, y) | None — the first sample
+    that blocks the line)."""
+    x0, y0 = p0
+    x1, y1 = p1
+    z0 = float(dem[int(y0), int(x0)]) + h0
+    z1 = float(dem[int(y1), int(x1)]) + h1
+    dist = float(np.hypot(x1 - x0, y1 - y0))
+    n = max(int(np.ceil(dist)) * 2, 2)
+    t = np.linspace(0.0, 1.0, n + 1)[1:-1]
+    xs = np.round(x0 + (x1 - x0) * t).astype(np.int64)
+    ys = np.round(y0 + (y1 - y0) * t).astype(np.int64)
+    # samples that ROUND onto an endpoint cell are the endpoints
+    # themselves, not intermediate terrain — a tall target must not
+    # occlude its own sight line
+    mid = ~(((xs == int(x0)) & (ys == int(y0)))
+            | ((xs == int(x1)) & (ys == int(y1))))
+    t, xs, ys = t[mid], xs[mid], ys[mid]
+    z = dem[ys, xs].astype(np.float64)
+    # angle of each intermediate sample vs the direct observer->target ray
+    ray_z = z0 + (z1 - z0) * t
+    blocked = z > ray_z
+    if not blocked.any():
+        return True, None
+    i = int(np.argmax(blocked))
+    return False, (int(xs[i]), int(ys[i]))
+
+
+def vertical_shift(arr: np.ndarray, shift, *, scale: float = 1.0) -> np.ndarray:
+    """`gdal raster update --vertical-shift` / gdalwarp vshift analog:
+    out = arr * scale + shift, where shift is a scalar (constant datum
+    offset) or a grid broadcastable to arr (e.g. a resampled geoid grid).
+    Per-tile map op — wrap with raster.mapops.tile_calc for the tiled
+    table form."""
+    return np.asarray(arr, np.float64) * scale + np.asarray(shift, np.float64)
+
+
 # ---------------------------------------------------------------------------
 # proximity (exact euclidean distance transform)
 # ---------------------------------------------------------------------------

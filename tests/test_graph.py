@@ -1,0 +1,106 @@
+"""Distributed connected components / dedup clustering + median-cut."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from gdal_ray.ops.graph import connected_components, dedup_survivors
+from gdal_ray.util import to_arrow
+
+
+def _uf_reference(pairs, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # component = min id in component
+    comp = {}
+    for n in nodes:
+        r = find(n)
+        comp.setdefault(r, []).append(n)
+    return {n: min(comp[find(n)]) for n in nodes}
+
+
+def test_connected_components_matches_union_find():
+    rng = np.random.RandomState(5)
+    # 3 blobs + a long chain (exercises the pointer-jump convergence)
+    pairs = []
+    pairs += [(a, b) for a in range(0, 5) for b in range(a + 1, 5)]      # clique 0-4
+    pairs += [(10, 11), (11, 12), (12, 13)]                              # path
+    pairs += [(i, i + 1) for i in range(100, 116)]                       # chain of 17
+    pairs += [(200, 201)]
+    rng.shuffle(pairs)
+    t = pa.table({"id_a": pa.array([a for a, _ in pairs], pa.int64()),
+                  "id_b": pa.array([b for _, b in pairs], pa.int64())})
+    ds = rd.from_arrow([t.slice(0, len(pairs) // 2), t.slice(len(pairs) // 2)])
+    got = to_arrow(connected_components(ds, num_parts=8)).to_pandas()
+    nodes = sorted({a for a, _ in pairs} | {b for _, b in pairs})
+    exp = _uf_reference(pairs, nodes)
+    gm = dict(zip(got["node"], got["component"]))
+    assert len(gm) == len(nodes)
+    for n in nodes:
+        assert gm[n] == exp[n], (n, gm[n], exp[n])
+
+
+def test_dedup_survivors_flags_min_per_component():
+    pairs = pa.table({"id_a": pa.array([1, 2, 7], pa.int64()),
+                      "id_b": pa.array([2, 3, 8], pa.int64())})
+    out = to_arrow(dedup_survivors(rd.from_arrow(pairs), num_parts=8)).to_pandas()
+    kept = sorted(out[out["keep"]]["node"].tolist())
+    assert kept == [1, 7]
+    assert sorted(out["node"].tolist()) == [1, 2, 3, 7, 8]
+
+
+def test_median_cut_palette_and_remap():
+    import pandas as pd
+
+    from gdal_ray.raster.mediancut import (TILE, compute_median_cut_pct,
+                                           remap_to_palette)
+
+    # two dominant colors + noise
+    rng = np.random.RandomState(0)
+    rgb = np.empty(TILE * TILE, np.uint32)
+    rgb[: TILE * TILE // 2] = 0xFF0000        # red
+    rgb[TILE * TILE // 2:] = 0x0000FF         # blue
+    noise = rng.randint(0, TILE * TILE, 500)
+    rgb[noise] = rng.randint(0, 1 << 24, 500).astype(np.uint32)
+    tiles = rd.from_pandas(pd.DataFrame([
+        {"tile_x": 0, "tile_y": 0, "data": rgb.tobytes()}]))
+    pal = compute_median_cut_pct(tiles, n_colors=8)
+    assert pal.shape[1] == 3 and 2 <= pal.shape[0] <= 8
+    # a palette entry near pure red and one near pure blue must exist
+    dr = np.abs(pal.astype(int) - np.array([255, 0, 0])).sum(axis=1)
+    db = np.abs(pal.astype(int) - np.array([0, 0, 255])).sum(axis=1)
+    assert dr.min() < 30 and db.min() < 30
+    out = to_arrow(remap_to_palette(tiles, pal))
+    idx = np.frombuffer(out["data"][0].as_py(), np.uint8)
+    assert idx.size == TILE * TILE and len(np.unique(idx)) <= 8
+    # red pixels and blue pixels map to different entries
+    assert idx[0] != idx[-1]
+
+
+def test_line_of_sight_and_vertical_shift():
+    from gdal_ray.raster.analysis import line_of_sight, vertical_shift
+
+    dem = np.zeros((50, 50))
+    assert line_of_sight(dem, (5, 5), (40, 40))[0] is True
+    dem2 = dem.copy()
+    dem2[20:23, 20:23] = 100.0   # wall between
+    vis, blocked = line_of_sight(dem2, (5, 5), (40, 40))
+    assert vis is False and blocked is not None
+    bx, by = blocked
+    assert 19 <= bx <= 23 and 19 <= by <= 23
+    # target higher than the wall is visible again
+    dem3 = dem2.copy()
+    dem3[40, 40] = 400.0   # above the sight line over the wall
+    assert line_of_sight(dem3, (5, 5), (40, 40), h1=0.0)[0] is True
+    v = vertical_shift(np.array([[1.0, 2.0]]), 10.0, scale=2.0)
+    assert v.tolist() == [[12.0, 14.0]]

@@ -24,6 +24,7 @@ GOLDENS = {
     "q23_simhash": (500, "58ffef84cb098f3c"),
     "q24_langid": (500, "2b1395df46f6452a"),
     "q25_minhash_pairs": (28, "8c71ff1773c927b9"),
+    "q27_dedup_clusters": (45, "47351a0e54121128"),
     "q34_lsh_ann": (20, "305a4a51311ee64f"),
     "q44_cells": (1000, "29ea38fef238d557"),
     "q47_utm_project": (1000, "b5f7e96a4e4dc199"),
