@@ -26,10 +26,14 @@ literals, + - * / % ||, comparisons = <> != < <= > >=, AND OR NOT, IN (...),
 bare integer literals are 64-bit (pa.scalar -> int64; DuckDB types them
 INT32 and can overflow where we don't — CAST literals when oracle parity
 on >2^31 intermediates matters),
-CAST(x AS INTEGER|BIGINT|FLOAT|TEXT), string fns CONCAT/SUBSTR/UPPER/LOWER/
-LENGTH, and aggregates COUNT(*) COUNT(x) SUM MIN MAX AVG. The same SQL
-string is DuckDB-runnable, so every compiled query is oracle-checkable
-verbatim.
+CAST(x AS INTEGER|BIGINT|FLOAT|TEXT), CASE [x] WHEN ... THEN ... [ELSE]
+END, COALESCE/NULLIF, string fns CONCAT/SUBSTR/UPPER/LOWER/LENGTH/TRIM/
+LTRIM/RTRIM/REPLACE, math ABS/ROUND/FLOOR/CEIL, HSTORE_GET_VALUE, special
+fields OGR_GEOM_AREA/OGR_GEOM_WKT/OGR_GEOMETRY/OGR_STYLE, and aggregates
+COUNT(*) COUNT(x) SUM MIN MAX AVG over columns OR expressions (expression
+aggregates pre-compute as hidden columns before the distributed groupby;
+COUNT(DISTINCT ...) stays column-only). The same SQL string is
+DuckDB-runnable, so every compiled query is oracle-checkable verbatim.
 
 JOIN follows the reference's planner shape (secondary tables are read
 whole and joined in memory, ogr_gensql.cpp:109 / ogr_sql_dialect.rst:410-441)
@@ -119,6 +123,9 @@ _KEYWORDS = {
     "JOIN", "LEFT", "ON", "UNION",
     "ALL", "HAVING", "OFFSET", "ILIKE", "CONCAT", "SUBSTR", "SUBSTRING",
     "UPPER", "LOWER", "LENGTH",
+    "CASE", "WHEN", "THEN", "ELSE", "END", "COALESCE", "NULLIF",
+    "ABS", "ROUND", "FLOOR", "CEIL", "CEILING", "TRIM", "LTRIM", "RTRIM",
+    "REPLACE",
 }
 
 
@@ -304,11 +311,12 @@ class Parser:
                 return Node("agg", ("count_distinct", inner.value))
             inner = self.expr()
             self.expect("op", ")")
-            if inner.kind != "col":
-                raise ValueError("aggregates support plain columns only")
             kinds = {"COUNT": "count", "SUM": "sum", "MIN": "min",
                      "MAX": "max", "AVG": "mean"}
-            return Node("agg", (kinds[t[1]], inner.value))
+            # plain column -> name; expression -> the Node itself (the
+            # executor pre-computes it as a hidden column before grouping)
+            return Node("agg", (kinds[t[1]],
+                                inner.value if inner.kind == "col" else inner))
         if t == ("kw", "CONCAT"):
             self.expect("op", "(")
             args = [self.expr()]
@@ -326,11 +334,54 @@ class Parser:
                 length = self.expr()
             self.expect("op", ")")
             return Node("call", "substr", (s, start, length))
-        if t[0] == "kw" and t[1] in ("UPPER", "LOWER", "LENGTH"):
+        if t[0] == "kw" and t[1] in ("UPPER", "LOWER", "LENGTH", "ABS",
+                                     "FLOOR", "CEIL", "CEILING", "TRIM",
+                                     "LTRIM", "RTRIM"):
             self.expect("op", "(")
             e = self.expr()
             self.expect("op", ")")
-            return Node("call", t[1].lower(), (e,))
+            name = {"CEILING": "ceil"}.get(t[1], t[1].lower())
+            return Node("call", name, (e,))
+        if t == ("kw", "ROUND"):
+            self.expect("op", "(")
+            e = self.expr()
+            nd = None
+            if self.accept("op", ","):
+                nd = self.expr()
+            self.expect("op", ")")
+            return Node("call", "round", (e, nd))
+        if t == ("kw", "REPLACE"):
+            self.expect("op", "(")
+            a = self.expr()
+            self.expect("op", ",")
+            b = self.expr()
+            self.expect("op", ",")
+            c = self.expr()
+            self.expect("op", ")")
+            return Node("call", "replace", (a, b, c))
+        if t[0] == "kw" and t[1] in ("COALESCE", "NULLIF"):
+            self.expect("op", "(")
+            args = [self.expr()]
+            while self.accept("op", ","):
+                args.append(self.expr())
+            self.expect("op", ")")
+            return Node("call", t[1].lower(), tuple(args))
+        if t == ("kw", "CASE"):
+            operand = None
+            if self.peek() != ("kw", "WHEN"):
+                operand = self.expr()  # simple CASE x WHEN v THEN ...
+            whens = []
+            while self.accept("kw", "WHEN"):
+                cond = self.expr()
+                if operand is not None:
+                    cond = Node("bin", "=", (operand, cond))
+                self.expect("kw", "THEN")
+                whens.append((cond, self.expr()))
+            els = None
+            if self.accept("kw", "ELSE"):
+                els = self.expr()
+            self.expect("kw", "END")
+            return Node("case", els, tuple(whens))
         if t[0] == "id":
             name = t[1]
             # user-registered SQL function? (register_sql_function)
@@ -593,7 +644,59 @@ def eval_expr(node: Node, t: pa.Table):
             return pc.utf8_lower(eval_expr(node.args[0], t))
         if fn == "length":
             return pc.cast(pc.utf8_length(eval_expr(node.args[0], t)), pa.int64())
+        if fn == "abs":
+            return pc.abs(eval_expr(node.args[0], t))
+        if fn == "round":
+            v = eval_expr(node.args[0], t)
+            nd = 0 if node.args[1] is None else int(node.args[1].value)
+            # DuckDB round() is half-away-from-zero
+            return pc.round(pc.cast(v, pa.float64()), ndigits=nd,
+                            round_mode="half_towards_infinity")
+        if fn == "floor":
+            return pc.floor(pc.cast(eval_expr(node.args[0], t), pa.float64()))
+        if fn == "ceil":
+            return pc.ceil(pc.cast(eval_expr(node.args[0], t), pa.float64()))
+        if fn == "trim":
+            return pc.utf8_trim_whitespace(eval_expr(node.args[0], t))
+        if fn == "ltrim":
+            return pc.utf8_ltrim_whitespace(eval_expr(node.args[0], t))
+        if fn == "rtrim":
+            return pc.utf8_rtrim_whitespace(eval_expr(node.args[0], t))
+        if fn == "replace":
+            a = eval_expr(node.args[0], t)
+            pat = node.args[1].value
+            rep = node.args[2].value
+            return pc.replace_substring(a, pattern=pat, replacement=rep)
+        if fn == "coalesce":
+            vals = [eval_expr(a, t) for a in node.args]
+            vals = _unify_numeric(vals)
+            return pc.coalesce(*vals)
+        if fn == "nullif":
+            a = eval_expr(node.args[0], t)
+            b = eval_expr(node.args[1], t)
+            eq = pc.equal(a, b)
+            null = pa.scalar(None, a.type if not isinstance(a, pa.Scalar)
+                             else a.type)
+            return pc.if_else(eq, null, a)
         raise ValueError(f"unknown function {fn}")
+    if k == "case":
+        # evaluate ELSE first, then fold WHENs in reverse with if_else
+        whens = [(eval_expr(c, t), eval_expr(v, t)) for c, v in node.args]
+        els = (eval_expr(node.value, t) if node.value is not None
+               else pa.scalar(None))
+        vals = _unify_numeric([v for _, v in whens] + [els])
+        target = next((_type_of(v) for v in vals
+                       if not pa.types.is_null(_type_of(v))), None)
+        if target is not None:
+            # untyped NULL branches (THEN NULL / missing ELSE) adopt the
+            # result type so if_else type-checks
+            vals = [pa.scalar(None, target)
+                    if pa.types.is_null(_type_of(v)) else v for v in vals]
+        out = vals[-1]
+        for cond, val in zip(reversed([c for c, _ in whens]),
+                             reversed(vals[:-1])):
+            out = pc.if_else(cond, val, out)
+        return out
     if k == "isnull":
         v = pc.is_null(eval_expr(node.args[0], t))
         return v if node.value else pc.invert(v)
@@ -614,6 +717,27 @@ def eval_expr(node: Node, t: pa.Table):
 
 def _type_of(v):
     return v.type
+
+
+def _unify_numeric(vals):
+    """SQL implicit promotion across CASE/COALESCE branches: if any branch
+    is floating, cast numeric branches to float64; mixed int widths cast
+    to int64. Strings/temporals pass through (mismatches raise in Arrow,
+    like strict SQL engines)."""
+    types = [_type_of(v) for v in vals]
+    nonnull = [ty for ty in types if not pa.types.is_null(ty)]
+    if not nonnull:
+        return vals
+    if any(pa.types.is_floating(ty) for ty in nonnull) and all(
+            pa.types.is_floating(ty) or pa.types.is_integer(ty)
+            or pa.types.is_null(ty) for ty in types):
+        return [v if pa.types.is_null(_type_of(v))
+                else pc.cast(v, pa.float64()) for v in vals]
+    if all(pa.types.is_integer(ty) or pa.types.is_null(ty) for ty in types) \
+            and len({str(ty) for ty in nonnull}) > 1:
+        return [v if pa.types.is_null(_type_of(v))
+                else pc.cast(v, pa.int64()) for v in vals]
+    return vals
 
 
 def _coerce_temporal(a, b):
@@ -906,6 +1030,51 @@ def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
 
     has_agg = any(item.kind == "agg" for item, _ in q.items)
     if has_agg or q.group_by:
+        # aggregates over EXPRESSIONS (SUM(CASE WHEN ...), COUNT(x+1), ...)
+        # pre-compute each distinct expression as a hidden column
+        pre_cols: dict = {}
+
+        def _agg_target(col):
+            if not isinstance(col, Node):
+                return col
+            for n, nd in pre_cols.items():
+                if nd == col:
+                    return n
+            name = f"__ax{len(pre_cols)}"
+            pre_cols[name] = col
+            return name
+
+        def _rw(node):
+            if not isinstance(node, Node):
+                return node
+            if node.kind == "agg":
+                kind, col = node.value
+                return Node("agg", (kind, _agg_target(col)), node.args)
+            if node.args:
+                return Node(node.kind, node.value,
+                            tuple(_rw(a) if isinstance(a, Node)
+                                  else tuple(_rw(x) for x in a)
+                                  if isinstance(a, tuple) else a
+                                  for a in node.args))
+            return node
+
+        q.items = [(_rw(item), alias) for item, alias in q.items]
+        if q.having is not None:
+            q.having = _rw(q.having)
+        if pre_cols:
+            items_pre = dict(pre_cols)
+
+            def add_pre(t: pa.Table, cols=items_pre) -> pa.Table:
+                for name, nd in cols.items():
+                    v = eval_expr(nd, t)
+                    if isinstance(v, pa.Scalar):
+                        v = pa.array([v.as_py()] * len(t),
+                                     v.type if not pa.types.is_null(v.type)
+                                     else pa.int64())
+                    t = t.append_column(name, v)
+                return t
+
+            ds = ds.map_batches(add_pre, batch_format="pyarrow", batch_size=None)
         specs = []
         cd_specs = []  # COUNT(DISTINCT col) computed via a distinct pass
         names = []

@@ -1355,6 +1355,20 @@ def _sql_query(sql):
     return run
 
 
+Q78_SQL = """SELECT c_mktsegment,
+SUM(CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END) AS rich,
+COUNT(CASE WHEN c_acctbal < 0 THEN 1 END) AS debt,
+MAX(COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'zzz')) AS seg2
+FROM customer GROUP BY c_mktsegment"""
+
+
+def q78_sql_case(sf_dir):
+    """CASE WHEN / COALESCE / NULLIF inside aggregates (round-3 SQL
+    surface): expressions pre-compute as hidden columns before the
+    distributed groupby."""
+    return _sql_query(Q78_SQL)(sf_dir)
+
+
 def _sql_oracle(sql):
     # wrap so float columns round identically on the DuckDB side
     return f"""SELECT * REPLACE (round(total, 4) AS total) FROM ({sql})""" if "total" in sql else sql
@@ -1455,6 +1469,7 @@ def registry():
         "q75_sql_having": q75_sql_having,
         "q76_sql_strings": q76_sql_strings,
         "q77_sql_count_distinct": q77_sql_count_distinct,
+        "q78_sql_case": q78_sql_case,
     }
     sqls = {
         "q01_tpch_groupby": Q01_SQL,
@@ -1503,5 +1518,6 @@ def registry():
         "q75_sql_having": _sql_oracle(Q75_SQL),
         "q76_sql_strings": Q76_SQL,
         "q77_sql_count_distinct": Q77_SQL,
+        "q78_sql_case": Q78_SQL,
     }
     return qs, sqls

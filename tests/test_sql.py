@@ -34,6 +34,13 @@ CASES = [
     "SELECT c_nationkey, COUNT(DISTINCT c_mktsegment) AS segs FROM customer GROUP BY c_nationkey ORDER BY segs DESC, c_nationkey LIMIT 5",
     "SELECT event_id FROM events WHERE ts < '2024-01-01 01:00:00'",
     "SELECT event_id, CAST(ts AS DATE) AS d FROM events WHERE event_id < 50",
+    # round-3 surface: CASE / COALESCE / NULLIF / math + string functions
+    "SELECT o_orderkey, CASE WHEN o_totalprice > 2000 THEN 'big' WHEN o_totalprice > 500 THEN 'mid' ELSE 'small' END AS bucket FROM orders WHERE o_orderkey < 400",
+    "SELECT o_orderkey, CASE o_orderpriority WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2 END AS pri FROM orders WHERE o_orderkey < 300",
+    "SELECT c_custkey, COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg FROM customer WHERE c_custkey < 200",
+    "SELECT l_orderkey, ABS(l_quantity - 25.0) AS dq, ROUND(l_extendedprice / 7, 2) AS re, FLOOR(l_discount * 100) AS fd, CEIL(l_tax * 100) AS ct FROM lineitem WHERE l_orderkey < 60",
+    "SELECT s_suppkey, REPLACE(s_name, 'Supplier', 'S') AS sn, TRIM(CONCAT('  ', s_name, ' ')) AS tc, LTRIM(CONCAT(' ', s_name)) AS lt, RTRIM(CONCAT(s_name, ' ')) AS rt FROM supplier WHERE s_suppkey < 40",
+    "SELECT c_mktsegment, SUM(CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END) AS rich FROM customer GROUP BY c_mktsegment",
 ]
 
 
@@ -58,7 +65,7 @@ def test_sql_matches_duckdb(sf_dir, con, sql):
         if gv.dtype.kind == "f" or ev.dtype.kind == "f":
             import numpy as np
 
-            assert np.allclose(gv.astype(float), ev.astype(float), rtol=1e-9), (sql, c)
+            assert np.allclose(gv.astype(float), ev.astype(float), rtol=1e-9, equal_nan=True), (sql, c)
         else:
             assert (gv.astype(str) == ev.astype(str)).all(), (sql, c)
 
@@ -68,8 +75,10 @@ def test_parse_errors():
         parse_select("SELECT FROM lineitem")
     with pytest.raises(ValueError):
         parse_select("SELECT a lineitem")
+    # SUM(a + b) is legal since round 3 (pre-computed hidden column);
+    # COUNT(DISTINCT <expr>) remains column-only
     with pytest.raises(ValueError):
-        parse_select("SELECT SUM(a + b) FROM t")
+        parse_select("SELECT COUNT(DISTINCT a + b) FROM t")
 
 
 def test_ogr_geom_area_special_field(tmp_path):
