@@ -77,3 +77,98 @@ def approx_count_distinct(ds, col: str, p: int = 12) -> float:
     if merged is None:
         return 0.0
     return hll_estimate(merged)
+
+
+# ---------------------------------------------------------------------------
+# quantiles: mergeable t-digest (continuous, approx) + exact-by-counting
+# (integer columns — oracle-checkable against DuckDB quantile_disc)
+# ---------------------------------------------------------------------------
+
+
+def _tdigest_compress(means: np.ndarray, weights: np.ndarray,
+                      delta: int = 100):
+    """Merge sorted centroids down to ~delta using the k1 scale function
+    (Dunning's t-digest merging variant): a centroid may absorb the next
+    while the merged weight stays under the local size bound, which is
+    tight near q=0/1 and loose in the middle."""
+    order = np.argsort(means, kind="mergesort")
+    means, weights = means[order], weights[order]
+    total = weights.sum()
+    out_m, out_w = [], []
+    q0 = 0.0
+    cur_m, cur_w = float(means[0]), float(weights[0])
+    for m, w in zip(means[1:], weights[1:]):
+        q2 = q0 + (cur_w + w) / total
+        # k1 scale: max centroid span in q-space
+        lim = 2.0 * np.sin(np.pi / (2 * delta)) * np.sqrt(
+            max(q2 * (1 - q2), 1e-12)) * 2
+        if (cur_w + w) / total <= lim:
+            cur_m = (cur_m * cur_w + m * w) / (cur_w + w)
+            cur_w += w
+        else:
+            out_m.append(cur_m)
+            out_w.append(cur_w)
+            q0 += cur_w / total
+            cur_m, cur_w = float(m), float(w)
+    out_m.append(cur_m)
+    out_w.append(cur_w)
+    return np.asarray(out_m), np.asarray(out_w)
+
+
+def tdigest_quantile(means: np.ndarray, weights: np.ndarray, q) -> np.ndarray:
+    """Quantile estimate from centroids (linear interpolation between
+    centroid means at cumulative mid-weights)."""
+    order = np.argsort(means, kind="mergesort")
+    m, w = means[order], weights[order]
+    cum = np.cumsum(w) - w / 2.0
+    cum = cum / w.sum()
+    return np.interp(np.atleast_1d(q), cum, m)
+
+
+def approx_quantiles(ds, col: str, qs, *, delta: int = 100):
+    """Distributed t-digest: per-batch centroid partials (bounded ~delta
+    rows per block leave each batch), one merge+compress on the driver —
+    the same mergeable-sketch shape as HLL. Rank error ~ O(1/delta) at the
+    median, tighter in the tails (the k1 scale function's property)."""
+
+    def part(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+
+        v = pc_.cast(t[col], pa.float64()).to_numpy(zero_copy_only=False)
+        v = v[~np.isnan(v)]
+        if v.size == 0:
+            return pa.table({"m": pa.array([], pa.float64()),
+                             "w": pa.array([], pa.float64())})
+        m, w = _tdigest_compress(v, np.ones_like(v), delta)
+        return pa.table({"m": pa.array(m), "w": pa.array(w)})
+
+    parts = ds.map_batches(part, batch_format="pyarrow", batch_size=None)
+    batches = list(parts.iter_batches(batch_size=None, batch_format="pyarrow"))
+    if not batches:
+        return np.full(len(np.atleast_1d(qs)), np.nan)
+    t = pa.concat_tables(batches)
+    m, w = _tdigest_compress(t["m"].to_numpy(), t["w"].to_numpy(), delta)
+    return tdigest_quantile(m, w, qs)
+
+
+def exact_quantiles_int(ds, col: str, qs):
+    """EXACT quantiles of an integer-valued column: distribute a
+    (value -> count) aggregation (combiner + tree merge; the distinct
+    value set is bounded, e.g. token counts), then rank-select on the
+    driver. Matches DuckDB quantile_disc exactly (lower-rank convention:
+    the smallest value whose cumulative count reaches ceil(q * n))."""
+    from gdal_ray.ops.relational import groupby_agg
+    from gdal_ray.util import to_arrow
+
+    counts = to_arrow(groupby_agg(ds, [col], [("n", "count_star", None)]))
+    v = counts[col].to_numpy(zero_copy_only=False)
+    n = counts["n"].to_numpy(zero_copy_only=False)
+    order = np.argsort(v, kind="mergesort")
+    v, n = v[order], n[order]
+    cum = np.cumsum(n)
+    total = cum[-1]
+    out = []
+    for q in np.atleast_1d(qs):
+        rank = max(int(np.ceil(q * total)), 1)
+        out.append(v[np.searchsorted(cum, rank)])
+    return np.asarray(out)

@@ -836,6 +836,40 @@ def q27_dedup_clusters(sf_dir):
     return dedup_survivors(cand)
 
 
+def q29_token_quantiles(sf_dir):
+    """Exact corpus-length quantiles: distributed (value -> count)
+    aggregation + rank select, matching DuckDB quantile_disc exactly
+    (lower-rank convention). The t-digest approx path
+    (ops.sketch.approx_quantiles) is the continuous-at-scale variant."""
+    from gdal_ray.ops.sketch import exact_quantiles_int
+    from gdal_ray.text.analysis import add_token_count
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    toks = add_token_count(ds).map_batches(
+        lambda t: t.select(["n_tokens"]), batch_format="pyarrow", batch_size=None)
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    vals = exact_quantiles_int(toks, "n_tokens", qs).astype(np.int64)
+    names = ["p10", "p25", "p50", "p75", "p90", "p99"]
+    return pa.table({n: pa.array([int(v)], pa.int64())
+                     for n, v in zip(names, vals)})
+
+
+# DuckDB quantile_disc needs CONSTANT q parameters -> one column per
+# quantile on a single summary row
+Q29_SQL = r"""
+WITH tok AS (
+  SELECT length(regexp_extract_all(text, '\S+')) AS n_tokens FROM documents
+)
+SELECT CAST(quantile_disc(n_tokens, 0.10) AS BIGINT) AS p10,
+       CAST(quantile_disc(n_tokens, 0.25) AS BIGINT) AS p25,
+       CAST(quantile_disc(n_tokens, 0.50) AS BIGINT) AS p50,
+       CAST(quantile_disc(n_tokens, 0.75) AS BIGINT) AS p75,
+       CAST(quantile_disc(n_tokens, 0.90) AS BIGINT) AS p90,
+       CAST(quantile_disc(n_tokens, 0.99) AS BIGINT) AS p99
+FROM tok
+"""
+
+
 def q30_knn_cosine(sf_dir):
     from gdal_ray.sim.knn import brute_force_topk
 
@@ -1430,6 +1464,7 @@ def registry():
         "q20_token_stats": q20_token_stats,
         "q26_bpe_tokens": q26_bpe_tokens,
         "q27_dedup_clusters": q27_dedup_clusters,
+        "q29_token_quantiles": q29_token_quantiles,
         "q21_lang_stats": q21_lang_stats,
         "q22_dedup_exact": q22_dedup_exact,
         "q23_simhash": q23_simhash,
@@ -1519,5 +1554,6 @@ def registry():
         "q76_sql_strings": Q76_SQL,
         "q77_sql_count_distinct": Q77_SQL,
         "q78_sql_case": Q78_SQL,
+        "q29_token_quantiles": Q29_SQL,
     }
     return qs, sqls
