@@ -122,6 +122,87 @@ class ThinPlateSpline:
         return self._eval(self._inv, x, y)
 
 
+class GeolocationTransformer:
+    """Geolocation-array transformer (alg/gdalgeoloc.cpp): per-sample
+    lon/lat arrays map pixel space to geographic space. forward =
+    bilinear interpolation of the arrays at fractional pixel positions;
+    inverse = coarse nearest-sample seed (decimated scan, the backmap
+    analog) + damped Newton with finite-difference Jacobians.
+
+    lon/lat arrays have shape (nlines, npixels); array sample (r, c)
+    corresponds to pixel coordinates (pixel_offset + c*pixel_step,
+    line_offset + r*line_step) — GDAL's GEOLOCATION metadata contract."""
+
+    def __init__(self, lon: np.ndarray, lat: np.ndarray, *,
+                 pixel_offset: float = 0.0, line_offset: float = 0.0,
+                 pixel_step: float = 1.0, line_step: float = 1.0):
+        self.lon = np.asarray(lon, np.float64)
+        self.lat = np.asarray(lat, np.float64)
+        if self.lon.shape != self.lat.shape or self.lon.ndim != 2:
+            raise ValueError("lon/lat arrays must share one 2-D shape")
+        self.po, self.lo = pixel_offset, line_offset
+        self.ps, self.ls = pixel_step, line_step
+        h, w = self.lon.shape
+        dec = max(1, int(np.sqrt(h * w) // 64))
+        self._seed_r = np.arange(0, h, dec)
+        self._seed_c = np.arange(0, w, dec)
+        self._seed_lon = self.lon[np.ix_(self._seed_r, self._seed_c)].ravel()
+        self._seed_lat = self.lat[np.ix_(self._seed_r, self._seed_c)].ravel()
+        rr, cc = np.meshgrid(self._seed_r, self._seed_c, indexing="ij")
+        self._seed_rc = np.column_stack([rr.ravel(), cc.ravel()]).astype(np.float64)
+
+    def _sample(self, arr, r, c):
+        h, w = arr.shape
+        r = np.clip(r, 0.0, h - 1.0)
+        c = np.clip(c, 0.0, w - 1.0)
+        r0 = np.clip(np.floor(r).astype(np.int64), 0, h - 2) if h > 1 else np.zeros_like(r, np.int64)
+        c0 = np.clip(np.floor(c).astype(np.int64), 0, w - 2) if w > 1 else np.zeros_like(c, np.int64)
+        fr = r - r0
+        fc = c - c0
+        return (arr[r0, c0] * (1 - fr) * (1 - fc)
+                + arr[r0, c0 + 1] * (1 - fr) * fc
+                + arr[r0 + 1, c0] * fr * (1 - fc)
+                + arr[r0 + 1, c0 + 1] * fr * fc)
+
+    def forward(self, px, py):
+        c = (np.asarray(px, np.float64) - self.po) / self.ps
+        r = (np.asarray(py, np.float64) - self.lo) / self.ls
+        return self._sample(self.lon, r, c), self._sample(self.lat, r, c)
+
+    def inverse(self, lon, lat, *, iters: int = 15):
+        lon = np.asarray(lon, np.float64)
+        lat = np.asarray(lat, np.float64)
+        # seed: nearest decimated sample (vectorized blockwise to bound
+        # the (nq, nseed) distance matrix)
+        r = np.empty_like(lon)
+        c = np.empty_like(lon)
+        B = 4096
+        for i in range(0, lon.size, B):
+            d2 = ((lon[i:i + B, None] - self._seed_lon[None, :]) ** 2
+                  + (lat[i:i + B, None] - self._seed_lat[None, :]) ** 2)
+            k = np.argmin(d2, axis=1)
+            r[i:i + B] = self._seed_rc[k, 0]
+            c[i:i + B] = self._seed_rc[k, 1]
+        eps = 0.5
+        for _ in range(iters):
+            lo0 = self._sample(self.lon, r, c)
+            la0 = self._sample(self.lat, r, c)
+            dlo_dc = (self._sample(self.lon, r, c + eps) - lo0) / eps
+            dla_dc = (self._sample(self.lat, r, c + eps) - la0) / eps
+            dlo_dr = (self._sample(self.lon, r + eps, c) - lo0) / eps
+            dla_dr = (self._sample(self.lat, r + eps, c) - la0) / eps
+            det = dlo_dc * dla_dr - dlo_dr * dla_dc
+            det = np.where(np.abs(det) < 1e-30, 1e-30, det)
+            dlon = lon - lo0
+            dlat = lat - la0
+            c = c + (dla_dr * dlon - dlo_dr * dlat) / det
+            r = r + (-dla_dc * dlon + dlo_dc * dlat) / det
+            h, w = self.lon.shape
+            r = np.clip(r, 0.0, h - 1.0)
+            c = np.clip(c, 0.0, w - 1.0)
+        return self.po + c * self.ps, self.lo + r * self.ls
+
+
 class RPCTransformer:
     """RPC00B rational polynomial camera model (alg/gdal_rpc.cpp; the
     coefficient layout is the public NITF RPC00B order):

@@ -143,3 +143,40 @@ def test_gcp_transformer_drives_warp(tmp_path):
         tiles, zoom, tr, extent=(1000.0, 2150.0, 1450.0, 2550.0),
         out_cell=5.0, method="bilinear", dtype=np.float64, out_block=32))
     assert out.num_rows > 0
+
+
+def test_geolocation_transformer_roundtrip():
+    """Geoloc arrays from a warped analytic mapping: forward matches the
+    analytic field where bilinear is exact-ish (smooth), inverse recovers
+    pixel coords < 0.01 px."""
+    from gdal_ray.geo.gcp import GeolocationTransformer
+
+    h, w = 120, 160
+    rr, cc = np.meshgrid(np.arange(h, dtype=float), np.arange(w, dtype=float),
+                         indexing="ij")
+    lon = 10.0 + 0.01 * cc + 0.002 * rr + 0.3 * np.sin(rr / 40.0)
+    lat = 45.0 - 0.008 * rr + 0.001 * cc + 0.2 * np.cos(cc / 50.0)
+    tr = GeolocationTransformer(lon, lat)
+    rng = np.random.RandomState(6)
+    px = rng.uniform(2, w - 3, 200)
+    py = rng.uniform(2, h - 3, 200)
+    flon, flat = tr.forward(px, py)
+    # forward = bilinear of the arrays; inverse must return the input
+    ipx, ipy = tr.inverse(flon, flat)
+    assert np.abs(ipx - px).max() < 0.01, np.abs(ipx - px).max()
+    assert np.abs(ipy - py).max() < 0.01, np.abs(ipy - py).max()
+
+
+def test_geolocation_with_offsets_and_steps():
+    """Decimated geoloc arrays (GEOLOCATION PIXEL_STEP/LINE_STEP > 1)."""
+    from gdal_ray.geo.gcp import GeolocationTransformer
+
+    h, w = 30, 40
+    rr, cc = np.meshgrid(np.arange(h) * 4.0, np.arange(w) * 4.0, indexing="ij")
+    lon = cc * 0.01
+    lat = rr * -0.01
+    tr = GeolocationTransformer(lon, lat, pixel_step=4.0, line_step=4.0)
+    flon, flat = tr.forward(np.array([40.0]), np.array([20.0]))
+    assert abs(flon[0] - 0.40) < 1e-9 and abs(flat[0] + 0.20) < 1e-9
+    ipx, ipy = tr.inverse(np.array([0.40]), np.array([-0.20]))
+    assert abs(ipx[0] - 40.0) < 1e-6 and abs(ipy[0] - 20.0) < 1e-6
