@@ -585,6 +585,32 @@ def union_all(*datasets):
     return out
 
 
+def hopping_window_rows(ds, ts_col: str, out_col: str, size_us: int,
+                        hop_us: int):
+    """HOPPING (sliding) windows: every row is emitted once per covering
+    window (size must be a multiple of hop). Window starts are
+    (floor(ts/hop) - i) * hop for i in 0..size/hop-1 — pure vectorized
+    column math + np.repeat fan-out, then the usual groupby; no state.
+    (Streaming-window extension beyond the reference, like tumbling.)"""
+    if size_us % hop_us != 0:
+        raise ValueError("size_us must be a multiple of hop_us")
+    m = size_us // hop_us
+
+    def fan(t: pa.Table) -> pa.Table:
+        n = len(t)
+        us = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        base = us // hop_us
+        idx = np.repeat(np.arange(n, dtype=np.int64), m)
+        i = np.tile(np.arange(m, dtype=np.int64), n)
+        ws = (np.repeat(base, m) - i) * hop_us
+        out = t.take(pa.array(idx))
+        return out.append_column(
+            out_col, pc.cast(pa.array(ws), pa.timestamp("us")))
+
+    return ds.map_batches(fan, batch_format="pyarrow", batch_size=None)
+
+
 def tumbling_window_col(ds, ts_col: str, out_col: str, size_us: int):
     """Add a window-start timestamp column: floor(ts / size) * size.
     (GDAL has no window semantics — §2.11 — this is the training-pipeline

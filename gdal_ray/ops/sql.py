@@ -562,6 +562,16 @@ def eval_expr(node: Node, t: pa.Table):
                 None if b is None else _W.geom_to_wkt(_W.parse_wkb(b))
                 for b in t["geometry"].to_pylist()
             ], type=pa.string())
+        if node.value == "FID" and "FID" not in t.column_names:
+            # FID special field: resolves to an explicit fid column when
+            # one exists; a distributed engine has no stable implicit row
+            # number, so absent that the error is explicit (documented)
+            for cand in ("fid", "Fid"):
+                if cand in t.column_names:
+                    return t[cand]
+            raise ValueError(
+                "FID: no fid column present — a distributed engine has no "
+                "stable implicit row id; materialize an explicit key column")
         if node.value == "OGR_STYLE" and "OGR_STYLE" not in t.column_names:
             # style special field (ogr/ogr_swq.h:66 SWQ_STYLE): features
             # carry style in an OGR_STYLE column when present; absent

@@ -349,6 +349,30 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q14c_hopping_windows(sf_dir):
+    """Hopping windows (size 1h, hop 15min): each event lands in 4
+    windows; oracle replicates the fan-out with a range() cross join and
+    identical integer window math."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+    fan = R.hopping_window_rows(ds, "ts", "window_start",
+                                size_us=3_600_000_000, hop_us=900_000_000)
+    return R.groupby_agg(
+        fan, ["user_id", "window_start"],
+        [("n_events", "count_star", None), ("sum_value", "sum", "value")],
+        round_to={"sum_value": 6},
+    )
+
+
+Q14C_SQL = """
+SELECT user_id,
+       make_timestamp(((epoch_us(ts) // 900000000) - i.range) * 900000000)
+         AS window_start,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events, range(4) i GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # text queries
 # ---------------------------------------------------------------------------
@@ -1456,6 +1480,7 @@ def registry():
         "q13_dedup_first": q13_dedup_first,
         "q14_window": q14_window,
         "q14b_session_windows": q14b_session_windows,
+        "q14c_hopping_windows": q14c_hopping_windows,
         "q15_semi_join": q15_semi_join,
         "q16_anti_join": q16_anti_join,
         "q17_zonal_mode": q17_zonal_mode,
@@ -1522,6 +1547,7 @@ def registry():
         "q13_dedup_first": Q13_SQL,
         "q14_window": Q14_SQL,
         "q14b_session_windows": Q14B_SQL,
+        "q14c_hopping_windows": Q14C_SQL,
         "q15_semi_join": Q15_SQL,
         "q16_anti_join": Q16_SQL,
         "q17_zonal_mode": Q17_SQL,

@@ -75,6 +75,22 @@ def _read(path: str, columns=None, filter=None):
     return run
 
 
+@step("info")
+def _info(geometry_col: str = "geometry"):
+    """`gdal vector info` analog: prints a JSON summary (fields, feature
+    count, extent, geometry-type histogram) and passes the dataset
+    through unchanged."""
+    import json
+
+    from gdal_ray.pipelines.info import vector_info
+
+    def run(ds):
+        print(json.dumps(vector_info(ds, geometry_col=geometry_col)))
+        return ds
+
+    return run
+
+
 @step("open")
 def _open(uri: str):
     """Driver-registry open (`scheme://path`) — the Python driver loader

@@ -345,11 +345,14 @@ def band_histogram(tiles_ds, *, dtype=np.uint32, nbuckets: int = 256,
     return groupby_agg(partials, ["bucket"], [("n", "sum", "n")])
 
 
-def band_statistics(tiles_ds, *, dtype=np.uint32, nodata=None):
+def band_statistics(tiles_ds, *, dtype=np.uint32, nodata=None,
+                    approx_ok: bool = False, approx_stride: int = 4):
     """`gdal raster info` band statistics (GDALComputeRasterStatistics,
     gcore/rasterband.cpp lineage) — EXACT distributed min/max/mean/std/
     count over the tile table: one vectorized partial row per tile
     (n, sum, sumsq, min, max), merged with the algebraic tree reduce.
+    approx_ok mirrors GDAL's bApproxOK: sample every approx_stride-th
+    pixel in both axes (GDAL reads overviews/decimated data).
     Returns a 1-row table (or one row per `band` column value)."""
     import pyarrow.compute as pc_
 
@@ -360,7 +363,15 @@ def band_statistics(tiles_ds, *, dtype=np.uint32, nodata=None):
         rows = {"n": [], "s": [], "s2": [], "mn": [], "mx": []}
         bands = []
         for i, buf in enumerate(t["data"].to_pylist()):
-            arr = np.frombuffer(buf, dtype=dtype).astype(np.float64)
+            arr = np.frombuffer(buf, dtype=dtype)
+            if approx_ok:
+                side = int(np.sqrt(arr.size))
+                if side * side == arr.size:
+                    arr = arr.reshape(side, side)[::approx_stride,
+                                                  ::approx_stride].ravel()
+                else:
+                    arr = arr[::approx_stride]
+            arr = arr.astype(np.float64)
             if nodata is not None:
                 arr = arr[arr != nodata]
             rows["n"].append(arr.size)

@@ -192,3 +192,36 @@ def test_simplify_coverage_shared_boundary():
     # the two simplified boundaries share exactly the simplified arc's verts
     shared = va & vb
     assert len(shared) >= 2
+
+
+def test_vector_info_and_raster_info():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.geo import wkb as W
+    from gdal_ray.pipelines.info import raster_info, vector_info
+
+    pts = [W.geom_to_wkb(("point", np.array([[float(i), float(2 * i)]])))
+           for i in range(5)]
+    ring = np.array([[0.0, 0.0], [9.0, 0.0], [9.0, 9.0], [0.0, 0.0]])
+    polys = [W.geom_to_wkb(("polygon", [ring]))]
+    t = pa.table({"id": pa.array(range(6), pa.int64()),
+                  "geometry": pa.array(pts + polys, pa.binary())})
+    info = vector_info(rd.from_arrow([t.slice(0, 3), t.slice(3)]))
+    assert info["feature_count"] == 6
+    assert info["geometry_types"] == {"point": 5, "polygon": 1}
+    assert info["extent"] == (0.0, 0.0, 9.0, 9.0)
+    assert ("id", "int64") in info["fields"]
+
+    arr = np.arange(256 * 256, dtype=np.uint32)
+    tiles = rd.from_pandas(pd.DataFrame([
+        {"zoom": 5, "tile_x": 3, "tile_y": 4, "data": arr.tobytes()},
+        {"zoom": 5, "tile_x": 4, "tile_y": 4, "data": arr.tobytes()},
+    ]))
+    ri = raster_info(tiles, dtype=np.uint32)
+    assert ri["tile_count"] == 2 and ri["zoom_levels"] == (5, 5)
+    assert ri["tile_range"] == (3, 4, 4, 4)
+    assert ri["statistics"][0]["count"] == 2 * 256 * 256
+    assert ri["statistics"][0]["max"] == 256 * 256 - 1
