@@ -1003,6 +1003,31 @@ def q48_cell_knn(sf_dir):
     )
 
 
+def q35_pq_ann(sf_dir):
+    """Product-quantization (IVF-ADC style) approximate NN — the
+    memory-bound scale path (vectors compress to m uint8 codes, queries
+    scan with ADC lookup tables). Rows-only (approximate by design),
+    deterministic (fixed k-means seed + deterministic sample order)."""
+    import pyarrow.parquet as pq
+
+    from gdal_ray.sim.knn import pq_topk
+    from gdal_ray.util import sf_path
+
+    t = pq.read_table(sf_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    X = np.asarray(t["embedding"].combine_chunks().flatten(), dtype=np.float64).reshape(len(t), -1)
+    ids = np.asarray(t["vec_id"])
+    q = X[ids < 5]
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = pq_topk(ds, q, np.arange(5), k=5, m=8, ksub=64)
+    return out.map_batches(
+        lambda b: pa.table(
+            {"query_id": b["query_id"], "vec_id": b["vec_id"],
+             "dist": pc.round(b["dist"], ndigits=6, round_mode="half_towards_infinity")}
+        ),
+        batch_format="pyarrow", batch_size=None,
+    )
+
+
 def q40_points_tiles(sf_dir):
     from gdal_ray.geo.webmercator import lonlat_to_tile
 
@@ -1499,6 +1524,7 @@ def registry():
         "q31_vector_norms": q31_vector_norms,
         "q33_embed_dup_pairs": q33_embed_dup_pairs,
         "q34_lsh_ann": q34_lsh_ann,
+        "q35_pq_ann": q35_pq_ann,
         "q40_points_tiles": q40_points_tiles,
         "q41_pip_admin": q41_pip_admin,
         "q42_knn_events": q42_knn_events,

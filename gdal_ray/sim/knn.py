@@ -218,3 +218,107 @@ def lsh_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int, dim: int,
         return pd.concat(frames, ignore_index=True)
 
     return hashed.groupby("bucket").map_groups(scan, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ / IVF-ADC): the memory-bound scale path —
+# vectors compress to m uint8 codes; queries scan codes with asymmetric
+# distance (ADC lookup tables), so a 768-dim float32 corpus shrinks ~384x
+# and the scan is table lookups + sums instead of matmuls.
+# ---------------------------------------------------------------------------
+
+
+def pq_train(X: np.ndarray, m: int = 8, ksub: int = 256, *,
+             iters: int = 10, seed: int = 5) -> np.ndarray:
+    """Train PQ codebooks: split dims into m subspaces, k-means each.
+    Returns (m, ksub, dsub) float64 codebooks. dim must be divisible by m."""
+    n, d = X.shape
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m {m}")
+    dsub = d // m
+    ksub = min(ksub, n)
+    books = np.empty((m, ksub, dsub))
+    for j in range(m):
+        books[j] = kmeans_centroids(
+            np.ascontiguousarray(X[:, j * dsub:(j + 1) * dsub]),
+            ksub, iters=iters, seed=seed + j)
+    return books
+
+def pq_encode(X: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """-> (n, m) uint8 codes (nearest sub-centroid per subspace)."""
+    n, d = X.shape
+    m, ksub, dsub = books.shape
+    codes = np.empty((n, m), np.uint8)
+    for j in range(m):
+        sub = X[:, j * dsub:(j + 1) * dsub]
+        d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
+        codes[:, j] = d2.argmin(1).astype(np.uint8)
+    return codes
+
+
+def pq_adc_tables(queries: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Asymmetric-distance lookup tables: (q, m, ksub) squared distances
+    from each query subvector to every sub-centroid."""
+    q, d = queries.shape
+    m, ksub, dsub = books.shape
+    T = np.empty((q, m, ksub))
+    for j in range(m):
+        sub = queries[:, j * dsub:(j + 1) * dsub]
+        T[:, j, :] = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
+    return T
+
+
+def pq_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int,
+            *, m: int = 8, ksub: int = 256, train_sample: int = 4096,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            exclude_self: bool = True, tree_width: int = 16):
+    """PQ-compressed approximate top-k by L2 distance: codebooks train on
+    a driver-side sample and broadcast with the per-query ADC tables;
+    each batch encodes its vectors once (m argmins) and scans with pure
+    table-lookup sums (np.take + sum over m — no per-query matmul).
+    Same two-level tree merge as brute_force_topk. Returns
+    (query_id, vec_id, dist) rows, smallest distance first."""
+    import pandas as pd
+    import ray
+
+    sample = pa.concat_tables(
+        ds.limit(train_sample).iter_batches(batch_size=None,
+                                            batch_format="pyarrow"))
+    books = pq_train(_matrix(sample, vec_col), m, ksub)
+    T = pq_adc_tables(np.asarray(queries, np.float64), books)
+    ref = ray.put((books, T, np.asarray(query_ids)))
+
+    def partial(t: pa.Table) -> pa.Table:
+        B, Tq, qids = ray.get(ref)
+        X = _matrix(t, vec_col)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        codes = pq_encode(X, B)  # (n, m)
+        out_q, out_id, out_d = [], [], []
+        for j in range(Tq.shape[0]):
+            # ADC: dist ~ sum over subspaces of table[code]
+            d = np.zeros(codes.shape[0])
+            for s in range(B.shape[0]):
+                d += Tq[j, s][codes[:, s]]
+            if exclude_self:
+                d = np.where(ids == qids[j], np.inf, d)
+            kk = min(k, d.size)
+            cand = np.argpartition(d, kk - 1)[:kk]
+            out_q.append(np.full(kk, qids[j]))
+            out_id.append(ids[cand])
+            out_d.append(d[cand])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "vec_id": pa.array(np.concatenate(out_id)),
+            "dist": pa.array(np.concatenate(out_d)),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+
+    def reduce_k(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["query_id", "dist", "vec_id"], kind="mergesort")
+        return df.groupby("query_id", sort=False).head(k).reset_index(drop=True)
+
+    return (partials.repartition(tree_width)
+            .map_batches(reduce_k, batch_format="pandas", batch_size=None)
+            .repartition(1)
+            .map_batches(reduce_k, batch_format="pandas", batch_size=None))

@@ -227,6 +227,8 @@ def _reduce2x2(r: np.ndarray, agg: str) -> np.ndarray:
         return r.mean(axis=(1, 3))
     if agg == "rms":
         return np.sqrt((r * r).mean(axis=(1, 3)))
+    if agg == "nearest":
+        return r[:, 0, :, 0]  # top-left sample of each 2x2 (GRA_NearestNeighbour)
     if agg == "mode":
         v = r.transpose(0, 2, 1, 3).reshape(r.shape[0], r.shape[2], 4)
         counts = np.zeros(v.shape, dtype=np.int8)
@@ -1041,6 +1043,45 @@ def _stitch_component(edge_arrs, connectivity):
     rings = stitch_rings(ring_edges, connectivity)
     rings.sort(key=lambda r: -abs(_ring_area2_list(r)))
     return rings
+
+
+def footprint_tiles_ds(tiles_ds, *, nodata=0, dtype=np.uint32,
+                       min_ring_area: float = 0.0, connectivity: int = 4):
+    """`gdal raster footprint` (apps/gdalalg_raster_footprint lineage):
+    polygons of the VALID-DATA mask — polygonize of (data != nodata) with
+    tiny rings optionally dropped (the app's -min_ring_area). Returns the
+    polygonize Dataset filtered to the valid (value=1) polygons."""
+    import pyarrow.compute as pc_
+
+    def to_mask(t: pa.Table) -> pa.Table:
+        out = []
+        for buf in t["data"].to_pylist():
+            arr = np.frombuffer(buf, dtype=dtype).reshape(TILE, TILE)
+            out.append((arr != nodata).astype(np.uint32).tobytes())
+        i = t.column_names.index("data")
+        return t.set_column(i, "data", pa.array(out, pa.binary()))
+
+    _ = pc_  # (mask building only needs numpy)
+    masked = tiles_ds.map_batches(to_mask, batch_format="pyarrow", batch_size=None)
+    comps = polygonize_tiles_ds(masked, connectivity=connectivity, nodata=0)
+
+    from gdal_ray.geo import wkb as W
+
+    def ring_area(r: np.ndarray) -> float:
+        x, y = r[:, 0], r[:, 1]
+        return 0.5 * abs(float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))))
+
+    geoms, vals = [], []
+    for value, rings in comps:
+        if value != 1:
+            continue
+        rr = [np.asarray(r, np.float64) for r in rings]
+        if min_ring_area > 0.0 and rr and ring_area(rr[0]) < min_ring_area:
+            continue
+        geoms.append(W.geom_to_wkb(("polygon", rr)))
+        vals.append(1)
+    return pa.table({"value": pa.array(vals, pa.int64()),
+                     "geometry": pa.array(geoms, pa.binary())})
 
 
 def polygonize_tiles(tiles: list[tuple[tuple[int, int], np.ndarray]],

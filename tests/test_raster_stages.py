@@ -163,3 +163,42 @@ def test_pansharpen_brovey():
     assert ((packed >> 8) & 255 == 80).all()
     assert ((packed >> 16) & 255 == 60).all()
     assert (packed >> 24 == 255).all()
+
+
+def test_footprint_tiles_ds():
+    """raster footprint: valid-data mask polygons across a tile seam,
+    with min_ring_area pruning."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.geo import wkb as W
+    from gdal_ray.stages.raster import TILE, footprint_tiles_ds
+    from gdal_ray.vector.geomfuncs import area
+
+    full = np.zeros((TILE, 2 * TILE), np.uint32)
+    full[50:200, 200:320] = 7       # big region straddling the tile seam
+    full[10:13, 10:13] = 5          # tiny 9-px island
+    rows = []
+    for tx in range(2):
+        rows.append({"zoom": 4, "tile_x": tx, "tile_y": 0,
+                     "data": np.ascontiguousarray(
+                         full[:, tx * TILE:(tx + 1) * TILE]).tobytes()})
+    tiles = rd.from_pandas(pd.DataFrame(rows))
+    fp = footprint_tiles_ds(tiles, nodata=0)
+    assert fp.num_rows == 2
+    areas = sorted(area(W.parse_wkb(b)) for b in fp["geometry"].to_pylist())
+    assert areas == [9.0, 150 * 120]
+    fp2 = footprint_tiles_ds(tiles, nodata=0, min_ring_area=100.0)
+    assert fp2.num_rows == 1
+    assert area(W.parse_wkb(fp2["geometry"][0].as_py())) == 150 * 120
+
+
+def test_overview_reduce_nearest():
+    import numpy as np
+
+    from gdal_ray.stages.raster import _reduce2x2
+
+    r = np.array([[9, 1], [2, 3]], dtype=np.float64).reshape(1, 2, 1, 2)
+    assert _reduce2x2(r, "nearest")[0, 0] == 9.0

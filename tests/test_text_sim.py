@@ -235,3 +235,56 @@ def test_exact_jaccard_distributed_matches_bruteforce():
     assert len(got) == 4
     for _, r in got.iterrows():
         assert abs(r["jaccard"] - exp[(int(r["id_a"]), int(r["id_b"]))]) < 1e-9
+
+
+def test_pq_topk_recall_and_exactness_limit():
+    """PQ/ADC approximate kNN. Within-cluster ordering is below PQ's
+    quantization resolution BY DESIGN (all members share a code), so the
+    meaningful properties are: (1) every retrieved neighbor comes from
+    the query's own cluster (cluster-level recall 1.0 on well-separated
+    clusters); (2) codes are m uint8 per vector; (3) in the LOSSLESS
+    regime (corpus = the centroid set itself) PQ top-k order matches
+    brute force exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.sim.knn import pq_encode, pq_topk, pq_train
+
+    rng = np.random.RandomState(9)
+    centers = rng.normal(0, 10, (20, 16))
+    X = np.repeat(centers, 100, axis=0) + rng.normal(0, 0.1, (2000, 16))
+    ids = np.arange(2000)
+    t = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                  "embedding": pa.FixedSizeListArray.from_arrays(
+                      pa.array(X.ravel()), 16)})
+    ds = rd.from_arrow([t.slice(i, 500) for i in range(0, 2000, 500)])
+    q = X[ids % 400 == 0]
+    qids = ids[ids % 400 == 0]
+    out = to_arrow(pq_topk(ds, q, qids, k=10, m=8, ksub=64,
+                           train_sample=2000)).to_pandas()
+    for qi in qids:
+        got = out[out["query_id"] == qi]["vec_id"].astype(int).to_numpy()
+        assert len(got) == 10
+        assert np.all(got // 100 == qi // 100), (qi, got)
+
+    books = pq_train(X, m=8, ksub=64, iters=5)
+    codes = pq_encode(X, books)
+    assert codes.shape == (2000, 8) and codes.dtype == np.uint8
+
+    # lossless regime: 60 distinct vectors, ksub=64 >= 60 -> every vector
+    # is its own code; ADC distances are EXACT -> matches brute force
+    V = rng.normal(0, 5, (60, 16))
+    ids2 = np.arange(60)
+    t2 = pa.table({"vec_id": pa.array(ids2, pa.int64()),
+                   "embedding": pa.FixedSizeListArray.from_arrays(
+                       pa.array(V.ravel()), 16)})
+    ds2 = rd.from_arrow(t2)
+    out2 = to_arrow(pq_topk(ds2, V[:3], ids2[:3], k=5, m=8, ksub=64,
+                            train_sample=60)).to_pandas()
+    for qi in range(3):
+        d = ((V - V[qi]) ** 2).sum(1)
+        d[qi] = np.inf
+        truth = ids2[np.argsort(d, kind="stable")[:5]]
+        got = out2[out2["query_id"] == qi].sort_values("dist")["vec_id"].astype(int).to_numpy()
+        assert set(got) == set(truth), (qi, got, truth)
