@@ -22,6 +22,19 @@ import pyarrow as pa
 from gdal_ray.ops.relational import hash_partition_reduce
 
 
+def _sever(ds):
+    """Materialize AND cut Ray Data's stats/lineage chain by rewrapping
+    the materialized blocks (from_arrow_refs — zero-copy, blocks stay in
+    the object store). A plain .materialize() keeps a per-generation
+    lineage/stats chain whose metadata compounds: a 12-iteration label
+    loop grew 0.5s -> 8.5s per round with materialize() alone, and stays
+    ~0.6s flat with the rewrap."""
+    import ray.data as rd
+
+    m = ds.materialize()
+    return rd.from_arrow_refs(m.to_arrow_refs())
+
+
 def _pairs_to_edges(pairs_ds, a_col: str, b_col: str):
     """(a, b) pairs -> symmetric (node, nbr) edge rows."""
 
@@ -108,9 +121,19 @@ def connected_components(pairs_ds, a_col: str = "id_a", b_col: str = "id_b",
     """-> Dataset (node, component) where component = min node id of the
     connected component. Raises if not converged within max_rounds (each
     round is min-propagation + one pointer jump, so rounds ~ log2 of the
-    largest component's diameter)."""
-    edges = _pairs_to_edges(pairs_ds, a_col, b_col).materialize()
-    labels = _initial_labels(edges, num_parts=num_parts).materialize()
+    largest component's diameter).
+
+    num_parts defaults to 2x cluster CPUs (floor 16) — smaller than the
+    repo-wide 8x/256 hash-reduce default because every ROUND pays the
+    partition count several times over; label rows are narrow, so fewer,
+    larger partitions win until the per-partition label set outgrows a
+    worker."""
+    from gdal_ray.util import default_num_parts
+
+    if num_parts is None:
+        num_parts = default_num_parts(multiplier=2, floor=16)
+    edges = _sever(_pairs_to_edges(pairs_ds, a_col, b_col))
+    labels = _sever(_initial_labels(edges, num_parts=num_parts))
 
     for _ in range(max_rounds):
         # 1. neighbor messages: for each edge (node, nbr) the current
@@ -120,8 +143,8 @@ def connected_components(pairs_ds, a_col: str = "id_a", b_col: str = "id_b",
         #    the min stage's union nests them, which Ray's executor
         #    re-executes multiplicatively (measured: rounds grew 0.8s ->
         #    150s on 17 rows; with the materialize they stay ~1s flat)
-        msgs = _lookup(edges, labels, "nbr", "nbr_label",
-                       num_parts=num_parts).materialize()
+        msgs = _sever(_lookup(edges, labels, "nbr", "nbr_label",
+                              num_parts=num_parts))
 
         def msg_rows(t: pa.Table) -> pa.Table:
             return pa.table({"node": t["node"], "cand": t["nbr_label"]})
@@ -155,8 +178,8 @@ def connected_components(pairs_ds, a_col: str = "id_a", b_col: str = "id_b",
                              "changed": pa.array(
                                  (g["label"].to_numpy() != old).astype(np.int8))})
 
-        minned = hash_partition_reduce(cand.union(own), ["node"], min_per_node,
-                                       num_parts=num_parts).materialize()
+        minned = _sever(hash_partition_reduce(
+            cand.union(own), ["node"], min_per_node, num_parts=num_parts))
         n_changed = sum(
             int(b["changed"].to_numpy(zero_copy_only=False).sum())
             for b in minned.iter_batches(batch_size=None, batch_format="pyarrow"))
@@ -174,9 +197,9 @@ def connected_components(pairs_ds, a_col: str = "id_a", b_col: str = "id_b",
         # the label dataset's blocks (measured 1 -> 16 in 4 rounds on 17
         # rows), compounding every later shuffle's fixed cost
         nb = labels.num_blocks()
-        new_labels = jumped.map_batches(
+        new_labels = _sever(jumped.map_batches(
             take_jump, batch_format="pyarrow", batch_size=None
-        ).repartition(max(min(nb, 64), 8)).materialize()
+        ).repartition(max(min(nb, 64), 8)))
 
         labels = new_labels
         if n_changed == 0:

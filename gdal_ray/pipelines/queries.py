@@ -894,6 +894,43 @@ FROM tok
 """
 
 
+def q36_embed_clusters(sf_dir):
+    """Embedding near-dup pairs (q33's cos > 0.35 graph) -> connected
+    components -> canonical survivor per cluster. Rows-only
+    (components are not portable-SQL-expressible); golden-pinned."""
+    from gdal_ray.ops.graph import dedup_survivors
+
+    pairs = q33_embed_dup_pairs(sf_dir)
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"id_a": pc.cast(t["id_a"], pa.int64()),
+                         "id_b": pc.cast(t["id_b"], pa.int64())})
+
+    p = pairs.map_batches(rename, batch_format="pyarrow", batch_size=None)
+    return dedup_survivors(p)
+
+
+def q37_text_normalize(sf_dir):
+    """Dedup text normalization (lowercase + punctuation strip +
+    whitespace collapse) — oracle is the identical lower/regexp_replace/
+    trim chain in DuckDB."""
+    from gdal_ray.text.analysis import normalize_text
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = normalize_text(ds, strip_punct=True)
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "text_norm"]),
+        batch_format="pyarrow", batch_size=None)
+
+
+Q37_SQL = r"""
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', '', 'g'),
+                           '\s+', ' ', 'g')) AS text_norm
+FROM documents
+"""
+
+
 def q30_knn_cosine(sf_dir):
     from gdal_ray.sim.knn import brute_force_topk
 
@@ -1525,6 +1562,8 @@ def registry():
         "q33_embed_dup_pairs": q33_embed_dup_pairs,
         "q34_lsh_ann": q34_lsh_ann,
         "q35_pq_ann": q35_pq_ann,
+        "q36_embed_clusters": q36_embed_clusters,
+        "q37_text_normalize": q37_text_normalize,
         "q40_points_tiles": q40_points_tiles,
         "q41_pip_admin": q41_pip_admin,
         "q42_knn_events": q42_knn_events,
@@ -1607,5 +1646,6 @@ def registry():
         "q77_sql_count_distinct": Q77_SQL,
         "q78_sql_case": Q78_SQL,
         "q29_token_quantiles": Q29_SQL,
+        "q37_text_normalize": Q37_SQL,
     }
     return qs, sqls

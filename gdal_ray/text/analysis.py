@@ -162,3 +162,25 @@ def rolling_fingerprint(ds, text_col: str = "text", out: str = "rfp", window: in
         return t.append_column(out, pa.array(outv))
 
     return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
+def normalize_text(ds, text_col: str = "text", out: str = "text_norm", *,
+                   lowercase: bool = True, collapse_whitespace: bool = True,
+                   strip_punct: bool = False):
+    """Text normalization for dedup preprocessing (the standard pipeline
+    before shingling: lowercase + whitespace collapse [+ punctuation
+    strip]) — all RE2-kernel vectorized, reproducible in ANSI SQL
+    (lower / regexp_replace / trim), so oracle-checkable."""
+
+    def f(t: pa.Table) -> pa.Table:
+        v = pc.cast(t[text_col], pa.string())
+        if lowercase:
+            v = pc.utf8_lower(v)
+        if strip_punct:
+            v = pc.replace_substring_regex(v, r"[^\w\s]", "")
+        if collapse_whitespace:
+            v = pc.replace_substring_regex(v, r"\s+", " ")
+            v = pc.utf8_trim_whitespace(v)
+        return t.append_column(out, v)
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)

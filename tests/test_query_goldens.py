@@ -27,6 +27,7 @@ GOLDENS = {
     "q27_dedup_clusters": (45, "47351a0e54121128"),
     "q34_lsh_ann": (20, "305a4a51311ee64f"),
     "q35_pq_ann": (25, "ccfabc46bd927d22"),
+    "q36_embed_clusters": (308, "4179e38e2a9475dc"),
     "q44_cells": (1000, "29ea38fef238d557"),
     "q47_utm_project": (1000, "b5f7e96a4e4dc199"),
     "q54_contour_lines": (1, "0c43b5da12463843"),
