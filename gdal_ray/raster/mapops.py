@@ -47,6 +47,73 @@ def tile_calc(tiles_ds, fn, *, dtype=np.uint32, out_dtype=None):
     return tiles_ds.map_batches(f, batch_format="pyarrow", batch_size=None)
 
 
+def tile_calc_expr(named_tiles: dict, expr: str, *, dtype=np.uint32,
+                   out_dtype=None, fill=0.0):
+    """gdal_calc.py analog: a STRING expression over named tile inputs,
+    e.g. tile_calc_expr({"A": density, "B": mask}, "A * B + 10").
+
+    The expression parses with the repo's SQL expression grammar
+    (arithmetic, comparisons, CASE, ABS/ROUND/FLOOR/CEIL, ...) and
+    evaluates vectorized per tile with band letters as columns. Inputs
+    union by (tile_x, tile_y); a tile missing from an input contributes
+    `fill` (gdal_calc's behavior for out-of-extent inputs with
+    --NoDataValue handling simplified). Single-input expressions are the
+    streaming tile_calc fast path."""
+    import pandas as pd
+
+    from gdal_ray.ops.sql import Parser, eval_expr, tokenize
+
+    out_dtype = out_dtype or dtype
+    node = Parser(tokenize(expr)).expr()
+    names = sorted(named_tiles)
+
+    if len(named_tiles) == 1:
+        name = names[0]
+
+        def fn(arr):
+            t = pa.table({name: pa.array(arr.ravel().astype(np.float64))})
+            v = eval_expr(node, t)
+            if isinstance(v, pa.Scalar):
+                return np.full(arr.shape, v.as_py(), np.float64)
+            return np.asarray(v).reshape(arr.shape)
+
+        return tile_calc(named_tiles[name], fn, dtype=dtype, out_dtype=out_dtype)
+
+    def tag(ds, letter):
+        def f(t: pa.Table, L=letter) -> pa.Table:
+            return pa.table({
+                "tile_x": t["tile_x"], "tile_y": t["tile_y"],
+                "band": pa.array([L] * len(t), pa.string()),
+                "data": t["data"],
+            })
+
+        return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+    u = tag(named_tiles[names[0]], names[0])
+    for n in names[1:]:
+        u = u.union(tag(named_tiles[n], n))
+
+    def compose(g: pd.DataFrame) -> pd.DataFrame:
+        arrs = {}
+        shape = None
+        for _, r in g.iterrows():
+            a = np.frombuffer(r["data"], dtype=dtype).astype(np.float64)
+            arrs[r["band"]] = a
+            shape = a.shape
+        cols = {n: pa.array(arrs.get(n, np.full(shape, fill))) for n in names}
+        v = eval_expr(node, pa.table(cols))
+        out = (np.full(shape, v.as_py(), np.float64) if isinstance(v, pa.Scalar)
+               else np.asarray(v)).astype(out_dtype)
+        return pd.DataFrame({
+            "tile_x": [int(g["tile_x"].iloc[0])],
+            "tile_y": [int(g["tile_y"].iloc[0])],
+            "data": [out.tobytes()],
+            "checksum": [_checksum(out.reshape(int(np.sqrt(out.size)), -1))],
+        })
+
+    return u.groupby(["tile_x", "tile_y"]).map_groups(compose, batch_format="pandas")
+
+
 def tile_reclassify(tiles_ds, mapping: list[tuple[float, float, float]], *,
                     dtype=np.uint32, default=0):
     """`gdal raster reclassify`: [(lo, hi, new_value)] half-open ranges."""

@@ -167,3 +167,33 @@ def test_color_map_and_nodata_alpha():
         if na2["tile_y"][i].as_py() == 0 and na2["tile_x"][i].as_py() == 0:
             rgba = np.frombuffer(na2["data"][i].as_py(), np.uint32).reshape(TILE, TILE)
             assert rgba[5, 5] >> 24 == 0 and rgba[50, 50] >> 24 == 255
+
+
+def test_tile_calc_expr_single_and_multi():
+    """gdal_calc-style string expressions over one and two tile inputs."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.raster.mapops import tile_calc_expr
+    from gdal_ray.util import to_arrow
+
+    a = (np.arange(256 * 256, dtype=np.uint32) % 100).reshape(256, 256)
+    b = np.full((256, 256), 3, np.uint32)
+    mk = lambda arr, tx: {"tile_x": tx, "tile_y": 0, "data": arr.tobytes()}
+    A = rd.from_pandas(pd.DataFrame([mk(a, 0), mk(a, 1)]))
+    B = rd.from_pandas(pd.DataFrame([mk(b, 0)]))  # tile 1 missing -> fill
+
+    one = to_arrow(tile_calc_expr({"A": A}, "A * 2 + 1"))
+    got = np.frombuffer(one.to_pandas().set_index("tile_x").loc[0, "data"],
+                        np.uint32).reshape(256, 256)
+    assert np.array_equal(got, a * 2 + 1)
+
+    two = to_arrow(tile_calc_expr(
+        {"A": A, "B": B}, "CASE WHEN B > 0 THEN A * B ELSE A END", fill=0.0))
+    df = two.to_pandas().set_index("tile_x")
+    g0 = np.frombuffer(df.loc[0, "data"], np.uint32)
+    g1 = np.frombuffer(df.loc[1, "data"], np.uint32)
+    assert np.array_equal(g0, (a * 3).ravel())          # B present: A*B
+    assert np.array_equal(g1, a.ravel())                # B fill=0: ELSE A
