@@ -292,6 +292,36 @@ def dem_hillshade(tiles_ds, *, cellsize: float = 1.0, azimuth: float = 315.0,
     return halo_apply(tiles_ds, kernel, radius=1, dtype=dtype, out_dtype=np.float32)
 
 
+def dem_hillshade_multidirectional(tiles_ds, *, cellsize: float = 1.0,
+                                   altitude: float = 45.0,
+                                   z_factor: float = 1.0, dtype=np.float32):
+    """`gdal raster hillshade --multidirectional` (USGS/GDAL model,
+    alg/gdaldem_lib.cpp multiDirectional: weighted combination of
+    illumination from 225/270/315/360 degrees, weights sin^2 of the
+    aspect offsets) — same halo-exchange kernel as dem_hillshade."""
+    alt = np.radians(altitude)
+    azs = [np.radians(360.0 - a + 90.0) for a in (225.0, 270.0, 315.0, 360.0)]
+
+    def kernel(pad):
+        dzdx, dzdy = _horn_gradients(pad, cellsize)
+        slope = np.arctan(z_factor * np.hypot(dzdx, dzdy))
+        aspect = np.arctan2(dzdy, -dzdx)
+        # GDAL's multidirectional weights: w_i = sin^2(aspect - az_half_i)
+        # over the four azimuths, normalized by the weight sum
+        acc = np.zeros_like(slope)
+        wsum = np.zeros_like(slope)
+        for i, az in enumerate(azs):
+            w = np.sin(aspect - np.radians(225.0 - 45.0 * i)) ** 2
+            sh = (np.sin(alt) * np.cos(slope)
+                  + np.cos(alt) * np.sin(slope) * np.cos(az - aspect))
+            acc += w * np.clip(sh, 0.0, None)
+            wsum += w
+        out = acc / np.maximum(wsum, 1e-12)
+        return np.clip(out * 255.0, 0, 255)
+
+    return halo_apply(tiles_ds, kernel, radius=1, dtype=dtype, out_dtype=np.float32)
+
+
 def _window_stack(pad: np.ndarray):
     """The 9 shifted views of a radius-1 padded array, center last removed:
     returns (center, neighbors stack of 8)."""

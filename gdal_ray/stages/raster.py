@@ -1045,6 +1045,55 @@ def _stitch_component(edge_arrs, connectivity):
     return rings
 
 
+def crop_tiles(tiles_ds, zoom: int, bbox, *, nodata=0, dtype=np.uint32):
+    """`gdal raster clip/crop` over the WebMercator tile table: tiles
+    fully outside the lon/lat bbox DROP (pure filter — no data touched);
+    edge tiles mask the outside pixels to nodata (exact global-pixel
+    window). bbox: (lon0, lat0, lon1, lat1)."""
+    lon0, lat0, lon1, lat1 = bbox
+    px0, py1 = wm.lonlat_to_pixel(np.array([lon0]), np.array([lat0]), zoom)
+    px1, py0 = wm.lonlat_to_pixel(np.array([lon1]), np.array([lat1]), zoom)
+    gx0, gx1 = int(np.floor(px0[0])), int(np.ceil(px1[0])) - 1
+    gy0, gy1 = int(np.floor(py0[0])), int(np.ceil(py1[0])) - 1
+
+    def f(t: pa.Table) -> pa.Table:
+        tx = t["tile_x"].to_numpy(zero_copy_only=False)
+        ty = t["tile_y"].to_numpy(zero_copy_only=False)
+        keep = ((tx * TILE <= gx1) & ((tx + 1) * TILE - 1 >= gx0)
+                & (ty * TILE <= gy1) & ((ty + 1) * TILE - 1 >= gy0))
+        t = t.filter(pa.array(keep))
+        if len(t) == 0:
+            return t
+        out = []
+        sums = []
+        for txv, tyv, buf in zip(t["tile_x"].to_pylist(),
+                                 t["tile_y"].to_pylist(),
+                                 t["data"].to_pylist()):
+            arr = np.frombuffer(buf, dtype=dtype).reshape(TILE, TILE).copy()
+            x_lo = max(gx0 - txv * TILE, 0)
+            x_hi = min(gx1 - txv * TILE, TILE - 1)
+            y_lo = max(gy0 - tyv * TILE, 0)
+            y_hi = min(gy1 - tyv * TILE, TILE - 1)
+            if x_lo > 0:
+                arr[:, :x_lo] = nodata
+            if x_hi < TILE - 1:
+                arr[:, x_hi + 1:] = nodata
+            if y_lo > 0:
+                arr[:y_lo, :] = nodata
+            if y_hi < TILE - 1:
+                arr[y_hi + 1:, :] = nodata
+            out.append(arr.tobytes())
+            sums.append(_checksum(arr))
+        i = t.column_names.index("data")
+        t = t.set_column(i, "data", pa.array(out, pa.binary()))
+        if "checksum" in t.column_names:
+            j = t.column_names.index("checksum")
+            t = t.set_column(j, "checksum", pa.array(sums, pa.int64()))
+        return t
+
+    return tiles_ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
 def footprint_tiles_ds(tiles_ds, *, nodata=0, dtype=np.uint32,
                        min_ring_area: float = 0.0, connectivity: int = 4):
     """`gdal raster footprint` (apps/gdalalg_raster_footprint lineage):

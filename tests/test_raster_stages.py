@@ -202,3 +202,59 @@ def test_overview_reduce_nearest():
 
     r = np.array([[9, 1], [2, 3]], dtype=np.float64).reshape(1, 2, 1, 2)
     assert _reduce2x2(r, "nearest")[0, 0] == 9.0
+
+
+def test_crop_tiles_drops_and_masks():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from gdal_ray.geo import webmercator as wm
+    from gdal_ray.stages.raster import TILE, crop_tiles
+    from gdal_ray.util import to_arrow
+
+    zoom = 4
+    arr = np.ones((TILE, TILE), np.uint32)
+    rows = [{"zoom": zoom, "tile_x": tx, "tile_y": ty, "data": arr.tobytes()}
+            for tx in range(4, 8) for ty in range(4, 8)]
+    tiles = rd.from_pandas(pd.DataFrame(rows))
+    # bbox covering roughly tiles (5..6, 5..6) at zoom 4
+    lon0, _, _, lat1 = wm.tile_bounds(5, 5, zoom)   # west edge + NORTH lat
+    _, lat0, lon1, _ = wm.tile_bounds(6, 6, zoom)   # SOUTH lat + east edge
+    eps = 1e-6
+    out = to_arrow(crop_tiles(tiles, zoom, (lon0 + eps, lat0 + eps,
+                                            lon1 - eps, lat1 - eps)))
+    keys = {(r["tile_x"], r["tile_y"]) for r in out.to_pylist()}
+    assert keys == {(tx, ty) for tx in (5, 6) for ty in (5, 6)}
+    # fully-inside tiles untouched; total surviving pixels ~= bbox area
+    total = sum(np.frombuffer(r["data"], np.uint32).sum() for r in out.to_pylist())
+    assert 4 * TILE * TILE * 0.95 <= total <= 4 * TILE * TILE
+
+
+def test_hillshade_multidirectional_range_and_flat():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from gdal_ray.raster.mapops import dem_hillshade_multidirectional
+    from gdal_ray.stages.raster import TILE
+    from gdal_ray.util import to_arrow
+
+    yy, xx = np.meshgrid(np.arange(TILE, dtype=float),
+                         np.arange(TILE, dtype=float), indexing="ij")
+    dem = (0.2 * xx + 0.1 * yy).astype(np.float32)
+    tiles = rd.from_pandas(pd.DataFrame([
+        {"zoom": 0, "tile_x": 0, "tile_y": 0, "data": dem.tobytes()}]))
+    out = to_arrow(dem_hillshade_multidirectional(tiles))
+    sh = np.frombuffer(out["data"][0].as_py(), np.float32).reshape(TILE, TILE)
+    assert 0 <= sh.min() and sh.max() <= 255
+    # a constant-gradient plane shades to one interior value
+    interior = sh[2:-2, 2:-2]
+    assert interior.std() < 1e-3
+    # flat terrain -> uniform sin(alt) * 255
+    flat = rd.from_pandas(pd.DataFrame([
+        {"zoom": 0, "tile_x": 0, "tile_y": 0,
+         "data": np.zeros((TILE, TILE), np.float32).tobytes()}]))
+    outf = to_arrow(dem_hillshade_multidirectional(flat))
+    shf = np.frombuffer(outf["data"][0].as_py(), np.float32)
+    assert np.allclose(shf, np.sin(np.radians(45)) * 255, atol=1e-3)

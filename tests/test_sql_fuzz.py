@@ -34,6 +34,13 @@ def _num_expr(depth: int):
         st.tuples(sub, st.sampled_from(["+", "-", "*"]), sub).map(
             lambda t: f"({t[0]} {t[1]} {t[2]})"
         ),
+        # round-3 scalar surface: ABS / CASE WHEN (FLOOR/CEIL/ROUND return
+        # DOUBLE in DuckDB but BIGINT-ish values — folded via ABS only to
+        # keep integer typing stable across engines)
+        sub.map(lambda e: f"ABS({e})"),
+        st.tuples(sub, st.sampled_from(["<", ">="]), sub, sub, sub).map(
+            lambda t: f"(CASE WHEN {t[0]} {t[1]} {t[2]} THEN {t[3]} ELSE {t[4]} END)"
+        ),
     )
 
 
