@@ -623,3 +623,105 @@ def tumbling_window_col(ds, ts_col: str, out_col: str, size_us: int):
         return t.append_column(out_col, pc.cast(w, pa.timestamp("us")))
 
     return ds.map_batches(add, batch_format="pyarrow", batch_size=None)
+
+
+def asof_join(left_ds, right_ds, *, on: str, by: Sequence[str] = (),
+              direction: str = "backward", suffix: str = "_r",
+              num_parts: int | None = None):
+    """AS-OF join (the temporal lookup Ray Data lacks; DuckDB ASOF JOIN
+    semantics): for every left row, attach the right row with the LARGEST
+    right.on <= left.on (direction='backward'; 'forward' takes the
+    smallest >=), optionally matching equality keys `by` first.
+
+    Distributed shape: both sides union-tagged and hash-partitioned by
+    `by` (or a single partition-id when by is empty — then partitions
+    split by ON-RANGE instead... no: with no keys the right side is
+    BROADCAST-sized per partition, so rows hash-partition on a constant
+    and the right side must fit one task; pass by-keys for true scale).
+    Within each partition: sort right by on, np.searchsorted per left row
+    — fully vectorized, no per-row Python."""
+    import pandas as pd
+
+    by = list(by)
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+
+    l_cols = left_ds.schema().names
+    r_cols = right_ds.schema().names
+    out_r_cols = [c for c in r_cols if c != on and c not in by]
+    renamed_r = [c + suffix if c in l_cols else c for c in out_r_cols]
+
+    def tag_l(t: pa.Table) -> pa.Table:
+        cols = {c: t[c] for c in l_cols}
+        for c, rc in zip(out_r_cols, renamed_r):
+            cols["__r_" + rc] = pa.nulls(len(t), pa.float64())
+        cols["__side"] = pa.array(np.zeros(len(t), np.int8))
+        return pa.table(cols)
+
+    def tag_r(t: pa.Table) -> pa.Table:
+        cols = {}
+        for c in l_cols:
+            if c in by or c == on:
+                cols[c] = t[c] if c in t.column_names else pa.nulls(len(t), pa.float64())
+            else:
+                cols[c] = pa.nulls(len(t), pa.float64())
+        for c, rc in zip(out_r_cols, renamed_r):
+            cols["__r_" + rc] = pc.cast(t[c], pa.float64())
+        cols["__side"] = pa.array(np.ones(len(t), np.int8))
+        return pa.table(cols)
+
+    lt = left_ds.map_batches(tag_l, batch_format="pyarrow", batch_size=None)
+    rt = right_ds.map_batches(tag_r, batch_format="pyarrow", batch_size=None)
+    part_keys = by if by else None
+
+    def resolve(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        left = df[df["__side"] == 0]
+        right = df[df["__side"] == 1]
+        out = {c: left[c].to_numpy() for c in l_cols}
+        n = len(left)
+        if n == 0:
+            return pa.table({**{c: pa.array([]) for c in l_cols},
+                             **{rc: pa.array([], pa.float64()) for rc in renamed_r}})
+        rvals = {rc: np.full(n, np.nan) for rc in renamed_r}
+        if len(right):
+            if by:
+                groups_l = left.groupby(by, sort=False, dropna=False).indices
+                groups_r = right.groupby(by, sort=False, dropna=False).indices
+            else:
+                groups_l = {(): np.arange(len(left))}
+                groups_r = {(): np.arange(len(right))}
+            lons = left[on].to_numpy()
+            rons = right[on].to_numpy()
+            for k, li in groups_l.items():
+                ri = groups_r.get(k)
+                if ri is None or ri.size == 0:
+                    continue
+                order = np.argsort(rons[ri], kind="mergesort")
+                ri = ri[order]
+                rs = rons[ri]
+                if direction == "backward":
+                    pos = np.searchsorted(rs, lons[li], side="right") - 1
+                    ok = pos >= 0
+                else:
+                    pos = np.searchsorted(rs, lons[li], side="left")
+                    ok = pos < rs.size
+                pos_c = np.clip(pos, 0, rs.size - 1)
+                for rc in renamed_r:
+                    col = right["__r_" + rc].to_numpy()[ri]
+                    rvals[rc][li[ok]] = col[pos_c[ok]]
+        for rc in renamed_r:
+            out[rc] = rvals[rc]
+        return pa.Table.from_pydict({k: pa.array(v) for k, v in out.items()})
+
+    u = lt.union(rt)
+    if part_keys:
+        return hash_partition_reduce(u, part_keys, resolve, num_parts=num_parts)
+
+    def add_const(t: pa.Table) -> pa.Table:
+        return t.append_column("__p", pa.array(np.zeros(len(t), np.int8)))
+
+    return (u.map_batches(add_const, batch_format="pyarrow", batch_size=None)
+            .groupby("__p")
+            .map_groups(lambda t: resolve(t.drop_columns(["__p"])),
+                        batch_format="pyarrow"))

@@ -1489,6 +1489,47 @@ def q78_sql_case(sf_dir):
     return _sql_query(Q78_SQL)(sf_dir)
 
 
+def q79_asof_join(sf_dir):
+    """AS-OF temporal join (DuckDB ASOF JOIN semantics): every event picks
+    the latest checkpoint (every-10th event, deduped per (user, ts) with
+    max) at or before its timestamp, matched per user. Ray shape: both
+    sides hash-partition by user, one sorted searchsorted per partition."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def cut(t: pa.Table) -> pa.Table:
+        ev = pc.cast(t["event_id"], pa.int64())
+        m = pc.equal(pc.subtract(ev, pc.multiply(pc.divide(ev, 10), 10)), 0)
+        t = t.filter(m)
+        return t.select(["user_id", "ts", "value"])
+
+    right = ds.map_batches(cut, batch_format="pyarrow", batch_size=None)
+    right = R.groupby_agg(right, ["user_id", "ts"], [("value", "max", "value")])
+    left = ds.map_batches(lambda t: t.select(["event_id", "user_id", "ts"]),
+                          batch_format="pyarrow", batch_size=None)
+    out = R.asof_join(left, right, on="ts", by=["user_id"])
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "ref_value": pc.round(pc.cast(t["value_r" if "value_r" in t.column_names else "value"], pa.float64()),
+                                  ndigits=6, round_mode="half_towards_infinity"),
+        })
+
+    return out.map_batches(fin, batch_format="pyarrow", batch_size=None)
+
+
+Q79_SQL = """
+SELECT l.event_id, l.user_id,
+       round(CAST(r.value AS DOUBLE), 6) AS ref_value
+FROM events l
+ASOF LEFT JOIN (
+  SELECT user_id, ts, max(value) AS value FROM events
+  WHERE event_id % 10 = 0 GROUP BY 1, 2
+) r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 def _sql_oracle(sql):
     # wrap so float columns round identically on the DuckDB side
     return f"""SELECT * REPLACE (round(total, 4) AS total) FROM ({sql})""" if "total" in sql else sql
@@ -1595,6 +1636,7 @@ def registry():
         "q76_sql_strings": q76_sql_strings,
         "q77_sql_count_distinct": q77_sql_count_distinct,
         "q78_sql_case": q78_sql_case,
+        "q79_asof_join": q79_asof_join,
     }
     sqls = {
         "q01_tpch_groupby": Q01_SQL,
@@ -1645,6 +1687,7 @@ def registry():
         "q76_sql_strings": Q76_SQL,
         "q77_sql_count_distinct": Q77_SQL,
         "q78_sql_case": Q78_SQL,
+        "q79_asof_join": Q79_SQL,
         "q29_token_quantiles": Q29_SQL,
         "q37_text_normalize": Q37_SQL,
     }

@@ -148,3 +148,51 @@ class AudioFrameSampler:
                 "frame_md5": pa.array(rows_hash, pa.string()),
             }
         )
+
+
+class ImageDHasher:
+    """Actor-pool stage: 64-bit difference hash (dHash) per image — the
+    standard perceptual near-dup signature for image dedup (public
+    algorithm: resize to 9x8 grayscale, hash the sign of horizontal
+    gradients). Composes with ops.graph.dedup_survivors for cluster-level
+    image dedup the same way MinHash does for text."""
+
+    def __init__(self, *, image_col: str = "image", out: str = "dhash"):
+        self.col = image_col
+        self.out = out
+        self.bit_masks = np.uint64(1) << np.arange(64, dtype=np.uint64)
+
+    def _dhash(self, img: np.ndarray) -> np.uint64:
+        gray = img.astype(np.float64).mean(axis=2)
+        h, w = gray.shape
+        yi = (np.arange(8) * h // 8)
+        xi = (np.arange(9) * w // 9)
+        small = gray[yi[:, None], xi[None, :]]       # 8x9
+        bits = (small[:, 1:] > small[:, :-1]).ravel()  # 64 gradient signs
+        return (bits.astype(np.uint64) * self.bit_masks).sum()
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out = np.zeros(len(t), np.uint64)
+        ws = t["img_width"].to_numpy(zero_copy_only=False)
+        hs = t["img_height"].to_numpy(zero_copy_only=False)
+        fmts = t["img_format"].to_pylist()
+        for i, buf in enumerate(t[self.col].to_pylist()):
+            img = _decode_payload(buf, fmts[i], int(ws[i]), int(hs[i]))
+            out[i] = self._dhash(img)
+        return t.append_column(self.out, pa.array(out))
+
+
+def image_dedup_exact(ds, id_col: str, *, image_col: str = "image",
+                      concurrency=(1, 4)):
+    """Exact perceptual dedup: dHash signature -> first-per-hash winners
+    (hash-partitioned, same scale shape as text exact_dedup). Returns
+    (dhash, <id_col> survivors)."""
+    from gdal_ray.ops.relational import first_by
+
+    hashed = ds.map_batches(ImageDHasher,
+                            fn_constructor_kwargs={"image_col": image_col},
+                            batch_format="pyarrow", batch_size=None,
+                            concurrency=concurrency)
+    sel = hashed.map_batches(lambda t: t.select(["dhash", id_col]),
+                             batch_format="pyarrow", batch_size=None)
+    return first_by(sel, ["dhash"], [id_col], merge="hash")

@@ -50,3 +50,30 @@ def test_frame_sampler(sf_dir):
     )
     assert out.num_rows == 40  # 10 payloads x 4 frames
     assert out["frame"].to_pylist().count(0) == 10
+
+
+def test_image_dhash_dedup(sf_dir):
+    """dHash is identical for identical payloads and separates distinct
+    synthetic images; exact dedup keeps one id per hash."""
+    import numpy as np
+    import ray.data as rd
+
+    from gdal_ray.stages.multimodal import ImageDHasher, image_dedup_exact, synth_image_column
+    from gdal_ray.util import read_table, to_arrow
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+    imgs = synth_image_column(ds, id_col="doc_id")
+    hashed = to_arrow(imgs.map_batches(
+        ImageDHasher, batch_format="pyarrow", batch_size=None,
+        concurrency=2)).to_pandas()
+    assert len(hashed) == 500
+    # deterministic: same doc -> same hash on a second pass
+    hashed2 = to_arrow(synth_image_column(ds, id_col="doc_id").map_batches(
+        ImageDHasher, batch_format="pyarrow", batch_size=None,
+        concurrency=2)).to_pandas()
+    m1 = dict(zip(hashed["doc_id"], hashed["dhash"]))
+    m2 = dict(zip(hashed2["doc_id"], hashed2["dhash"]))
+    assert m1 == m2
+    surv = to_arrow(image_dedup_exact(imgs, "doc_id")).to_pandas()
+    assert len(surv) == hashed["dhash"].nunique()
+    assert surv["doc_id"].is_unique

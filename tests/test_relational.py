@@ -223,3 +223,33 @@ def test_std_with_nulls_and_single_row_groups(sf_dir, con):
     import numpy as np
     for a, b in zip(out["sd"], exp["sd"]):
         assert (np.isnan(a) and (b is None or np.isnan(b))) or abs(a - b) < 1e-12
+
+
+def test_asof_join_directions_and_misses():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    left = pa.table({
+        "k": pa.array([1, 1, 1, 2, 3], pa.int64()),
+        "t": pa.array([5.0, 15.0, 25.0, 8.0, 1.0]),
+    })
+    right = pa.table({
+        "k": pa.array([1, 1, 2], pa.int64()),
+        "t": pa.array([10.0, 20.0, 8.0]),
+        "v": pa.array([100.0, 200.0, 300.0]),
+    })
+    lds = rd.from_arrow([left.slice(0, 3), left.slice(3)])
+    rds = rd.from_arrow(right)
+    back = to_arrow(R.asof_join(lds, rds, on="t", by=["k"], num_parts=8)) \
+        .to_pandas().sort_values(["k", "t"]).reset_index(drop=True)
+    # k=1: t=5 -> no match; t=15 -> 100; t=25 -> 200; k=2 t=8 -> 300 (<=)
+    assert np.isnan(back.loc[0, "v"])
+    assert back.loc[1, "v"] == 100.0 and back.loc[2, "v"] == 200.0
+    assert back.loc[3, "v"] == 300.0
+    assert np.isnan(back.loc[4, "v"])  # k=3: no right rows
+    fwd = to_arrow(R.asof_join(lds, rds, on="t", by=["k"],
+                               direction="forward", num_parts=8)) \
+        .to_pandas().sort_values(["k", "t"]).reset_index(drop=True)
+    assert fwd.loc[0, "v"] == 100.0   # t=5 -> next is 10
+    assert np.isnan(fwd.loc[2, "v"])  # t=25 -> nothing after
