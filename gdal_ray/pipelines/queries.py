@@ -1530,6 +1530,38 @@ ASOF LEFT JOIN (
 """
 
 
+def q80_rolling_window(sf_dir):
+    """Per-user time-range rolling aggregates (1h window): SQL window
+    functions RANGE BETWEEN ... PRECEDING AND CURRENT ROW, restated as
+    hash-partition + sorted prefix sums (no self-join)."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    out = R.rolling_agg(ds, by=["user_id"], on="ts", value="value",
+                        window_us=3_600_000_000, aggs=("sum", "count", "mean"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "roll_sum": pc.round(pc.cast(t["roll_sum"], pa.float64()),
+                                 ndigits=6, round_mode="half_towards_infinity"),
+            "roll_count": pc.cast(t["roll_count"], pa.int64()),
+            "roll_mean": pc.round(pc.cast(t["roll_mean"], pa.float64()),
+                                  ndigits=6, round_mode="half_towards_infinity"),
+        })
+
+    return out.map_batches(fin, batch_format="pyarrow", batch_size=None)
+
+
+Q80_SQL = """
+SELECT event_id,
+       round(sum(value) OVER w, 6) AS roll_sum,
+       count(*) OVER w AS roll_count,
+       round(avg(value) OVER w, 6) AS roll_mean
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
 def _sql_oracle(sql):
     # wrap so float columns round identically on the DuckDB side
     return f"""SELECT * REPLACE (round(total, 4) AS total) FROM ({sql})""" if "total" in sql else sql
@@ -1637,6 +1669,7 @@ def registry():
         "q77_sql_count_distinct": q77_sql_count_distinct,
         "q78_sql_case": q78_sql_case,
         "q79_asof_join": q79_asof_join,
+        "q80_rolling_window": q80_rolling_window,
     }
     sqls = {
         "q01_tpch_groupby": Q01_SQL,
@@ -1688,6 +1721,7 @@ def registry():
         "q77_sql_count_distinct": Q77_SQL,
         "q78_sql_case": Q78_SQL,
         "q79_asof_join": Q79_SQL,
+        "q80_rolling_window": Q80_SQL,
         "q29_token_quantiles": Q29_SQL,
         "q37_text_normalize": Q37_SQL,
     }

@@ -253,3 +253,27 @@ def test_asof_join_directions_and_misses():
         .to_pandas().sort_values(["k", "t"]).reset_index(drop=True)
     assert fwd.loc[0, "v"] == 100.0   # t=5 -> next is 10
     assert np.isnan(fwd.loc[2, "v"])  # t=25 -> nothing after
+
+
+def test_rolling_agg_window_edges_and_minmax():
+    """Closed-interval window semantics (a row exactly window earlier is
+    included, matching SQL RANGE PRECEDING) + min/max fallback path."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    us = 1_000_000
+    t = pa.table({
+        "k": pa.array([1, 1, 1, 1], pa.int64()),
+        "ts": pa.array([0, 5 * us, 10 * us, 16 * us], pa.timestamp("us")),
+        "v": pa.array([10.0, 20.0, 40.0, 5.0]),
+    })
+    out = to_arrow(R.rolling_agg(
+        rd.from_arrow(t), by=["k"], on="ts", value="v",
+        window_us=5 * us, aggs=("sum", "count", "min", "max"), num_parts=8,
+    )).to_pandas().sort_values("ts").reset_index(drop=True)
+    # ts=5s window [0s, 5s] INCLUDES the 0s row (closed interval)
+    assert out.loc[1, "roll_sum"] == 30.0 and out.loc[1, "roll_count"] == 2
+    assert out.loc[2, "roll_sum"] == 60.0   # [5s,10s]: 20+40
+    assert out.loc[3, "roll_sum"] == 5.0    # [11s,16s]: alone
+    assert out.loc[2, "roll_min"] == 20.0 and out.loc[2, "roll_max"] == 40.0
