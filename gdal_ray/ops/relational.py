@@ -796,3 +796,33 @@ def rolling_agg(ds, *, by: Sequence[str], on: str, value: str,
         return pa.Table.from_pandas(df, preserve_index=False)
 
     return hash_partition_reduce(ds, by, part, num_parts=num_parts)
+
+
+def rank_within(ds, *, by: Sequence[str], order_by: Sequence[tuple[str, bool]],
+                out_col: str = "rn", num_parts: int | None = None):
+    """ROW_NUMBER() OVER (PARTITION BY by ORDER BY order_by) — per-key
+    ranking without a global sort: hash-partition by key, one sort per
+    partition, ranks via a vectorized boundary scan. order_by:
+    [(col, descending)]. Make the order total (tie-break column) for
+    deterministic/oracle-matching output."""
+    import pandas as pd
+
+    by = list(by)
+    ocols = [c for c, _ in order_by]
+    asc = [not d for _, d in order_by]
+
+    def part(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t.append_column(out_col, pa.array([], pa.int64()))
+        df = t.to_pandas().sort_values(by + ocols,
+                                       ascending=[True] * len(by) + asc,
+                                       kind="mergesort", ignore_index=True)
+        keys = df[by].to_numpy()
+        change = np.flatnonzero((keys[1:] != keys[:-1]).any(axis=1)) + 1
+        starts = np.concatenate([[0], change])
+        sizes = np.diff(np.concatenate([starts, [len(df)]]))
+        rn = np.arange(len(df), dtype=np.int64) - np.repeat(starts, sizes) + 1
+        df[out_col] = rn
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return hash_partition_reduce(ds, by, part, num_parts=num_parts)

@@ -1562,6 +1562,59 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
 """
 
 
+def q82_gopher_quality(sf_dir):
+    """Gopher-rule quality signals (dup-line fraction, mean word length,
+    symbol ratio, bullet fraction) — oracle is the identical definition
+    in DuckDB list/regexp functions."""
+    from gdal_ray.text.analysis import gopher_quality
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return gopher_quality(ds)
+
+
+Q82_SQL = r"""
+WITH L AS (
+  SELECT doc_id, text, str_split(text, chr(10)) AS lines,
+         CAST(length(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_tok
+  FROM documents
+)
+SELECT doc_id,
+       length(lines) AS n_lines,
+       round(CASE WHEN length(lines) > 0
+             THEN 1.0 - CAST(length(list_distinct(lines)) AS DOUBLE)
+                  / greatest(length(lines), 1) ELSE 0.0 END, 6) AS dup_line_frac,
+       round(CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+             / greatest(n_tok, 1.0), 6) AS mean_word_len,
+       round(CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+             / greatest(n_tok, 1.0), 6) AS symbol_word_ratio,
+       round(CASE WHEN length(lines) > 0
+             THEN CAST(length(list_filter(lines,
+                  l -> regexp_matches(l, '^\s*[-*]'))) AS DOUBLE)
+                  / greatest(length(lines), 1) ELSE 0.0 END, 6)
+         AS bullet_line_frac
+FROM L
+"""
+
+
+def q81_rank_within(sf_dir):
+    """ROW_NUMBER per user ordered by (ts, event_id) — per-key ranking
+    via hash partition + sorted boundary scan (no global sort)."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    out = R.rank_within(ds, by=["user_id"],
+                        order_by=[("ts", False), ("event_id", False)])
+    return out.map_batches(
+        lambda t: pa.table({"event_id": pc.cast(t["event_id"], pa.int64()),
+                            "rn": pc.cast(t["rn"], pa.int64())}),
+        batch_format="pyarrow", batch_size=None)
+
+
+Q81_SQL = """
+SELECT event_id,
+       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+FROM events
+"""
+
+
 def _sql_oracle(sql):
     # wrap so float columns round identically on the DuckDB side
     return f"""SELECT * REPLACE (round(total, 4) AS total) FROM ({sql})""" if "total" in sql else sql
@@ -1670,6 +1723,8 @@ def registry():
         "q78_sql_case": q78_sql_case,
         "q79_asof_join": q79_asof_join,
         "q80_rolling_window": q80_rolling_window,
+        "q82_gopher_quality": q82_gopher_quality,
+        "q81_rank_within": q81_rank_within,
     }
     sqls = {
         "q01_tpch_groupby": Q01_SQL,
@@ -1722,6 +1777,8 @@ def registry():
         "q78_sql_case": Q78_SQL,
         "q79_asof_join": Q79_SQL,
         "q80_rolling_window": Q80_SQL,
+        "q82_gopher_quality": Q82_SQL,
+        "q81_rank_within": Q81_SQL,
         "q29_token_quantiles": Q29_SQL,
         "q37_text_normalize": Q37_SQL,
     }
