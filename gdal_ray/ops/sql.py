@@ -488,9 +488,14 @@ def _parse_core(p: Parser) -> Select:
     group_by = []
     if p.accept("kw", "GROUP"):
         p.expect("kw", "BY")
-        group_by.append(p.expect("id")[1])
+        # plain column name -> name; anything else -> the expression Node
+        # (pre-computed as a hidden column before grouping)
+        def _gitem():
+            e = p.expr()
+            return e.value if e.kind == "col" else e
+        group_by.append(_gitem())
         while p.accept("op", ","):
-            group_by.append(p.expect("id")[1])
+            group_by.append(_gitem())
     having = None
     if p.accept("kw", "HAVING"):
         having = p.expr()
@@ -509,7 +514,8 @@ def parse_query(sql: str) -> Query:
     if p.accept("kw", "ORDER"):
         p.expect("kw", "BY")
         while True:
-            col = p.expect("id")[1]
+            e = p.expr()
+            col = e.value if e.kind == "col" else e
             desc = False
             if p.accept("kw", "DESC"):
                 desc = True
@@ -946,9 +952,19 @@ def _execute_with_count_distinct(ds, q, specs, cd_specs, names, having):
         out = _filter_table(out, eval_expr(having, out))
     out = out.select(names)
     if q.order_by:
-        out = out.take(pc.sort_indices(
-            out, sort_keys=[(c, "descending" if d else "ascending")
-                            for c, d in q.order_by]))
+        sort_keys = []
+        tmp = out
+        for i, (c, d) in enumerate(q.order_by):
+            if isinstance(c, Node):
+                v = eval_expr(c, tmp)
+                if isinstance(v, pa.Scalar):
+                    v = pa.array([v.as_py()] * len(tmp))
+                nm = f"__ox{i}"
+                tmp = tmp.append_column(nm, v)
+                sort_keys.append((nm, "descending" if d else "ascending"))
+            else:
+                sort_keys.append((c, "descending" if d else "ascending"))
+        out = out.take(pc.sort_indices(tmp, sort_keys=sort_keys))
     if q.offset:
         out = out.slice(q.offset)
     if q.limit is not None:
@@ -990,16 +1006,56 @@ def execute(sql: str, sf_dir: str):
     out = union_all(*outs)
     want = q.limit + (q.offset or 0) if q.limit is not None else None
     if q.order_by:
+        out, keys_, drop_ = _order_keys(out, q.order_by)
         if want is not None:
-            out = topk(out, q.order_by, want)
+            out = topk(out, keys_, want)
         else:
-            out = out.sort([c for c, _ in q.order_by],
-                           descending=[d for _, d in q.order_by])
+            out = out.sort([c for c, _ in keys_],
+                           descending=[d for _, d in keys_])
+        out = _drop_cols(out, drop_)
     elif want is not None:
         out = out.limit(want)
     if q.offset:
         out = _apply_offset(out, q.offset)
     return out
+
+
+
+def _order_keys(out, order_by, *, on_source=False):
+    """Normalize ORDER BY items to plain column names. Expression items
+    compute as hidden __ox columns via one map_batches (dropped by the
+    caller after the sort/topk). Returns (ds, [(name, desc)], drop_cols)."""
+    plain = [(c, d) for c, d in order_by if not isinstance(c, Node)]
+    exprs = [(c, d) for c, d in order_by if isinstance(c, Node)]
+    if not exprs:
+        return out, list(order_by), []
+    names = {}
+    keylist = []
+    for c, d in order_by:
+        if isinstance(c, Node):
+            nm = f"__ox{len(names)}"
+            names[nm] = c
+            keylist.append((nm, d))
+        else:
+            keylist.append((c, d))
+
+    def add(t: pa.Table, cols=dict(names)) -> pa.Table:
+        for nm, node in cols.items():
+            v = eval_expr(node, t)
+            if isinstance(v, pa.Scalar):
+                v = pa.array([v.as_py()] * len(t))
+            t = t.append_column(nm, v)
+        return t
+
+    return (out.map_batches(add, batch_format="pyarrow", batch_size=None),
+            keylist, list(names))
+
+
+def _drop_cols(out, cols):
+    if not cols:
+        return out
+    return out.map_batches(lambda t, c=list(cols): t.drop_columns(c),
+                           batch_format="pyarrow", batch_size=None)
 
 
 def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
@@ -1071,6 +1127,28 @@ def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
         q.items = [(_rw(item), alias) for item, alias in q.items]
         if q.having is not None:
             q.having = _rw(q.having)
+        # GROUP BY expressions: each Node entry becomes a hidden column
+        # (same pre-compute pass); a select item EQUAL to a group
+        # expression becomes a reference to that column
+        group_names = []
+        gexprs = []
+        for g in q.group_by:
+            if isinstance(g, Node):
+                nm = _agg_target(g)
+                gexprs.append((g, nm))
+                group_names.append(nm)
+            else:
+                group_names.append(g)
+        if gexprs:
+            new_items = []
+            for item, alias in q.items:
+                for node, nm in gexprs:
+                    if item == node:
+                        item = Node("col", nm)
+                        break
+                new_items.append((item, alias))
+            q.items = new_items
+        q.group_by = group_names
         if pre_cols:
             items_pre = dict(pre_cols)
 
@@ -1102,6 +1180,8 @@ def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
                     raise ValueError(f"non-aggregated column {item.value}")
             else:
                 raise ValueError("select items in GROUP BY mode must be columns or aggregates")
+        sel_cols = [item.value if item.kind == "col" else nm
+                    for (item, _), nm in zip(q.items, names)]
         having = q.having
         hidden: list = []
         if having is not None:
@@ -1117,11 +1197,13 @@ def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
                 ds, q, specs + hidden, cd_specs + hidden_cd, names, having)
         out = groupby_agg(ds, q.group_by, specs + hidden)
 
-        def proj(t: pa.Table, hv=having, nm=list(names)) -> pa.Table:
+        def proj(t: pa.Table, hv=having, nm=list(names),
+                 sc=list(sel_cols)) -> pa.Table:
             if hv is not None:
                 t = _filter_table(t, eval_expr(hv, t))
-            # order output columns as written (hidden HAVING specs dropped)
-            return t.select(nm)
+            # order output columns as written (hidden HAVING specs
+            # dropped; hidden group-expression keys rename to item names)
+            return t.select(sc).rename_columns(nm)
 
         out = out.map_batches(proj, batch_format="pyarrow", batch_size=None)
     else:
@@ -1148,13 +1230,16 @@ def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
             if item.kind != "star":
                 out_cols.add(_item_name(item, alias, idx))
         want = q.limit + (q.offset or 0) if q.limit is not None else None
-        order_pre = bool(q.order_by) and not all(c in out_cols for c, _ in q.order_by)
+        order_pre = bool(q.order_by) and not all(
+            (not isinstance(c, Node)) and c in out_cols for c, _ in q.order_by)
         if order_pre:
+            ds, keys_, drop_ = _order_keys(ds, q.order_by)
             if want is not None:
-                ds = topk(ds, q.order_by, want)
+                ds = topk(ds, keys_, want)
             else:
-                ds = ds.sort([c for c, _ in q.order_by],
-                             descending=[d for _, d in q.order_by])
+                ds = ds.sort([c for c, _ in keys_],
+                             descending=[d for _, d in keys_])
+            # hidden __ox columns drop in the projection below
             out = ds.map_batches(project, batch_format="pyarrow", batch_size=None)
             if q.distinct:
                 out = op_distinct(out, [c for c in _out_names(q)])
@@ -1167,11 +1252,13 @@ def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
         out = op_distinct(out, [c for c in _out_names(q)])
     want = q.limit + (q.offset or 0) if q.limit is not None else None
     if q.order_by:
+        out, keys_, drop_ = _order_keys(out, q.order_by)
         if want is not None:
-            out = topk(out, q.order_by, want)
+            out = topk(out, keys_, want)
         else:
-            out = out.sort([c for c, _ in q.order_by],
-                           descending=[d for _, d in q.order_by])
+            out = out.sort([c for c, _ in keys_],
+                           descending=[d for _, d in keys_])
+        out = _drop_cols(out, drop_)
     elif want is not None:
         out = out.limit(want)
     if q.offset:

@@ -41,6 +41,12 @@ CASES = [
     "SELECT l_orderkey, ABS(l_quantity - 25.0) AS dq, ROUND(l_extendedprice / 7, 2) AS re, FLOOR(l_discount * 100) AS fd, CEIL(l_tax * 100) AS ct FROM lineitem WHERE l_orderkey < 60",
     "SELECT s_suppkey, REPLACE(s_name, 'Supplier', 'S') AS sn, TRIM(CONCAT('  ', s_name, ' ')) AS tc, LTRIM(CONCAT(' ', s_name)) AS lt, RTRIM(CONCAT(s_name, ' ')) AS rt FROM supplier WHERE s_suppkey < 40",
     "SELECT c_mktsegment, SUM(CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END) AS rich FROM customer GROUP BY c_mktsegment",
+    # round-3b: GROUP BY / ORDER BY expressions + aliased group keys
+    "SELECT FLOOR(o_totalprice / 50000) AS bucket, COUNT(*) AS n FROM orders GROUP BY FLOOR(o_totalprice / 50000)",
+    "SELECT c_nationkey % 5 AS g, SUM(c_acctbal) AS total FROM customer GROUP BY c_nationkey % 5 ORDER BY g",
+    "SELECT c_mktsegment AS seg, COUNT(*) AS n FROM customer GROUP BY c_mktsegment ORDER BY n DESC, seg",
+    "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice * -1, o_orderkey LIMIT 12",
+    "SELECT p_partkey, p_retailprice FROM part ORDER BY ABS(p_retailprice - 1500), p_partkey LIMIT 9",
 ]
 
 
