@@ -826,3 +826,35 @@ def rank_within(ds, *, by: Sequence[str], order_by: Sequence[tuple[str, bool]],
         return pa.Table.from_pandas(df, preserve_index=False)
 
     return hash_partition_reduce(ds, by, part, num_parts=num_parts)
+
+
+def hash_sample(ds, col: str, rate_pct: int, *, salt: int = 2654435761):
+    """Deterministic hash sampling: keep rows where
+    (col * salt) mod 2^32 mod 100 < rate_pct — reproducible across runs
+    and engines (pure integer arithmetic, so the identical expression is
+    the SQL oracle), unlike random_sample. The standard trick for stable
+    train/val splits of a growing corpus."""
+
+    def f(t: pa.Table) -> pa.Table:
+        v = pc.cast(t[col], pa.int64()).to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            h = (v.astype(np.uint64) * np.uint64(salt)) % np.uint64(1 << 32)
+        return t.filter(pa.array((h % 100) < rate_pct))
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
+def stratified_sample(ds, *, by: Sequence[str], k: int, order_col: str,
+                      num_parts: int | None = None):
+    """Deterministic per-key sampling: keep the k rows with the smallest
+    order_col per key (use a hash column for pseudo-random-but-stable
+    strata). rank_within + filter — one hash shuffle, no global sort."""
+    ranked = rank_within(ds, by=list(by),
+                         order_by=[(order_col, False)], out_col="__rn",
+                         num_parts=num_parts)
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["__rn"], k))
+        return t.drop_columns(["__rn"])
+
+    return ranked.map_batches(f, batch_format="pyarrow", batch_size=None)

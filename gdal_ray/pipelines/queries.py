@@ -1615,6 +1615,35 @@ FROM events
 """
 
 
+def q83_hash_sample(sf_dir):
+    """Deterministic hash sampling (stable 10pct split) — identical
+    integer arithmetic on both sides."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+    return R.hash_sample(ds, "event_id", 10)
+
+
+Q83_SQL = """
+SELECT event_id, user_id FROM events
+WHERE ((event_id * 2654435761) % 4294967296) % 100 < 10
+"""
+
+
+def q84_stratified_sample(sf_dir):
+    """Per-user stratified sample (3 earliest events per user) — rank +
+    filter; oracle is ROW_NUMBER <= k."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+    return R.stratified_sample(ds, by=["user_id"], k=3, order_col="event_id")
+
+
+Q84_SQL = """
+SELECT event_id, user_id FROM (
+  SELECT event_id, user_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+  FROM events
+) WHERE rn <= 3
+"""
+
+
 def _sql_oracle(sql):
     # wrap so float columns round identically on the DuckDB side
     return f"""SELECT * REPLACE (round(total, 4) AS total) FROM ({sql})""" if "total" in sql else sql
@@ -1725,6 +1754,8 @@ def registry():
         "q80_rolling_window": q80_rolling_window,
         "q82_gopher_quality": q82_gopher_quality,
         "q81_rank_within": q81_rank_within,
+        "q83_hash_sample": q83_hash_sample,
+        "q84_stratified_sample": q84_stratified_sample,
     }
     sqls = {
         "q01_tpch_groupby": Q01_SQL,
@@ -1779,6 +1810,8 @@ def registry():
         "q80_rolling_window": Q80_SQL,
         "q82_gopher_quality": Q82_SQL,
         "q81_rank_within": Q81_SQL,
+        "q83_hash_sample": Q83_SQL,
+        "q84_stratified_sample": Q84_SQL,
         "q29_token_quantiles": Q29_SQL,
         "q37_text_normalize": Q37_SQL,
     }
