@@ -277,3 +277,39 @@ def test_rolling_agg_window_edges_and_minmax():
     assert out.loc[2, "roll_sum"] == 60.0   # [5s,10s]: 20+40
     assert out.loc[3, "roll_sum"] == 5.0    # [11s,16s]: alone
     assert out.loc[2, "roll_min"] == 20.0 and out.loc[2, "roll_max"] == 40.0
+
+
+def test_hash_sample_deterministic_and_rate():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    t = pa.table({"id": pa.array(np.arange(20_000), pa.int64())})
+    ds = rd.from_arrow([t.slice(0, 10_000), t.slice(10_000)])
+    a = to_arrow(R.hash_sample(ds, "id", 10)).to_pandas()["id"]
+    b = to_arrow(R.hash_sample(ds, "id", 10)).to_pandas()["id"]
+    assert sorted(a) == sorted(b)                # deterministic
+    assert 0.08 < len(a) / 20_000 < 0.12         # ~10%
+    # monotone: the 10% sample is a subset of the 20% sample
+    c = to_arrow(R.hash_sample(ds, "id", 20)).to_pandas()["id"]
+    assert set(a) <= set(c)
+
+
+def test_stratified_sample_k_per_key():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    rng = np.random.RandomState(2)
+    t = pa.table({"k": pa.array(rng.randint(0, 7, 500), pa.int64()),
+                  "v": pa.array(np.arange(500), pa.int64())})
+    out = to_arrow(R.stratified_sample(
+        rd.from_arrow(t), by=["k"], k=4, order_col="v", num_parts=8)).to_pandas()
+    g = out.groupby("k")["v"].agg(["count", "min"])
+    assert (g["count"] <= 4).all()
+    # keeps the SMALLEST order values per key
+    df = t.to_pandas()
+    for k, row in g.iterrows():
+        expect = sorted(df[df["k"] == k]["v"])[:4]
+        got = sorted(out[out["k"] == k]["v"])
+        assert got == expect
