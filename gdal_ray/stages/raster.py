@@ -1045,6 +1045,80 @@ def _stitch_component(edge_arrs, connectivity):
     return rings
 
 
+def zonal_stats_raster(zones_ds, values_ds, *, zones_dtype=np.uint32,
+                       values_dtype=np.uint32, zone_nodata=None):
+    """Raster-zones zonal statistics (`gdal raster zonal-stats` with a
+    raster zone layer; the raster-x-raster sibling of the vector-zones
+    path): per aligned tile, one np.bincount pass accumulates (count,
+    sum, sumsq, min, max) per zone id; partials merge with groupby_agg.
+    Both inputs are tile tables keyed (tile_x, tile_y). Returns one row
+    per zone: (zone, count, sum, mean, min, max, std[population])."""
+    import pandas as pd
+    import pyarrow.compute as pc_
+
+    from gdal_ray.ops.relational import groupby_agg
+
+    def tag(ds, marker):
+        def f(t: pa.Table, m=marker) -> pa.Table:
+            return pa.table({
+                "tile_x": t["tile_x"], "tile_y": t["tile_y"],
+                "__m": pa.array(np.full(len(t), m, np.int8)),
+                "data": t["data"],
+            })
+
+        return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+    u = tag(zones_ds, 0).union(tag(values_ds, 1))
+
+    def part(g: pd.DataFrame) -> pd.DataFrame:
+        z = v = None
+        for _, r in g.iterrows():
+            if r["__m"] == 0:
+                z = np.frombuffer(r["data"], dtype=zones_dtype)
+            else:
+                v = np.frombuffer(r["data"], dtype=values_dtype)
+        if z is None or v is None:
+            return pd.DataFrame({c: [] for c in
+                                 ("zone", "n", "s", "s2", "mn", "mx")})
+        vv = v.astype(np.float64)
+        mask = np.ones(z.size, bool) if zone_nodata is None else (z != zone_nodata)
+        zi = z[mask].astype(np.int64)
+        vi = vv[mask]
+        zs, inv = np.unique(zi, return_inverse=True)
+        n = np.bincount(inv)
+        s = np.bincount(inv, weights=vi)
+        s2 = np.bincount(inv, weights=vi * vi)
+        mn = np.full(zs.size, np.inf)
+        mx = np.full(zs.size, -np.inf)
+        np.minimum.at(mn, inv, vi)
+        np.maximum.at(mx, inv, vi)
+        return pd.DataFrame({"zone": zs, "n": n.astype(np.int64),
+                             "s": s, "s2": s2, "mn": mn, "mx": mx})
+
+    partials = u.groupby(["tile_x", "tile_y"]).map_groups(
+        part, batch_format="pandas")
+    agg = groupby_agg(partials, ["zone"], [
+        ("n", "sum", "n"), ("s", "sum", "s"), ("s2", "sum", "s2"),
+        ("mn", "min", "mn"), ("mx", "max", "mx")])
+
+    def fin(t: pa.Table) -> pa.Table:
+        n = pc_.cast(t["n"], pa.float64()).to_numpy(zero_copy_only=False)
+        s = t["s"].to_numpy(zero_copy_only=False)
+        s2 = t["s2"].to_numpy(zero_copy_only=False)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean = s / n
+            var = np.maximum(s2 / n - mean * mean, 0.0)
+        return pa.table({
+            "zone": pc_.cast(t["zone"], pa.int64()),
+            "count": pc_.cast(t["n"], pa.int64()),
+            "sum": t["s"], "mean": pa.array(mean),
+            "min": t["mn"], "max": t["mx"],
+            "std": pa.array(np.sqrt(var)),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow", batch_size=None)
+
+
 def crop_tiles(tiles_ds, zoom: int, bbox, *, nodata=0, dtype=np.uint32):
     """`gdal raster clip/crop` over the WebMercator tile table: tiles
     fully outside the lon/lat bbox DROP (pure filter — no data touched);

@@ -258,3 +258,36 @@ def test_hillshade_multidirectional_range_and_flat():
     outf = to_arrow(dem_hillshade_multidirectional(flat))
     shf = np.frombuffer(outf["data"][0].as_py(), np.float32)
     assert np.allclose(shf, np.sin(np.radians(45)) * 255, atol=1e-3)
+
+
+def test_zonal_stats_raster_matches_numpy():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from gdal_ray.stages.raster import TILE, zonal_stats_raster
+    from gdal_ray.util import to_arrow
+
+    rng = np.random.RandomState(4)
+    zones_full = rng.randint(0, 5, (TILE, 2 * TILE)).astype(np.uint32)
+    vals_full = rng.randint(0, 1000, (TILE, 2 * TILE)).astype(np.uint32)
+
+    def tiles_of(full):
+        rows = []
+        for tx in range(2):
+            rows.append({"tile_x": tx, "tile_y": 0,
+                         "data": np.ascontiguousarray(
+                             full[:, tx * TILE:(tx + 1) * TILE]).tobytes()})
+        return rd.from_pandas(pd.DataFrame(rows))
+
+    out = to_arrow(zonal_stats_raster(
+        tiles_of(zones_full), tiles_of(vals_full),
+        zone_nodata=0)).to_pandas().sort_values("zone").reset_index(drop=True)
+    assert out["zone"].tolist() == [1, 2, 3, 4]   # 0 is nodata
+    for _, r in out.iterrows():
+        sel = vals_full[zones_full == r["zone"]].astype(np.float64)
+        assert r["count"] == sel.size
+        assert abs(r["sum"] - sel.sum()) < 1e-6
+        assert abs(r["mean"] - sel.mean()) < 1e-9
+        assert r["min"] == sel.min() and r["max"] == sel.max()
+        assert abs(r["std"] - sel.std()) < 1e-9
