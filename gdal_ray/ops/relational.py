@@ -646,27 +646,33 @@ def asof_join(left_ds, right_ds, *, on: str, by: Sequence[str] = (),
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
 
-    l_cols = left_ds.schema().names
-    r_cols = right_ds.schema().names
+    l_schema, r_schema = left_ds.schema(), right_ds.schema()
+    l_cols = l_schema.names
+    r_cols = r_schema.names
+    l_types = dict(zip(l_schema.names, l_schema.types))
+    r_types = dict(zip(r_schema.names, r_schema.types))
     out_r_cols = [c for c in r_cols if c != on and c not in by]
     renamed_r = [c + suffix if c in l_cols else c for c in out_r_cols]
+    # every column keeps its OWN Arrow type end-to-end (a string payload on
+    # either side must survive, and int64 must not round-trip through float64)
+    r_out_types = {rc: r_types[c] for c, rc in zip(out_r_cols, renamed_r)}
 
     def tag_l(t: pa.Table) -> pa.Table:
         cols = {c: t[c] for c in l_cols}
-        for c, rc in zip(out_r_cols, renamed_r):
-            cols["__r_" + rc] = pa.nulls(len(t), pa.float64())
+        for rc in renamed_r:
+            cols["__r_" + rc] = pa.nulls(len(t), r_out_types[rc])
         cols["__side"] = pa.array(np.zeros(len(t), np.int8))
         return pa.table(cols)
 
     def tag_r(t: pa.Table) -> pa.Table:
         cols = {}
         for c in l_cols:
-            if c in by or c == on:
-                cols[c] = t[c] if c in t.column_names else pa.nulls(len(t), pa.float64())
+            if (c in by or c == on) and c in t.column_names:
+                cols[c] = pc.cast(t[c], l_types[c])
             else:
-                cols[c] = pa.nulls(len(t), pa.float64())
+                cols[c] = pa.nulls(len(t), l_types[c])
         for c, rc in zip(out_r_cols, renamed_r):
-            cols["__r_" + rc] = pc.cast(t[c], pa.float64())
+            cols["__r_" + rc] = t[c]
         cols["__side"] = pa.array(np.ones(len(t), np.int8))
         return pa.table(cols)
 
@@ -675,44 +681,52 @@ def asof_join(left_ds, right_ds, *, on: str, by: Sequence[str] = (),
     part_keys = by if by else None
 
     def resolve(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        left = df[df["__side"] == 0]
-        right = df[df["__side"] == 1]
-        out = {c: left[c].to_numpy() for c in l_cols}
-        n = len(left)
+        t = t.combine_chunks()
+        side = t["__side"].to_numpy(zero_copy_only=False)
+        left_pos = np.flatnonzero(side == 0)
+        right_pos = np.flatnonzero(side != 0)
+        n = left_pos.size
         if n == 0:
-            return pa.table({**{c: pa.array([]) for c in l_cols},
-                             **{rc: pa.array([], pa.float64()) for rc in renamed_r}})
-        rvals = {rc: np.full(n, np.nan) for rc in renamed_r}
-        if len(right):
+            return pa.table(
+                {**{c: pa.nulls(0, l_types[c]) for c in l_cols},
+                 **{rc: pa.nulls(0, r_out_types[rc]) for rc in renamed_r}})
+        # match[i] = row position in t of the as-of right row for left row i
+        match = np.full(n, -1, np.int64)
+        if right_pos.size:
+            ons = t[on].to_numpy(zero_copy_only=False)
             if by:
-                groups_l = left.groupby(by, sort=False, dropna=False).indices
-                groups_r = right.groupby(by, sort=False, dropna=False).indices
+                kdf = t.select(by).to_pandas()
+                groups_l = kdf.iloc[left_pos].reset_index(drop=True) \
+                    .groupby(by, sort=False, dropna=False).indices
+                groups_r = kdf.iloc[right_pos].reset_index(drop=True) \
+                    .groupby(by, sort=False, dropna=False).indices
             else:
-                groups_l = {(): np.arange(len(left))}
-                groups_r = {(): np.arange(len(right))}
-            lons = left[on].to_numpy()
-            rons = right[on].to_numpy()
+                groups_l = {(): np.arange(n)}
+                groups_r = {(): np.arange(right_pos.size)}
             for k, li in groups_l.items():
                 ri = groups_r.get(k)
                 if ri is None or ri.size == 0:
                     continue
-                order = np.argsort(rons[ri], kind="mergesort")
-                ri = ri[order]
-                rs = rons[ri]
+                rp = right_pos[ri]
+                order = np.argsort(ons[rp], kind="mergesort")
+                rp = rp[order]
+                rs = ons[rp]
+                lv = ons[left_pos[li]]
                 if direction == "backward":
-                    pos = np.searchsorted(rs, lons[li], side="right") - 1
+                    pos = np.searchsorted(rs, lv, side="right") - 1
                     ok = pos >= 0
                 else:
-                    pos = np.searchsorted(rs, lons[li], side="left")
+                    pos = np.searchsorted(rs, lv, side="left")
                     ok = pos < rs.size
                 pos_c = np.clip(pos, 0, rs.size - 1)
-                for rc in renamed_r:
-                    col = right["__r_" + rc].to_numpy()[ri]
-                    rvals[rc][li[ok]] = col[pos_c[ok]]
+                match[li[ok]] = rp[pos_c[ok]]
+        lidx = pa.array(left_pos)
+        ridx = pa.array(np.where(match >= 0, match, 0), pa.int64(),
+                        mask=match < 0)  # null index -> null value on take
+        out = {c: t[c].take(lidx) for c in l_cols}
         for rc in renamed_r:
-            out[rc] = rvals[rc]
-        return pa.Table.from_pydict({k: pa.array(v) for k, v in out.items()})
+            out[rc] = t["__r_" + rc].take(ridx)
+        return pa.table(out)
 
     u = lt.union(rt)
     if part_keys:
@@ -738,9 +752,12 @@ def rolling_agg(ds, *, by: Sequence[str], on: str, value: str,
     Distributed shape: hash-partition by key; within a partition, sort by
     (key, on) once, then every agg is two vectorized prefix-sum lookups
     (searchsorted for the window start, cumsum difference) — no per-row
-    Python, no self-join blowup. aggs from sum|count|mean|min|max (min/max
-    fall back to a per-row sliding-window reduce via numpy stride tricks
-    only when requested; sum/count/mean are O(n log n)).
+    Python, no self-join blowup. min/max use a sparse table (doubling-block
+    range-min query, O(n log n) build + O(1) vectorized queries).
+
+    NULL semantics match SQL RANGE windows: null values are skipped —
+    sum/mean ignore them, count counts only non-null values (COUNT(value)),
+    min/max via NaN-ignoring fmin/fmax; an all-null window yields null.
 
     Output: input columns + roll_<agg> columns."""
     import pandas as pd
@@ -770,25 +787,49 @@ def rolling_agg(ds, *, by: Sequence[str], on: str, value: str,
         for s, e in zip(starts[:-1], starts[1:]):
             t_seg = tsv[s:e]
             v_seg = v[s:e]
+            valid = ~np.isnan(v_seg)
+            v_zero = np.where(valid, v_seg, 0.0)
             lo = np.searchsorted(t_seg, t_seg - window_us, side="left")
-            hi = np.arange(1, e - s + 1)
-            csum = np.concatenate([[0.0], np.cumsum(v_seg)])
-            cnt = (hi - lo).astype(np.float64)
+            # peer-inclusive upper bound: SQL RANGE ... AND CURRENT ROW
+            # includes ALL rows tied with the current timestamp
+            hi = np.searchsorted(t_seg, t_seg, side="right")
+            csum = np.concatenate([[0.0], np.cumsum(v_zero)])
+            ccnt = np.concatenate([[0], np.cumsum(valid)])
+            cnt = (ccnt[hi] - ccnt[lo]).astype(np.float64)
+            ssum = csum[hi] - csum[lo]
             if "sum" in out:
-                out["sum"][s:e] = csum[hi] - csum[lo]
+                out["sum"][s:e] = np.where(cnt > 0, ssum, np.nan)
             if "count" in out:
                 out["count"][s:e] = cnt
             if "mean" in out:
-                out["mean"][s:e] = (csum[hi] - csum[lo]) / np.maximum(cnt, 1.0)
+                out["mean"][s:e] = np.where(
+                    cnt > 0, ssum / np.maximum(cnt, 1.0), np.nan)
             if needs_minmax:
-                for a, fn in (("min", np.minimum), ("max", np.maximum)):
+                # sparse table: tab[j][i] = reduce of v_seg[i : i + 2^j]
+                # (fmin/fmax skip NaN, so null values never win a window)
+                m = e - s
+                levels = max(1, int(np.floor(np.log2(max(m, 1)))) + 1)
+                for a, fn in (("min", np.fmin), ("max", np.fmax)):
                     if a not in out:
                         continue
-                    acc = np.empty(e - s)
-                    # per-row window reduce; windows are small by contract
-                    for i in range(e - s):
-                        acc[i] = fn.reduce(v_seg[lo[i]:i + 1])
-                    out[a][s:e] = acc
+                    tab = [v_seg]
+                    for j in range(1, levels):
+                        p = tab[-1]
+                        half = 1 << (j - 1)
+                        if p.size <= half:
+                            break
+                        tab.append(fn(p[:-half], p[half:]))
+                    length = hi - lo  # window sizes, >= 1
+                    jq = np.floor(np.log2(length)).astype(np.int64)
+                    res = np.empty(m)
+                    for j in range(len(tab)):
+                        sel = jq == j
+                        if not sel.any():
+                            continue
+                        l_ = lo[sel]
+                        r_ = hi[sel] - (1 << j)
+                        res[sel] = fn(tab[j][l_], tab[j][r_])
+                    out[a][s:e] = res
         for a in aggs:
             col = out[a]
             df[f"roll_{a}"] = col.astype(np.int64) if a == "count" else col

@@ -161,8 +161,14 @@ def exact_quantiles_int(ds, col: str, qs):
     from gdal_ray.util import to_arrow
 
     counts = to_arrow(groupby_agg(ds, [col], [("n", "count_star", None)]))
+    if col not in counts.column_names or counts.num_rows == 0:
+        # empty input: the groupby yields a schemaless empty table
+        return np.full(len(np.atleast_1d(qs)), np.nan)
+    counts = counts.filter(pa.compute.is_valid(counts[col]))  # SQL skips NULLs
     v = counts[col].to_numpy(zero_copy_only=False)
     n = counts["n"].to_numpy(zero_copy_only=False)
+    if v.size == 0:  # all-null input -> all-NaN quantiles, no crash
+        return np.full(len(np.atleast_1d(qs)), np.nan)
     order = np.argsort(v, kind="mergesort")
     v, n = v[order], n[order]
     cum = np.cumsum(n)

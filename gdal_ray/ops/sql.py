@@ -664,6 +664,10 @@ def eval_expr(node: Node, t: pa.Table):
             return pc.abs(eval_expr(node.args[0], t))
         if fn == "round":
             v = eval_expr(node.args[0], t)
+            if node.args[1] is not None and node.args[1].kind != "lit":
+                raise ValueError(
+                    "ROUND(x, n): n must be a literal integer "
+                    "(column/expression digit counts are unsupported)")
             nd = 0 if node.args[1] is None else int(node.args[1].value)
             # DuckDB round() is half-away-from-zero
             return pc.round(pc.cast(v, pa.float64()), ndigits=nd,
@@ -680,6 +684,10 @@ def eval_expr(node: Node, t: pa.Table):
             return pc.utf8_rtrim_whitespace(eval_expr(node.args[0], t))
         if fn == "replace":
             a = eval_expr(node.args[0], t)
+            if node.args[1].kind != "lit" or node.args[2].kind != "lit":
+                raise ValueError(
+                    "REPLACE(s, pat, rep): pat and rep must be string "
+                    "literals (Arrow replace_substring takes scalars)")
             pat = node.args[1].value
             rep = node.args[2].value
             return pc.replace_substring(a, pattern=pat, replacement=rep)

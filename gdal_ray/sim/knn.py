@@ -67,15 +67,20 @@ def brute_force_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int,
             }
         )
 
-    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).repartition(1)
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
-        # single-task final merge (q*k*num_blocks rows), vectorized head-k
+        # vectorized head-k per query over partials (q*k rows per block)
         df = df.sort_values(["query_id", "score", id_col],
                             ascending=[True, False, True], kind="mergesort")
         return df.groupby("query_id", sort=False).head(k).reset_index(drop=True)
 
-    return partials.map_batches(merge, batch_format="pandas", batch_size=None)
+    # two-level tree merge (same ladder as pq_topk): never a single task
+    # holding q*k*num_blocks rows — at 10^6 blocks that is a funnel.
+    return (partials.repartition(16)
+            .map_batches(merge, batch_format="pandas", batch_size=None)
+            .repartition(1)
+            .map_batches(merge, batch_format="pandas", batch_size=None))
 
 
 def kmeans_centroids(X: np.ndarray, nlist: int, *, iters: int = 8, seed: int = 7) -> np.ndarray:
@@ -149,14 +154,18 @@ def ivf_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int,
             "score": pa.array(np.concatenate(out_s)),
         })
 
-    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).repartition(1)
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["query_id", "score", id_col],
                             ascending=[True, False, True], kind="mergesort")
         return df.groupby("query_id", sort=False).head(k).reset_index(drop=True)
 
-    return partials.map_batches(merge, batch_format="pandas", batch_size=None)
+    # two-level tree merge (pq_topk's ladder) — no single-task funnel
+    return (partials.repartition(16)
+            .map_batches(merge, batch_format="pandas", batch_size=None)
+            .repartition(1)
+            .map_batches(merge, batch_format="pandas", batch_size=None))
 
 
 class HyperplaneLSH:

@@ -1172,8 +1172,10 @@ def footprint_tiles_ds(tiles_ds, *, nodata=0, dtype=np.uint32,
                        min_ring_area: float = 0.0, connectivity: int = 4):
     """`gdal raster footprint` (apps/gdalalg_raster_footprint lineage):
     polygons of the VALID-DATA mask — polygonize of (data != nodata) with
-    tiny rings optionally dropped (the app's -min_ring_area). Returns the
-    polygonize Dataset filtered to the valid (value=1) polygons."""
+    tiny rings dropped PER RING (the app's -min_ring_area: a small outer
+    ring drops the polygon, a small hole is filled). Returns a driver-side
+    pa.Table (value=1 polygons) — footprints are a small summary result;
+    the upstream polygonize itself runs distributed."""
     import pyarrow.compute as pc_
 
     def to_mask(t: pa.Table) -> pa.Table:
@@ -1199,8 +1201,12 @@ def footprint_tiles_ds(tiles_ds, *, nodata=0, dtype=np.uint32,
         if value != 1:
             continue
         rr = [np.asarray(r, np.float64) for r in rings]
-        if min_ring_area > 0.0 and rr and ring_area(rr[0]) < min_ring_area:
-            continue
+        if min_ring_area > 0.0 and rr:
+            if ring_area(rr[0]) < min_ring_area:
+                continue  # small outer ring: whole polygon goes
+            # small interior rings (holes) are filled, ring-by-ring
+            rr = [rr[0]] + [r for r in rr[1:]
+                            if ring_area(r) >= min_ring_area]
         geoms.append(W.geom_to_wkb(("polygon", rr)))
         vals.append(1)
     return pa.table({"value": pa.array(vals, pa.int64()),

@@ -134,3 +134,21 @@ def test_exact_quantiles_int_matches_numpy():
     for q, g in zip([0.25, 0.5, 0.9], got):
         rank = max(int(np.ceil(q * xs.size)), 1) - 1
         assert g == xs[rank], (q, g, xs[rank])
+
+
+def test_exact_quantiles_empty_and_nulls():
+    """ADVICE r3: empty dataset -> NaN (no IndexError); nulls are skipped."""
+    from gdal_ray.ops.sketch import exact_quantiles_int
+
+    empty = rd.from_arrow(pa.table({"x": pa.array([], pa.int64())}))
+    out = exact_quantiles_int(empty, "x", [0.5, 0.9])
+    assert np.all(np.isnan(out))
+
+    withnulls = rd.from_arrow(pa.table(
+        {"x": pa.array([1, None, 2, None, 3, 4, 5], pa.int64())}))
+    got = exact_quantiles_int(withnulls, "x", [0.5])
+    assert got[0] == 3  # median of {1,2,3,4,5}, nulls ignored
+
+    allnull = rd.from_arrow(pa.table(
+        {"x": pa.array([None, None], pa.int64())}))
+    assert np.all(np.isnan(exact_quantiles_int(allnull, "x", [0.5])))

@@ -313,3 +313,99 @@ def test_stratified_sample_k_per_key():
         expect = sorted(df[df["k"] == k]["v"])[:4]
         got = sorted(out[out["k"] == k]["v"])
         assert got == expect
+
+
+def test_asof_join_preserves_types_and_strings():
+    """ADVICE r3: string/int payload columns on either side must keep their
+    Arrow types (no float64 coercion, no crash)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    left = pa.table({
+        "k": pa.array([1, 1, 2], pa.int64()),
+        "t": pa.array([15, 25, 8], pa.int64()),
+        "tag": pa.array(["a", "b", "c"]),           # left string payload
+    })
+    right = pa.table({
+        "k": pa.array([1, 1, 2], pa.int64()),
+        "t": pa.array([10, 20, 8], pa.int64()),
+        "name": pa.array(["x", "y", "z"]),          # right string payload
+        "big": pa.array([2**60 + 1, 2**60 + 2, 7], pa.int64()),
+    })
+    out = to_arrow(R.asof_join(rd.from_arrow(left), rd.from_arrow(right),
+                               on="t", by=["k"], num_parts=4))
+    assert out.schema.field("tag").type == pa.string()
+    assert out.schema.field("name").type == pa.string()
+    assert out.schema.field("big").type == pa.int64()
+    df = out.to_pandas().sort_values(["k", "t"]).reset_index(drop=True)
+    assert df.loc[0, "name"] == "x" and df.loc[0, "big"] == 2**60 + 1
+    assert df.loc[1, "name"] == "y" and df.loc[1, "big"] == 2**60 + 2
+    assert df.loc[2, "name"] == "z"
+    assert df["tag"].tolist() == ["a", "b", "c"]
+    # no-match row -> typed nulls, not NaN-coerced values
+    left2 = pa.table({"k": pa.array([9], pa.int64()),
+                      "t": pa.array([1], pa.int64()),
+                      "tag": pa.array(["q"])})
+    out2 = to_arrow(R.asof_join(rd.from_arrow(left2), rd.from_arrow(right),
+                                on="t", by=["k"], num_parts=4))
+    assert out2["name"][0].as_py() is None
+    assert out2["big"][0].as_py() is None
+    assert out2.schema.field("big").type == pa.int64()
+
+
+def test_rolling_agg_null_values_skipped():
+    """ADVICE r3: NULL values must not poison later windows; count counts
+    non-null values (SQL COUNT(value) semantics)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    us = 1_000_000
+    t = pa.table({
+        "k": pa.array([1] * 5, pa.int64()),
+        "ts": pa.array([0, 1 * us, 2 * us, 3 * us, 4 * us], pa.timestamp("us")),
+        "v": pa.array([10.0, None, 40.0, None, 2.0], pa.float64()),
+    })
+    out = to_arrow(R.rolling_agg(
+        rd.from_arrow(t), by=["k"], on="ts", value="v",
+        window_us=2 * us, aggs=("sum", "count", "mean", "min", "max"),
+        num_parts=4,
+    )).to_pandas().sort_values("ts").reset_index(drop=True)
+    # window [0,2]: 10,NULL,40 -> sum 50, count 2, min 10, max 40
+    assert out.loc[2, "roll_sum"] == 50.0 and out.loc[2, "roll_count"] == 2
+    assert out.loc[2, "roll_min"] == 10.0 and out.loc[2, "roll_max"] == 40.0
+    # window [2,4]: 40,NULL,2 -> NULL at ts=3 did NOT poison this window
+    assert out.loc[4, "roll_sum"] == 42.0 and out.loc[4, "roll_count"] == 2
+    # window [1,3]: NULL,40,NULL -> sum 40 (not NaN), count 1
+    assert out.loc[3, "roll_sum"] == 40.0 and out.loc[3, "roll_count"] == 1
+
+
+def test_rolling_minmax_matches_bruteforce():
+    """Sparse-table range-min/max vs per-row brute force on random data."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    rng = np.random.RandomState(11)
+    n = 800
+    ts = np.sort(rng.randint(0, 3000, n)).astype("int64") * 1_000_000
+    v = rng.uniform(-50, 50, n)
+    k = rng.randint(0, 3, n)
+    t = pa.table({"k": pa.array(k, pa.int64()),
+                  "ts": pa.array(ts, pa.timestamp("us")),
+                  "v": pa.array(v)})
+    w = 40 * 1_000_000
+    out = to_arrow(R.rolling_agg(
+        rd.from_arrow([t.slice(0, 400), t.slice(400)]), by=["k"], on="ts",
+        value="v", window_us=w, aggs=("min", "max", "sum"), num_parts=8,
+    )).to_pandas().sort_values(["k", "ts"], kind="mergesort").reset_index(drop=True)
+    df = pd.DataFrame({"k": k, "ts": ts, "v": v}).sort_values(
+        ["k", "ts"], kind="mergesort").reset_index(drop=True)
+    for i in range(len(df)):
+        m = (df["k"] == df.loc[i, "k"]) & (df["ts"] >= df.loc[i, "ts"] - w) \
+            & (df["ts"] <= df.loc[i, "ts"])
+        assert abs(out.loc[i, "roll_min"] - df.loc[m, "v"].min()) < 1e-12
+        assert abs(out.loc[i, "roll_max"] - df.loc[m, "v"].max()) < 1e-12
+        assert abs(out.loc[i, "roll_sum"] - df.loc[m, "v"].sum()) < 1e-9
