@@ -2,24 +2,38 @@
 step between near-dup CANDIDATE PAIRS and dedup CLUSTERS (pick one
 survivor per component). The reference's analog is the single-process
 union-find in polygonize/sieve; at 100 TB the edge list (1e8-1e9 pairs
-from LSH) never fits one process, so this is the hash-min label
-propagation algorithm with pointer jumping:
+from LSH) never fits one process, so this is hash-min label propagation
+with pointer jumping:
 
   label(v) <- min(label(v), min over neighbors' labels)   [1 round]
   label(v) <- label(label(v))                             [pointer jump]
 
-Every step is a hash-partitioned merge (the repo's standard wide-op
-shape); rounds converge in O(log(diameter)) thanks to the jump step.
-Driver only sees per-round changed-counts, never nodes or edges.
+Rounds converge in O(log(diameter)) thanks to the jump step.
+
+EXECUTION SHAPE (round 4): the iterative loop runs on raw Ray tasks over
+lists of partitioned Arrow tables, NOT on per-round Dataset plans. Two
+reasons, both measured:
+
+1. Ray Data's sort-based ``groupby().map_groups`` costs seconds of fixed
+   overhead per call; the previous Dataset formulation paid 3 of them per
+   round (~30-60 s/round on a loaded host, even at 1e5 edges).
+2. Iterative Dataset plans accumulate lineage/stats metadata per
+   generation (rounds decayed exponentially until severed with
+   ``from_arrow_refs(materialize().to_arrow_refs())`` — see ``_sever``).
+
+Raw tasks sidestep both: labels live as ``num_parts`` object-store tables
+hash-partitioned by node (a loop invariant), edges are co-partitioned by
+hash(nbr) ONCE before the loop, and each round is three small map-reduce
+shuffles (messages->min, jump-request, jump-result) of 2-column int64
+tables. The driver holds only object refs and per-round changed-counts;
+at 256 nodes the same code runs with num_parts ~ 2x cluster CPUs.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
-
-from gdal_ray.ops.relational import hash_partition_reduce
+import ray
 
 
 def _sever(ds):
@@ -28,7 +42,8 @@ def _sever(ds):
     the object store). A plain .materialize() keeps a per-generation
     lineage/stats chain whose metadata compounds: a 12-iteration label
     loop grew 0.5s -> 8.5s per round with materialize() alone, and stays
-    ~0.6s flat with the rewrap."""
+    ~0.6s flat with the rewrap. Kept as the canonical pattern for any
+    Dataset-level iteration elsewhere in the repo."""
     import ray.data as rd
 
     m = ds.materialize()
@@ -49,163 +64,228 @@ def _pairs_to_edges(pairs_ds, a_col: str, b_col: str):
     return pairs_ds.map_batches(sym, batch_format="pyarrow", batch_size=None)
 
 
-def _initial_labels(edges, num_parts: int | None = None):
-    """label(v) = v for every endpoint (derived from the edges — isolated
-    nodes have no pairs and are their own components trivially)."""
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — consistent hash for co-partitioning."""
+    z = x.astype(np.uint64, copy=True)
+    z += np.uint64(0x9E3779B97F4A7C15)
+    z ^= z >> np.uint64(30)
+    z *= np.uint64(0xBF58476D1CE4E5B9)
+    z ^= z >> np.uint64(27)
+    z *= np.uint64(0x94D049BB133111EB)
+    z ^= z >> np.uint64(31)
+    return z
 
-    def init(t: pa.Table) -> pa.Table:
-        n = np.unique(t["node"].to_numpy(zero_copy_only=False))
-        return pa.table({"node": pa.array(n, pa.int64()),
-                         "label": pa.array(n, pa.int64())})
 
-    per_batch = edges.map_batches(init, batch_format="pyarrow", batch_size=None)
-    return hash_partition_reduce(per_batch, ["node"], init, num_parts=num_parts)
+def _part_of(col: pa.ChunkedArray | pa.Array, num_parts: int) -> np.ndarray:
+    vals = col.to_numpy(zero_copy_only=False) if hasattr(col, "to_numpy") else col
+    return (_mix64(vals) % np.uint64(num_parts)).astype(np.int64)
 
 
-def _lookup(request_ds, labels_ds, key_col: str, out_col: str,
-            num_parts: int | None = None):
-    """Distributed lookup: for each request row, attach labels[label of
-    request[key_col]] as out_col. Both sides hash-partition by the key;
-    each partition resolves with one sorted searchsorted join."""
+@ray.remote
+def _split_by_hash(t: pa.Table, key_col: str, num_parts: int):
+    """One table -> num_parts tables routed by hash(key_col). Single
+    argsort + boundary scan; slices are zero-copy views of one take."""
+    if len(t) == 0:
+        return [t] * num_parts if num_parts > 1 else t
+    part = _part_of(t[key_col], num_parts)
+    order = np.argsort(part, kind="stable")
+    sorted_t = t.take(pa.array(order))
+    bounds = np.searchsorted(part[order], np.arange(num_parts + 1))
+    out = [sorted_t.slice(bounds[p], bounds[p + 1] - bounds[p])
+           for p in range(num_parts)]
+    return out if num_parts > 1 else out[0]
 
-    def tag_req(t: pa.Table) -> pa.Table:
-        cols = {c: t[c] for c in t.column_names}
-        cols["__k"] = t[key_col]
-        cols["__side"] = pa.array(np.zeros(len(t), np.int8))
-        cols["__lbl"] = pa.nulls(len(t), pa.int64())
-        return pa.table(cols)
 
-    def tag_lab(t: pa.Table, req_cols) -> pa.Table:
-        n = len(t)
-        cols = {}
-        for c in req_cols:
-            cols[c] = pa.nulls(n, pa.int64())
-        cols["__k"] = t["node"]
-        cols["__side"] = pa.array(np.ones(n, np.int8))
-        cols["__lbl"] = t["label"]
-        return pa.table(cols)
+@ray.remote
+def _init_labels(edges_p: pa.Table) -> pa.Table:
+    """Edges partitioned by hash(nbr): the distinct nbr values of
+    partition p are exactly the endpoints with hash == p (edges are
+    symmetric), so initial labels come free of any extra shuffle.
+    Output sorted by node — a loop invariant every lookup relies on.
+    `chg` marks labels that changed last round (all, initially): only
+    changed neighbors re-send messages (delta propagation — a label once
+    incorporated never needs re-sending because labels are monotone
+    decreasing, so the per-round message volume tracks the shrinking
+    frontier instead of staying edge-sized)."""
+    n = np.unique(edges_p["nbr"].to_numpy(zero_copy_only=False))
+    return pa.table({"node": pa.array(n, pa.int64()),
+                     "label": pa.array(n, pa.int64()),
+                     "chg": pa.array(np.ones(n.size, np.int8))})
 
-    req_cols = request_ds.schema().names
-    tagged_req = request_ds.map_batches(tag_req, batch_format="pyarrow",
-                                        batch_size=None)
-    tagged_lab = labels_ds.map_batches(
-        lambda t: tag_lab(t, req_cols), batch_format="pyarrow", batch_size=None)
 
-    def resolve(t: pa.Table) -> pa.Table:
-        side = t["__side"].to_numpy(zero_copy_only=False)
-        req = t.filter(pa.array(side == 0))
-        lab = t.filter(pa.array(side == 1))
-        out_cols = {c: req[c] for c in req_cols}
-        if len(req) == 0:
-            out_cols[out_col] = pa.array([], pa.int64())
-            return pa.table(out_cols)
-        lk = lab["__k"].to_numpy(zero_copy_only=False)
-        lv = lab["__lbl"].to_numpy(zero_copy_only=False)
-        o = np.argsort(lk, kind="mergesort")
-        lk, lv = lk[o], lv[o]
-        rk = req["__k"].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(lk, rk)
-        pos_c = np.minimum(pos, max(lk.size - 1, 0))
-        hit = (lk.size > 0) & (lk[pos_c] == rk) if lk.size else np.zeros(rk.size, bool)
-        vals = np.where(hit, lv[pos_c] if lk.size else 0, rk)
-        out_cols[out_col] = pa.array(vals, pa.int64())
-        return pa.table(out_cols)
+@ray.remote
+def _msgs(edges_p: pa.Table, labels_p: pa.Table) -> pa.Table:
+    """Per-partition (no shuffle): edges_p has hash(nbr)==p, labels_p has
+    hash(node)==p and is sorted by node, so every nbr resolves locally.
+    Only edges whose nbr's label changed last round emit a message."""
+    if len(edges_p) == 0:
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "cand": pa.array([], pa.int64())})
+    ln = labels_p["node"].to_numpy(zero_copy_only=False)
+    lv = labels_p["label"].to_numpy(zero_copy_only=False)
+    chg = labels_p["chg"].to_numpy(zero_copy_only=False)
+    nbr = edges_p["nbr"].to_numpy(zero_copy_only=False)
+    pos = np.searchsorted(ln, nbr)
+    live = chg[pos] != 0
+    node = edges_p["node"].to_numpy(zero_copy_only=False)[live]
+    return pa.table({"node": pa.array(node, pa.int64()),
+                     "cand": pa.array(lv[pos][live], pa.int64())})
 
-    return hash_partition_reduce(tagged_req.union(tagged_lab), ["__k"], resolve,
-                                 num_parts=num_parts)
+
+@ray.remote(num_returns=2)
+def _min_step(labels_p: pa.Table, *msg_pieces: pa.Table):
+    """new_label(v) = min(own, candidates). Returns (new labels table —
+    same node order as labels_p, still sorted — , changed count)."""
+    ln = labels_p["node"].to_numpy(zero_copy_only=False)
+    own = labels_p["label"].to_numpy(zero_copy_only=False)
+    new = own.copy()
+    pieces = [m for m in msg_pieces if len(m)]
+    if pieces:
+        msgs = pa.concat_tables(pieces)
+        node = msgs["node"].to_numpy(zero_copy_only=False)
+        cand = msgs["cand"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(ln, node)
+        np.minimum.at(new, idx, cand)
+    changed = int((new != own).sum())
+    out = pa.table({"node": labels_p["node"], "label": pa.array(new, pa.int64())})
+    return out, changed
+
+
+@ray.remote
+def _jump_resolve(provider_q: pa.Table, *request_pieces: pa.Table) -> pa.Table:
+    """Requests (node, label) with hash(label)==q against providers
+    (node->label) with hash(node)==q: label2 = label(label)."""
+    pieces = [r for r in request_pieces if len(r)]
+    if not pieces:
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "label": pa.array([], pa.int64())})
+    req = pa.concat_tables(pieces)
+    ln = provider_q["node"].to_numpy(zero_copy_only=False)
+    lv = provider_q["label"].to_numpy(zero_copy_only=False)
+    lbl = req["label"].to_numpy(zero_copy_only=False)
+    pos = np.searchsorted(ln, lbl)
+    return pa.table({"node": req["node"], "label": pa.array(lv[pos], pa.int64())})
+
+
+@ray.remote
+def _concat_sorted(*pieces: pa.Table) -> pa.Table:
+    parts = [p for p in pieces if len(p)]
+    if not parts:
+        return pieces[0]  # empty, but carries the right schema
+    t = pa.concat_tables(parts)
+    order = np.argsort(t["node"].to_numpy(zero_copy_only=False), kind="stable")
+    return t.take(pa.array(order))
+
+
+@ray.remote
+def _labels_round_end(prev_labels_p: pa.Table, *back_pieces: pa.Table) -> pa.Table:
+    """Re-assemble the post-jump labels for partition p and mark which
+    changed vs the round-start labels (same node set, both sorted by
+    node, so the comparison is positional)."""
+    parts = [p for p in back_pieces if len(p)]
+    if not parts:
+        return prev_labels_p
+    t = pa.concat_tables(parts)
+    node = t["node"].to_numpy(zero_copy_only=False)
+    order = np.argsort(node, kind="stable")
+    node = node[order]
+    label = t["label"].to_numpy(zero_copy_only=False)[order]
+    prev = prev_labels_p["label"].to_numpy(zero_copy_only=False)
+    return pa.table({"node": pa.array(node, pa.int64()),
+                     "label": pa.array(label, pa.int64()),
+                     "chg": pa.array((label != prev).astype(np.int8))})
+
+
+def _shuffle_refs(refs, key_col: str, num_parts: int):
+    """All-to-all on raw tasks: split each table by hash(key_col), return
+    per-partition lists of piece refs (num_parts lists)."""
+    splits = [_split_by_hash.options(num_returns=num_parts).remote(r, key_col, num_parts)
+              if num_parts > 1 else [_split_by_hash.remote(r, key_col, num_parts)]
+              for r in refs]
+    return [[s[p] for s in splits] for p in range(num_parts)]
 
 
 def connected_components(pairs_ds, a_col: str = "id_a", b_col: str = "id_b",
                          *, max_rounds: int = 50,
-                         num_parts: int | None = None):
+                         num_parts: int | None = None,
+                         stats_out: dict | None = None):
     """-> Dataset (node, component) where component = min node id of the
     connected component. Raises if not converged within max_rounds (each
     round is min-propagation + one pointer jump, so rounds ~ log2 of the
     largest component's diameter).
 
-    num_parts defaults to 2x cluster CPUs (floor 16) — smaller than the
-    repo-wide 8x/256 hash-reduce default because every ROUND pays the
-    partition count several times over; label rows are narrow, so fewer,
-    larger partitions win until the per-partition label set outgrows a
-    worker."""
+    num_parts defaults to 1x cluster CPUs (floor 16, cap 256). Each
+    shuffle creates num_parts^2 piece objects, and object-management
+    cost dominates these narrow tables long before partition size does
+    (measured at 10M edges / 32 cpus: P=32 -> 8.4 s total, P=64 ->
+    67.8 s). The 256 cap keeps piece count <= 65k on big clusters; a
+    cluster where 256 partitions of the label table overflow workers
+    would need a two-level (node-then-worker) exchange here.
+
+    stats_out, if given, receives {"rounds": int, "round_secs": [float],
+    "round_changed": [int]} — the flat-per-round guarantee is benchmarked
+    against these (bench.py cc10m)."""
+    import time as _time
+
+    import ray.data as rd
+
     from gdal_ray.util import default_num_parts
 
     if num_parts is None:
-        num_parts = default_num_parts(multiplier=2, floor=16)
-    edges = _sever(_pairs_to_edges(pairs_ds, a_col, b_col))
-    labels = _sever(_initial_labels(edges, num_parts=num_parts))
+        num_parts = min(default_num_parts(multiplier=1, floor=16), 256)
 
+    edge_refs = _pairs_to_edges(pairs_ds, a_col, b_col) \
+        .materialize().to_arrow_refs()
+    if not edge_refs:
+        return rd.from_arrow(pa.table({"node": pa.array([], pa.int64()),
+                                       "component": pa.array([], pa.int64())}))
+    # one-time co-partitioning: edges by hash(nbr) — the SAME hash that
+    # partitions labels by node, so per-round message lookup is local
+    edge_pieces = _shuffle_refs(edge_refs, "nbr", num_parts)
+    edges = [_concat_sorted.options(name="cc_edges").remote(*edge_pieces[p])
+             for p in range(num_parts)]
+    labels = [_init_labels.remote(edges[p]) for p in range(num_parts)]
+
+    round_secs: list[float] = []
+    round_changed: list[int] = []
     for _ in range(max_rounds):
-        # 1. neighbor messages: for each edge (node, nbr) the current
-        #    label of nbr, via distributed lookup keyed on nbr.
-        #    MATERIALIZED: every executed plan must contain at most ONE
-        #    union — _lookup has one inside, and feeding it lazily into
-        #    the min stage's union nests them, which Ray's executor
-        #    re-executes multiplicatively (measured: rounds grew 0.8s ->
-        #    150s on 17 rows; with the materialize they stay ~1s flat)
-        msgs = _sever(_lookup(edges, labels, "nbr", "nbr_label",
-                              num_parts=num_parts))
-
-        def msg_rows(t: pa.Table) -> pa.Table:
-            return pa.table({"node": t["node"], "cand": t["nbr_label"]})
-
-        cand = msgs.map_batches(msg_rows, batch_format="pyarrow", batch_size=None)
-
-        def own_rows(t: pa.Table) -> pa.Table:
-            # own label doubles as the OLD value for the convergence check
-            n = len(t)
-            return pa.table({"node": t["node"], "cand": t["label"],
-                             "is_own": pa.array(np.ones(n, np.int8))})
-
-        def cand_rows(t: pa.Table) -> pa.Table:
-            n = len(t)
-            return pa.table({"node": t["node"], "cand": t["cand"],
-                             "is_own": pa.array(np.zeros(n, np.int8))})
-
-        own = labels.map_batches(own_rows, batch_format="pyarrow", batch_size=None)
-        cand = cand.map_batches(cand_rows, batch_format="pyarrow", batch_size=None)
-
-        def min_per_node(t: pa.Table) -> pa.Table:
-            df = pd.DataFrame({"node": t["node"].to_numpy(zero_copy_only=False),
-                               "cand": t["cand"].to_numpy(zero_copy_only=False),
-                               "own": t["is_own"].to_numpy(zero_copy_only=False)})
-            g = df.groupby("node", sort=False).agg(
-                label=("cand", "min")).reset_index()
-            olds = df[df["own"] == 1].set_index("node")["cand"]
-            old = olds.reindex(g["node"]).to_numpy()
-            return pa.table({"node": pa.array(g["node"].to_numpy(), pa.int64()),
-                             "label": pa.array(g["label"].to_numpy(), pa.int64()),
-                             "changed": pa.array(
-                                 (g["label"].to_numpy() != old).astype(np.int8))})
-
-        minned = _sever(hash_partition_reduce(
-            cand.union(own), ["node"], min_per_node, num_parts=num_parts))
-        n_changed = sum(
-            int(b["changed"].to_numpy(zero_copy_only=False).sum())
-            for b in minned.iter_batches(batch_size=None, batch_format="pyarrow"))
-        new_labels = minned.map_batches(
-            lambda t: t.select(["node", "label"]),
-            batch_format="pyarrow", batch_size=None)
-        # 2. pointer jump: label <- label(label)
-        jumped = _lookup(new_labels, new_labels, "label", "label2",
-                         num_parts=num_parts)
-
-        def take_jump(t: pa.Table) -> pa.Table:
-            return pa.table({"node": t["node"], "label": t["label2"]})
-
-        # CAP THE BLOCK COUNT: each union-sort round otherwise DOUBLES
-        # the label dataset's blocks (measured 1 -> 16 in 4 rounds on 17
-        # rows), compounding every later shuffle's fixed cost
-        nb = labels.num_blocks()
-        new_labels = _sever(jumped.map_batches(
-            take_jump, batch_format="pyarrow", batch_size=None
-        ).repartition(max(min(nb, 64), 8)))
-
-        labels = new_labels
+        t0 = _time.time()
+        # 1. messages: nbr's current label, resolved locally per partition
+        msgs = [_msgs.remote(edges[p], labels[p]) for p in range(num_parts)]
+        # 2. shuffle messages to hash(node) and take the min vs own label
+        msg_pieces = _shuffle_refs(msgs, "node", num_parts)
+        minned, changed = [], []
+        for p in range(num_parts):
+            lab, ch = _min_step.remote(labels[p], *msg_pieces[p])
+            minned.append(lab)
+            changed.append(ch)
+        n_changed = sum(ray.get(changed))
+        round_secs.append(round(_time.time() - t0, 3))
+        round_changed.append(n_changed)
         if n_changed == 0:
-            return labels.map_batches(
-                lambda t: t.rename_columns(["node", "component"]),
+            # fixed point of min-propagation over symmetric edges ->
+            # labels are constant per component and equal the min id.
+            # (Delta messages preserve this: an unchanged neighbor's
+            # label was incorporated at its last change and labels are
+            # monotone decreasing, so zero min-changes given the delta
+            # stream implies the full fixed point.)
+            if stats_out is not None:
+                stats_out.update(rounds=len(round_secs),
+                                 round_secs=round_secs,
+                                 round_changed=round_changed)
+            out = rd.from_arrow_refs(labels)
+            return out.map_batches(
+                lambda t: t.select(["node", "label"])
+                           .rename_columns(["node", "component"]),
                 batch_format="pyarrow", batch_size=None)
+        # 3. pointer jump: label <- label(label). Requests shuffle to
+        #    hash(label); resolved rows shuffle back to hash(node).
+        req_pieces = _shuffle_refs(minned, "label", num_parts)
+        resolved = [_jump_resolve.remote(minned[q], *req_pieces[q])
+                    for q in range(num_parts)]
+        back = _shuffle_refs(resolved, "node", num_parts)
+        labels = [_labels_round_end.remote(labels[p], *back[p])
+                  for p in range(num_parts)]
     raise RuntimeError(f"connected_components: no convergence in {max_rounds} rounds")
 
 
