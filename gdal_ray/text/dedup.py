@@ -80,28 +80,63 @@ def _shingle_hashes(text: str, w: int) -> np.ndarray:
     return np.unique(_rolling_shingles(_hash_tokens_fnv(tokens), w))
 
 
-def _batch_shingles(texts: list[str], w: int):
+# FNV-1a of the "\x00" pad token — (offset ^ 0) * prime mod 2^64
+_PAD_HASH = np.uint64((int(_FNV_OFFSET) * int(_FNV_PRIME)) & (1 << 64) - 1)
+
+
+def _tokenize_whitespace(texts):
+    """Whitespace tokenization that NEVER leaves Arrow: returns
+    (token_hashes uint64 flat, ntok int64 per doc). pc.utf8_split_whitespace
+    emits empty tokens at string edges; filtering them yields exactly the
+    maximal non-whitespace runs — i.e. Python str.split() semantics — so
+    signatures stay bit-identical to the per-doc path (tested). Accepts a
+    pa.Array/ChunkedArray (the hot path — zero-copy from the batch) or any
+    Python sequence of str/None."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if not isinstance(texts, pa.Array):
+        texts = pa.array([s or "" for s in texts], pa.string())
+    texts = pc.cast(pc.fill_null(texts, ""), pa.string())
+    toks = pc.utf8_split_whitespace(texts)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    off -= off[0]
+    vals = toks.flatten()
+    if len(vals):
+        ne_mask = pc.not_equal(pc.binary_length(vals), 0)
+        ne = ne_mask.to_numpy(zero_copy_only=False)
+        cs = np.concatenate([[0], np.cumsum(ne, dtype=np.int64)])
+        ntok = cs[off[1:]] - cs[off[:-1]]
+        if not ne.all():
+            vals = vals.filter(ne_mask)
+    else:
+        ntok = np.zeros(len(texts), np.int64)
+    return _hash_tokens_fnv(vals), ntok
+
+
+def _batch_shingles(texts, w: int):
     """All docs of a batch at once: returns (shingle_hashes flat array,
-    doc start offsets into it). Tokenization stays Python str.split (cheap,
-    and guarantees signature parity with the per-doc path); hashing and the
-    rolling mix are single vectorized passes over the concatenated tokens.
-    Shingle windows crossing doc boundaries are masked out."""
-    token_lists = []
-    for s in texts:
-        tk = (s or "").split()
-        if len(tk) < w:
-            tk = tk + ["\x00"] * (w - len(tk))
-        token_lists.append(tk)
-    ntok = np.array([len(tk) for tk in token_lists], dtype=np.int64)
-    flat = [t for tk in token_lists for t in tk]
-    th = _hash_tokens_fnv(flat)
-    acc = _rolling_shingles(th, w)  # includes invalid cross-doc windows
-    tok_starts = np.concatenate([[0], np.cumsum(ntok)[:-1]])
-    n_sh = ntok - w + 1  # >= 1 by padding
-    # valid shingle positions: tok_starts[d] .. tok_starts[d] + n_sh[d] - 1
+    doc start offsets into it). Tokenization, hashing and the rolling mix
+    are all vectorized over the concatenated tokens (Arrow split + the
+    buffer-level FNV). Docs with < w tokens are padded with the "\\x00"
+    token's hash, matching the per-doc path; shingle windows crossing doc
+    boundaries are masked out."""
+    th, ntok = _tokenize_whitespace(texts)
+    ntok2 = np.maximum(ntok, w)  # short docs pad to exactly one window
+    starts = np.concatenate([[0], np.cumsum(ntok)[:-1]]).astype(np.int64)
+    starts2 = np.concatenate([[0], np.cumsum(ntok2)[:-1]]).astype(np.int64)
+    padded = np.full(int(ntok2.sum()), _PAD_HASH, dtype=np.uint64)
+    if th.size:
+        idx = np.repeat(starts2, ntok) + (np.arange(th.size, dtype=np.int64)
+                                          - np.repeat(starts, ntok))
+        padded[idx] = th
+    acc = _rolling_shingles(padded, w)  # includes invalid cross-doc windows
+    n_sh = ntok2 - w + 1  # >= 1 by padding
+    # valid shingle positions: starts2[d] .. starts2[d] + n_sh[d] - 1
     sh_starts = np.concatenate([[0], np.cumsum(n_sh)[:-1]])
-    pos = np.repeat(tok_starts, n_sh) + (np.arange(int(n_sh.sum()), dtype=np.int64)
-                                         - np.repeat(sh_starts, n_sh))
+    pos = np.repeat(starts2, n_sh) + (np.arange(int(n_sh.sum()), dtype=np.int64)
+                                      - np.repeat(sh_starts, n_sh))
     return acc[pos], sh_starts
 
 
@@ -152,15 +187,17 @@ class MinHasher:
         return zv
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        texts = t[self.text_col].to_pylist()
+        nd = len(t)
         P = self.num_perm
-        if not texts:
+        if nd == 0:
             sigs = np.zeros((0, P), dtype=np.uint64)
         else:
-            sh_all, starts = _batch_shingles(texts, self.w)
+            # the text column goes into the tokenizer AS ARROW — no
+            # to_pylist, no per-doc Python split (the former per-row hot
+            # spot of the whole LLM-dedup family)
+            sh_all, starts = _batch_shingles(t[self.text_col], self.w)
             sh_all = sh_all & self.MERSENNE
             ends = np.concatenate([starts[1:], [sh_all.size]])
-            nd = len(texts)
             sigs = np.empty((nd, P), dtype=np.uint64)
             z = np.empty((P, self._CHUNK), dtype=np.uint64)
             tmp = np.empty((P, self._CHUNK), dtype=np.uint64)
@@ -359,8 +396,8 @@ def _join_emit_partition(t: pa.Table, shingle_w: int) -> pa.Table:
     midx = np.flatnonzero(counts > 0)
     if midx.size == 0:
         return empty
-    texts = docs_t["__text"].to_pylist()
-    values, offs = _unique_shingle_lists([texts[i] for i in midx], shingle_w)
+    matched_texts = docs_t["__text"].combine_chunks().take(pa.array(midx))
+    values, offs = _unique_shingle_lists(matched_texts, shingle_w)
     c = counts[midx]
     total = int(c.sum())
     rep_sub = np.repeat(np.arange(midx.size, dtype=np.int64), c)
@@ -481,11 +518,9 @@ class SimHasher:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         out = np.zeros(len(t), dtype=np.uint64)
-        token_lists = [(s or "").split() for s in t[self.text_col].to_pylist()]
-        ntok = np.array([len(tk) for tk in token_lists], dtype=np.int64)
+        th, ntok = _tokenize_whitespace(t[self.text_col])
         nonempty = np.nonzero(ntok > 0)[0]
         if nonempty.size:
-            th = _hash_tokens_fnv([tok for tk in token_lists for tok in tk])
             # (total_tok, 64) uint8 bit matrix straight from the hash bytes;
             # summing per doc via reduceat(dtype=int32) avoids any wide
             # temporary (an int64 cast of the bit matrix was 50x slower)

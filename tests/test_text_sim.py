@@ -311,3 +311,46 @@ def test_ann_merges_are_tree_shaped(sf_dir):
         stages = re.findall(r"Repartition", plan)
         assert len(stages) >= 2, f"{fn.__name__} plan lacks tree merge: {plan}"
         assert out.count() > 0
+
+
+def test_arrow_tokenizer_bit_parity_with_per_doc_path():
+    """The Arrow-native tokenizer (utf8_split_whitespace + empty filter)
+    must produce BIT-IDENTICAL minhash signatures and simhashes to the
+    per-doc Python str.split path on whitespace edge cases."""
+    import pyarrow as pa
+
+    from gdal_ray.text import dedup as DD
+
+    texts = [
+        "plain words here",
+        "  leading and  double   spaces ",
+        "tab\tsep\nnewline\r\nmix",
+        "",  # empty -> padded window
+        None,  # null text
+        "one",  # shorter than shingle width
+        "unicode nbsp thin　ideographic",
+        "élève café 中文 文字",
+        " \t \n ",  # whitespace-only
+        "x " * 500,  # long doc
+    ]
+    mh = DD.MinHasher(num_perm=32, shingle_w=3)
+    t = pa.table({"text": pa.array(texts, pa.string())})
+    batch_sigs = mh(t)["minhash"].combine_chunks()
+    import numpy as np
+
+    got = np.asarray(batch_sigs.flatten()).reshape(len(texts), 32)
+    for i, s in enumerate(texts):
+        expect = mh.signature(s or "")
+        assert (got[i] == expect).all(), (i, s)
+
+    # simhash: batch vs a singleton batch per doc
+    sh = DD.SimHasher()
+    batch = sh(t)["simhash"].to_numpy(zero_copy_only=False)
+    for i, s in enumerate(texts):
+        one = sh(pa.table({"text": pa.array([s], pa.string())}))
+        assert batch[i] == one["simhash"][0].as_py(), (i, s)
+
+    # tokenizer counts match Python str.split
+    th, ntok = DD._tokenize_whitespace(t["text"])
+    assert ntok.tolist() == [len((s or "").split()) for s in texts]
+    assert th.size == int(ntok.sum())
