@@ -59,11 +59,15 @@ def page_coords(page_id: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     th = 2.0 * np.pi * u03
     lon_u = center[:, 0] + r * np.cos(th)
     lat_u = center[:, 1] + r * np.sin(th)
-    lon_r = u02 * 340.0 - 170.0
+    lon_r = u02 * 360.0 - 180.0
     lat_r = u03 * 160.0 - 80.0
     lon = np.where(urban, lon_u, lon_r)
     lat = np.where(urban, lat_u, lat_r)
-    return np.clip(lon, -179.99, 179.99), np.clip(lat, -83.99, 83.99)
+    # wrap (not clamp) longitudes across the dateline — pages land on both
+    # sides of +/-180 and downstream cell/tile math handles them; latitude
+    # stays clamped to the WebMercator validity band
+    lon = ((lon + 180.0) % 360.0) - 180.0
+    return lon, np.clip(lat, -83.99, 83.99)
 
 
 def synthesize_pages(sf_dir: str, repeat: int = 1, *, concurrency=None):

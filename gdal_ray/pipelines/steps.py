@@ -345,6 +345,26 @@ def _reproject(dst: str = "webmercator", src: str = "lonlat"):
     return run
 
 
+@step("wrap-dateline")
+def _wrap_dateline(offset: float = 10.0):
+    """ogr2ogr -wrapdateline (apps/ogr2ogr_lib.cpp:8201; constraint at
+    :6167): split geometries crossing the antimeridian into parts with
+    longitudes in [-180, 180]; `offset` mirrors -datelineoffset."""
+    return lambda ds: ds.map_batches(
+        map_geoms(lambda g: GF.wrap_dateline(g, offset)),
+        batch_format="pyarrow", batch_size=None)
+
+
+@step("set-precision")
+def _set_precision(gridsize: float):
+    """ogr2ogr chain set-precision slot (OGRGeometry::SetPrecision,
+    ogr/ogrgeometry.cpp): snap coordinates to the gridsize precision
+    model before write."""
+    return lambda ds: ds.map_batches(
+        map_geoms(lambda g: GF.set_precision(g, gridsize)),
+        batch_format="pyarrow", batch_size=None)
+
+
 @step("swap-xy")
 def _swap(
 ):

@@ -361,3 +361,208 @@ def collect(geoms):
     if kinds == {"polygon"}:
         return ("multipolygon", list(geoms))
     return ("geometrycollection", list(geoms))
+
+
+# ---- dateline wrapping / precision model ----------------------------------
+# wrap_dateline: behavior of ogr2ogr -wrapdateline (apps/ogr2ogr_lib.cpp:8201
+# arg; OGRGeometryFactory::transformWithOptions WRAPDATELINE=YES +
+# DATELINEOFFSET). set_precision: OGRGeometry::SetPrecision
+# (ogr/ogrgeometry.cpp) — grid snap + degenerate cleanup. Both implemented
+# from scratch on the tuple geometry model.
+
+
+def _unwrap_lons(xy: np.ndarray) -> np.ndarray:
+    """Continuous longitudes: each step takes the short way around (a jump
+    of > 180 deg is a dateline crossing, the reference's core rule)."""
+    lon = xy[:, 0].astype(np.float64).copy()
+    if lon.size > 1:
+        d = np.diff(lon)
+        shift = np.cumsum(np.where(d > 180.0, -360.0, np.where(d < -180.0, 360.0, 0.0)))
+        lon[1:] += shift
+    return lon
+
+
+def _near_dateline(lons: np.ndarray, offset: float) -> bool:
+    """The reference's DATELINEOFFSET gate: only geometries with vertices
+    within `offset` degrees of +/-180 (default 10) are split candidates."""
+    return bool(np.any(lons > 180.0 - offset) and np.any(lons < -180.0 + offset))
+
+
+def _clip_path_band(pts: np.ndarray, lo: float, hi: float, close: bool) -> np.ndarray:
+    """Sutherland-Hodgman clip of a ring (close=True) against the vertical
+    band lo <= x <= hi; for open polylines use _split_line_bands instead."""
+    for bound, keep_right in ((lo, True), (hi, False)):
+        if len(pts) == 0:
+            return pts
+        x = pts[:, 0]
+        inside = x >= bound if keep_right else x <= bound
+        out = []
+        n = len(pts)
+        for i in range(n):
+            j = (i + 1) % n if close else i + 1
+            if j >= n:
+                if inside[i]:
+                    out.append(pts[i])
+                break
+            if inside[i]:
+                out.append(pts[i])
+            if inside[i] != inside[j]:
+                t = (bound - pts[i, 0]) / (pts[j, 0] - pts[i, 0])
+                out.append(pts[i] + t * (pts[j] - pts[i]))
+        pts = np.asarray(out, dtype=np.float64).reshape(-1, 2)
+    return pts
+
+
+def _band_of(lon: float) -> int:
+    """Band k covers [-180 + 360k, 180 + 360k); shift by -360k normalizes."""
+    return int(np.floor((lon + 180.0) / 360.0))
+
+
+def wrap_dateline(geom, offset: float = 10.0):
+    """Split geometries crossing the antimeridian into parts with all
+    longitudes in [-180, 180] (ogr2ogr -wrapdateline semantics: a segment
+    jumping > 180 deg of longitude crosses the dateline; only geometries
+    with vertices within `offset` deg of +/-180 are candidates)."""
+    kind, data = geom
+    if kind == "point":
+        lon = ((data[0][0] + 180.0) % 360.0) - 180.0
+        return (kind, np.array([[lon, data[0][1]]]))
+    if kind in ("multipoint", "multilinestring", "multipolygon", "geometrycollection"):
+        parts = []
+        for p in data:
+            w = wrap_dateline(p, offset)
+            parts.extend(explode_collection(w))
+        return collect(parts) if parts else ("geometrycollection", [])
+    if kind == "linestring":
+        raw = data[:, 0]
+        if not (_near_dateline(raw, offset) or np.any(np.abs(np.diff(raw)) > 180.0)):
+            return geom
+        lon = _unwrap_lons(data)
+        pts = np.column_stack([lon, data[:, 1]])
+        k0, k1 = _band_of(lon.min()), _band_of(lon.max())
+        pieces = []
+        for k in range(k0, k1 + 1):
+            lo, hi = -180.0 + 360.0 * k, 180.0 + 360.0 * k
+            piece = _split_polyline(pts, lo, hi)
+            for pc_ in piece:
+                pc_ = pc_.copy()
+                pc_[:, 0] -= 360.0 * k
+                pieces.append(("linestring", pc_))
+        if len(pieces) == 1:
+            return pieces[0]
+        return ("multilinestring", pieces)
+    if kind == "polygon":
+        outer_raw = data[0][:, 0]
+        if not (_near_dateline(outer_raw, offset)
+                or np.any(np.abs(np.diff(outer_raw)) > 180.0)):
+            return geom
+        # unwrap outer; align holes to the outer ring's longitude frame
+        rings = []
+        outer_lon = _unwrap_lons(data[0])
+        outer_mean = float(outer_lon.mean())
+        rings.append(np.column_stack([outer_lon, data[0][:, 1]]))
+        for hole in data[1:]:
+            hl = _unwrap_lons(hole)
+            hl += 360.0 * round((outer_mean - float(hl.mean())) / 360.0)
+            rings.append(np.column_stack([hl, hole[:, 1]]))
+        k0, k1 = _band_of(outer_lon.min()), _band_of(outer_lon.max() - 1e-12)
+        polys = []
+        for k in range(k0, k1 + 1):
+            lo, hi = -180.0 + 360.0 * k, 180.0 + 360.0 * k
+            newrings = []
+            for idx, ring in enumerate(rings):
+                r = ring[:-1] if len(ring) > 1 and np.allclose(ring[0], ring[-1]) else ring
+                c = _clip_path_band(r, lo, hi, close=True)
+                if len(c) >= 3 and abs(_shoelace(c)) > 1e-12:
+                    c = np.vstack([c, c[:1]])
+                    c[:, 0] -= 360.0 * k
+                    newrings.append(c)
+                elif idx == 0:
+                    newrings = []
+                    break
+            if newrings:
+                polys.append(("polygon", newrings))
+        if not polys:
+            return ("geometrycollection", [])
+        return polys[0] if len(polys) == 1 else ("multipolygon", polys)
+    return geom
+
+
+def _shoelace(pts: np.ndarray) -> float:
+    x, y = pts[:, 0], pts[:, 1]
+    return 0.5 * float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+
+
+def _split_polyline(pts: np.ndarray, lo: float, hi: float) -> list[np.ndarray]:
+    """Pieces of an open polyline inside [lo, hi], splitting segments at the
+    band edges (interpolated crossing points included in both sides)."""
+    out, cur = [], []
+    n = len(pts)
+
+    def clamp_pt(a, b, bound):
+        t = (bound - a[0]) / (b[0] - a[0])
+        return a + t * (b - a)
+
+    for i in range(n):
+        x = pts[i, 0]
+        inside = lo <= x <= hi
+        if inside:
+            if not cur and i > 0:
+                px = pts[i - 1, 0]
+                if px < lo:
+                    cur.append(clamp_pt(pts[i - 1], pts[i], lo))
+                elif px > hi:
+                    cur.append(clamp_pt(pts[i - 1], pts[i], hi))
+            cur.append(pts[i])
+        else:
+            if cur:
+                bound = lo if x < lo else hi
+                cur.append(clamp_pt(pts[i - 1], pts[i], bound))
+                out.append(np.asarray(cur))
+                cur = []
+    if cur:
+        out.append(np.asarray(cur))
+    return [p for p in out if len(p) >= 2]
+
+
+def set_precision(geom, gridsize: float):
+    """Snap every coordinate to the gridsize precision model (round half
+    away from zero, like the reference's SetPrecision grid), dropping
+    consecutive duplicate vertices and degenerate parts. Full GEOS-style
+    topology repair (node splitting at new self-intersections) is out of
+    scope — documented approximation."""
+
+    def snap(xy: np.ndarray) -> np.ndarray:
+        v = xy / gridsize
+        return np.copysign(np.floor(np.abs(v) + 0.5), v) * gridsize
+
+    def dedupe(xy: np.ndarray) -> np.ndarray:
+        if len(xy) < 2:
+            return xy
+        keep = np.concatenate([[True], np.any(np.diff(xy, axis=0) != 0.0, axis=1)])
+        return xy[keep]
+
+    kind, data = geom
+    if kind == "point":
+        return (kind, snap(np.asarray(data, dtype=np.float64)))
+    if kind == "linestring":
+        pts = dedupe(snap(data))
+        if len(pts) < 2:
+            return ("geometrycollection", [])
+        return (kind, pts)
+    if kind == "polygon":
+        rings = []
+        for idx, ring in enumerate(data):
+            r = dedupe(snap(ring))
+            if len(r) > 1 and not np.array_equal(r[0], r[-1]):
+                r = np.vstack([r, r[:1]])
+            if len(r) >= 4:
+                rings.append(r)
+            elif idx == 0:
+                return ("geometrycollection", [])
+        return ("polygon", rings)
+    parts = [set_precision(p, gridsize) for p in data]
+    parts = [p for p in parts if p[0] != "geometrycollection" or p[1]]
+    if not parts:
+        return ("geometrycollection", [])
+    return (kind, parts)

@@ -225,3 +225,92 @@ def test_vector_info_and_raster_info():
     assert ri["tile_range"] == (3, 4, 4, 4)
     assert ri["statistics"][0]["count"] == 2 * 256 * 256
     assert ri["statistics"][0]["max"] == 256 * 256 - 1
+
+
+def test_wrap_dateline_polygon_splits_into_two_parts():
+    """ogr2ogr -wrapdateline behavior (test_ogr2ogr.py:374 re-expressed
+    without the UTM reprojection): a polygon whose segments jump across
+    +/-180 splits into a 2-part multipolygon with all longitudes in
+    [-180, 180]; counts and WKT pinned."""
+    from gdal_ray.vector import geomfuncs as GF
+    import numpy as np
+
+    # raw data as a source would deliver it: lons jump 178 -> -178
+    ring = np.array([[178.0, 10.0], [-178.0, 10.0], [-178.0, 20.0],
+                     [178.0, 20.0], [178.0, 10.0]])
+    out = GF.wrap_dateline(("polygon", [ring]))
+    assert out[0] == "multipolygon"
+    assert len(out[1]) == 2
+    from gdal_ray.geo.wkb import geom_to_wkt
+
+    wkt = geom_to_wkt(out)
+    assert wkt == ("MULTIPOLYGON (((178 10,180 10,180 20,178 20,178 10)),"
+                   "((-180 10,-178 10,-178 20,-180 20,-180 10)))"), wkt
+
+    # every emitted longitude is within [-180, 180]
+    for poly in out[1]:
+        for r in poly[1]:
+            assert (r[:, 0] >= -180).all() and (r[:, 0] <= 180).all()
+
+
+def test_wrap_dateline_gate_and_line_and_point():
+    from gdal_ray.vector import geomfuncs as GF
+    import numpy as np
+
+    # far from the dateline: untouched (DATELINEOFFSET gate)
+    ring = np.array([[10.0, 0.0], [20.0, 0.0], [20.0, 5.0], [10.0, 0.0]])
+    g = ("polygon", [ring])
+    assert GF.wrap_dateline(g) is g
+
+    # crossing line splits into 2 pieces at x=180 with interpolated y
+    line = np.array([[179.0, 0.0], [-179.0, 1.0]])
+    out = GF.wrap_dateline(("linestring", line))
+    assert out[0] == "multilinestring" and len(out[1]) == 2
+    (_, a), (_, b) = out[1]
+    assert np.allclose(a, [[179.0, 0.0], [180.0, 0.5]])
+    assert np.allclose(b, [[-180.0, 0.5], [-179.0, 1.0]])
+
+    # out-of-range point normalizes
+    assert np.allclose(GF.wrap_dateline(("point", np.array([[190.0, 3.0]])))[1],
+                       [[-170.0, 3.0]])
+
+
+def test_set_precision_snaps_and_cleans():
+    from gdal_ray.vector import geomfuncs as GF
+    from gdal_ray.geo.wkb import geom_to_wkt
+    import numpy as np
+
+    ring = np.array([[0.012, 0.0], [1.049, 0.012], [1.051, 0.98],
+                     [0.012, 1.04], [0.012, 0.0]])
+    out = GF.set_precision(("polygon", [ring]), 0.1)
+    assert geom_to_wkt(out) == "POLYGON ((0 0,1 0,1.1 1,0 1,0 0))", geom_to_wkt(out)
+
+    # duplicate collapse after snapping + degenerate line -> empty
+    line = np.array([[0.01, 0.01], [0.04, 0.02]])
+    assert GF.set_precision(("linestring", line), 0.1) == ("geometrycollection", [])
+
+    # half-away-from-zero ties (dyadic values so the quotient is exact:
+    # 0.25/0.5 == 0.5 -> 1, -0.25/0.5 == -0.5 -> -1; half-even would give 0)
+    pt = GF.set_precision(("point", np.array([[-0.25, 0.25]])), 0.5)
+    assert np.allclose(pt[1], [[-0.5, 0.5]])
+
+
+def test_wrap_dateline_and_set_precision_steps_run(ray_session):
+    """The registered pipeline steps transform a WKB geometry column."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.geo import wkb as W
+    from gdal_ray.pipelines.steps import run_pipeline
+
+    ring = np.array([[178.0, 10.0], [-178.0, 10.0], [-178.0, 20.0],
+                     [178.0, 20.0], [178.0, 10.0]])
+    t = pa.table({"id": pa.array([1], pa.int64()),
+                  "geometry": pa.array([W.geom_to_wkb(("polygon", [ring]))],
+                                       pa.binary())})
+    ds = rd.from_arrow(t)
+    out = run_pipeline([("wrap-dateline", {}), ("set-precision", {"gridsize": 0.5})],
+                       ds).take_all()
+    g = W.parse_wkb(out[0]["geometry"])
+    assert g[0] == "multipolygon" and len(g[1]) == 2
