@@ -1267,6 +1267,64 @@ SELECT bucket, CAST(sum(n) AS BIGINT) AS n FROM (
 """
 
 
+_GX9 = f"CAST(floor(({LON_EXPR_SQL} + 180.0) / 360.0 * 131072) AS BIGINT)"
+_GY9 = (f"CAST(floor((1.0 - ln(tan(radians({LAT_EXPR_SQL}))"
+        f" + 1.0 / cos(radians({LAT_EXPR_SQL}))) / pi()) / 2.0 * 131072) AS BIGINT)")
+
+
+def _q57_sample(sf_dir, method):
+    from gdal_ray.stages.raster import points_to_tile_counts, sample_tiles_at_points
+
+    ds = events_points(sf_dir)
+    tiles = points_to_tile_counts(ds, zoom=9)
+
+    def subset(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(eid % 61 == 0))
+
+    pts = ds.map_batches(subset, batch_format="pyarrow", batch_size=None)
+    out = sample_tiles_at_points(tiles.drop_columns(["n_points"]), pts, 9,
+                                 method=method)
+    return out.map_batches(
+        lambda t: t.select(["event_id", "value"]),
+        batch_format="pyarrow", batch_size=None)
+
+
+def q57_pixel_info(sf_dir):
+    """`gdal raster pixel-info` (alg/gdal_interpolateatpoint.cpp): nearest-
+    sample the zoom-9 event-density raster back at a deterministic subset
+    of the events. value = count of events sharing the point's global
+    pixel, so the DuckDB oracle is a per-pixel GROUP BY + self-join."""
+    return _q57_sample(sf_dir, "nearest")
+
+
+Q57_SQL = f"""
+WITH px AS (
+  SELECT event_id, {_GX9} AS gx, {_GY9} AS gy FROM events
+),
+cnt AS (SELECT gx, gy, count(*) AS c FROM px GROUP BY gx, gy)
+SELECT p.event_id AS event_id, CAST(c.c AS DOUBLE) AS value
+FROM px p JOIN cnt c ON p.gx = c.gx AND p.gy = c.gy
+WHERE p.event_id % 61 = 0
+"""
+
+
+def q58_sample_cubic(sf_dir):
+    """interpolate-at-point with the cubic-convolution kernel
+    (alg/gdal_interpolateatpoint.cpp:172-202) over the same density
+    raster — no SQL oracle (4x4 kernel), golden-pinned instead."""
+    out = _q57_sample(sf_dir, "cubic")
+
+    def rnd(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "value": pc.round(t["value"], ndigits=6,
+                              round_mode="half_towards_infinity"),
+        })
+
+    return out.map_batches(rnd, batch_format="pyarrow", batch_size=None)
+
+
 def q46_hilbert(sf_dir):
     """Spatial sort key (gdal vector sort analog) — rows-only oracle."""
     from gdal_ray.geo.hilbert import lonlat_hilbert
@@ -1726,6 +1784,8 @@ def registry():
         "q44_cells": q44_cells,
         "q45_tile_counts": q45_tile_counts,
         "q55_band_histogram": q55_band_histogram,
+        "q57_pixel_info": q57_pixel_info,
+        "q58_sample_cubic": q58_sample_cubic,
         "q56a_grid_minimum": q56a_grid_minimum,
         "q56b_grid_maximum": q56b_grid_maximum,
         "q56c_grid_range": q56c_grid_range,
@@ -1791,6 +1851,7 @@ def registry():
         "q43_zonal_stats": Q43_SQL,
         "q45_tile_counts": Q45_SQL,
         "q55_band_histogram": Q55_SQL,
+        "q57_pixel_info": Q57_SQL,
         "q56a_grid_minimum": Q56A_SQL,
         "q56b_grid_maximum": Q56B_SQL,
         "q56c_grid_range": Q56C_SQL,

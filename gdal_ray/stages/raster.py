@@ -457,15 +457,20 @@ def sample_tiles_at_points(tiles_ds, points_ds, zoom: int, *,
                            method: str = "nearest", dtype=np.uint32,
                            lon_col="lon", lat_col="lat", nodata=0.0):
     """`gdal raster pixel-info` / interpolate-at-point
-    (alg/gdal_interpolateatpoint.cpp:172-202): look up the raster value
-    under each point. Points fan to their covering tile key; for bilinear
-    each TILE also posts 1-pixel halo strips to its 8 neighbors (the 2x2
-    sample window near a border reaches at most one pixel into an adjacent
-    tile), so every group interpolates locally from a padded array. One
-    groupby, one vectorized interpolation per group. Output: point rows +
-    `value`. method: nearest | bilinear."""
-    if method not in ("nearest", "bilinear"):
-        raise ValueError(f"method must be 'nearest' or 'bilinear', got {method!r}")
+    (alg/gdal_interpolateatpoint.cpp:172-202 lists nearest / bilinear /
+    cubic / cubicspline; lanczos added for symmetry with the warp kernel
+    family): look up the raster value under each point. Points fan to
+    their covering tile key; each TILE also posts kernel-radius-wide halo
+    strips to its 8 neighbors (bilinear 1 px, cubic/cubicspline 2 px,
+    lanczos 3 px), so every group interpolates locally from a padded
+    array. One groupby, one vectorized kernel evaluation per group.
+    Pixels with no data (past the raster edge) get zero weight and the
+    result normalizes by the valid-weight sum, matching _sample_kernel /
+    GDAL edge behavior. Output: point rows + `value`."""
+    methods = ("nearest", "bilinear", "cubic", "cubicspline", "lanczos")
+    if method not in methods:
+        raise ValueError(f"method must be one of {methods}, got {method!r}")
+    halo = 0 if method == "nearest" else _KERNEL_RADIUS[method]
 
     def fan_points(t: pa.Table) -> pa.Table:
         lon = np.asarray(t[lon_col].to_numpy(zero_copy_only=False), dtype=np.float64)
@@ -481,24 +486,25 @@ def sample_tiles_at_points(tiles_ds, points_ds, zoom: int, *,
         t = t.append_column("__role", pa.array(["pt"] * len(t)))
         return t
 
+    def _sel(d: int):
+        return {-1: slice(0, halo), 0: slice(None), 1: slice(TILE - halo, TILE)}[d]
+
     def fan_tiles(t: pa.Table) -> pa.Table:
         xs, ys, roles, datas = [], [], [], []
         for tx, ty, buf in zip(
             t["tile_x"].to_pylist(), t["tile_y"].to_pylist(), t["data"].to_pylist()
         ):
             xs.append(tx); ys.append(ty); roles.append("self"); datas.append(buf)
-            if method == "bilinear":
+            if halo:
                 arr = np.frombuffer(buf, dtype=dtype).reshape(TILE, TILE)
-                strips = {
-                    (-1, 0): arr[:, :1], (1, 0): arr[:, -1:],
-                    (0, -1): arr[:1, :], (0, 1): arr[-1:, :],
-                    (-1, -1): arr[:1, :1], (1, -1): arr[:1, -1:],
-                    (-1, 1): arr[-1:, :1], (1, 1): arr[-1:, -1:],
-                }
-                for (dx, dy), strip in strips.items():
-                    xs.append(tx + dx); ys.append(ty + dy)
-                    roles.append(f"{-dx}_{-dy}")
-                    datas.append(np.ascontiguousarray(strip).tobytes())
+                for dx in (-1, 0, 1):
+                    for dy in (-1, 0, 1):
+                        if dx == 0 and dy == 0:
+                            continue
+                        strip = arr[_sel(dy), _sel(dx)]
+                        xs.append(tx + dx); ys.append(ty + dy)
+                        roles.append(f"{-dx}_{-dy}")
+                        datas.append(np.ascontiguousarray(strip).tobytes())
         return pa.table(
             {
                 "t_x": pa.array(xs, pa.int64()),
@@ -514,16 +520,13 @@ def sample_tiles_at_points(tiles_ds, points_ds, zoom: int, *,
 
     import pandas as pd
 
-    _REGION = {
-        (-1, 0): (slice(1, -1), slice(0, 1), (TILE, 1)),
-        (1, 0): (slice(1, -1), slice(-1, None), (TILE, 1)),
-        (0, -1): (slice(0, 1), slice(1, -1), (1, TILE)),
-        (0, 1): (slice(-1, None), slice(1, -1), (1, TILE)),
-        (-1, -1): (slice(0, 1), slice(0, 1), (1, 1)),
-        (1, -1): (slice(0, 1), slice(-1, None), (1, 1)),
-        (-1, 1): (slice(-1, None), slice(0, 1), (1, 1)),
-        (1, 1): (slice(-1, None), slice(-1, None), (1, 1)),
-    }
+    # pad-region slices for a strip whose SOURCE tile sits at offset
+    # (sx, sy) from the receiver; N = TILE + 2*halo
+    def _region(sx: int, sy: int):
+        def ax(d):
+            return {-1: slice(0, halo), 0: slice(halo, halo + TILE),
+                    1: slice(halo + TILE, halo + TILE + halo)}[d]
+        return ax(sy), ax(sx)
 
     def sample(g: pd.DataFrame) -> pd.DataFrame:
         tiles = g[(g["__kind"] == 1) & (g["__role"] == "self")]
@@ -540,41 +543,46 @@ def sample_tiles_at_points(tiles_ds, points_ds, zoom: int, *,
             oy = (points["__py"].to_numpy() % TILE).astype(np.int64)
             out["value"] = arr[oy, ox].astype(np.float64)
             return out.drop(columns=["__px", "__py"])
-        # bilinear: padded array from halo strips, edge-replicated where a
-        # neighbor tile doesn't exist
+        # kernel methods: padded array assembled from halo strips; cells
+        # with no contributing tile keep have=False and zero weight
         tx, ty = int(tiles["t_x"].iloc[0]), int(tiles["t_y"].iloc[0])
-        pad = np.zeros((TILE + 2, TILE + 2), np.float64)
-        have = np.zeros((TILE + 2, TILE + 2), bool)
-        pad[1:-1, 1:-1] = arr
-        have[1:-1, 1:-1] = True
+        N = TILE + 2 * halo
+        pad = np.zeros((N, N), np.float64)
+        have = np.zeros((N, N), bool)
+        pad[halo:halo + TILE, halo:halo + TILE] = arr
+        have[halo:halo + TILE, halo:halo + TILE] = True
         for _, row in g[(g["__kind"] == 1) & (g["__role"] != "self")].iterrows():
-            dx, dy = (int(v) for v in row["__role"].split("_"))
-            rs, cs, shape = _REGION[(dx, dy)]
-            pad[rs, cs] = np.frombuffer(row["__tiledata"], dtype=dtype).reshape(shape)
+            sx, sy = (int(v) for v in row["__role"].split("_"))
+            rs, cs = _region(sx, sy)
+            h_rows = halo if sy else TILE
+            h_cols = halo if sx else TILE
+            pad[rs, cs] = np.frombuffer(row["__tiledata"], dtype=dtype).reshape(h_rows, h_cols)
             have[rs, cs] = True
-        if not have.all():
-            ii, jj = np.nonzero(~have)
-            ci = np.clip(ii, 1, TILE)
-            cj = np.clip(jj, 1, TILE)
-            vert = have[ci, jj]
-            horiz = have[ii, cj]
-            src_i = np.where(vert, ci, np.where(horiz, ii, ci))
-            src_j = np.where(vert, jj, np.where(horiz, cj, cj))
-            pad[ii, jj] = pad[src_i, src_j]
-        # sample in local padded coords: pixel-center convention (value at
-        # px=col+0.5), pad offset +1
-        fx = points["__px"].to_numpy() - tx * TILE - 0.5 + 1.0
-        fy = points["__py"].to_numpy() - ty * TILE - 0.5 + 1.0
+        # local fractional coords: pixel-center convention (value at
+        # col + 0.5), pad offset +halo
+        fx = points["__px"].to_numpy() - tx * TILE - 0.5
+        fy = points["__py"].to_numpy() - ty * TILE - 0.5
         x0 = np.floor(fx).astype(np.int64)
         y0 = np.floor(fy).astype(np.int64)
-        wx = fx - x0
-        wy = fy - y0
-        x0 = np.clip(x0, 0, TILE)
-        y0 = np.clip(y0, 0, TILE)
-        v = (pad[y0, x0] * (1 - wx) * (1 - wy)
-             + pad[y0, x0 + 1] * wx * (1 - wy)
-             + pad[y0 + 1, x0] * (1 - wx) * wy
-             + pad[y0 + 1, x0 + 1] * wx * wy)
+        ax_ = fx - x0
+        ay_ = fy - y0
+        r = _KERNEL_RADIUS[method]
+        acc = np.zeros(len(points), np.float64)
+        wsum = np.zeros(len(points), np.float64)
+        for dy in range(-r + 1, r + 1):
+            wy = _kern_weights(method, dy - ay_)
+            ly = np.clip(y0 + dy + halo, 0, N - 1)
+            in_y = (y0 + dy + halo >= 0) & (y0 + dy + halo < N)
+            for dx in range(-r + 1, r + 1):
+                w = _kern_weights(method, dx - ax_) * wy
+                lx = np.clip(x0 + dx + halo, 0, N - 1)
+                in_x = (x0 + dx + halo >= 0) & (x0 + dx + halo < N)
+                ok = in_y & in_x & have[ly, lx] & (w != 0.0)
+                acc[ok] += w[ok] * pad[ly[ok], lx[ok]]
+                wsum[ok] += w[ok]
+        v = np.full(len(points), np.float64(nodata))
+        hasw = np.abs(wsum) > 1e-9
+        v[hasw] = acc[hasw] / wsum[hasw]
         out["value"] = v
         return out.drop(columns=["__px", "__py"])
 

@@ -37,7 +37,10 @@ GOLDENS = {
     "q51_polygonize": (204, "57ef88d713f9a3f2"),
     "q52_layer_algebra": (7, "04b09b04545942c0"),
     "q53_tile_pyramid": (1481, "cf52e763b8dfee3b"),
-    "q60_flagship_tiles": (543, "913113e2b8aa96c8"),
+    "q58_sample_cubic": (17, "d7b4f8a08e83c07a"),
+    # re-pinned r4: flagship wraps lons across the dateline instead of
+    # clamping (uniform component now spans the full 360 deg)
+    "q60_flagship_tiles": (548, "593d6aa70cc6413d"),
 }
 
 

@@ -98,4 +98,85 @@ def test_sample_rejects_unknown_method():
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
-        sample_tiles_at_points(None, None, 5, method="cubic")
+        sample_tiles_at_points(None, None, 5, method="sinc2")
+
+
+def _tile_world(zoom, field):
+    rows = []
+    for ty in range(1 << zoom):
+        for tx in range(1 << zoom):
+            gx = tx * TILE + np.arange(TILE)[None, :]
+            gy = ty * TILE + np.arange(TILE)[None, :].T
+            rows.append({"zoom": zoom, "tile_x": tx, "tile_y": ty,
+                         "data": field(gx, gy).astype(np.float64).tobytes()})
+    return rows
+
+
+def test_sample_kernels_tiled_equals_single_array():
+    """interpolate-at-point cubic/cubicspline/lanczos
+    (alg/gdal_interpolateatpoint.cpp:172-202): the tiled distributed
+    sampler with halo strips must equal _sample_kernel over the full
+    tile dict — including points whose kernel window straddles tile
+    borders and the raster edge."""
+    from gdal_ray.stages.raster import _sample_kernel
+
+    zoom = 1
+    rng = np.random.RandomState(7)
+    vals = {}
+
+    def field(gx, gy):
+        a = rng.standard_normal(gx.shape) * 10.0 + np.sin(gx * 0.1) + gy * 0.01
+        vals[(int(gx.min()) // TILE, int(gy.min()) // TILE)] = a
+        return a
+
+    rows = _tile_world(zoom, field)
+    tiles = rd.from_pandas(pd.DataFrame(rows))
+    n = float(1 << zoom) * TILE
+    px = np.array([100.3, 255.9, 256.1, 400.0, 255.5, 300.7, 1.2, 510.9, 2.0, 509.5])
+    py = np.array([200.8, 100.2, 300.6, 255.9, 256.4, 257.0, 0.7, 511.3, 300.0, 2.2])
+    lon = px / n * 360.0 - 180.0
+    lat = np.degrees(np.arctan(np.sinh(np.pi * (1.0 - 2.0 * py / n))))
+    pts = rd.from_arrow(pa.table({
+        "pid": pa.array(np.arange(px.size), pa.int64()),
+        "lon": pa.array(lon), "lat": pa.array(lat)}))
+    for method in ("bilinear", "cubic", "cubicspline", "lanczos"):
+        out = to_arrow(sample_tiles_at_points(
+            tiles, pts, zoom, method=method, dtype=np.float64, nodata=-999.0
+        )).to_pandas().sort_values("pid")
+        # recompute the EXACT sample positions the stage uses
+        spx, spy = wm.lonlat_to_pixel(lon, lat, zoom)
+        expect = _sample_kernel(vals, spx, spy, method, -999.0)
+        assert np.allclose(out["value"].to_numpy(), expect, atol=1e-9), method
+
+
+def test_sample_cubic_exact_on_quadratic_field():
+    """Cubic convolution (A=-0.5) is exact for polynomials up to degree 2;
+    the cubic B-spline reproduces linear fields. Tiled sampling across
+    borders must hit those identities to 1e-6."""
+    zoom = 1
+    rows = _tile_world(zoom, lambda gx, gy: (0.01 * (gx - 200.0) ** 2
+                                             + 0.5 * gx + 2.0 * gy + 7.0))
+    tiles = rd.from_pandas(pd.DataFrame(rows)).materialize()
+    n = float(1 << zoom) * TILE
+    px = np.array([100.3, 255.9, 256.1, 400.0, 255.5, 300.7])
+    py = np.array([200.8, 100.2, 300.6, 255.9, 256.4, 257.0])
+    lon = px / n * 360.0 - 180.0
+    lat = np.degrees(np.arctan(np.sinh(np.pi * (1.0 - 2.0 * py / n))))
+    pts = rd.from_arrow(pa.table({
+        "pid": pa.array(np.arange(px.size), pa.int64()),
+        "lon": pa.array(lon), "lat": pa.array(lat)}))
+    spx, spy = wm.lonlat_to_pixel(lon, lat, zoom)
+    fx, fy = spx - 0.5, spy - 0.5
+    out = to_arrow(sample_tiles_at_points(
+        tiles, pts, zoom, method="cubic", dtype=np.float64
+    )).to_pandas().sort_values("pid")
+    expect = 0.01 * (fx - 200.0) ** 2 + 0.5 * fx + 2.0 * fy + 7.0
+    assert np.allclose(out["value"].to_numpy(), expect, rtol=1e-9), out
+
+    rows_lin = _tile_world(zoom, lambda gx, gy: (0.5 * gx + 2.0 * gy + 7.0))
+    tiles_lin = rd.from_pandas(pd.DataFrame(rows_lin))
+    out2 = to_arrow(sample_tiles_at_points(
+        tiles_lin, pts, zoom, method="cubicspline", dtype=np.float64
+    )).to_pandas().sort_values("pid")
+    expect2 = 0.5 * fx + 2.0 * fy + 7.0
+    assert np.allclose(out2["value"].to_numpy(), expect2, rtol=1e-9), out2
