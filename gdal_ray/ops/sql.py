@@ -105,6 +105,12 @@ def _hstore_get_value(col, key):
 
 _SQL_FUNCTIONS["hstore_get_value"] = _hstore_get_value
 
+# ST_* geometry catalogue (sql_sqlite_dialect.rst:214-249) — registered at
+# import so geometry predicates/measures parse like any other function
+from gdal_ray.ops import sql_geom as _sql_geom  # noqa: E402
+
+_sql_geom.register_all(register_sql_function)
+
 
 # ---------------------------------------------------------------------------
 # tokenizer

@@ -1325,6 +1325,53 @@ def q58_sample_cubic(sf_dir):
     return out.map_batches(rnd, batch_format="pyarrow", batch_size=None)
 
 
+def q59_st_sql(sf_dir):
+    """ST_* geometry functions inside the SQL compiler
+    (sql_sqlite_dialect.rst:214-249 re-expressed): build a deterministic
+    geometry table (squares around the event points), then run a single
+    SQL statement exercising ST_INTERSECTS / ST_AREA / ST_CENTROID /
+    ST_DISTANCE / ST_GEOMFROMTEXT. No DuckDB spatial offline -> value-hash
+    golden."""
+    import hashlib as _hl
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from gdal_ray.geo import wkb as W
+    from gdal_ray.ops.sql import execute
+    from gdal_ray.util import to_arrow
+
+    ds = events_points(sf_dir)
+
+    def to_squares(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = eid % 17 == 0
+        eid = eid[keep]
+        lon = t["lon"].to_numpy(zero_copy_only=False)[keep]
+        lat = t["lat"].to_numpy(zero_copy_only=False)[keep]
+        geoms = []
+        for x, y in zip(lon, lat):
+            ring = np.array([[x - 1, y - 1], [x + 1, y - 1], [x + 1, y + 1],
+                             [x - 1, y + 1], [x - 1, y - 1]])
+            geoms.append(W.geom_to_wkb(("polygon", [ring])))
+        return pa.table({"event_id": pa.array(eid),
+                         "geometry": pa.array(geoms, pa.binary())})
+
+    g = to_arrow(ds.map_batches(to_squares, batch_format="pyarrow", batch_size=None))
+    tmp = os.path.join("/tmp", "gdal_ray_q59",
+                       _hl.md5(sf_dir.encode()).hexdigest()[:8])
+    os.makedirs(tmp, exist_ok=True)
+    _pq.write_table(g, os.path.join(tmp, "g.parquet"))
+    out = execute(
+        "SELECT event_id, ST_AREA(geometry) AS a, "
+        "ST_ASTEXT(ST_CENTROID(geometry)) AS c, "
+        "ROUND(ST_DISTANCE(geometry, ST_GEOMFROMTEXT('POINT(0 0)')), 6) AS d "
+        "FROM g WHERE ST_INTERSECTS(geometry, "
+        "ST_GEOMFROMTEXT('POLYGON((-60 -30,60 -30,60 30,-60 30,-60 -30))'))",
+        tmp)
+    return out
+
+
 def q46_hilbert(sf_dir):
     """Spatial sort key (gdal vector sort analog) — rows-only oracle."""
     from gdal_ray.geo.hilbert import lonlat_hilbert
@@ -1786,6 +1833,7 @@ def registry():
         "q55_band_histogram": q55_band_histogram,
         "q57_pixel_info": q57_pixel_info,
         "q58_sample_cubic": q58_sample_cubic,
+        "q59_st_sql": q59_st_sql,
         "q56a_grid_minimum": q56a_grid_minimum,
         "q56b_grid_maximum": q56b_grid_maximum,
         "q56c_grid_range": q56c_grid_range,

@@ -38,6 +38,7 @@ GOLDENS = {
     "q52_layer_algebra": (7, "04b09b04545942c0"),
     "q53_tile_pyramid": (1481, "cf52e763b8dfee3b"),
     "q58_sample_cubic": (17, "d7b4f8a08e83c07a"),
+    "q59_st_sql": (8, "e7372b89a2b3b996"),
     # re-pinned r4: flagship wraps lons across the dateline instead of
     # clamping (uniform component now spans the full 360 deg)
     "q60_flagship_tiles": (548, "593d6aa70cc6413d"),

@@ -82,3 +82,68 @@ def test_random_where_projection_matches_duckdb(sf_dir, con, where, proj):
         e = exp.sort_values(["o_orderkey", "v"]).reset_index(drop=True)
         assert g["o_orderkey"].tolist() == e["o_orderkey"].tolist(), sql
         assert np.allclose(g["v"].astype(float), e["v"].astype(float)), sql
+
+
+# ---------------------------------------------------------------------------
+# ST_* geometry catalogue property fuzz (no DuckDB spatial offline, so the
+# oracle is the invariant set, not an engine comparison)
+# ---------------------------------------------------------------------------
+
+_coord = st.floats(min_value=-80, max_value=80, allow_nan=False,
+                   allow_infinity=False, width=32)
+
+
+@st.composite
+def _square(draw):
+    cx = draw(_coord)
+    cy = draw(_coord)
+    h = draw(st.floats(min_value=0.5, max_value=20, allow_nan=False, width=32))
+    return (float(cx), float(cy), float(h))
+
+
+@given(a=_square(), b=_square())
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_st_geometry_invariants(a, b):
+    """ST_ function algebraic invariants on random axis-aligned squares:
+    symmetry of intersects/distance, containment of centroid, area of the
+    convex hull, distance-zero iff intersects, envelope == the square."""
+    import pyarrow as pa
+
+    from gdal_ray.geo import wkb as W
+    from gdal_ray.ops import sql_geom as SG
+
+    def square_wkb(cx, cy, h):
+        ring = np.array([[cx - h, cy - h], [cx + h, cy - h], [cx + h, cy + h],
+                         [cx - h, cy + h], [cx - h, cy - h]])
+        return W.geom_to_wkb(("polygon", [ring]))
+
+    ga = pa.scalar(square_wkb(*a), pa.binary())
+    gb = pa.scalar(square_wkb(*b), pa.binary())
+
+    inter_ab = SG.st_intersects(ga, gb).as_py()
+    inter_ba = SG.st_intersects(gb, ga).as_py()
+    assert inter_ab == inter_ba
+    # axis-aligned squares: intersects iff the intervals overlap
+    expect = (abs(a[0] - b[0]) <= a[2] + b[2]) and (abs(a[1] - b[1]) <= a[2] + b[2])
+    assert inter_ab == expect, (a, b)
+
+    d_ab = SG.st_distance(ga, gb).as_py()
+    d_ba = SG.st_distance(gb, ga).as_py()
+    assert abs(d_ab - d_ba) < 1e-9
+    assert (d_ab == 0.0) == inter_ab
+    # exact square-square distance: hypot of the interval gaps
+    gx = max(abs(a[0] - b[0]) - (a[2] + b[2]), 0.0)
+    gy = max(abs(a[1] - b[1]) - (a[2] + b[2]), 0.0)
+    assert abs(d_ab - float(np.hypot(gx, gy))) < 1e-6
+
+    area = SG.st_area(ga).as_py()
+    assert abs(area - (2 * a[2]) ** 2) < 1e-6 * max((2 * a[2]) ** 2, 1.0)
+    cen = W.parse_wkb(SG.st_centroid(ga).as_py())
+    assert abs(cen[1][0][0] - a[0]) < 1e-6 and abs(cen[1][0][1] - a[1]) < 1e-6
+    assert SG.st_contains(ga, SG.st_centroid(ga)).as_py()
+    assert SG.st_within(SG.st_centroid(ga), ga).as_py()
+    hull_area = SG.st_area(SG.st_convexhull(ga)).as_py()
+    assert abs(hull_area - area) < 1e-6 * max(area, 1.0)
+    env = SG.st_astext(SG.st_envelope(ga)).as_py()
+    assert env == W.geom_to_wkt(W.parse_wkb(ga.as_py())), env
