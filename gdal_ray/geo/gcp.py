@@ -71,6 +71,59 @@ class GCPPolynomial:
         return np.hypot(fx - g[:, 2], fy - g[:, 3])
 
 
+class Homography:
+    """8-DOF projective transform fit to GCPs
+    (reference: alg/gdal_homography.cpp:77 GDALCreateHomographyTransformer
+    — the remaining member of the GDALGenImgProjTransform family after
+    polynomial/TPS/RPC/geolocation).
+
+    gcps: (pixel, line, x, y) rows, >= 4. Fit is the direct linear
+    transform with h33 = 1 (least squares when overdetermined). forward:
+    (px, py) -> ((h11 px + h12 py + h13) / w, (h21 px + h22 py + h23) / w)
+    with w = h31 px + h32 py + 1. Unlike the polynomial/TPS reverse FIT,
+    the inverse here is EXACT — the inverse 3x3 matrix is itself a
+    homography."""
+
+    def __init__(self, gcps):
+        g = np.asarray(gcps, np.float64)
+        if g.shape[0] < 4:
+            raise ValueError(f"homography needs >= 4 GCPs, got {g.shape[0]}")
+        px, py, x, y = g[:, 0], g[:, 1], g[:, 2], g[:, 3]
+        n = g.shape[0]
+        A = np.zeros((2 * n, 8))
+        b = np.empty(2 * n)
+        A[0::2, 0] = px; A[0::2, 1] = py; A[0::2, 2] = 1.0
+        A[0::2, 6] = -x * px; A[0::2, 7] = -x * py
+        b[0::2] = x
+        A[1::2, 3] = px; A[1::2, 4] = py; A[1::2, 5] = 1.0
+        A[1::2, 6] = -y * px; A[1::2, 7] = -y * py
+        b[1::2] = y
+        h, *_ = np.linalg.lstsq(A, b, rcond=None)
+        self.H = np.array([[h[0], h[1], h[2]],
+                           [h[3], h[4], h[5]],
+                           [h[6], h[7], 1.0]])
+        self.Hinv = np.linalg.inv(self.H)
+
+    @staticmethod
+    def _apply(M: np.ndarray, x, y):
+        x = np.asarray(x, np.float64)
+        y = np.asarray(y, np.float64)
+        w = M[2, 0] * x + M[2, 1] * y + M[2, 2]
+        return ((M[0, 0] * x + M[0, 1] * y + M[0, 2]) / w,
+                (M[1, 0] * x + M[1, 1] * y + M[1, 2]) / w)
+
+    def forward(self, px, py):
+        return self._apply(self.H, px, py)
+
+    def inverse(self, x, y):
+        return self._apply(self.Hinv, x, y)
+
+    def residuals(self, gcps) -> np.ndarray:
+        g = np.asarray(gcps, np.float64)
+        fx, fy = self.forward(g[:, 0], g[:, 1])
+        return np.hypot(fx - g[:, 2], fy - g[:, 3])
+
+
 class ThinPlateSpline:
     """Exact thin-plate-spline transform through the GCPs
     (alg/thinplatespline.cpp): f(p) = a0 + a1 x + a2 y + sum w_i U(|p-p_i|)

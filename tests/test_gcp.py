@@ -180,3 +180,113 @@ def test_geolocation_with_offsets_and_steps():
     assert abs(flon[0] - 0.40) < 1e-9 and abs(flat[0] + 0.20) < 1e-9
     ipx, ipy = tr.inverse(np.array([0.40]), np.array([-0.20]))
     assert abs(ipx[0] - 40.0) < 1e-6 and abs(ipy[0] - 20.0) < 1e-6
+
+
+def test_homography_roundtrip_and_exact_corners():
+    """alg/gdal_homography.cpp:77 — DLT fit to 4 corner GCPs maps them
+    exactly and inverse(forward(p)) round-trips to < 1e-9 everywhere."""
+    from gdal_ray.geo.gcp import Homography
+
+    # a genuinely projective quad (not affine): unit square -> trapezoid
+    src = np.array([[0.0, 0.0], [100.0, 0.0], [100.0, 100.0], [0.0, 100.0]])
+    dst = np.array([[10.0, 20.0], [210.0, 10.0], [180.0, 150.0], [40.0, 120.0]])
+    tr = Homography(np.column_stack([src, dst]))
+    fx, fy = tr.forward(src[:, 0], src[:, 1])
+    assert np.allclose(np.column_stack([fx, fy]), dst, atol=1e-9)
+    assert tr.residuals(np.column_stack([src, dst])).max() < 1e-9
+    rng = np.random.RandomState(5)
+    px = rng.uniform(0, 100, 500)
+    py = rng.uniform(0, 100, 500)
+    X, Y = tr.forward(px, py)
+    bx, by = tr.inverse(X, Y)
+    assert np.hypot(bx - px, by - py).max() < 1e-9
+
+
+def test_homography_overdetermined_recovers_projective_field():
+    """With > 4 GCPs sampled from a true projective map the LSQ fit
+    recovers it to machine precision (and a pure affine map reduces to
+    the order-1 polynomial answer)."""
+    from gdal_ray.geo.gcp import GCPPolynomial, Homography
+
+    H = np.array([[1.2, 0.1, 5.0], [-0.2, 0.9, 3.0], [0.001, 0.0005, 1.0]])
+
+    def proj(x, y):
+        w = H[2, 0] * x + H[2, 1] * y + 1.0
+        return ((H[0, 0] * x + H[0, 1] * y + H[0, 2]) / w,
+                (H[1, 0] * x + H[1, 1] * y + H[1, 2]) / w)
+
+    rng = np.random.RandomState(11)
+    px = rng.uniform(0, 50, 25)
+    py = rng.uniform(0, 50, 25)
+    X, Y = proj(px, py)
+    tr = Homography(np.column_stack([px, py, X, Y]))
+    qx = rng.uniform(0, 50, 200)
+    qy = rng.uniform(0, 50, 200)
+    ex, ey = proj(qx, qy)
+    gx, gy = tr.forward(qx, qy)
+    assert np.hypot(gx - ex, gy - ey).max() < 1e-9
+
+    # affine GCPs: homography degenerates to the affine (= order-1 poly)
+    lon = np.array([0.0, 40.0, 0.0, 40.0, 20.0, 10.0])
+    lat = np.array([20.0, 20.0, 50.0, 50.0, 35.0, 42.0])
+    Xa, Ya = 1000.0 + lon * 10.0, 2000.0 + lat * 10.0
+    g = np.column_stack([lon, lat, Xa, Ya])
+    th = Homography(g)
+    tp = GCPPolynomial(g, order=1)
+    hx, hy = th.forward(lon, lat)
+    ppx, ppy = tp.forward(lon, lat)
+    assert np.allclose(hx, ppx, atol=1e-8) and np.allclose(hy, ppy, atol=1e-8)
+
+
+def test_homography_drives_warp_equal_to_analytic(tmp_path):
+    """warp_tiles_to_crs with a fitted Homography produces byte-identical
+    blocks to the same warp driven by the analytic projective transformer
+    it was fitted from."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gdal_ray.geo.gcp import Homography
+    from gdal_ray.stages.raster import TILE, warp_tiles_to_crs
+    from gdal_ray.util import to_arrow
+
+    zoom = 3
+    rows = []
+    for tx in range(4, 6):
+        for ty in range(2, 4):
+            gx = tx * TILE + np.arange(TILE) + 0.5
+            gy = ty * TILE + np.arange(TILE) + 0.5
+            GX, GY = np.meshgrid(gx, gy)
+            rows.append({"zoom": zoom, "tile_x": tx, "tile_y": ty,
+                         "data": (GX + 2.0 * GY).astype(np.float64).tobytes()})
+    H = np.array([[12.0, 1.0, 1000.0], [-1.0, 11.0, 2000.0],
+                  [0.0002, 0.0001, 1.0]])
+
+    class Analytic:
+        def forward(self, x, y):
+            return Homography._apply(H, x, y)
+
+        def inverse(self, x, y):
+            return Homography._apply(np.linalg.inv(H), x, y)
+
+    lon = np.array([0.0, 40.0, 0.0, 40.0])
+    lat = np.array([20.0, 20.0, 50.0, 50.0])
+    X, Y = Analytic().forward(lon, lat)
+    fitted = Homography(np.column_stack([lon, lat, X, Y]))
+    assert np.allclose(fitted.H, H, rtol=1e-9)
+
+    extent = (1000.0, 2150.0, 1450.0, 2550.0)
+    outs = []
+    for tr in (Analytic(), fitted):
+        tiles = rd.from_pandas(pd.DataFrame(rows))
+        t = to_arrow(warp_tiles_to_crs(
+            tiles, zoom, tr, extent=extent, out_cell=5.0,
+            method="cubic", dtype=np.float64, out_block=32)).to_pandas()
+        outs.append(t.sort_values(["block_x", "block_y"]).reset_index(drop=True))
+    a, b = outs
+    assert len(a) == len(b) and len(a) > 0
+    # the DLT fit recovers H to ~1e-12 relative, so blocks agree to float
+    # noise (not bit-exact: the last interpolation bits differ)
+    for i in range(len(a)):
+        va = np.frombuffer(a["data"].iloc[i], np.float64)
+        vb = np.frombuffer(b["data"].iloc[i], np.float64)
+        assert np.allclose(va, vb, atol=1e-6, equal_nan=True)
