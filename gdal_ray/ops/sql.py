@@ -48,6 +48,7 @@ import re
 from dataclasses import dataclass
 from typing import Any
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -132,6 +133,7 @@ _KEYWORDS = {
     "CASE", "WHEN", "THEN", "ELSE", "END", "COALESCE", "NULLIF",
     "ABS", "ROUND", "FLOOR", "CEIL", "CEILING", "TRIM", "LTRIM", "RTRIM",
     "REPLACE",
+    "OVER", "PARTITION", "ROW_NUMBER", "RANK", "DENSE_RANK", "LAG", "LEAD",
 }
 
 
@@ -260,6 +262,35 @@ class Parser:
             return left
         return Node("un", "not", (node,)) if neg else node
 
+    def _maybe_over(self, fnode):
+        """Parse a trailing OVER (PARTITION BY ... ORDER BY ...) window
+        spec (ogr has no window functions; this follows standard SQL as
+        DuckDB implements it — the oracle runs the same string). Returns
+        the bare node when no OVER follows."""
+        if self.peek() != ("kw", "OVER"):
+            return fnode
+        self.next()
+        self.expect("op", "(")
+        parts = []
+        if self.accept("kw", "PARTITION"):
+            self.expect("kw", "BY")
+            parts.append(self.expr())
+            while self.accept("op", ","):
+                parts.append(self.expr())
+        order = []
+        if self.accept("kw", "ORDER"):
+            self.expect("kw", "BY")
+            while True:
+                e = self.expr()
+                desc = bool(self.accept("kw", "DESC"))
+                if not desc:
+                    self.accept("kw", "ASC")
+                order.append((e, desc))
+                if not self.accept("op", ","):
+                    break
+        self.expect("op", ")")
+        return Node("win", None, (fnode, tuple(parts), tuple(order)))
+
     def add_expr(self):
         left = self.mul_expr()
         while True:
@@ -308,7 +339,7 @@ class Parser:
             self.expect("op", "(")
             if t[1] == "COUNT" and self.accept("op", "*"):
                 self.expect("op", ")")
-                return Node("agg", ("count_star", None))
+                return self._maybe_over(Node("agg", ("count_star", None)))
             if t[1] == "COUNT" and self.accept("kw", "DISTINCT"):
                 inner = self.expr()
                 self.expect("op", ")")
@@ -321,8 +352,27 @@ class Parser:
                      "MAX": "max", "AVG": "mean"}
             # plain column -> name; expression -> the Node itself (the
             # executor pre-computes it as a hidden column before grouping)
-            return Node("agg", (kinds[t[1]],
-                                inner.value if inner.kind == "col" else inner))
+            return self._maybe_over(
+                Node("agg", (kinds[t[1]],
+                             inner.value if inner.kind == "col" else inner)))
+        if t[0] == "kw" and t[1] in ("ROW_NUMBER", "RANK", "DENSE_RANK"):
+            self.expect("op", "(")
+            self.expect("op", ")")
+            if self.peek() != ("kw", "OVER"):
+                raise ValueError(f"{t[1]}() requires an OVER clause")
+            return self._maybe_over(Node("call", t[1].lower(), ()))
+        if t[0] == "kw" and t[1] in ("LAG", "LEAD"):
+            self.expect("op", "(")
+            e = self.expr()
+            off = dflt = None
+            if self.accept("op", ","):
+                off = self.expr()
+                if self.accept("op", ","):
+                    dflt = self.expr()
+            self.expect("op", ")")
+            if self.peek() != ("kw", "OVER"):
+                raise ValueError(f"{t[1]}() requires an OVER clause")
+            return self._maybe_over(Node("call", t[1].lower(), (e, off, dflt)))
         if t == ("kw", "CONCAT"):
             self.expect("op", "(")
             args = [self.expr()]
@@ -1072,17 +1122,272 @@ def _drop_cols(out, cols):
                            batch_format="pyarrow", batch_size=None)
 
 
+def _collect_windows(x, found: list) -> None:
+    if isinstance(x, Node):
+        if x.kind == "win":
+            found.append(x)
+            return
+        for a in x.args:
+            _collect_windows(a, found)
+    elif isinstance(x, (list, tuple)):
+        for a in x:
+            _collect_windows(a, found)
+
+
+def _apply_windows(ds, q: Select):
+    """Compute window-function columns (ROW_NUMBER/RANK/DENSE_RANK/LAG/
+    LEAD/aggregate OVER) as hidden columns, rewriting the win nodes in the
+    select items to plain column refs. One hash-partitioned pass per
+    distinct (PARTITION BY, ORDER BY) spec."""
+    wins: list = []
+    for item, _ in q.items:
+        _collect_windows(item, wins)
+    if not wins:
+        return ds, q
+    if q.group_by:
+        raise ValueError("window functions cannot combine with GROUP BY")
+    misplaced: list = []
+    _collect_windows(q.where, misplaced)
+    _collect_windows(q.having, misplaced)
+    if misplaced:
+        raise ValueError("window functions are allowed only in SELECT items")
+
+    names: list[tuple[Node, str]] = []
+
+    def name_for(w: Node) -> str:
+        for n2, nm in names:
+            if n2 == w:
+                return nm
+        nm = f"__win{len(names)}"
+        names.append((w, nm))
+        return nm
+
+    def rw(x):
+        if isinstance(x, Node):
+            if x.kind == "win":
+                return Node("col", name_for(x))
+            if x.args:
+                return Node(x.kind, x.value, tuple(
+                    rw(a) if isinstance(a, Node)
+                    else tuple(rw(e) for e in a) if isinstance(a, tuple)
+                    else a
+                    for a in x.args))
+        return x
+
+    q.items = [(rw(i), a) for i, a in q.items]
+
+    groups: dict = {}
+    for w, nm in names:
+        fnode, parts, order = w.args
+        pcols = tuple(p.value if p.kind == "col" else None for p in parts)
+        if any(c is None for c in pcols):
+            raise ValueError("window PARTITION BY supports plain columns only")
+        ocols = tuple((o.value if o.kind == "col" else None, d)
+                      for o, d in order)
+        if any(c is None for c, _ in ocols):
+            raise ValueError("window ORDER BY supports plain columns only")
+        groups.setdefault((pcols, ocols), []).append((nm, fnode))
+    for (pcols, ocols), jobs in groups.items():
+        ds = _window_pass(ds, list(pcols), list(ocols), jobs)
+    return ds, q
+
+
+def _const_value(node: Node):
+    """Fold a constant expression to its Python value (a bare literal or
+    arithmetic over literals — covers `-1`, which parses as 0 - 1)."""
+    if node.kind == "lit":
+        return node.value
+    if node.kind == "bin" and node.value in ("+", "-", "*", "/"):
+        a, b = (_const_value(x) for x in node.args)
+        if node.value == "+":
+            return a + b
+        if node.value == "-":
+            return a - b
+        if node.value == "*":
+            return a * b
+        return a / b
+    raise ValueError("literal argument required")
+
+
+def _eval_window_fn(fnode: Node, df, ctx: dict):
+    """One window column over the sorted partition frame. ctx carries the
+    vectorized segment/peer geometry (see _window_pass)."""
+    n = ctx["n"]
+    pos, sizes_rep = ctx["pos"], ctx["sizes_rep"]
+    starts, ends, starts_rep = ctx["starts"], ctx["ends"], ctx["starts_rep"]
+    sizes = ctx["sizes"]
+    new_peer, peer_start, peer_end = (
+        ctx.get("new_peer"), ctx.get("peer_start"), ctx.get("peer_end"))
+    has_order = new_peer is not None
+
+    if fnode.kind == "call" and fnode.value == "row_number":
+        return (pos + 1).astype(np.int64)
+    if fnode.kind == "call" and fnode.value in ("rank", "dense_rank"):
+        if not has_order:
+            raise ValueError(f"{fnode.value.upper()}() requires ORDER BY")
+        if fnode.value == "rank":
+            return (peer_start - starts_rep + 1).astype(np.int64)
+        cs = np.cumsum(new_peer)
+        return (cs - cs[starts_rep] + 1).astype(np.int64)
+    if fnode.kind == "call" and fnode.value in ("lag", "lead"):
+        colnode, offn, defn = fnode.args
+        if colnode.kind != "col":
+            raise ValueError("LAG/LEAD supports plain columns only")
+        if not has_order:
+            raise ValueError("LAG/LEAD requires ORDER BY")
+        k = 1 if offn is None else int(_const_value(offn))
+        s = df[colnode.value]
+        if fnode.value == "lag":
+            shifted = s.shift(k)
+            bad = pos < k
+        else:
+            shifted = s.shift(-k)
+            bad = pos >= sizes_rep - k
+        out = shifted.to_numpy(copy=True)
+        fill = (_const_value(defn) if defn is not None
+                else (None if out.dtype == object else np.nan))
+        if out.dtype.kind in "iu" and fill is None:
+            out = out.astype(np.float64)
+            fill = np.nan
+        out[bad] = fill
+        return out
+    if fnode.kind == "agg":
+        akind, col = fnode.value
+        if akind == "count_star":
+            out = ((peer_end - starts_rep + 1) if has_order else sizes_rep)
+            return out.astype(np.int64)
+        if not isinstance(col, str):
+            raise ValueError("windowed aggregates support plain columns only")
+        v = df[col].astype("float64").to_numpy()
+        valid = ~np.isnan(v)
+        vz = np.where(valid, v, 0.0)
+        if not has_order:  # unbounded frame: one value per partition
+            cnt = np.add.reduceat(valid.astype(np.int64), starts)
+            if akind == "count":
+                return np.repeat(cnt, sizes).astype(np.int64)
+            if akind in ("sum", "mean"):
+                ssum = np.add.reduceat(vz, starts)
+                agg = np.where(cnt > 0, ssum, np.nan)
+                if akind == "mean":
+                    agg = agg / np.maximum(cnt, 1)
+                return np.repeat(agg, sizes)
+            fn = np.fmin if akind == "min" else np.fmax
+            return np.repeat(fn.reduceat(v, starts), sizes)
+        # ORDER BY: running frame RANGE UNBOUNDED PRECEDING..CURRENT ROW
+        # (peers included — SQL's default aggregate frame)
+        hi = peer_end + 1
+        ccnt = np.concatenate([[0], np.cumsum(valid.astype(np.int64))])
+        cnt = ccnt[hi] - ccnt[starts_rep]
+        if akind == "count":
+            return cnt.astype(np.int64)
+        if akind in ("sum", "mean"):
+            csum = np.concatenate([[0.0], np.cumsum(vz)])
+            ssum = csum[hi] - csum[starts_rep]
+            out = np.where(cnt > 0, ssum, np.nan)
+            return out / np.maximum(cnt, 1) if akind == "mean" else out
+        fn = np.fmin if akind == "min" else np.fmax
+        acc = np.empty(n)
+        for s0, e0 in zip(starts, ends):  # vectorized accumulate per segment
+            acc[s0:e0] = fn.accumulate(v[s0:e0])
+        return acc[peer_end]
+    raise ValueError(f"unsupported window function {fnode.kind}:{fnode.value}")
+
+
+def _window_pass(ds, part_cols: list, order_spec: list, jobs: list):
+    """One hash-partitioned pass computing every window column that shares
+    a (PARTITION BY, ORDER BY) spec. Scale contract: all rows of ONE key
+    hash to one partition (same as rank_within, ops/relational.py); an
+    empty PARTITION BY is an inherent single-partition funnel — the SQL
+    semantics demand a global view — and is documented as such."""
+    import pandas as pd
+
+    from gdal_ray.ops.relational import hash_partition_reduce
+
+    ocols = [c for c, _ in order_spec]
+    oasc = [True] * len(part_cols) + [not d for _, d in order_spec]
+    is_global = not part_cols
+
+    def wpart(t: pa.Table) -> pa.Table:
+        if is_global and "__wk" in t.column_names:
+            t = t.drop_columns(["__wk"])
+        df = t.to_pandas()
+        n = len(df)
+        sort_cols = part_cols + ocols
+        if sort_cols:
+            df = df.sort_values(sort_cols, ascending=oasc,
+                                kind="mergesort", ignore_index=True)
+        if part_cols and n:
+            keys = df[part_cols].to_numpy()
+            change = np.flatnonzero((keys[1:] != keys[:-1]).any(axis=1)) + 1
+        else:
+            change = np.array([], np.int64)
+        starts = np.concatenate([[0], change]).astype(np.int64) if n else \
+            np.array([], np.int64)
+        ends = np.concatenate([change, [n]]).astype(np.int64) if n else \
+            np.array([], np.int64)
+        sizes = ends - starts
+        starts_rep = np.repeat(starts, sizes)
+        sizes_rep = np.repeat(sizes, sizes)
+        pos = np.arange(n) - starts_rep
+        ctx = {"n": n, "pos": pos, "sizes_rep": sizes_rep, "starts": starts,
+               "ends": ends, "starts_rep": starts_rep, "sizes": sizes}
+        if ocols and n:
+            ov = df[ocols].to_numpy()
+            new_peer = np.ones(n, bool)
+            if n > 1:
+                new_peer[1:] = (ov[1:] != ov[:-1]).any(axis=1)
+            new_peer[starts] = True
+            ctx["new_peer"] = new_peer
+            ctx["peer_start"] = np.maximum.accumulate(
+                np.where(new_peer, np.arange(n), 0))
+            is_last = np.concatenate([new_peer[1:], [True]])
+            pe = np.where(is_last, np.arange(n), n)
+            ctx["peer_end"] = np.minimum.accumulate(pe[::-1])[::-1]
+        elif ocols:
+            ctx["new_peer"] = np.array([], bool)
+            ctx["peer_start"] = ctx["peer_end"] = np.array([], np.int64)
+        for nm, fnode in jobs:
+            df[nm] = _eval_window_fn(fnode, df, ctx)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    if is_global:
+        ds = ds.map_batches(
+            lambda t: t.append_column("__wk", pa.array(np.zeros(len(t), np.int64))),
+            batch_format="pyarrow", batch_size=None)
+        return hash_partition_reduce(ds, ["__wk"], wpart, num_parts=1)
+    return hash_partition_reduce(ds, part_cols, wpart)
+
+
+def _mentions_fid(x) -> bool:
+    """Walk parse-tree fragments for a FID column reference (the OGR FID
+    special field, ogr/ogrfeaturequery.cpp:37-38): its presence switches
+    the scan to the fid-synthesizing read."""
+    if isinstance(x, Node):
+        if x.kind == "col" and x.value == "FID":
+            return True
+        # agg nodes carry their target column in value=(kind, col)
+        if isinstance(x.value, (list, tuple)) and _mentions_fid(x.value):
+            return True
+        return any(_mentions_fid(a) for a in x.args)
+    if isinstance(x, (list, tuple)):
+        return any(_mentions_fid(a) for a in x)
+    return x == "FID"
+
+
 def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
     """Compile + run one SELECT core."""
     from gdal_ray.ops.relational import broadcast_join
     from gdal_ray.ops.relational import distinct as op_distinct
     from gdal_ray.ops.relational import groupby_agg, topk
-    from gdal_ray.util import read_table
+    from gdal_ray.util import read_table, read_table_with_fid
 
     q = Select(q.items, q.distinct, q.table, q.where, q.group_by,
                list(order_by), limit, joins=q.joins, having=q.having,
                offset=offset)
-    ds = read_table(sf_dir, q.table)
+    wants_fid = _mentions_fid(
+        (q.items, q.where, q.group_by, q.having, q.order_by))
+    ds = (read_table_with_fid(sf_dir, q.table, fid_col="FID") if wants_fid
+          else read_table(sf_dir, q.table))
 
     for j in (q.joins or []):
         import pyarrow.parquet as pq
@@ -1107,6 +1412,8 @@ def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
             return _filter_table(t, eval_expr(where, t))
 
         ds = ds.map_batches(filt, batch_format="pyarrow", batch_size=None)
+
+    ds, q = _apply_windows(ds, q)
 
     has_agg = any(item.kind == "agg" for item, _ in q.items)
     if has_agg or q.group_by:

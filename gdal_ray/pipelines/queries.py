@@ -1749,6 +1749,43 @@ SELECT event_id, user_id FROM (
 """
 
 
+def q85_sql_window(sf_dir):
+    """SQL window functions end-to-end through the compiler (ROW_NUMBER /
+    RANK / running SUM / LAG OVER a partition) — the exact same string is
+    the DuckDB oracle. Integer outputs keep the value-hash bit-exact."""
+    from gdal_ray.ops.sql import execute
+
+    return execute(Q85_SQL, sf_dir)
+
+
+Q85_SQL = """
+SELECT event_id,
+       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+       RANK() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rnk,
+       CAST(SUM(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS run_ids,
+       CAST(LAG(event_id, 1, -1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS prev_id
+FROM events WHERE event_id < 20000
+"""
+
+
+def q86_sql_fid(sf_dir):
+    """FID special field (synthesized stable row id at read time:
+    fragment_index << 32 | row_in_fragment). The oracle reproduces the
+    same id with ROW_NUMBER over file order — valid because the test
+    tables are single-fragment, single-row-group parquet."""
+    from gdal_ray.ops.sql import execute
+
+    return execute(
+        "SELECT FID, c_custkey FROM customer WHERE FID % 7 = 0", sf_dir)
+
+
+Q86_SQL = """
+SELECT FID, c_custkey FROM (
+  SELECT ROW_NUMBER() OVER () - 1 AS FID, c_custkey FROM customer
+) WHERE FID % 7 = 0
+"""
+
+
 def _sql_oracle(sql):
     # wrap so float columns round identically on the DuckDB side
     return f"""SELECT * REPLACE (round(total, 4) AS total) FROM ({sql})""" if "total" in sql else sql
@@ -1864,6 +1901,8 @@ def registry():
         "q81_rank_within": q81_rank_within,
         "q83_hash_sample": q83_hash_sample,
         "q84_stratified_sample": q84_stratified_sample,
+        "q85_sql_window": q85_sql_window,
+        "q86_sql_fid": q86_sql_fid,
     }
     sqls = {
         "q01_tpch_groupby": Q01_SQL,
@@ -1921,6 +1960,8 @@ def registry():
         "q81_rank_within": Q81_SQL,
         "q83_hash_sample": Q83_SQL,
         "q84_stratified_sample": Q84_SQL,
+        "q85_sql_window": Q85_SQL,
+        "q86_sql_fid": Q86_SQL,
         "q29_token_quantiles": Q29_SQL,
         "q37_text_normalize": Q37_SQL,
     }

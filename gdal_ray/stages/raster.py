@@ -1266,6 +1266,25 @@ def _ring_area2_list(ring) -> float:
     return s
 
 
+def _polygonize_root_map(pair_refs):
+    """Pure pairs -> (tile,label)->root-str map (runs as ONE Ray task; the
+    driver holds only the returned ObjectRef — VERDICT r3 item 8)."""
+    import ray
+
+    uf = UnionFind()
+    for t in ray.get(list(pair_refs)):
+        if isinstance(t, pd.DataFrame):
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        if t.num_rows == 0:
+            continue
+        for ta, ya, la, tb, yb, lb in zip(
+            t["tx_a"].to_pylist(), t["ty_a"].to_pylist(), t["lab_a"].to_pylist(),
+            t["tx_b"].to_pylist(), t["ty_b"].to_pylist(), t["lab_b"].to_pylist(),
+        ):
+            uf.union((int(ta), int(ya), int(la)), (int(tb), int(yb), int(lb)))
+    return {x: str(uf.find(x)) for x in list(uf.parent)}
+
+
 def polygonize_tiles_ds(tiles_ds, *, connectivity: int = 4, nodata=None,
                         dtype=np.uint32):
     """Ray-native distributed polygonize (tiles_ds rows: zoom, tile_x,
@@ -1275,8 +1294,9 @@ def polygonize_tiles_ds(tiles_ds, *, connectivity: int = 4, nodata=None,
       1. map_batches(extract): per-tile labeling -> edge + border rows (the
          compressed boundary representation; the raster never leaves stage 1)
       2. border pairing: groupby(side key) emits label-equivalence pairs
-      3. union-find over ONLY the pairs (tiny: O(shared-border regions)) on
-         the driver; the (tile,label)->root map is broadcast via ray.put
+      3. union-find over ONLY the pairs (tiny: O(shared-border regions)) in
+         ONE Ray task; the driver holds only the (tile,label)->root map's
+         ObjectRef, which broadcasts to the relabel stage
       4. map_batches(relabel) + groupby(root).map_groups(stitch): opposite
          interior edges cancel, each component stitches its rings in its own
          task
@@ -1340,24 +1360,17 @@ def polygonize_tiles_ds(tiles_ds, *, connectivity: int = 4, nodata=None,
             "tx_b": b[:, 0], "ty_b": b[:, 1], "lab_b": b[:, 2],
         })
 
-    pair_batches = list(
+    pairs_ds = (
         pieces.map_batches(borders_parted, batch_format="pyarrow", batch_size=None)
         .groupby("part").map_groups(pair_partition, batch_format="pandas")
-        .iter_batches(batch_size=None, batch_format="pandas")
-    )
-    pair_rows = pd.concat(
-        pair_batches or [pd.DataFrame({c: pd.Series(dtype=np.int64) for c in
-                                       ("tx_a", "ty_a", "lab_a", "tx_b", "ty_b", "lab_b")})],
-        ignore_index=True,
     )
 
-    # --- stage 3: union-find over ONLY the equivalence pairs (tiny) ----
-    uf = UnionFind()
-    for r in pair_rows.itertuples(index=False):
-        uf.union((int(r.tx_a), int(r.ty_a), int(r.lab_a)),
-                 (int(r.tx_b), int(r.ty_b), int(r.lab_b)))
-    root_map = {x: str(uf.find(x)) for x in list(uf.parent)}
-    map_ref = ray.put(root_map)
+    # --- stage 3: union-find over ONLY the equivalence pairs, run as ONE
+    # Ray task (pairs are tiny relative to pixels but unbounded at 100-TB
+    # scale — the driver holds only the root map's ObjectRef; VERDICT r3
+    # item 8)
+    map_ref = ray.remote(num_cpus=1)(_polygonize_root_map).remote(
+        pairs_ds.to_arrow_refs())
 
     # --- stage 4: relabel + component stitch, hash-partitioned by root --
     def relabel(t: pa.Table) -> pa.Table:

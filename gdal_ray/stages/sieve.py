@@ -9,10 +9,10 @@ holds the whole raster in one process; the Ray restatement (SURVEY §7.5.3
      within-tile adjacency pairs, and border cells
   2. border pairing as a hash-partitioned Ray stage: same-value pairs are
      component EQUIVALENCES, different-value pairs are component ADJACENCY
-  3. the driver sees only the component graph (sizes, values, adjacency) —
-     pixel data never leaves stage 1 — and runs the same smallest-first
-     merge loop as the single-array sieve, unioning components whose values
-     converge
+  3. ONE Ray task consumes the component graph (sizes, values, adjacency) —
+     pixel data never leaves stage 1, and the driver holds only the remap's
+     ObjectRef — and runs the same smallest-first merge loop as the
+     single-array sieve, unioning components whose values converge
   4. a broadcast (tile, label) -> new value map relabels every tile
 
 Determinism matches the single-array sieve up to tie-breaks: component ids
@@ -84,6 +84,126 @@ def _tile_sieve_pieces(arr: np.ndarray, tile_key, connectivity: int, nodata):
         b_cols["lab"].append(lb[keep].astype(np.int64))
     borders = {k: np.concatenate(v) for k, v in b_cols.items()}
     return stats, intra, borders
+
+
+def _sieve_component_merge(threshold, pair_refs, piece_refs):
+    """Pure pairs+pieces -> (tile,label)->value remap reduce.
+
+    Runs as ONE Ray task (not on the driver): the component graph is tiny
+    relative to the raster, but unbounded at 100-TB scale, so the driver
+    only ever holds the returned remap's ObjectRef (VERDICT r3 item 8)."""
+    import ray
+
+    pair_tables = ray.get(list(pair_refs))
+    piece_tables = ray.get(list(piece_refs))
+
+    uf = UnionFind()
+    cross_adj = []
+    for t in pair_tables:
+        if isinstance(t, pd.DataFrame):
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        if t.num_rows == 0:
+            continue
+        eqs = t["eq"].to_pylist()
+        axs = zip(t["tx_a"].to_pylist(), t["ty_a"].to_pylist(), t["lab_a"].to_pylist())
+        bxs = zip(t["tx_b"].to_pylist(), t["ty_b"].to_pylist(), t["lab_b"].to_pylist())
+        for eq, a, bb in zip(eqs, axs, bxs):
+            a = (int(a[0]), int(a[1]), int(a[2]))
+            bb = (int(bb[0]), int(bb[1]), int(bb[2]))
+            if eq:
+                uf.union(a, bb)
+            else:
+                cross_adj.append((a, bb))
+
+    stats_t = pa.concat_tables(
+        [t.filter(pa.compute.equal(t["kind"], 0)) for t in piece_tables])
+    intra_t = pa.concat_tables(
+        [t.filter(pa.compute.equal(t["kind"], 1)) for t in piece_tables])
+
+    sizes: dict = defaultdict(int)
+    value_of: dict = {}
+    for txv, tyv, lab, val, cnt in zip(
+        stats_t["tx"].to_pylist(), stats_t["ty"].to_pylist(),
+        stats_t["lab"].to_pylist(), stats_t["value"].to_pylist(),
+        stats_t["count"].to_pylist(),
+    ):
+        root = uf.find((txv, tyv, lab))
+        sizes[root] += cnt
+        value_of[root] = val
+    adj: dict = defaultdict(set)
+    for txv, tyv, la, lb in zip(
+        intra_t["tx"].to_pylist(), intra_t["ty"].to_pylist(),
+        intra_t["lab"].to_pylist(), intra_t["count"].to_pylist(),
+    ):
+        ra, rb = uf.find((txv, tyv, la)), uf.find((txv, tyv, int(lb)))
+        if ra != rb:
+            adj[ra].add(rb); adj[rb].add(ra)
+    for a, bb in cross_adj:
+        ra, rb = uf.find(a), uf.find(bb)
+        if ra != rb:
+            adj[ra].add(rb); adj[rb].add(ra)
+
+    # --- component-graph sieve loop (mirrors raster.analysis.sieve) -----
+    merged_into: dict = {}
+
+    def find_live(r):
+        while r in merged_into:
+            r = merged_into[r]
+        return r
+
+    changed = True
+    while changed:
+        changed = False
+        small = sorted((r for r in sizes if sizes[r] < threshold and r not in merged_into),
+                       key=lambda r: (sizes[r], r))
+        for r in small:
+            if r in merged_into or sizes.get(r, 0) >= threshold:
+                continue
+            nbrs = {find_live(n) for n in adj.get(r, ())} - {r}
+            if not nbrs:
+                continue
+            tgt = max(nbrs, key=lambda n: (sizes[n], n))
+            # merge r into tgt: r takes tgt's value and joins its component
+            sizes[tgt] += sizes.pop(r)
+            merged_into[r] = tgt
+            new_adj = {find_live(n) for n in adj.pop(r, ())} | \
+                      {find_live(n) for n in adj.get(tgt, ())}
+            new_adj -= {tgt}
+            adj[tgt] = new_adj
+            for n in new_adj:
+                adj[n].add(tgt)
+                adj[n].discard(r)
+            # fuse neighbors whose value now equals tgt's (the raster
+            # relabel would make them ONE region — sizes must combine
+            # before further threshold decisions)
+            stack = [n for n in list(new_adj) if value_of.get(n) == value_of[tgt]]
+            while stack:
+                n = find_live(stack.pop())
+                if n == tgt or n in merged_into or n not in sizes:
+                    continue
+                sizes[tgt] += sizes.pop(n)
+                merged_into[n] = tgt
+                more = {find_live(x) for x in adj.pop(n, ())} - {tgt}
+                for x in more:
+                    adj[x].discard(n)
+                    adj[x].add(tgt)
+                adj[tgt] |= more
+                adj[tgt].discard(tgt)
+                stack.extend(x for x in more if value_of.get(x) == value_of[tgt])
+            changed = True
+
+    # final value per (tile, label): only components whose live root's value
+    # differs need rewriting
+    remap: dict = {}
+    for txv, tyv, lab, val in zip(
+        stats_t["tx"].to_pylist(), stats_t["ty"].to_pylist(),
+        stats_t["lab"].to_pylist(), stats_t["value"].to_pylist(),
+    ):
+        live = find_live(uf.find((txv, tyv, lab)))
+        nv = value_of[live]
+        if nv != val:
+            remap.setdefault((txv, tyv), {})[lab] = nv
+    return remap
 
 
 def sieve_tiles_ds(tiles_ds, threshold: int, *, connectivity: int = 4,
@@ -198,116 +318,17 @@ def sieve_tiles_ds(tiles_ds, threshold: int, *, connectivity: int = 4,
             return pd.DataFrame({k: np.array([], np.int64) for k in out})
         return pd.DataFrame({k: np.concatenate(v) for k, v in out.items()})
 
-    pair_batches = list(
+    pairs_ds = (
         pieces.map_batches(borders_parted, batch_format="pyarrow", batch_size=None)
         .groupby("part").map_groups(pair_partition, batch_format="pandas")
-        .iter_batches(batch_size=None, batch_format="pandas")
     )
 
-    uf = UnionFind()
-    cross_adj = []
-    for b in pair_batches:
-        for r in b.itertuples(index=False):
-            a = (int(r.tx_a), int(r.ty_a), int(r.lab_a))
-            bb = (int(r.tx_b), int(r.ty_b), int(r.lab_b))
-            if r.eq:
-                uf.union(a, bb)
-            else:
-                cross_adj.append((a, bb))
-
-    # component table from stats + intra-adjacency rows
-    stats_t = pa.concat_tables(
-        [t.filter(pa.compute.equal(t["kind"], 0))
-         for t in pieces.iter_batches(batch_size=None, batch_format="pyarrow")]
-    )
-    intra_t = pa.concat_tables(
-        [t.filter(pa.compute.equal(t["kind"], 1))
-         for t in pieces.iter_batches(batch_size=None, batch_format="pyarrow")]
-    )
-    sizes: dict = defaultdict(int)
-    value_of: dict = {}
-    for txv, tyv, lab, val, cnt in zip(
-        stats_t["tx"].to_pylist(), stats_t["ty"].to_pylist(),
-        stats_t["lab"].to_pylist(), stats_t["value"].to_pylist(),
-        stats_t["count"].to_pylist(),
-    ):
-        root = uf.find((txv, tyv, lab))
-        sizes[root] += cnt
-        value_of[root] = val
-    adj: dict = defaultdict(set)
-    for txv, tyv, la, lb in zip(
-        intra_t["tx"].to_pylist(), intra_t["ty"].to_pylist(),
-        intra_t["lab"].to_pylist(), intra_t["count"].to_pylist(),
-    ):
-        ra, rb = uf.find((txv, tyv, la)), uf.find((txv, tyv, int(lb)))
-        if ra != rb:
-            adj[ra].add(rb); adj[rb].add(ra)
-    for a, bb in cross_adj:
-        ra, rb = uf.find(a), uf.find(bb)
-        if ra != rb:
-            adj[ra].add(rb); adj[rb].add(ra)
-
-    # --- component-graph sieve loop (mirrors raster.analysis.sieve) -----
-    merged_into: dict = {}
-
-    def find_live(r):
-        while r in merged_into:
-            r = merged_into[r]
-        return r
-
-    changed = True
-    while changed:
-        changed = False
-        small = sorted((r for r in sizes if sizes[r] < threshold and r not in merged_into),
-                       key=lambda r: (sizes[r], r))
-        for r in small:
-            if r in merged_into or sizes.get(r, 0) >= threshold:
-                continue
-            nbrs = {find_live(n) for n in adj.get(r, ())} - {r}
-            if not nbrs:
-                continue
-            tgt = max(nbrs, key=lambda n: (sizes[n], n))
-            # merge r into tgt: r takes tgt's value and joins its component
-            sizes[tgt] += sizes.pop(r)
-            merged_into[r] = tgt
-            new_adj = {find_live(n) for n in adj.pop(r, ())} | \
-                      {find_live(n) for n in adj.get(tgt, ())}
-            new_adj -= {tgt}
-            adj[tgt] = new_adj
-            for n in new_adj:
-                adj[n].add(tgt)
-                adj[n].discard(r)
-            # fuse neighbors whose value now equals tgt's (the raster
-            # relabel would make them ONE region — sizes must combine
-            # before further threshold decisions)
-            stack = [n for n in list(new_adj) if value_of.get(n) == value_of[tgt]]
-            while stack:
-                n = find_live(stack.pop())
-                if n == tgt or n in merged_into or n not in sizes:
-                    continue
-                sizes[tgt] += sizes.pop(n)
-                merged_into[n] = tgt
-                more = {find_live(x) for x in adj.pop(n, ())} - {tgt}
-                for x in more:
-                    adj[x].discard(n)
-                    adj[x].add(tgt)
-                adj[tgt] |= more
-                adj[tgt].discard(tgt)
-                stack.extend(x for x in more if value_of.get(x) == value_of[tgt])
-            changed = True
-
-    # final value per (tile, label): only components whose live root's value
-    # differs need rewriting
-    remap: dict = {}
-    for txv, tyv, lab, val in zip(
-        stats_t["tx"].to_pylist(), stats_t["ty"].to_pylist(),
-        stats_t["lab"].to_pylist(), stats_t["value"].to_pylist(),
-    ):
-        live = find_live(uf.find((txv, tyv, lab)))
-        nv = value_of[live]
-        if nv != val:
-            remap.setdefault((txv, tyv), {})[lab] = nv
-    remap_ref = ray.put(remap)
+    # The pairs -> remap reduce is a pure function of the (small) component
+    # graph, but at 100-TB raster scale the pair list is unbounded — run it
+    # as ONE Ray task so the driver only ever holds the remap's ObjectRef
+    # (VERDICT r3 item 8).
+    remap_ref = ray.remote(num_cpus=1)(_sieve_component_merge).remote(
+        threshold, pairs_ds.to_arrow_refs(), pieces.to_arrow_refs())
 
     def relabel(t: pa.Table) -> pa.Table:
         rm = ray.get(remap_ref)

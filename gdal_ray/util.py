@@ -71,6 +71,51 @@ def read_table(sf_dir: str, name: str, columns=None, filter=None):
     return rd.read_parquet(sf_path(sf_dir, name), **kwargs)
 
 
+def read_table_with_fid(sf_dir: str, name: str, columns=None,
+                        fid_col: str = "fid"):
+    """read_table plus a synthesized STABLE `fid` column:
+    fid = fragment_index << 32 | row_in_fragment — the OGR FID special
+    field (ogr/ogrfeaturequery.cpp:37) for a distributed engine that has
+    no implicit row order. The id depends only on the sorted file list and
+    row-group order, so two reads of the same files agree; one Ray task
+    per row group keeps the read parallel at cluster width."""
+    import numpy as np
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    path = sf_path(sf_dir, name)
+    items = []
+    for fi, frag in enumerate(
+        sorted(pads.dataset(path).get_fragments(), key=lambda f: f.path)
+    ):
+        off = 0
+        for rg in frag.row_groups:
+            items.append({"path": frag.path, "frag": fi, "rg": rg.id, "off": off})
+            off += rg.num_rows
+    cols = list(columns) if columns is not None else None
+    if not items:  # zero row groups (empty file): nothing to enumerate
+        return read_table(sf_dir, name, columns).map_batches(
+            lambda t: t.append_column(
+                fid_col, pa.array(np.arange(len(t), dtype=np.int64))),
+            batch_format="pyarrow", batch_size=None)
+
+    def read_rg(b: pa.Table) -> pa.Table:
+        out = []
+        for p, fi, rg, off in zip(
+            b["path"].to_pylist(), b["frag"].to_pylist(),
+            b["rg"].to_pylist(), b["off"].to_pylist(),
+        ):
+            t = pq.ParquetFile(p).read_row_group(rg, columns=cols)
+            fid = ((np.int64(fi) << np.int64(32)) + np.int64(off)
+                   + np.arange(t.num_rows, dtype=np.int64))
+            out.append(t.append_column(fid_col, pa.array(fid)))
+        return pa.concat_tables(out, promote_options="permissive")
+
+    return rd.from_items(items, override_num_blocks=len(items)).map_batches(
+        read_rg, batch_format="pyarrow", batch_size=None)
+
+
 def to_arrow(result) -> pa.Table:
     """Normalise Dataset / pandas / pyarrow results to a pyarrow Table
     (test-side helper; materializes — only for small results)."""

@@ -47,6 +47,16 @@ CASES = [
     "SELECT c_mktsegment AS seg, COUNT(*) AS n FROM customer GROUP BY c_mktsegment ORDER BY n DESC, seg",
     "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice * -1, o_orderkey LIMIT 12",
     "SELECT p_partkey, p_retailprice FROM part ORDER BY ABS(p_retailprice - 1500), p_partkey LIMIT 9",
+    # round-4 surface: window functions (ROW_NUMBER/RANK/DENSE_RANK/LAG/
+    # LEAD/aggregate OVER) — same strings run verbatim in DuckDB
+    "SELECT c_custkey, c_nationkey, ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn FROM customer WHERE c_custkey < 300",
+    "SELECT c_custkey, RANK() OVER (PARTITION BY c_nationkey ORDER BY c_mktsegment) AS r, DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_mktsegment) AS dr FROM customer",
+    "SELECT o_orderkey, SUM(o_totalprice) OVER (PARTITION BY o_orderpriority) AS tot, COUNT(*) OVER (PARTITION BY o_orderpriority) AS n, AVG(o_totalprice) OVER (PARTITION BY o_orderpriority) AS av FROM orders WHERE o_orderkey < 500",
+    "SELECT o_orderkey, SUM(o_totalprice) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey) AS run_sum, COUNT(o_totalprice) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey) AS run_n FROM orders WHERE o_orderkey < 400",
+    "SELECT o_orderkey, MIN(o_totalprice) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey) AS run_min, MAX(o_totalprice) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey) AS run_max FROM orders WHERE o_orderkey < 400",
+    "SELECT o_orderkey, LAG(o_totalprice, 1, 0.0) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey) AS prev, LEAD(o_totalprice) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey) AS nxt FROM orders WHERE o_orderkey < 300",
+    "SELECT n_nationkey, ROW_NUMBER() OVER (ORDER BY n_name DESC) AS rn FROM nation",
+    "SELECT c_custkey, ROW_NUMBER() OVER (PARTITION BY c_nationkey, c_mktsegment ORDER BY c_custkey) AS rn FROM customer WHERE c_custkey < 250",
 ]
 
 
@@ -74,6 +84,34 @@ def test_sql_matches_duckdb(sf_dir, con, sql):
             assert np.allclose(gv.astype(float), ev.astype(float), rtol=1e-9, equal_nan=True), (sql, c)
         else:
             assert (gv.astype(str) == ev.astype(str)).all(), (sql, c)
+
+
+def test_fid_special_field_deterministic(sf_dir):
+    """FID special field (ogr/ogrfeaturequery.cpp:37): synthesized stable
+    row id (fragment_index << 32 | row_in_fragment). Two reads of the same
+    files must agree, and FIDs map to file row order."""
+    import pyarrow.parquet as pq
+
+    sql = "SELECT FID, c_custkey FROM customer WHERE FID < 10 ORDER BY FID"
+    a = to_arrow(execute(sql, sf_dir))
+    b = to_arrow(execute(sql, sf_dir))
+    assert a.num_rows == 10
+    assert a.column("FID").to_pylist() == list(range(10))
+    assert a.equals(b)  # determinism across two reads
+    # FID i == physical row i of the (single-fragment) file
+    direct = pq.read_table(sf_path(sf_dir, "customer"), columns=["c_custkey"])
+    assert a.column("c_custkey").to_pylist() == direct["c_custkey"].to_pylist()[:10]
+
+
+def test_fid_in_aggregate(sf_dir):
+    got = to_arrow(execute(
+        "SELECT COUNT(*) AS n, MIN(FID) AS lo, MAX(FID) AS hi FROM nation", sf_dir))
+    import pyarrow.parquet as pq
+
+    n = pq.read_table(sf_path(sf_dir, "nation")).num_rows
+    assert got.column("n").to_pylist() == [n]
+    assert got.column("lo").to_pylist() == [0]
+    assert got.column("hi").to_pylist() == [n - 1]
 
 
 def test_parse_errors():
