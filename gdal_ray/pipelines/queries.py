@@ -1786,6 +1786,121 @@ SELECT FID, c_custkey FROM (
 """
 
 
+def q87_repetition_signals(sf_dir):
+    """Gopher repetition filters (top-2-gram + duplicated-5-gram character
+    coverage) — exact lexsort-grouped word n-grams, no hashing; oracle
+    rebuilds the same fractions with string_split + unnest."""
+    from gdal_ray.text.analysis import repetition_signals
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = repetition_signals(ds, top_ns=(2,), dup_ns=(5,))
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "top_2gram_char_frac",
+                            "dup_5gram_char_frac"]),
+        batch_format="pyarrow", batch_size=None)
+
+
+Q87_SQL = """
+WITH d AS (
+  SELECT doc_id, length(text) AS nc,
+         list_filter(string_split(text, ' '), w -> w <> '') AS ws
+  FROM documents
+),
+i2 AS (
+  SELECT doc_id, nc, unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS i, ws
+  FROM d
+),
+c2 AS (
+  SELECT doc_id, nc, ws[i] || ' ' || ws[i+1] AS gram, COUNT(*) AS f
+  FROM i2 GROUP BY doc_id, nc, gram
+),
+t2 AS (
+  SELECT doc_id, round(least(MAX(f * length(gram)) / greatest(nc, 1), 1.0), 6)
+         AS top_2gram_char_frac
+  FROM c2 GROUP BY doc_id, nc
+),
+i5 AS (
+  SELECT doc_id, nc, unnest(generate_series(1, greatest(len(ws) - 4, 0))) AS i, ws
+  FROM d
+),
+c5 AS (
+  SELECT doc_id, nc,
+         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS gram,
+         COUNT(*) AS f
+  FROM i5 GROUP BY doc_id, nc, gram
+),
+d5 AS (
+  SELECT doc_id,
+         round(least(COALESCE(SUM(f * length(gram)) FILTER (WHERE f > 1), 0)
+                     / greatest(nc, 1), 1.0), 6) AS dup_5gram_char_frac
+  FROM c5 GROUP BY doc_id, nc
+)
+SELECT d.doc_id,
+       COALESCE(t2.top_2gram_char_frac, 0.0) AS top_2gram_char_frac,
+       COALESCE(d5.dup_5gram_char_frac, 0.0) AS dup_5gram_char_frac
+FROM d LEFT JOIN t2 USING (doc_id) LEFT JOIN d5 USING (doc_id)
+"""
+
+
+def q88_decontamination(sf_dir):
+    """Test-set decontamination (GPT-3 appendix C / Pile §6): flag corpus
+    docs sharing any word 5-gram with a 'benchmark' subset (doc_id % 101
+    == 0 stands in for a test set). Bench gram set broadcasts via ray.put;
+    the corpus streams through one membership map_batches — no shuffle."""
+    import pyarrow.compute as pcx
+
+    from gdal_ray.text.decontam import contamination_flags
+
+    def split(want_bench):
+        def f(t: pa.Table) -> pa.Table:
+            # doc_id % 101 via integer divide (pc has no modulo kernel)
+            m = pcx.equal(
+                pcx.subtract(t["doc_id"],
+                             pcx.multiply(pcx.divide(t["doc_id"], 101), 101)),
+                0)
+            return t.filter(m if want_bench else pcx.invert(m))
+        return f
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    bench = docs.map_batches(split(True), batch_format="pyarrow",
+                             batch_size=None)
+    corpus = docs.map_batches(split(False), batch_format="pyarrow",
+                              batch_size=None)
+    out = contamination_flags(corpus, bench, n=5)
+    return out.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"],
+                            "contaminated": pcx.cast(t["contaminated"],
+                                                     pa.int64())}),
+        batch_format="pyarrow", batch_size=None)
+
+
+Q88_SQL = """
+WITH d AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+  FROM documents
+),
+g AS (
+  SELECT doc_id, unnest(generate_series(1, greatest(len(ws) - 4, 0))) AS i, ws
+  FROM d
+),
+grams AS (
+  SELECT doc_id,
+         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS gram
+  FROM g
+),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 101 = 0),
+cont AS (
+  SELECT DISTINCT grams.doc_id FROM grams JOIN bench USING (gram)
+  WHERE grams.doc_id % 101 <> 0
+)
+SELECT d.doc_id,
+       CAST(CASE WHEN cont.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS contaminated
+FROM d LEFT JOIN cont ON d.doc_id = cont.doc_id
+WHERE d.doc_id % 101 <> 0
+"""
+
+
 def _sql_oracle(sql):
     # wrap so float columns round identically on the DuckDB side
     return f"""SELECT * REPLACE (round(total, 4) AS total) FROM ({sql})""" if "total" in sql else sql
@@ -1903,6 +2018,8 @@ def registry():
         "q84_stratified_sample": q84_stratified_sample,
         "q85_sql_window": q85_sql_window,
         "q86_sql_fid": q86_sql_fid,
+        "q87_repetition_signals": q87_repetition_signals,
+        "q88_decontamination": q88_decontamination,
     }
     sqls = {
         "q01_tpch_groupby": Q01_SQL,
@@ -1962,6 +2079,8 @@ def registry():
         "q84_stratified_sample": Q84_SQL,
         "q85_sql_window": Q85_SQL,
         "q86_sql_fid": Q86_SQL,
+        "q87_repetition_signals": Q87_SQL,
+        "q88_decontamination": Q88_SQL,
         "q29_token_quantiles": Q29_SQL,
         "q37_text_normalize": Q37_SQL,
     }

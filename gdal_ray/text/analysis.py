@@ -238,3 +238,86 @@ def gopher_quality(ds, text_col: str = "text"):
         return pa.table(out)
 
     return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
+def repetition_signals(ds, text_col: str = "text",
+                       top_ns=(2, 3, 4), dup_ns=(5, 6, 7, 8, 9, 10)):
+    """Gopher repetition filters (Rae et al. 2021 §A1.1, public): per-doc
+    word-n-gram repetition coverage.
+
+    - top_{n}gram_char_frac: max over distinct n-grams of
+      occurrences x gram_char_len, / doc char length (capped at 1).
+      gram_char_len = sum of token codepoint lengths + (n-1) separators —
+      equals length(gram) for single-space-joined text, so the DuckDB
+      oracle can rebuild it with string_split + unnest(generate_series).
+    - dup_{n}gram_char_frac: same coverage summed over n-grams occurring
+      MORE than once (all occurrences counted), capped at 1.
+
+    Exact (collision-free): per-doc n-gram grouping is one np.lexsort over
+    the n dictionary-code columns + doc id — no hashing. Everything is
+    flat-array vectorized; no per-row Python."""
+
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+
+    def rnd6(v):
+        # DuckDB round() is half-AWAY-from-zero; np.round is half-to-even.
+        # Exact ties (e.g. 13/128 = 0.1015625) diverge — match DuckDB.
+        return np.floor(v * 1e6 + 0.5) / 1e6
+
+    def f(t: pa.Table) -> pa.Table:
+        text = pc.cast(t[text_col], pa.string())
+        nd = len(t)
+        nc = pc.cast(pc.utf8_length(text), pa.int64()) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        toks = pc.utf8_split_whitespace(text).combine_chunks()
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.diff(offs)
+        flat = toks.values
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        tlen = pc.cast(pc.utf8_length(flat), pa.int64()) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_of = np.repeat(np.arange(nd, dtype=np.int64), counts)
+        cs = np.concatenate([[0], np.cumsum(tlen)])
+        ntok = codes.size
+        denom = np.maximum(nc, 1.0)
+        out = {c: t[c] for c in t.column_names}
+        for n in all_ns:
+            if ntok >= n:
+                same = doc_of[: ntok - n + 1] == doc_of[n - 1:]
+                idx = np.nonzero(same)[0]
+            else:
+                idx = np.zeros(0, np.int64)
+            gdoc = doc_of[idx]
+            glen = cs[idx + n] - cs[idx] + (n - 1)
+            keys = [codes[idx + k] for k in range(n)]
+            order = np.lexsort(tuple(reversed(keys)) + (gdoc,))
+            dd = gdoc[order]
+            new = np.ones(dd.size, bool)
+            if dd.size > 1:
+                diff = dd[1:] != dd[:-1]
+                for k in keys:
+                    ks = k[order]
+                    diff = diff | (ks[1:] != ks[:-1])
+                new[1:] = diff
+            gid = np.cumsum(new) - 1
+            freq = np.bincount(gid) if gid.size else np.zeros(0, np.int64)
+            first_len = glen[order][new] if dd.size else np.zeros(0, np.int64)
+            cov = freq * first_len
+            gdocs = dd[new] if dd.size else np.zeros(0, np.int64)
+            if n in top_ns:
+                top = np.zeros(nd)
+                np.maximum.at(top, gdocs, cov)
+                out[f"top_{n}gram_char_frac"] = pa.array(
+                    rnd6(np.minimum(top / denom, 1.0)))
+            if n in dup_ns:
+                dupcov = np.zeros(nd)
+                m = freq > 1
+                np.add.at(dupcov, gdocs[m], cov[m])
+                out[f"dup_{n}gram_char_frac"] = pa.array(
+                    rnd6(np.minimum(dupcov / denom, 1.0)))
+        return pa.table(out)
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)

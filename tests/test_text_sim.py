@@ -354,3 +354,57 @@ def test_arrow_tokenizer_bit_parity_with_per_doc_path():
     th, ntok = DD._tokenize_whitespace(t["text"])
     assert ntok.tolist() == [len((s or "").split()) for s in texts]
     assert th.size == int(ntok.sum())
+
+
+def test_repetition_signals_vs_bruteforce(ray_session):
+    """Gopher n-gram repetition coverage: exact match vs a per-doc Python
+    brute force (the lexsort grouping must be collision-free and exact)."""
+    from collections import Counter
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.text.analysis import repetition_signals
+    from gdal_ray.util import to_arrow
+
+    texts = [
+        "a b a b a b c",
+        "x y z x y z x y z x y z",
+        "one two three four five",
+        "",
+        "w w w w w",
+        "p q r s t p q r s t p q r s t",
+    ]
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(len(texts))),
+                                 "text": texts}))
+    out = to_arrow(repetition_signals(ds, top_ns=(2, 3), dup_ns=(2, 5))) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    def brute(text, n):
+        ws = text.split()
+        grams = [tuple(ws[i:i + n]) for i in range(len(ws) - n + 1)]
+        if not grams:
+            return 0.0, 0.0
+        c = Counter(grams)
+        L = max(len(text), 1)
+
+        def glen(g):
+            return sum(len(w) for w in g) + (n - 1)
+
+        top = max(f * glen(g) for g, f in c.items())
+        dup = sum(f * glen(g) for g, f in c.items() if f > 1)
+        return min(top / L, 1.0), min(dup / L, 1.0)
+
+    def rnd6(v):
+        return np.floor(v * 1e6 + 0.5) / 1e6
+
+    for i, txt in enumerate(texts):
+        row = out.iloc[i]
+        for n in (2, 3):
+            t_, d_ = brute(txt, n)
+            assert row[f"top_{n}gram_char_frac"] == rnd6(t_), (i, n)
+            if n == 2:
+                assert row[f"dup_{n}gram_char_frac"] == rnd6(d_), (i, n)
+        _, d5 = brute(txt, 5)
+        assert row["dup_5gram_char_frac"] == rnd6(d5), i
