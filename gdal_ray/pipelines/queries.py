@@ -1901,6 +1901,37 @@ WHERE d.doc_id % 101 <> 0
 """
 
 
+def q89_tfidf_top_terms(sf_dir):
+    """Top TF-IDF term per document: corpus document frequencies via a
+    vocabulary-sized hash-partitioned reduce, broadcast once, then one
+    streaming scoring pass (tf * ln(N/df), ties broken by term asc)."""
+    from gdal_ray.text.tfidf import tfidf_top_terms
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return tfidf_top_terms(ds, k=1)
+
+
+Q89_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+  FROM documents
+),
+tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks GROUP BY doc_id, w),
+df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY w),
+n AS (SELECT COUNT(*) AS nd FROM documents),
+s AS (
+  SELECT doc_id, w AS term, tf, df,
+         tf * ln(nd / CAST(df AS DOUBLE)) AS score,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id
+           ORDER BY tf * ln(nd / CAST(df AS DOUBLE)) DESC, w ASC) AS rn
+  FROM tf JOIN df USING (w) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, round(score, 6) AS tfidf FROM s WHERE rn = 1
+"""
+
+
 def _sql_oracle(sql):
     # wrap so float columns round identically on the DuckDB side
     return f"""SELECT * REPLACE (round(total, 4) AS total) FROM ({sql})""" if "total" in sql else sql
@@ -2020,6 +2051,7 @@ def registry():
         "q86_sql_fid": q86_sql_fid,
         "q87_repetition_signals": q87_repetition_signals,
         "q88_decontamination": q88_decontamination,
+        "q89_tfidf_top_terms": q89_tfidf_top_terms,
     }
     sqls = {
         "q01_tpch_groupby": Q01_SQL,
@@ -2081,6 +2113,7 @@ def registry():
         "q86_sql_fid": Q86_SQL,
         "q87_repetition_signals": Q87_SQL,
         "q88_decontamination": Q88_SQL,
+        "q89_tfidf_top_terms": Q89_SQL,
         "q29_token_quantiles": Q29_SQL,
         "q37_text_normalize": Q37_SQL,
     }

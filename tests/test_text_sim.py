@@ -408,3 +408,48 @@ def test_repetition_signals_vs_bruteforce(ray_session):
                 assert row[f"dup_{n}gram_char_frac"] == rnd6(d_), (i, n)
         _, d5 = brute(txt, 5)
         assert row["dup_5gram_char_frac"] == rnd6(d5), i
+
+
+def test_tfidf_top_terms_vs_bruteforce(ray_session):
+    """tf * ln(N/df) top-term per doc must match a per-doc Python brute
+    force, including the (score desc, term asc) tie-break and k>1."""
+    import math
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.text.tfidf import tfidf_top_terms
+    from gdal_ray.util import to_arrow
+
+    texts = [
+        "apple banana apple cherry",
+        "banana banana cherry",
+        "unique words only here",
+        "",
+        "apple apple apple",
+        "zeta zeta alpha alpha",  # exact score tie -> term asc wins
+    ]
+    n = len(texts)
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(n)), "text": texts})) \
+        .repartition(3)
+    got = to_arrow(tfidf_top_terms(ds, k=2, round_digits=None)) \
+        .to_pandas().sort_values(["doc_id", "tfidf", "term"],
+                                 ascending=[True, False, True])
+
+    df = Counter()
+    for t in texts:
+        df.update(set(t.split()))
+    want = {}
+    for i, t in enumerate(texts):
+        tf = Counter(t.split())
+        scored = sorted(((w, f, df[w], f * math.log(n / df[w]))
+                         for w, f in tf.items()),
+                        key=lambda x: (-x[3], x[0]))[:2]
+        want[i] = scored
+    for i in range(n):
+        rows = got[got.doc_id == i]
+        assert len(rows) == len(want[i]), i
+        for (w, f, d, s), (_, r) in zip(want[i], rows.iterrows()):
+            assert r["term"] == w and r["tf"] == f and r["df"] == d, (i, w)
+            assert abs(r["tfidf"] - s) < 1e-12, (i, w)
