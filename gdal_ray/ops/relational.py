@@ -899,3 +899,44 @@ def stratified_sample(ds, *, by: Sequence[str], k: int, order_col: str,
         return t.drop_columns(["__rn"])
 
     return ranked.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
+def budget_take(ds, *, by: Sequence[str], order_col: str, weight_col: str,
+                budget: float, cum_col: str | None = None,
+                num_parts: int | None = None):
+    """Per-key token-budget truncation (the Pile / DoReMi-style domain
+    mixture weighting, public): order each key's rows by order_col asc and
+    keep rows while the RUNNING TOTAL of weight_col (including the current
+    row) stays <= budget — SQL `SUM(w) OVER (PARTITION BY by ORDER BY o
+    ROWS UNBOUNDED PRECEDING) <= budget`.
+
+    One hash shuffle by key (cluster-width partitions), one sort + segment
+    prefix-sum per partition; never a global sort, never driver-side rows.
+    Pass cum_col to keep the running total as an output column."""
+    import pandas as pd
+
+    by = list(by)
+    keep_cum = cum_col is not None
+    cc = cum_col or "__cum"
+
+    def part(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t.append_column(cc, pa.array([], pa.float64())) \
+                if keep_cum else t
+        df = t.to_pandas().sort_values(by + [order_col], kind="mergesort",
+                                       ignore_index=True)
+        keys = df[by].to_numpy()
+        change = np.flatnonzero((keys[1:] != keys[:-1]).any(axis=1)) + 1
+        starts = np.concatenate([[0], change])
+        sizes = np.diff(np.concatenate([starts, [len(df)]]))
+        w = df[weight_col].to_numpy().astype(np.float64)
+        cum = np.cumsum(w)
+        seg_base = np.repeat(cum[starts] - w[starts], sizes)
+        run = cum - seg_base
+        df[cc] = run
+        df = df[run <= budget]
+        if not keep_cum:
+            df = df.drop(columns=[cc])
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return hash_partition_reduce(ds, by, part, num_parts=num_parts)

@@ -1932,6 +1932,143 @@ SELECT doc_id, term, tf, df, round(score, 6) AS tfidf FROM s WHERE rn = 1
 """
 
 
+def q90_token_budget(sf_dir):
+    """Per-source token-budget truncation: keep each source's docs in
+    doc_id order while the running char total stays <= 4000 (domain
+    mixture weighting a la The Pile). One hash shuffle by source."""
+    from gdal_ray.ops.relational import budget_take
+
+    ds = read_table(sf_dir, "documents",
+                    columns=["doc_id", "source", "n_chars"])
+    out = budget_take(ds, by=["source"], order_col="doc_id",
+                      weight_col="n_chars", budget=4000, cum_col="cum")
+    return out.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"], "source": t["source"],
+                            "cum": pc.cast(t["cum"], pa.int64())}),
+        batch_format="pyarrow", batch_size=None)
+
+
+Q90_SQL = """
+SELECT doc_id, source, CAST(cum AS BIGINT) AS cum FROM (
+  SELECT doc_id, source,
+         SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents
+) WHERE cum <= 4000
+"""
+
+
+def q91_pii_redaction(sf_dir):
+    """PII scrub parity: append deterministic synthetic PII (email + ip +
+    phone derived from doc_id) to each doc, then redact with the RE2
+    pattern chain. Both sides (Arrow and DuckDB) run the same regexes on
+    the same engine family, so the redacted text hashes must match."""
+    import pyarrow.compute as pcx
+
+    from gdal_ray.text.pii import redact_pii
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def aug(t: pa.Table) -> pa.Table:
+        did = t["doc_id"]
+        s = pcx.cast(did, pa.string())
+        ip3 = pcx.cast(pcx.subtract(did, pcx.multiply(
+            pcx.divide(did, 256), 256)), pa.string())
+        ph = pcx.utf8_lpad(pcx.cast(pcx.subtract(did, pcx.multiply(
+            pcx.divide(did, 10000), 10000)), pa.string()), 4, "0")
+        txt = pcx.binary_join_element_wise(
+            pcx.cast(t["text"], pa.string()), " contact u", s,
+            "@example.com ip 10.0.", ip3, ".5 call 415-555-", ph, "")
+        return pa.table({"doc_id": did, "text": txt})
+
+    return redact_pii(ds.map_batches(aug, batch_format="pyarrow",
+                                     batch_size=None))
+
+
+Q91_SQL = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact u' || CAST(doc_id AS VARCHAR)
+              || '@example.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.5 call 415-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+           '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+         '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS text,
+       CAST(len(regexp_extract_all(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text,
+         '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ip,
+       CAST(len(regexp_extract_all(text,
+         '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(text,
+         '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn
+FROM aug
+"""
+
+
+def q92_span_dedup(sf_dir):
+    """C4-style span dedup: delete every non-first occurrence of any
+    corpus-duplicated word 5-gram, keep the globally-first one. Three hash
+    shuffles (gram reduce, occurrence probe, doc apply) — nothing
+    corpus-sized is broadcast or driver-held."""
+    from gdal_ray.text.spandedup import span_dedup
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return span_dedup(ds, n=5)
+
+
+Q92_SQL = """
+WITH d AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(generate_series(1, len(ws))) AS i, ws FROM d
+),
+toks AS (SELECT doc_id, i, ws[i] AS w FROM tok),
+g AS (
+  SELECT doc_id, unnest(generate_series(1, greatest(len(ws) - 4, 0))) AS i, ws
+  FROM d
+),
+occ AS (
+  SELECT doc_id, i,
+         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+               || ' ' || ws[i+4] AS gram
+  FROM g
+),
+ranked AS (
+  SELECT doc_id, i,
+         ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, i) AS rn,
+         COUNT(*) OVER (PARTITION BY gram) AS c
+  FROM occ
+),
+rem AS (
+  SELECT DISTINCT doc_id, j FROM (
+    SELECT doc_id, unnest(generate_series(i, i + 4)) AS j
+    FROM ranked WHERE c >= 2 AND rn > 1
+  )
+),
+kept AS (
+  SELECT t.doc_id, t.i, t.w
+  FROM toks t LEFT JOIN rem r ON t.doc_id = r.doc_id AND t.i = r.j
+  WHERE r.j IS NULL
+)
+SELECT d.doc_id,
+       COALESCE(string_agg(k.w, ' ' ORDER BY k.i), '') AS text
+FROM d LEFT JOIN kept k ON d.doc_id = k.doc_id
+GROUP BY d.doc_id
+"""
+
+
 def _sql_oracle(sql):
     # wrap so float columns round identically on the DuckDB side
     return f"""SELECT * REPLACE (round(total, 4) AS total) FROM ({sql})""" if "total" in sql else sql
@@ -2052,6 +2189,9 @@ def registry():
         "q87_repetition_signals": q87_repetition_signals,
         "q88_decontamination": q88_decontamination,
         "q89_tfidf_top_terms": q89_tfidf_top_terms,
+        "q90_token_budget": q90_token_budget,
+        "q91_pii_redaction": q91_pii_redaction,
+        "q92_span_dedup": q92_span_dedup,
     }
     sqls = {
         "q01_tpch_groupby": Q01_SQL,
@@ -2114,6 +2254,9 @@ def registry():
         "q87_repetition_signals": Q87_SQL,
         "q88_decontamination": Q88_SQL,
         "q89_tfidf_top_terms": Q89_SQL,
+        "q90_token_budget": Q90_SQL,
+        "q91_pii_redaction": Q91_SQL,
+        "q92_span_dedup": Q92_SQL,
         "q29_token_quantiles": Q29_SQL,
         "q37_text_normalize": Q37_SQL,
     }

@@ -409,3 +409,36 @@ def test_rolling_minmax_matches_bruteforce():
         assert abs(out.loc[i, "roll_min"] - df.loc[m, "v"].min()) < 1e-12
         assert abs(out.loc[i, "roll_max"] - df.loc[m, "v"].max()) < 1e-12
         assert abs(out.loc[i, "roll_sum"] - df.loc[m, "v"].sum()) < 1e-9
+
+
+def test_budget_take_vs_pandas(ray_session):
+    """Per-key running-total truncation == pandas groupby cumsum filter,
+    including the boundary row that exactly hits the budget."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.ops.relational import budget_take
+    from gdal_ray.util import to_arrow
+
+    rng = np.random.RandomState(7)
+    n = 500
+    df = pd.DataFrame({
+        "k": rng.randint(0, 9, n).astype(str),
+        "o": rng.permutation(n),
+        "w": rng.randint(1, 50, n),
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(7)
+    got = to_arrow(budget_take(ds, by=["k"], order_col="o", weight_col="w",
+                               budget=100, cum_col="cum")) \
+        .to_pandas().sort_values(["k", "o"]).reset_index(drop=True)
+
+    want = df.sort_values(["k", "o"]).copy()
+    want["cum"] = want.groupby("k")["w"].cumsum()
+    want = want[want["cum"] <= 100].reset_index(drop=True)
+    assert len(got) == len(want)
+    assert (got["o"].to_numpy() == want["o"].to_numpy()).all()
+    assert (got["cum"].to_numpy() == want["cum"].to_numpy()).all()
+    # at least one key actually truncated
+    assert len(want) < n

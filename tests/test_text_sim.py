@@ -453,3 +453,78 @@ def test_tfidf_top_terms_vs_bruteforce(ray_session):
         for (w, f, d, s), (_, r) in zip(want[i], rows.iterrows()):
             assert r["term"] == w and r["tf"] == f and r["df"] == d, (i, w)
             assert abs(r["tfidf"] - s) < 1e-12, (i, w)
+
+
+def test_redact_pii_patterns(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.text.pii import redact_pii
+    from gdal_ray.util import to_arrow
+
+    texts = [
+        "mail a.b+c@foo-bar.org now",
+        "server at 192.168.0.1 and 10.0.0.255",
+        "call 415-555-0042 or 212.555.9999",
+        "ssn 078-05-1120 leaked",
+        "clean text no pii",
+        "two mails x@y.io z@w.ai one ip 1.2.3.4",
+    ]
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(len(texts))),
+                                 "text": texts}))
+    out = to_arrow(redact_pii(ds)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out.loc[0, "text"] == "mail <EMAIL> now"
+    assert out.loc[1, "text"] == "server at <IP> and <IP>"
+    assert out.loc[2, "text"] == "call <PHONE> or <PHONE>"
+    assert out.loc[3, "text"] == "ssn <SSN> leaked"
+    assert out.loc[4, "text"] == "clean text no pii"
+    assert out.loc[5, "text"] == "two mails <EMAIL> <EMAIL> one ip <IP>"
+    assert out["n_email"].tolist() == [1, 0, 0, 0, 0, 2]
+    assert out["n_ip"].tolist() == [0, 2, 0, 0, 0, 1]
+    assert out["n_phone"].tolist() == [0, 0, 2, 0, 0, 0]
+    assert out["n_ssn"].tolist() == [0, 0, 0, 1, 0, 0]
+
+
+def test_span_dedup_vs_bruteforce(ray_session):
+    """C4-style span dedup == per-corpus Python brute force: non-first
+    occurrences of duplicated n-grams are deleted, winner survives."""
+    from collections import defaultdict
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.text.spandedup import span_dedup
+    from gdal_ray.util import to_arrow
+
+    texts = {
+        0: "the quick brown fox jumps over the lazy dog",
+        1: "lorem the quick brown fox jumps away now",   # dup 5-gram w/ 0
+        2: "the quick brown fox jumps over the lazy dog",  # full dup of 0
+        3: "totally unrelated words here",
+        4: "",
+        5: "short doc",
+    }
+    n = 5
+    ds = rd.from_arrow(pa.table({"doc_id": list(texts),
+                                 "text": list(texts.values())})).repartition(4)
+    got = dict(zip(*[c.to_pylist() for c in
+                     to_arrow(span_dedup(ds, n=n)).columns]))
+
+    # brute force
+    occ = defaultdict(list)
+    for d, t in texts.items():
+        ws = t.split()
+        for i in range(len(ws) - n + 1):
+            occ[tuple(ws[i:i + n])].append((d, i))
+    rem = defaultdict(set)
+    for gram, lst in occ.items():
+        if len(lst) >= 2:
+            for d, i in sorted(lst)[1:]:
+                rem[d].update(range(i, i + n))
+    want = {d: " ".join(w for i, w in enumerate(t.split())
+                        if i not in rem[d])
+            for d, t in texts.items()}
+    assert got == want
+    assert got[2] == ""          # whole doc was one duplicated window chain
+    assert got[0] == texts[0]    # winner untouched
