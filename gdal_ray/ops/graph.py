@@ -305,3 +305,144 @@ def dedup_survivors(pairs_ds, a_col: str = "id_a", b_col: str = "id_b",
         })
 
     return comps.map_batches(flag, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# BFS shortest paths (hop counts) — frontier expansion on the same raw-task
+# co-partitioned shuffle machinery as connected_components
+# ---------------------------------------------------------------------------
+
+
+@ray.remote
+def _bfs_expand(edges_p: pa.Table, frontier_p: pa.Table, d: int) -> pa.Table:
+    """Edges partitioned by hash(src), frontier by hash(node) with the
+    SAME hash — every frontier node's out-edges are local. Emits
+    (node=dst, d) candidate rows."""
+    if len(edges_p) == 0 or len(frontier_p) == 0:
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "d": pa.array([], pa.int64())})
+    src = edges_p["src"].to_numpy(zero_copy_only=False)
+    fn = np.unique(frontier_p["node"].to_numpy(zero_copy_only=False))
+    pos = np.searchsorted(fn, src)
+    hit = (pos < fn.size) & (fn[np.minimum(pos, fn.size - 1)] == src)
+    dst = edges_p["dst"].to_numpy(zero_copy_only=False)[hit]
+    dst = np.unique(dst)
+    return pa.table({"node": pa.array(dst, pa.int64()),
+                     "d": pa.array(np.full(dst.size, d, np.int64))})
+
+
+@ray.remote(num_returns=3)
+def _bfs_absorb(dist_p: pa.Table, *cand_pieces: pa.Table):
+    """Merge candidate (node, d) rows into partition p's dist table
+    (sorted by node). Returns (new dist table, next frontier, n_new)."""
+    empty = pa.table({"node": pa.array([], pa.int64()),
+                      "d": pa.array([], pa.int64())})
+    pieces = [c for c in cand_pieces if len(c)]
+    if not pieces:
+        return dist_p, empty, 0
+    cand = pa.concat_tables(pieces)
+    cn = np.unique(cand["node"].to_numpy(zero_copy_only=False))
+    d = int(cand["d"][0].as_py())
+    dn = dist_p["node"].to_numpy(zero_copy_only=False)
+    pos = np.searchsorted(dn, cn)
+    known = (pos < dn.size) & (dn[np.minimum(pos, max(dn.size - 1, 0))] == cn) \
+        if dn.size else np.zeros(cn.size, bool)
+    new = cn[~known]
+    if new.size == 0:
+        return dist_p, empty, 0
+    nd = np.concatenate([dn, new])
+    dd = np.concatenate([dist_p["d"].to_numpy(zero_copy_only=False),
+                         np.full(new.size, d, np.int64)])
+    order = np.argsort(nd, kind="stable")
+    out = pa.table({"node": pa.array(nd[order], pa.int64()),
+                    "d": pa.array(dd[order], pa.int64())})
+    frontier = pa.table({"node": pa.array(new, pa.int64()),
+                         "d": pa.array(np.full(new.size, d, np.int64))})
+    return out, frontier, int(new.size)
+
+
+def bfs_shortest_paths(edges_ds, sources, *, src_col: str = "src",
+                       dst_col: str = "dst", max_depth: int = 64,
+                       num_parts: int | None = None,
+                       stats_out: dict | None = None):
+    """Single/multi-source BFS hop distances over a DIRECTED edge Dataset
+    -> Dataset (node, dist). dist = fewest edges from any source (sources
+    themselves get 0); nodes unreachable within max_depth are absent —
+    the distributed analog of GNM's Dijkstra for unit weights
+    (gnm/gnmgraph.h:173 names the API; the algorithm is textbook BFS).
+
+    Same execution shape as connected_components: edges co-partitioned by
+    hash(src) ONCE, dist/frontier tables live hash-partitioned in the
+    object store, each round is one local expand + one candidate shuffle;
+    the driver holds only refs and per-round new-node counts, so rounds =
+    graph eccentricity and per-round cost tracks the frontier size."""
+    import time as _time
+
+    import ray.data as rd
+
+    from gdal_ray.util import default_num_parts
+
+    if num_parts is None:
+        num_parts = min(default_num_parts(multiplier=1, floor=16), 256)
+
+    import pyarrow.compute as pc
+
+    def norm(t: pa.Table) -> pa.Table:
+        return pa.table({"src": pc.cast(t[src_col], pa.int64()),
+                         "dst": pc.cast(t[dst_col], pa.int64())})
+
+    edge_refs = edges_ds.map_batches(norm, batch_format="pyarrow",
+                                     batch_size=None) \
+        .materialize().to_arrow_refs()
+    srcs = np.unique(np.asarray(list(sources), np.int64))
+    src_tbl = pa.table({"node": pa.array(srcs, pa.int64()),
+                        "d": pa.array(np.zeros(srcs.size, np.int64))})
+    if not edge_refs or srcs.size == 0:
+        return rd.from_arrow(src_tbl.rename_columns(["node", "dist"]))
+
+    edge_pieces = _shuffle_refs(edge_refs, "src", num_parts)
+
+    @ray.remote
+    def _edges_cat(*pieces):
+        parts = [p for p in pieces if len(p)]
+        if not parts:
+            return pieces[0]
+        t = pa.concat_tables(parts)
+        order = np.argsort(t["src"].to_numpy(zero_copy_only=False),
+                           kind="stable")
+        return t.take(pa.array(order))
+
+    edges = [_edges_cat.remote(*edge_pieces[p]) for p in range(num_parts)]
+    if num_parts > 1:
+        dist = list(_split_by_hash.options(num_returns=num_parts)
+                    .remote(src_tbl, "node", num_parts))
+    else:
+        dist = [_split_by_hash.remote(src_tbl, "node", 1)]
+    frontier = list(dist)
+
+    round_secs: list[float] = []
+    round_new: list[int] = []
+    for depth in range(1, max_depth + 1):
+        t0 = _time.time()
+        cands = [_bfs_expand.remote(edges[p], frontier[p], depth)
+                 for p in range(num_parts)]
+        cand_pieces = _shuffle_refs(cands, "node", num_parts)
+        nxt_dist, nxt_frontier, counts = [], [], []
+        for p in range(num_parts):
+            dp, fp, c = _bfs_absorb.remote(dist[p], *cand_pieces[p])
+            nxt_dist.append(dp)
+            nxt_frontier.append(fp)
+            counts.append(c)
+        n_new = sum(ray.get(counts))
+        dist, frontier = nxt_dist, nxt_frontier
+        round_secs.append(round(_time.time() - t0, 3))
+        round_new.append(n_new)
+        if n_new == 0:
+            break
+    if stats_out is not None:
+        stats_out.update(rounds=len(round_secs), round_secs=round_secs,
+                         round_new=round_new)
+    out = rd.from_arrow_refs(dist)
+    return out.map_batches(
+        lambda t: t.rename_columns(["node", "dist"]),
+        batch_format="pyarrow", batch_size=None)

@@ -2069,6 +2069,47 @@ GROUP BY d.doc_id
 """
 
 
+def q93_bfs_shortest_paths(sf_dir):
+    """Distributed BFS hop distances from node 0 over a directed graph
+    derived from events (src = event_id % 301, dst = (event_id+user_id)
+    % 301, sparsified by event_id % 13 == 0). Frontier-expansion rounds on
+    the raw-task co-partitioned shuffle; oracle is a recursive CTE."""
+    import pyarrow.compute as pcx
+
+    from gdal_ray.ops.graph import bfs_shortest_paths
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        eid = t["event_id"]
+        keep = pcx.equal(pcx.subtract(eid, pcx.multiply(
+            pcx.divide(eid, 13), 13)), 0)
+        t = t.filter(keep)
+        eid = t["event_id"]
+        s = pcx.subtract(eid, pcx.multiply(pcx.divide(eid, 301), 301))
+        tot = pcx.add(eid, t["user_id"])
+        d = pcx.subtract(tot, pcx.multiply(pcx.divide(tot, 301), 301))
+        return pa.table({"src": pcx.cast(s, pa.int64()),
+                         "dst": pcx.cast(d, pa.int64())})
+
+    eds = ev.map_batches(edges, batch_format="pyarrow", batch_size=None)
+    return bfs_shortest_paths(eds, [0], max_depth=25)
+
+
+Q93_SQL = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT event_id % 301 AS src, (event_id + user_id) % 301 AS dst
+  FROM events WHERE event_id % 13 = 0
+),
+r AS (
+  SELECT CAST(0 AS BIGINT) AS node, 0 AS d
+  UNION
+  SELECT e.dst, r.d + 1 FROM r JOIN e ON e.src = r.node WHERE r.d < 25
+)
+SELECT node, CAST(MIN(d) AS BIGINT) AS dist FROM r GROUP BY node
+"""
+
+
 def _sql_oracle(sql):
     # wrap so float columns round identically on the DuckDB side
     return f"""SELECT * REPLACE (round(total, 4) AS total) FROM ({sql})""" if "total" in sql else sql
@@ -2192,6 +2233,7 @@ def registry():
         "q90_token_budget": q90_token_budget,
         "q91_pii_redaction": q91_pii_redaction,
         "q92_span_dedup": q92_span_dedup,
+        "q93_bfs_shortest_paths": q93_bfs_shortest_paths,
     }
     sqls = {
         "q01_tpch_groupby": Q01_SQL,
@@ -2257,6 +2299,7 @@ def registry():
         "q90_token_budget": Q90_SQL,
         "q91_pii_redaction": Q91_SQL,
         "q92_span_dedup": Q92_SQL,
+        "q93_bfs_shortest_paths": Q93_SQL,
         "q29_token_quantiles": Q29_SQL,
         "q37_text_normalize": Q37_SQL,
     }

@@ -104,3 +104,39 @@ def test_line_of_sight_and_vertical_shift():
     assert line_of_sight(dem3, (5, 5), (40, 40), h1=0.0)[0] is True
     v = vertical_shift(np.array([[1.0, 2.0]]), 10.0, scale=2.0)
     assert v.tolist() == [[12.0, 14.0]]
+
+
+def test_bfs_shortest_paths_vs_python(ray_session):
+    """Distributed frontier BFS == single-process BFS on a random
+    directed graph (multi-source, unreachable nodes absent)."""
+    from collections import defaultdict, deque
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.ops.graph import bfs_shortest_paths
+
+    rng = np.random.RandomState(3)
+    E, V = 3000, 400
+    src = rng.randint(0, V, E)
+    dst = rng.randint(0, V, E)
+    ds = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(5)
+    stats = {}
+    out = bfs_shortest_paths(ds, [0, 7], max_depth=30,
+                             stats_out=stats).to_pandas()
+    got = dict(zip(out.node, out.dist))
+
+    adj = defaultdict(list)
+    for s, d in zip(src, dst):
+        adj[s].append(d)
+    dist = {0: 0, 7: 0}
+    q = deque([0, 7])
+    while q:
+        u = q.popleft()
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    assert got == dist
+    assert stats["round_new"][-1] == 0  # converged, not depth-capped
