@@ -446,3 +446,163 @@ def bfs_shortest_paths(edges_ds, sources, *, src_col: str = "src",
     return out.map_batches(
         lambda t: t.rename_columns(["node", "dist"]),
         batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# Weighted SSSP — label-correcting (distributed Bellman-Ford with frontier)
+# ---------------------------------------------------------------------------
+
+
+@ray.remote
+def _sssp_expand(edges_p: pa.Table, frontier_p: pa.Table) -> pa.Table:
+    """Frontier (node, d) against edges (src, dst, w) co-partitioned by
+    hash(src): emit (node=dst, d + w) relaxation candidates. One
+    searchsorted fan-out; a frontier node with k out-edges emits k rows."""
+    if len(edges_p) == 0 or len(frontier_p) == 0:
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "d": pa.array([], pa.int64())})
+    fn = frontier_p["node"].to_numpy(zero_copy_only=False)
+    fd = frontier_p["d"].to_numpy(zero_copy_only=False)
+    order = np.argsort(fn, kind="stable")
+    fn, fd = fn[order], fd[order]
+    src = edges_p["src"].to_numpy(zero_copy_only=False)
+    lo = np.searchsorted(fn, src)
+    hit = (lo < fn.size) & (fn[np.minimum(lo, fn.size - 1)] == src)
+    dst = edges_p["dst"].to_numpy(zero_copy_only=False)[hit]
+    w = edges_p["w"].to_numpy(zero_copy_only=False)[hit]
+    nd = fd[lo[hit]] + w
+    # local pre-min per dst shrinks the shuffle
+    o2 = np.lexsort((nd, dst))
+    ds_, nds = dst[o2], nd[o2]
+    new = np.ones(ds_.size, bool)
+    new[1:] = ds_[1:] != ds_[:-1]
+    return pa.table({"node": pa.array(ds_[new], pa.int64()),
+                     "d": pa.array(nds[new], pa.int64())})
+
+
+@ray.remote(num_returns=3)
+def _sssp_absorb(dist_p: pa.Table, *cand_pieces: pa.Table):
+    """Min-merge candidates into partition p's dist table (sorted by
+    node). Returns (new dist, improved rows as next frontier, n_improved)."""
+    empty = pa.table({"node": pa.array([], pa.int64()),
+                      "d": pa.array([], pa.int64())})
+    pieces = [c for c in cand_pieces if len(c)]
+    if not pieces:
+        return dist_p, empty, 0
+    cand = pa.concat_tables(pieces)
+    cn = cand["node"].to_numpy(zero_copy_only=False)
+    cd = cand["d"].to_numpy(zero_copy_only=False)
+    o = np.lexsort((cd, cn))
+    cn, cd = cn[o], cd[o]
+    first = np.ones(cn.size, bool)
+    first[1:] = cn[1:] != cn[:-1]
+    cn, cd = cn[first], cd[first]
+    dn = dist_p["node"].to_numpy(zero_copy_only=False)
+    dd = dist_p["d"].to_numpy(zero_copy_only=False)
+    pos = np.searchsorted(dn, cn)
+    known = (pos < dn.size) & (dn[np.minimum(pos, max(dn.size - 1, 0))] == cn) \
+        if dn.size else np.zeros(cn.size, bool)
+    better = np.zeros(cn.size, bool)
+    if known.any():
+        better[known] = cd[known] < dd[pos[known]]
+    improved_known = cn[known & better]
+    new_nodes = cn[~known]
+    if improved_known.size == 0 and new_nodes.size == 0:
+        return dist_p, empty, 0
+    upd = dd.copy()
+    if (known & better).any():
+        upd[pos[known & better]] = cd[known & better]
+    nd = np.concatenate([dn, new_nodes])
+    ndd = np.concatenate([upd, cd[~known]])
+    order = np.argsort(nd, kind="stable")
+    out = pa.table({"node": pa.array(nd[order], pa.int64()),
+                    "d": pa.array(ndd[order], pa.int64())})
+    fr_n = np.concatenate([improved_known, new_nodes])
+    fr_d = np.concatenate([cd[known & better], cd[~known]])
+    frontier = pa.table({"node": pa.array(fr_n, pa.int64()),
+                         "d": pa.array(fr_d, pa.int64())})
+    return out, frontier, int(fr_n.size)
+
+
+def sssp_weighted(edges_ds, sources, *, src_col: str = "src",
+                  dst_col: str = "dst", weight_col: str = "w",
+                  max_rounds: int = 100, num_parts: int | None = None,
+                  stats_out: dict | None = None):
+    """Single/multi-source shortest paths with non-negative INTEGER edge
+    weights over a directed edge Dataset -> Dataset (node, dist). The
+    distributed analog of GNM's Dijkstra (gnm/gnmgraph.h:173): distances
+    converge by label correction (Bellman-Ford with a changed-set
+    frontier), each round one local expand + one candidate shuffle on the
+    raw-task machinery; rounds <= hop count of the longest shortest path."""
+    import time as _time
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from gdal_ray.util import default_num_parts
+
+    if num_parts is None:
+        num_parts = min(default_num_parts(multiplier=1, floor=16), 256)
+
+    def norm(t: pa.Table) -> pa.Table:
+        return pa.table({"src": pc.cast(t[src_col], pa.int64()),
+                         "dst": pc.cast(t[dst_col], pa.int64()),
+                         "w": pc.cast(t[weight_col], pa.int64())})
+
+    edge_refs = edges_ds.map_batches(norm, batch_format="pyarrow",
+                                     batch_size=None) \
+        .materialize().to_arrow_refs()
+    srcs = np.unique(np.asarray(list(sources), np.int64))
+    src_tbl = pa.table({"node": pa.array(srcs, pa.int64()),
+                        "d": pa.array(np.zeros(srcs.size, np.int64))})
+    if not edge_refs or srcs.size == 0:
+        return rd.from_arrow(src_tbl.rename_columns(["node", "dist"]))
+
+    edge_pieces = _shuffle_refs(edge_refs, "src", num_parts)
+
+    @ray.remote
+    def _edges_cat(*pieces):
+        parts = [p for p in pieces if len(p)]
+        if not parts:
+            return pieces[0]
+        t = pa.concat_tables(parts)
+        order = np.argsort(t["src"].to_numpy(zero_copy_only=False),
+                           kind="stable")
+        return t.take(pa.array(order))
+
+    edges = [_edges_cat.remote(*edge_pieces[p]) for p in range(num_parts)]
+    if num_parts > 1:
+        dist = list(_split_by_hash.options(num_returns=num_parts)
+                    .remote(src_tbl, "node", num_parts))
+    else:
+        dist = [_split_by_hash.remote(src_tbl, "node", 1)]
+    frontier = list(dist)
+
+    round_secs: list[float] = []
+    round_new: list[int] = []
+    for _ in range(max_rounds):
+        t0 = _time.time()
+        cands = [_sssp_expand.remote(edges[p], frontier[p])
+                 for p in range(num_parts)]
+        cand_pieces = _shuffle_refs(cands, "node", num_parts)
+        nxt_dist, nxt_frontier, counts = [], [], []
+        for p in range(num_parts):
+            dp, fp, c = _sssp_absorb.remote(dist[p], *cand_pieces[p])
+            nxt_dist.append(dp)
+            nxt_frontier.append(fp)
+            counts.append(c)
+        n_new = sum(ray.get(counts))
+        dist, frontier = nxt_dist, nxt_frontier
+        round_secs.append(round(_time.time() - t0, 3))
+        round_new.append(n_new)
+        if n_new == 0:
+            break
+    else:
+        raise RuntimeError(f"sssp_weighted: no convergence in {max_rounds} rounds")
+    if stats_out is not None:
+        stats_out.update(rounds=len(round_secs), round_secs=round_secs,
+                         round_new=round_new)
+    out = rd.from_arrow_refs(dist)
+    return out.map_batches(
+        lambda t: t.rename_columns(["node", "dist"]),
+        batch_format="pyarrow", batch_size=None)

@@ -2110,6 +2110,53 @@ SELECT node, CAST(MIN(d) AS BIGINT) AS dist FROM r GROUP BY node
 """
 
 
+def q94_sssp_weighted(sf_dir):
+    """Weighted single-source shortest paths (the GNM Dijkstra analog)
+    over the q93 event graph with w = 1 + event_id % 5. Label-correcting
+    rounds on the raw-task shuffle; relaxation min-merges multi-edges, so
+    no edge dedup is needed (the oracle's MIN(w) GROUP BY is equivalent)."""
+    import pyarrow.compute as pcx
+
+    from gdal_ray.ops.graph import sssp_weighted
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        eid = t["event_id"]
+        keep = pcx.equal(pcx.subtract(eid, pcx.multiply(
+            pcx.divide(eid, 13), 13)), 0)
+        t = t.filter(keep)
+        eid = t["event_id"]
+        s = pcx.subtract(eid, pcx.multiply(pcx.divide(eid, 301), 301))
+        tot = pcx.add(eid, t["user_id"])
+        d = pcx.subtract(tot, pcx.multiply(pcx.divide(tot, 301), 301))
+        w = pcx.add(pcx.subtract(eid, pcx.multiply(
+            pcx.divide(eid, 5), 5)), 1)
+        return pa.table({"src": pcx.cast(s, pa.int64()),
+                         "dst": pcx.cast(d, pa.int64()),
+                         "w": pcx.cast(w, pa.int64())})
+
+    eds = ev.map_batches(edges, batch_format="pyarrow", batch_size=None)
+    return sssp_weighted(eds, [0])
+
+
+Q94_SQL = """
+WITH RECURSIVE e AS (
+  SELECT event_id % 301 AS src, (event_id + user_id) % 301 AS dst,
+         MIN(1 + event_id % 5) AS w
+  FROM events WHERE event_id % 13 = 0
+  GROUP BY src, dst
+),
+r AS (
+  SELECT CAST(0 AS BIGINT) AS node, 0 AS d
+  UNION
+  SELECT e.dst, r.d + e.w FROM r JOIN e ON e.src = r.node
+  WHERE r.d + e.w <= 40
+)
+SELECT node, CAST(MIN(d) AS BIGINT) AS dist FROM r GROUP BY node
+"""
+
+
 def _sql_oracle(sql):
     # wrap so float columns round identically on the DuckDB side
     return f"""SELECT * REPLACE (round(total, 4) AS total) FROM ({sql})""" if "total" in sql else sql
@@ -2234,6 +2281,7 @@ def registry():
         "q91_pii_redaction": q91_pii_redaction,
         "q92_span_dedup": q92_span_dedup,
         "q93_bfs_shortest_paths": q93_bfs_shortest_paths,
+        "q94_sssp_weighted": q94_sssp_weighted,
     }
     sqls = {
         "q01_tpch_groupby": Q01_SQL,
@@ -2300,6 +2348,7 @@ def registry():
         "q91_pii_redaction": Q91_SQL,
         "q92_span_dedup": Q92_SQL,
         "q93_bfs_shortest_paths": Q93_SQL,
+        "q94_sssp_weighted": Q94_SQL,
         "q29_token_quantiles": Q29_SQL,
         "q37_text_normalize": Q37_SQL,
     }

@@ -140,3 +140,44 @@ def test_bfs_shortest_paths_vs_python(ray_session):
                 q.append(v)
     assert got == dist
     assert stats["round_new"][-1] == 0  # converged, not depth-capped
+
+
+def test_sssp_weighted_vs_dijkstra(ray_session):
+    """Label-correcting distributed SSSP == heap Dijkstra, integer
+    weights, multi-edges included."""
+    import heapq
+    from collections import defaultdict
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.ops.graph import sssp_weighted
+
+    rng = np.random.RandomState(11)
+    E, V = 4000, 350
+    src = rng.randint(0, V, E)
+    dst = rng.randint(0, V, E)
+    w = rng.randint(1, 8, E)
+    ds = rd.from_arrow(pa.table({"src": src, "dst": dst, "w": w})) \
+        .repartition(6)
+    stats = {}
+    out = sssp_weighted(ds, [0], stats_out=stats).to_pandas()
+    got = dict(zip(out.node, out.dist))
+
+    adj = defaultdict(list)
+    for s, d, ww in zip(src, dst, w):
+        adj[s].append((d, ww))
+    dist = {0: 0}
+    pq = [(0, 0)]
+    while pq:
+        du, u = heapq.heappop(pq)
+        if du > dist.get(u, 1 << 60):
+            continue
+        for v, ww in adj[u]:
+            nd = du + ww
+            if nd < dist.get(v, 1 << 60):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    assert got == dist
+    assert stats["round_new"][-1] == 0
