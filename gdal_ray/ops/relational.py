@@ -940,3 +940,56 @@ def budget_take(ds, *, by: Sequence[str], order_col: str, weight_col: str,
         return pa.Table.from_pandas(df, preserve_index=False)
 
     return hash_partition_reduce(ds, by, part, num_parts=num_parts)
+
+
+def semi_join_hash(ds, right_ds, keys: Sequence[str], *, anti: bool = False,
+                   num_parts: int | None = None):
+    """Big-big semi/anti join: neither side is broadcast. Both sides are
+    co-partitioned by hash(keys) (tagged union through the same
+    partition-disjoint shuffle every wide op uses); each partition filters
+    its left rows against its local right key set with pyarrow's native
+    hash join. Use this when the right side is too large for the
+    `semi_anti_join` broadcast (e.g. dedup-survivor id sets ~ corpus
+    size); one shuffle of left + right key columns total."""
+    keys = list(keys)
+    sch = ds.schema()
+    left_types = dict(zip(sch.names, sch.types))
+    left_cols = list(sch.names)
+    side_col = "__sjh_side"
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        return t.append_column(side_col, pa.array(
+            np.zeros(len(t), np.int8)))
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        cols = {}
+        for c in left_cols:
+            cols[c] = pc.cast(t[c], left_types[c]) if c in keys \
+                else pa.nulls(len(t), left_types[c])
+        cols[side_col] = pa.array(np.ones(len(t), np.int8))
+        return pa.table(cols)
+
+    left = ds.map_batches(tag_left, batch_format="pyarrow", batch_size=None)
+    right = right_ds.map_batches(tag_right, batch_format="pyarrow",
+                                 batch_size=None)
+
+    def probe(t: pa.Table) -> pa.Table:
+        side = t[side_col].to_numpy(zero_copy_only=False)
+        lt = t.filter(pa.array(side == 0)).drop_columns([side_col])
+        rt = t.filter(pa.array(side == 1)).select(keys)
+        kt = rt.group_by(keys, use_threads=False).aggregate([])
+        if len(keys) == 1:
+            mask = pc.is_in(lt[keys[0]],
+                            value_set=kt[keys[0]].combine_chunks())
+            if anti:
+                mask = pc.invert(pc.fill_null(mask, False))
+            return lt.filter(mask)
+        t2 = lt.append_column("__ri", pa.array(
+            np.arange(len(lt), dtype=np.int64)))
+        out = t2.join(kt, keys=keys,
+                      join_type="left anti" if anti else "left semi")
+        out = out.take(pc.sort_indices(out["__ri"]))
+        return out.drop_columns(["__ri"])
+
+    return hash_partition_reduce(left.union(right), keys, probe,
+                                 num_parts=num_parts)

@@ -2157,6 +2157,39 @@ SELECT node, CAST(MIN(d) AS BIGINT) AS dist FROM r GROUP BY node
 """
 
 
+def q95_curation(sf_dir):
+    """End-to-end corpus curation (pipelines/curation.py): quality +
+    langid + repetition filter + PII scrub + exact dedup + decontam vs the
+    doc_id%101 bench subset + per-source char budget. Deterministic;
+    pinned as a value-hash golden (no single SQL restates the chain)."""
+    import pyarrow.compute as pcx
+
+    from gdal_ray.pipelines.curation import curate
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "text", "source"])
+
+    def split(want_bench):
+        def f(t: pa.Table) -> pa.Table:
+            m = pcx.equal(
+                pcx.subtract(t["doc_id"],
+                             pcx.multiply(pcx.divide(t["doc_id"], 101),
+                                          101)), 0)
+            return t.filter(m if want_bench else pcx.invert(m))
+        return f
+
+    bench = docs.map_batches(split(True), batch_format="pyarrow",
+                             batch_size=None)
+    corpus = docs.map_batches(split(False), batch_format="pyarrow",
+                              batch_size=None)
+    out = curate(corpus, bench=bench, char_budget=8000)
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "source", "text", "lang_pred",
+                            "n_tokens", "alpha_ratio",
+                            "dup_5gram_char_frac"]),
+        batch_format="pyarrow", batch_size=None)
+
+
 def _sql_oracle(sql):
     # wrap so float columns round identically on the DuckDB side
     return f"""SELECT * REPLACE (round(total, 4) AS total) FROM ({sql})""" if "total" in sql else sql
@@ -2282,6 +2315,7 @@ def registry():
         "q92_span_dedup": q92_span_dedup,
         "q93_bfs_shortest_paths": q93_bfs_shortest_paths,
         "q94_sssp_weighted": q94_sssp_weighted,
+        "q95_curation": q95_curation,
     }
     sqls = {
         "q01_tpch_groupby": Q01_SQL,

@@ -42,6 +42,9 @@ GOLDENS = {
     # re-pinned r4: flagship wraps lons across the dateline instead of
     # clamping (uniform component now spans the full 360 deg)
     "q60_flagship_tiles": (548, "593d6aa70cc6413d"),
+    # full curation chain (quality+langid+repetition filter+PII+exact
+    # dedup+decontam+char budget) — deterministic composed pipeline
+    "q95_curation": (481, "8a1be70bf041f9d7"),
 }
 
 

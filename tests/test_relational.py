@@ -442,3 +442,30 @@ def test_budget_take_vs_pandas(ray_session):
     assert (got["cum"].to_numpy() == want["cum"].to_numpy()).all()
     # at least one key actually truncated
     assert len(want) < n
+
+
+def test_semi_join_hash_vs_broadcast(ray_session):
+    """Big-big co-partitioned semi/anti join == the broadcast variant."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.ops.relational import semi_anti_join, semi_join_hash
+    from gdal_ray.util import to_arrow
+
+    rng = np.random.RandomState(5)
+    left = pa.table({"k": rng.randint(0, 200, 1000),
+                     "v": rng.standard_normal(1000)})
+    right_keys = np.unique(rng.randint(0, 200, 80))
+    lds = rd.from_arrow(left).repartition(6)
+    rds = rd.from_arrow(pa.table({"k": right_keys})).repartition(3)
+
+    for anti in (False, True):
+        got = to_arrow(semi_join_hash(lds, rds, ["k"], anti=anti)) \
+            .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+        want = to_arrow(semi_anti_join(lds, ["k"], right_keys.tolist(),
+                                       anti=anti)) \
+            .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+        assert len(got) == len(want)
+        assert (got["k"].to_numpy() == want["k"].to_numpy()).all()
+        assert np.allclose(got["v"].to_numpy(), want["v"].to_numpy())

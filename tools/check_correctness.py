@@ -50,8 +50,14 @@ def compare(name, got: pd.DataFrame, exp: pd.DataFrame) -> list[str]:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i:i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import ray
 
@@ -72,6 +78,7 @@ def main():
         con.execute(f"create view {t} as select * from read_parquet('{sf_dir}/{t}.parquet')")
 
     n_pass = n_fail = n_rowsonly = 0
+    results = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -80,11 +87,15 @@ def main():
             got = to_arrow(fn(sf_dir)).to_pandas()
         except Exception as exc:
             print(f"FAIL {name}: query raised {type(exc).__name__}: {exc}")
+            results[name] = {"status": "fail",
+                             "error": f"{type(exc).__name__}: {exc}"}
             n_fail += 1
             continue
         dt = time.time() - t0
         if name not in sqls:
             print(f"rows-only {name}: {len(got)} rows  ({dt:.1f}s)")
+            results[name] = {"status": "rows-only", "rows": len(got),
+                             "secs": round(dt, 2)}
             n_rowsonly += 1
             continue
         exp = con.execute(sqls[name]).df()
@@ -93,11 +104,22 @@ def main():
             print(f"FAIL {name} ({dt:.1f}s):")
             for p in problems:
                 print(f"    {p}")
+            results[name] = {"status": "fail", "rows": len(got),
+                             "secs": round(dt, 2), "problems": problems}
             n_fail += 1
         else:
             print(f"PASS {name}: {len(got)} rows  ({dt:.1f}s)")
+            results[name] = {"status": "pass", "rows": len(got),
+                             "secs": round(dt, 2)}
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    if json_out:
+        import json
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "pass": n_pass, "fail": n_fail,
+                       "rows_only": n_rowsonly, "queries": results}, f,
+                      indent=1, default=str)
+        print(f"wrote {json_out}")
     ray.shutdown()
     return 1 if n_fail else 0
 
