@@ -118,6 +118,9 @@ def run_bench() -> dict:
     timed("q43_zonal_stats", Q.q43_zonal_stats)
     timed("q44_cells", Q.q44_cells)
     timed("q45_tile_counts", Q.q45_tile_counts)
+    timed("q89_tfidf", Q.q89_tfidf_top_terms)
+    timed("q92_span_dedup", Q.q92_span_dedup)
+    timed("q93_bfs", Q.q93_bfs_shortest_paths)
 
     if run_queries:
         # north-star dedup: >= 10^7 synthetic urls (~50% dup rate), first-wins
@@ -304,6 +307,37 @@ def run_bench() -> dict:
         # (exponential lineage decay shows up as 10-100x by round 4)
         if len(rs_) >= 2:
             assert rs_[-1] <= 3.0 * max(rs_[0], 0.5), rs_
+
+        # full curation chain (quality+langid+repetition+filter+PII+exact
+        # dedup+big-big semi-join) over 10^6 salted docs: every doc is
+        # unique (the " u<id>" salt), so the dedup reduce does full work
+        # and the semi-join moves the whole id set — the end-to-end
+        # LLM-data path a reference user would run
+        from gdal_ray.pipelines.curation import curate
+
+        n_cur = int(os.environ.get("GRAFT_CURATE_N", "1000000"))
+        base_txt = doc_tbl["text"].combine_chunks()
+        n_base = len(base_txt)
+        base_ref = __import__("ray").put(base_txt)
+
+        def synth_docs(b: pa_.Table) -> pa_.Table:
+            import ray as _r
+            base = _r.get(base_ref)
+            ids = b["id"].to_numpy()
+            idx = pa_.array(ids % n_base)
+            txt = base.take(idx)
+            salt = pc_.cast(pa_.array(ids), pa_.string())
+            txt = pc_.binary_join_element_wise(txt, " u", salt, "")
+            return pa_.table({"doc_id": pa_.array(ids), "text": txt})
+
+        cur_docs = rd.range(n_cur, override_num_blocks=num_cpus * 4) \
+            .map_batches(synth_docs, batch_format="pyarrow", batch_size=None)
+        s = time.time()
+        n_out = curate(cur_docs, dedup_merge="hash").count()
+        dt = time.time() - s
+        timings["curate1m"] = round(dt, 3)
+        timings["curate1m_docs_per_sec"] = round(n_cur / dt, 1)
+        assert 0 < n_out <= n_cur
 
     result = {
         "metric": "flagship pages pipeline end-to-end (synth+extract+cells+PIP+tile pyramid)",

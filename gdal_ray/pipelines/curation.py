@@ -11,22 +11,22 @@ Dataset plan: the per-doc stages fuse into one map chain, and the only
 wide ops are the dedup winner reduce and the optional budget shuffle —
 nothing corpus-sized ever reaches the driver.
 
-Scale notes (100 TB): exact dedup runs with merge='hash' (survivor set is
-corpus-sized — no single-task merge); the survivor semi-join is the
-big-big `semi_join_hash` (no broadcast of the id set); decontamination
-broadcasts only the benchmark gram set (test sets are small by contract);
-PII/quality/repetition are shuffle-free Arrow kernel maps."""
+Scale notes (100 TB): dedup runs with merge='hash' over the full rows in
+ONE shuffle (winner-per-content-hash, no single-task merge, no
+broadcast); decontamination broadcasts only the benchmark gram set (test
+sets are small by contract); PII/quality/repetition are shuffle-free
+Arrow kernel maps."""
 
 from __future__ import annotations
 
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from gdal_ray.ops.relational import budget_take, semi_join_hash
-from gdal_ray.text.analysis import (LangId, add_quality_metrics,
+from gdal_ray.ops.relational import budget_take, first_by
+from gdal_ray.text.analysis import (LangId, add_fingerprint,
+                                    add_quality_metrics,
                                     repetition_signals)
 from gdal_ray.text.decontam import contamination_flags
-from gdal_ray.text.dedup import exact_dedup
 from gdal_ray.text.pii import redact_pii
 
 
@@ -54,8 +54,15 @@ def curate(ds, *, id_col: str = "doc_id", text_col: str = "text",
     d = d.map_batches(rule_filter, batch_format="pyarrow", batch_size=None)
     d = redact_pii(d, text_col=text_col, counts=False)
 
-    survivors = exact_dedup(d, id_col, text_col=text_col, merge=dedup_merge)
-    d = semi_join_hash(d, survivors.select_columns([id_col]), [id_col])
+    # dedup the FULL rows in one shuffle: fingerprint inline, then the
+    # hash-merged winner reduce keeps each content hash's min-id row with
+    # all signal columns attached. (exact_dedup + a semi-join back would
+    # shuffle the full rows twice — measured 4.6s + 18s vs ~8s at 10^6
+    # docs / 32 cpus.)
+    d = add_fingerprint(d, text_col=text_col, out="__fp")
+    d = first_by(d, ["__fp"], [id_col], merge=dedup_merge)
+    d = d.map_batches(lambda t: t.drop_columns(["__fp"]),
+                      batch_format="pyarrow", batch_size=None)
 
     if bench is not None:
         d = contamination_flags(d, bench, n=decontam_n, text_col=text_col,
