@@ -237,11 +237,16 @@ class Parser:
         elif t == ("kw", "IN"):
             self.next()
             self.expect("op", "(")
-            vals = [self.expr()]
-            while self.accept("op", ","):
-                vals.append(self.expr())
-            self.expect("op", ")")
-            node = Node("in", None, (left, tuple(vals)))
+            if self.peek() == ("kw", "SELECT"):
+                sub = _parse_core(self)
+                self.expect("op", ")")
+                node = Node("in_sub", None, (left, sub))
+            else:
+                vals = [self.expr()]
+                while self.accept("op", ","):
+                    vals.append(self.expr())
+                self.expect("op", ")")
+                node = Node("in", None, (left, tuple(vals)))
         elif t == ("kw", "BETWEEN"):
             self.next()
             lo = self.add_expr()
@@ -323,6 +328,10 @@ class Parser:
         if t == ("kw", "NULL"):
             return Node("lit", None)
         if t == ("op", "("):
+            if self.peek() == ("kw", "SELECT"):
+                sub = _parse_core(self)
+                self.expect("op", ")")
+                return Node("scalar_sub", None, (sub,))
             e = self.expr()
             self.expect("op", ")")
             return e
@@ -677,6 +686,14 @@ def eval_expr(node: Node, t: pa.Table):
     if k == "in":
         vals = [a.value for a in node.args[1]]
         return pc.is_in(eval_expr(node.args[0], t), value_set=pa.array(vals))
+    if k == "in_vals":
+        # IN (SELECT ...) after driver-side resolution: value is the
+        # subquery's materialized column (a pa.Array — ships with the task)
+        return pc.is_in(eval_expr(node.args[0], t), value_set=node.value)
+    if k in ("in_sub", "scalar_sub"):
+        raise ValueError(
+            "unresolved subquery node — run the statement through "
+            "ops.sql.execute (subqueries are resolved against sf_dir)")
     if k == "between":
         x = eval_expr(node.args[0], t)
         return pc.and_(
@@ -1046,12 +1063,61 @@ def _apply_offset(out, offset: int):
     return out.repartition(1).map_batches(drop, batch_format="pyarrow", batch_size=None)
 
 
+def _resolve_subqueries(core: Select, sf_dir: str) -> Select:
+    """Replace uncorrelated IN (SELECT ...) / scalar (SELECT ...) nodes by
+    running each subquery once on the driver (nested subqueries resolve
+    depth-first). IN subquery results materialize as an IN-list — the
+    value set must fit driver memory, the standard uncorrelated-subquery
+    contract; the pa.Array ships with the eval closure into workers.
+    Correlated subqueries are rejected naturally (unknown columns)."""
+    from gdal_ray.util import to_arrow
+
+    def run_sub(sub: Select) -> pa.Table:
+        sub = _resolve_subqueries(sub, sf_dir)
+        tbl = to_arrow(_execute_core(sub, sf_dir, [], None, None))
+        if tbl.num_columns != 1:
+            raise ValueError("subquery must return exactly one column")
+        return tbl
+
+    def walk_any(x):
+        if isinstance(x, Node):
+            return walk(x)
+        if isinstance(x, tuple):
+            return tuple(walk_any(i) for i in x)
+        if isinstance(x, list):
+            return [walk_any(i) for i in x]
+        return x
+
+    def walk(n: Node) -> Node:
+        if n.kind == "in_sub":
+            left = walk_any(n.args[0])
+            col = run_sub(n.args[1]).column(0).combine_chunks()
+            return Node("in_vals", col, (left,))
+        if n.kind == "scalar_sub":
+            tbl = run_sub(n.args[0])
+            if tbl.num_rows != 1:
+                raise ValueError(
+                    f"scalar subquery returned {tbl.num_rows} rows, want 1")
+            return Node("lit", tbl.column(0)[0].as_py())
+        value = walk_any(n.value) if isinstance(n.value, (Node, tuple, list)) \
+            else n.value
+        return Node(n.kind, value, walk_any(n.args))
+
+    core.items = [(walk_any(e), alias) for e, alias in core.items]
+    core.where = walk_any(core.where)
+    core.having = walk_any(core.having)
+    core.group_by = [walk_any(g) for g in core.group_by]
+    core.order_by = walk_any(core.order_by)
+    return core
+
+
 def execute(sql: str, sf_dir: str):
     """Compile + run a SELECT (or UNION ALL chain) against the sf_dir
     parquet tables."""
     from gdal_ray.ops.relational import topk, union_all
 
     q = parse_query(sql)
+    q.cores = [_resolve_subqueries(c, sf_dir) for c in q.cores]
     if len(q.cores) == 1:
         return _execute_core(q.cores[0], sf_dir, q.order_by, q.limit, q.offset)
     # UNION ALL: each core compiles independently; schemas align by POSITION

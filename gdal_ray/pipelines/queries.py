@@ -2190,6 +2190,14 @@ def q95_curation(sf_dir):
         batch_format="pyarrow", batch_size=None)
 
 
+Q96_SQL = """SELECT c_custkey, c_acctbal FROM customer
+WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+ORDER BY c_custkey"""
+
+q96_sql_subquery = _sql_query(Q96_SQL)
+
+
 def _sql_oracle(sql):
     # wrap so float columns round identically on the DuckDB side
     return f"""SELECT * REPLACE (round(total, 4) AS total) FROM ({sql})""" if "total" in sql else sql
@@ -2316,6 +2324,7 @@ def registry():
         "q93_bfs_shortest_paths": q93_bfs_shortest_paths,
         "q94_sssp_weighted": q94_sssp_weighted,
         "q95_curation": q95_curation,
+        "q96_sql_subquery": q96_sql_subquery,
     }
     sqls = {
         "q01_tpch_groupby": Q01_SQL,
@@ -2383,6 +2392,7 @@ def registry():
         "q92_span_dedup": Q92_SQL,
         "q93_bfs_shortest_paths": Q93_SQL,
         "q94_sssp_weighted": Q94_SQL,
+        "q96_sql_subquery": Q96_SQL,
         "q29_token_quantiles": Q29_SQL,
         "q37_text_normalize": Q37_SQL,
     }

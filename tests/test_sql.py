@@ -303,3 +303,51 @@ def test_driver_registry_open(tmp_path):
         unregister_driver("dbl")
     with pytest.raises(ValueError, match="no driver"):
         open_source("nope://x")
+
+
+def test_in_subquery_and_scalar_subquery(ray_session, sf_dir):
+    """Uncorrelated IN (SELECT ...) + scalar (SELECT agg ...) resolve
+    against the parquet tables and match DuckDB."""
+    import duckdb
+
+    from gdal_ray.ops.sql import execute
+    from gdal_ray.util import to_arrow
+
+    sqls = [
+        """SELECT c_custkey FROM customer WHERE c_nationkey IN
+           (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)""",
+        """SELECT o_orderkey,
+                  o_totalprice - (SELECT MIN(o_totalprice) FROM orders)
+                  AS over_min
+           FROM orders WHERE o_orderkey < 100""",
+        """SELECT n_name FROM nation WHERE n_regionkey NOT IN
+           (SELECT r_regionkey FROM region WHERE r_regionkey IN
+              (SELECT n_regionkey FROM nation WHERE n_nationkey < 3))""",
+    ]
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "orders"):
+        con.execute(f"create view {t} as select * from "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+    for s in sqls:
+        got = to_arrow(execute(s, sf_dir)).to_pandas()
+        exp = con.execute(s).df()
+        g = got.sort_values(list(got.columns)).reset_index(drop=True)
+        e = exp.sort_values(list(exp.columns)).reset_index(drop=True)
+        assert len(g) == len(e), s
+        for c in g.columns:
+            import numpy as np
+            import pandas as pd
+            if pd.api.types.is_float_dtype(g[c]):
+                assert np.allclose(g[c].to_numpy(), e[c].to_numpy()), (s, c)
+            else:
+                assert (g[c].to_numpy() == e[c].to_numpy()).all(), (s, c)
+
+
+def test_scalar_subquery_row_count_error(ray_session, sf_dir):
+    import pytest
+
+    from gdal_ray.ops.sql import execute
+
+    with pytest.raises(ValueError, match="scalar subquery"):
+        execute("SELECT c_custkey FROM customer WHERE c_acctbal > "
+                "(SELECT c_acctbal FROM customer)", sf_dir)
