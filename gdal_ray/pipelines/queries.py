@@ -2190,6 +2190,67 @@ def q95_curation(sf_dir):
         batch_format="pyarrow", batch_size=None)
 
 
+def q97_lm_score(sf_dir):
+    """CCNet-style quality scoring: mean char-trigram log-probability of
+    each doc under an add-one-smoothed model trained on the doc_id%7==0
+    reference subset. Trigram counts reduce vocabulary-sized; the model
+    broadcasts once; scoring is one streaming map."""
+    import pyarrow.compute as pcx
+
+    from gdal_ray.text.lmscore import lm_score
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def ref_only(t: pa.Table) -> pa.Table:
+        m = pcx.equal(pcx.subtract(t["doc_id"], pcx.multiply(
+            pcx.divide(t["doc_id"], 7), 7)), 0)
+        return t.filter(m)
+
+    ref = docs.map_batches(ref_only, batch_format="pyarrow",
+                           batch_size=None)
+    out = lm_score(docs, ref)
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "lm_score"]),
+        batch_format="pyarrow", batch_size=None)
+
+
+Q97_SQL = """
+WITH ref AS (SELECT text FROM documents WHERE doc_id % 7 = 0),
+rg AS (
+  SELECT unnest(generate_series(1, greatest(length(text) - 2, 0))) AS i,
+         text
+  FROM ref
+),
+tc AS (SELECT substr(text, i, 3) AS g, COUNT(*) AS c FROM rg GROUP BY g),
+pp AS (SELECT substr(g, 1, 2) AS p, SUM(c) AS cp FROM tc GROUP BY p),
+alpha AS (
+  SELECT CAST(COUNT(DISTINCT ch) AS DOUBLE) AS a FROM (
+    SELECT substr(g, 1, 1) AS ch FROM tc
+    UNION SELECT substr(g, 2, 1) FROM tc
+    UNION SELECT substr(g, 3, 1) FROM tc
+  )
+),
+cg AS (
+  SELECT doc_id,
+         unnest(generate_series(1, greatest(length(text) - 2, 0))) AS i,
+         text
+  FROM documents
+),
+ct AS (SELECT doc_id, substr(text, i, 3) AS g FROM cg),
+scored AS (
+  SELECT ct.doc_id,
+         ln((COALESCE(tc.c, 0) + 1.0) / (COALESCE(pp.cp, 0) + alpha.a))
+           AS lp
+  FROM ct LEFT JOIN tc USING (g)
+          LEFT JOIN pp ON substr(ct.g, 1, 2) = pp.p
+          CROSS JOIN alpha
+),
+agg AS (SELECT doc_id, AVG(lp) AS s FROM scored GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(round(agg.s, 6), 0.0) AS lm_score
+FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+"""
+
+
 Q96_SQL = """SELECT c_custkey, c_acctbal FROM customer
 WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
 AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
@@ -2325,6 +2386,7 @@ def registry():
         "q94_sssp_weighted": q94_sssp_weighted,
         "q95_curation": q95_curation,
         "q96_sql_subquery": q96_sql_subquery,
+        "q97_lm_score": q97_lm_score,
     }
     sqls = {
         "q01_tpch_groupby": Q01_SQL,
@@ -2393,6 +2455,7 @@ def registry():
         "q93_bfs_shortest_paths": Q93_SQL,
         "q94_sssp_weighted": Q94_SQL,
         "q96_sql_subquery": Q96_SQL,
+        "q97_lm_score": Q97_SQL,
         "q29_token_quantiles": Q29_SQL,
         "q37_text_normalize": Q37_SQL,
     }

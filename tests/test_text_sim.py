@@ -528,3 +528,44 @@ def test_span_dedup_vs_bruteforce(ray_session):
     assert got == want
     assert got[2] == ""          # whole doc was one duplicated window chain
     assert got[0] == texts[0]    # winner untouched
+
+
+def test_lm_score_vs_bruteforce(ray_session):
+    """Char-trigram LM scoring == per-doc Python brute force (add-one
+    smoothing, alphabet from reference trigram chars), incl. non-ASCII."""
+    import math
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.text.lmscore import lm_score
+    from gdal_ray.util import to_arrow
+
+    ref_texts = ["abcabcabd", "hello world", "café au lait"]
+    docs = ["abcab", "hello", "zzzzz", "xy", "", "café"]
+    rds = rd.from_arrow(pa.table({"doc_id": list(range(len(ref_texts))),
+                                  "text": ref_texts})).repartition(2)
+    dds = rd.from_arrow(pa.table({"doc_id": list(range(len(docs))),
+                                  "text": docs})).repartition(3)
+    got = to_arrow(lm_score(dds, rds, round_digits=None)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    tri = Counter()
+    for t in ref_texts:
+        for i in range(len(t) - 2):
+            tri[t[i:i + 3]] += 1
+    pref = Counter()
+    for g, c in tri.items():
+        pref[g[:2]] += c
+    alpha = len({ch for g in tri for ch in g})
+
+    for i, d in enumerate(docs):
+        grams = [d[j:j + 3] for j in range(len(d) - 2)]
+        if not grams:
+            want = 0.0
+        else:
+            want = sum(math.log((tri.get(g, 0) + 1.0)
+                                / (pref.get(g[:2], 0) + alpha))
+                       for g in grams) / len(grams)
+        assert abs(got.loc[i, "lm_score"] - want) < 1e-12, (i, d)
