@@ -147,3 +147,29 @@ def test_st_geometry_invariants(a, b):
     assert abs(hull_area - area) < 1e-6 * max(area, 1.0)
     env = SG.st_astext(SG.st_envelope(ga)).as_py()
     assert env == W.geom_to_wkt(W.parse_wkb(ga.as_py())), env
+
+
+# ---------------------------------------------------------------------------
+# Subquery fuzz: random uncorrelated IN (SELECT ...) / scalar subqueries
+# ---------------------------------------------------------------------------
+
+_SUB_WHERE = st.sampled_from([
+    "o_custkey < 300", "o_totalprice > 100000", "o_orderkey % 7 = 0",
+    "o_custkey % 3 = 1",
+])
+_SUB_AGG = st.sampled_from(["MIN", "MAX", "AVG"])
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(subw=_SUB_WHERE, agg=_SUB_AGG, neg=st.booleans())
+def test_random_subqueries_match_duckdb(sf_dir, con, subw, agg, neg):
+    notk = "NOT " if neg else ""
+    sql = (f"SELECT o_orderkey FROM orders WHERE o_custkey {notk}IN "
+           f"(SELECT o_custkey FROM orders WHERE {subw}) "
+           f"AND o_totalprice < (SELECT {agg}(o_totalprice) FROM orders)")
+    got = to_arrow(execute(sql, sf_dir)).to_pandas()
+    exp = con.execute(sql).df()
+    assert len(got) == len(exp), sql
+    if len(exp):
+        assert sorted(got["o_orderkey"]) == sorted(exp["o_orderkey"]), sql
