@@ -125,6 +125,7 @@ _TOKEN_RE = re.compile(
 _KEYWORDS = {
     "SELECT", "DISTINCT", "FROM", "WHERE", "GROUP", "ORDER", "BY", "LIMIT",
     "AND", "OR", "NOT", "IN", "BETWEEN", "LIKE", "IS", "NULL", "AS", "ASC",
+    "EXISTS",
     "DESC", "CAST", "COUNT", "SUM", "MIN", "MAX", "AVG", "INTEGER", "BIGINT",
     "FLOAT", "DOUBLE", "TEXT", "VARCHAR", "DATE", "TIMESTAMP", "BOOLEAN",
     "JOIN", "LEFT", "ON", "UNION",
@@ -327,6 +328,11 @@ class Parser:
             return Node("lit", t[1])
         if t == ("kw", "NULL"):
             return Node("lit", None)
+        if t == ("kw", "EXISTS"):
+            self.expect("op", "(")
+            sub = _parse_core(self)
+            self.expect("op", ")")
+            return Node("exists_sub", None, (sub,))
         if t == ("op", "("):
             if self.peek() == ("kw", "SELECT"):
                 sub = _parse_core(self)
@@ -1099,6 +1105,10 @@ def _resolve_subqueries(core: Select, sf_dir: str) -> Select:
                 raise ValueError(
                     f"scalar subquery returned {tbl.num_rows} rows, want 1")
             return Node("lit", tbl.column(0)[0].as_py())
+        if n.kind == "exists_sub":
+            sub = _resolve_subqueries(n.args[0], sf_dir)
+            n_rows = _execute_core(sub, sf_dir, [], 1, None).count()
+            return Node("lit", bool(n_rows))
         value = walk_any(n.value) if isinstance(n.value, (Node, tuple, list)) \
             else n.value
         return Node(n.kind, value, walk_any(n.args))

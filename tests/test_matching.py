@@ -63,3 +63,24 @@ def test_match_image_pairs_stage(ray_session):
         shifts = Counter(zip((sub.y2 - sub.y1).tolist(),
                              (sub.x2 - sub.x1).tolist()))
         assert shifts.most_common(1)[0][0] == (dy, dx), pid
+
+
+def test_matching_feeds_homography_registration():
+    """End-to-end registration: matched points from two shifted images fit
+    a Homography whose forward transform IS the shift (the
+    GDALComputeMatchingPoints -> GDALCreateHomographyTransformer chain)."""
+    from gdal_ray.geo.gcp import Homography
+    from gdal_ray.raster.matching import match_images
+
+    img = _textured(seed=3, n=120)
+    dy, dx = 5, -3
+    img2 = np.roll(np.roll(img, dy, axis=0), dx, axis=1)
+    m = match_images(img, img2, max_points=150)
+    assert len(m) >= 20
+    # gcps: (pixel=x1, line=y1) -> (x=x2, y=y2)
+    gcps = np.stack([m[:, 1], m[:, 0], m[:, 3], m[:, 2]], axis=1)
+    H = Homography(gcps)
+    fx, fy = H.forward(np.array([10.0, 50.0]), np.array([20.0, 70.0]))
+    assert np.allclose(fx, [10 + dx, 50 + dx], atol=1e-6)
+    assert np.allclose(fy, [20 + dy, 70 + dy], atol=1e-6)
+    assert H.residuals(gcps).max() < 1e-6

@@ -351,3 +351,29 @@ def test_scalar_subquery_row_count_error(ray_session, sf_dir):
     with pytest.raises(ValueError, match="scalar subquery"):
         execute("SELECT c_custkey FROM customer WHERE c_acctbal > "
                 "(SELECT c_acctbal FROM customer)", sf_dir)
+
+
+def test_exists_subquery(ray_session, sf_dir):
+    """Uncorrelated EXISTS / NOT EXISTS is a constant predicate resolved
+    against sf_dir (limit-1 early-out) — matches DuckDB row counts."""
+    import duckdb
+
+    from gdal_ray.ops.sql import execute
+    from gdal_ray.util import to_arrow
+
+    con = duckdb.connect()
+    for t in ("nation", "customer"):
+        con.execute(f"create view {t} as select * from "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+    sqls = [
+        """SELECT n_name FROM nation WHERE EXISTS
+           (SELECT n_nationkey FROM nation WHERE n_regionkey = 4)""",
+        """SELECT n_name FROM nation WHERE EXISTS
+           (SELECT n_nationkey FROM nation WHERE n_regionkey = 99)""",
+        """SELECT c_custkey FROM customer WHERE c_custkey < 50 AND
+           NOT EXISTS (SELECT n_name FROM nation WHERE n_regionkey = 77)""",
+    ]
+    for s in sqls:
+        got = to_arrow(execute(s, sf_dir)).to_pandas()
+        exp = con.execute(s).df()
+        assert len(got) == len(exp), s
