@@ -128,8 +128,18 @@ def _msgs(edges_p: pa.Table, labels_p: pa.Table) -> pa.Table:
     pos = np.searchsorted(ln, nbr)
     live = chg[pos] != 0
     node = edges_p["node"].to_numpy(zero_copy_only=False)[live]
+    cand = lv[pos][live]
+    # local pre-min per destination node before the shuffle: round 1 is
+    # edge-sized otherwise (every label "changed" at init), and a single
+    # lexsort here cuts the all-to-all volume to <= distinct dst nodes
+    if node.size > 1:
+        order = np.lexsort((cand, node))
+        node, cand = node[order], cand[order]
+        keep = np.ones(node.size, bool)
+        keep[1:] = node[1:] != node[:-1]
+        node, cand = node[keep], cand[keep]
     return pa.table({"node": pa.array(node, pa.int64()),
-                     "cand": pa.array(lv[pos][live], pa.int64())})
+                     "cand": pa.array(cand, pa.int64())})
 
 
 @ray.remote(num_returns=2)
