@@ -6,16 +6,16 @@ is deleted from its document EXCEPT the globally-first occurrence
 (minimum (doc, position)); surviving tokens are re-joined with single
 spaces.
 
-Ray shape — three hash shuffles, no broadcast of anything corpus-sized:
+Ray shape — TWO hash shuffles, one tokenization pass, no broadcast of
+anything corpus-sized:
 
-1. gram reduce: per-batch (gram-hash, count, argmin(doc,pos)) partials →
-   `hash_partition_reduce` by hash (sum / lexicographic min merge) →
-   duplicated grams only (count >= 2).
-2. occurrence filter: the corpus' gram occurrences and the duplicated-gram
-   table are co-partitioned by gram hash (tagged union — the same
-   partition-disjoint reduce, no driver materialization); each partition
-   probes with one searchsorted and emits the occurrences to delete.
-3. apply: deletions and documents co-partition by doc id; each partition
+1. fused gram reduce + occurrence filter: each corpus batch emits, from a
+   single tokenization, both its gram occurrences and its per-batch
+   (gram-hash, count, argmin(doc,pos)) winner partials — all keyed by the
+   gram hash, so ONE `hash_partition_reduce` co-locates them; each
+   partition reduces partials to the duplicated-gram winners (count >= 2)
+   and immediately probes its occurrences to emit the deletions.
+2. apply: deletions and documents co-partition by doc id; each partition
    rebuilds text with a flat keep-mask over Arrow list offsets and one
    vectorized `pc.binary_join`.
 
@@ -106,37 +106,56 @@ def span_dedup(ds, n: int = 5, id_col: str = "doc_id",
     keep_cols = list(keep_cols)
     sch = ds.schema()
     keep_types = dict(zip(sch.names, sch.types))
-    winners = duplicated_gram_winners(ds, n, id_col, text_col)
 
-    # ---- stage 2: co-partition occurrences with winners by gram hash ----
-    def occ_rows(t: pa.Table) -> pa.Table:
+    # ---- fused stage 1+2: ONE tokenization pass emits both the
+    # occurrence rows and the per-batch winner partials, keyed by the
+    # same gram hash, so a single shuffle co-locates them; each partition
+    # first reduces partials to (count, global winner) and then probes
+    # its occurrences. (The unfused form paid a second corpus scan and a
+    # third shuffle.)
+    def emit(t: pa.Table) -> pa.Table:
         gh, doc, pos = _occurrences(t, n, id_col, text_col)
-        return pa.table({"h": pa.array(gh), "win_doc": pa.array(
-            np.full(gh.size, -1, np.int64)), "win_pos": pa.array(
-            np.full(gh.size, -1, np.int64)),
-            "doc": pa.array(doc), "pos": pa.array(pos)})
+        if gh.size:
+            order = np.lexsort((pos, doc, gh))
+            hs, ds_, ps = gh[order], doc[order], pos[order]
+            new = np.ones(hs.size, bool)
+            new[1:] = hs[1:] != hs[:-1]
+            gid = np.cumsum(new) - 1
+            cnt = np.bincount(gid).astype(np.int64)
+            ph, pd_, pp = hs[new], ds_[new], ps[new]
+        else:
+            ph = np.empty(0, np.uint64)
+            cnt = pd_ = pp = np.empty(0, np.int64)
+        return pa.table({
+            "h": pa.array(np.concatenate([gh, ph])),
+            "cnt": pa.array(np.concatenate(
+                [np.full(gh.size, -1, np.int64), cnt])),
+            "doc": pa.array(np.concatenate([doc, pd_])),
+            "pos": pa.array(np.concatenate([pos, pp])),
+        })
 
-    def win_rows(t: pa.Table) -> pa.Table:
-        z = np.full(len(t), -1, np.int64)
-        return pa.table({"h": t["h"], "win_doc": t["win_doc"],
-                         "win_pos": t["win_pos"],
-                         "doc": pa.array(z), "pos": pa.array(z)})
-
-    occ = ds.map_batches(occ_rows, batch_format="pyarrow", batch_size=None)
-    win = winners.map_batches(win_rows, batch_format="pyarrow",
-                              batch_size=None)
+    emitted = ds.map_batches(emit, batch_format="pyarrow", batch_size=None)
 
     def probe(t: pa.Table) -> pa.Table:
         h = t["h"].to_numpy(zero_copy_only=False)
+        cnt = t["cnt"].to_numpy(zero_copy_only=False)
         doc = t["doc"].to_numpy(zero_copy_only=False)
         pos = t["pos"].to_numpy(zero_copy_only=False)
-        wdoc = t["win_doc"].to_numpy(zero_copy_only=False)
-        wpos = t["win_pos"].to_numpy(zero_copy_only=False)
-        is_win = doc < 0
-        wh, wd, wp = h[is_win], wdoc[is_win], wpos[is_win]
-        order = np.argsort(wh, kind="stable")
-        wh, wd, wp = wh[order], wd[order], wp[order]
-        oh, od, op = h[~is_win], doc[~is_win], pos[~is_win]
+        is_part = cnt >= 0
+        # reduce partials: total count + lexicographic-min (doc, pos)
+        ph, pcnt = h[is_part], cnt[is_part]
+        pd_, pp = doc[is_part], pos[is_part]
+        order = np.lexsort((pp, pd_, ph))
+        ph, pcnt, pd_, pp = ph[order], pcnt[order], pd_[order], pp[order]
+        new = np.ones(ph.size, bool)
+        if ph.size:
+            new[1:] = ph[1:] != ph[:-1]
+        gid = np.cumsum(new) - 1
+        tot = np.bincount(gid, weights=pcnt).astype(np.int64) \
+            if gid.size else np.zeros(0, np.int64)
+        dupm = tot >= 2
+        wh, wd, wp = ph[new][dupm], pd_[new][dupm], pp[new][dupm]
+        oh, od, op = h[~is_part], doc[~is_part], pos[~is_part]
         if wh.size == 0 or oh.size == 0:
             return pa.table({"doc": pa.array([], pa.int64()),
                              "pos": pa.array([], pa.int64())})
@@ -146,7 +165,7 @@ def span_dedup(ds, n: int = 5, id_col: str = "doc_id",
         rm = dup & not_winner
         return pa.table({"doc": pa.array(od[rm]), "pos": pa.array(op[rm])})
 
-    removals = hash_partition_reduce(_tag_union(occ, win), ["h"], probe)
+    removals = hash_partition_reduce(emitted, ["h"], probe)
 
     # ---- stage 3: co-partition removals with documents by doc id ----
     doc_schema_cols = [id_col, text_col] + keep_cols
