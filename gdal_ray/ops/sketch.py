@@ -178,3 +178,44 @@ def exact_quantiles_int(ds, col: str, qs):
         rank = max(int(np.ceil(q * total)), 1)
         out.append(v[np.searchsorted(cum, rank)])
     return np.asarray(out)
+
+
+def groupby_quantiles(ds, by, value: str, qs=(0.5,), *,
+                      num_parts: int | None = None):
+    """EXACT per-key quantiles (DuckDB quantile_disc convention: the value
+    at 1-based rank ceil(q*n) of the key's sorted non-null values).
+    One hash shuffle by key; within each partition the per-key rank
+    select is one sort + vectorized boundary scan — no per-group Python.
+    Output columns: by + [f"q{q}" with '.'->'_'] (e.g. q0_5)."""
+    import pandas as pd
+
+    from gdal_ray.ops.relational import hash_partition_reduce
+
+    by = list(by)
+    qs = [float(q) for q in np.atleast_1d(qs)]
+    qnames = ["q" + str(q).replace(".", "_") for q in qs]
+
+    def part(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[df[value].notna()]
+        if not len(df):
+            cols = {c: pa.array([], t[c].type) for c in by}
+            for qn in qnames:
+                cols[qn] = pa.array([], t[value].type)
+            return pa.table(cols)
+        df = df.sort_values(by + [value], kind="mergesort",
+                            ignore_index=True)
+        keys = df[by].to_numpy()
+        change = np.flatnonzero((keys[1:] != keys[:-1]).any(axis=1)) + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [len(df)]])
+        sizes = ends - starts
+        vals = df[value].to_numpy()
+        out = {c: df[c].to_numpy()[starts] for c in by}
+        for q, qn in zip(qs, qnames):
+            rank = np.maximum(np.ceil(q * sizes).astype(np.int64), 1)
+            out[qn] = vals[starts + rank - 1]
+        return pa.Table.from_pandas(pd.DataFrame(out), preserve_index=False)
+
+    return hash_partition_reduce(ds.select_columns(by + [value]), by, part,
+                                 num_parts=num_parts)

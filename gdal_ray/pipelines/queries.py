@@ -2259,6 +2259,34 @@ ORDER BY c_custkey"""
 q96_sql_subquery = _sql_query(Q96_SQL)
 
 
+def q98_groupby_quantiles(sf_dir):
+    """Exact per-key quantiles: median + p90 of order totalprice per
+    order priority (quantile_disc parity; one hash shuffle, vectorized
+    per-key rank select)."""
+    from gdal_ray.ops.sketch import groupby_quantiles
+
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderpriority", "o_totalprice"])
+    out = groupby_quantiles(ds, ["o_orderpriority"], "o_totalprice",
+                            qs=(0.5, 0.9))
+    return out.map_batches(
+        lambda t: pa.table({
+            "o_orderpriority": t["o_orderpriority"],
+            "q0_5": pc.round(t["q0_5"], ndigits=4,
+                             round_mode="half_towards_infinity"),
+            "q0_9": pc.round(t["q0_9"], ndigits=4,
+                             round_mode="half_towards_infinity")}),
+        batch_format="pyarrow", batch_size=None)
+
+
+Q98_SQL = """
+SELECT o_orderpriority,
+       round(quantile_disc(o_totalprice, 0.5), 4) AS q0_5,
+       round(quantile_disc(o_totalprice, 0.9), 4) AS q0_9
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 def _sql_oracle(sql):
     # wrap so float columns round identically on the DuckDB side
     return f"""SELECT * REPLACE (round(total, 4) AS total) FROM ({sql})""" if "total" in sql else sql
@@ -2387,6 +2415,7 @@ def registry():
         "q95_curation": q95_curation,
         "q96_sql_subquery": q96_sql_subquery,
         "q97_lm_score": q97_lm_score,
+        "q98_groupby_quantiles": q98_groupby_quantiles,
     }
     sqls = {
         "q01_tpch_groupby": Q01_SQL,
@@ -2456,6 +2485,7 @@ def registry():
         "q94_sssp_weighted": Q94_SQL,
         "q96_sql_subquery": Q96_SQL,
         "q97_lm_score": Q97_SQL,
+        "q98_groupby_quantiles": Q98_SQL,
         "q29_token_quantiles": Q29_SQL,
         "q37_text_normalize": Q37_SQL,
     }

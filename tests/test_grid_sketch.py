@@ -152,3 +152,35 @@ def test_exact_quantiles_empty_and_nulls():
     allnull = rd.from_arrow(pa.table(
         {"x": pa.array([None, None], pa.int64())}))
     assert np.all(np.isnan(exact_quantiles_int(allnull, "x", [0.5])))
+
+
+def test_groupby_quantiles_vs_pandas(ray_session):
+    """Per-key quantile_disc == pandas per-group rank select, with nulls
+    skipped and multi-quantile output."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.ops.sketch import groupby_quantiles
+    from gdal_ray.util import to_arrow
+
+    rng = np.random.RandomState(4)
+    n = 800
+    df = pd.DataFrame({"k": rng.randint(0, 7, n).astype(str),
+                       "v": rng.randint(0, 1000, n).astype(float)})
+    df.loc[rng.choice(n, 40, replace=False), "v"] = np.nan
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(5)
+    got = to_arrow(groupby_quantiles(ds, ["k"], "v", qs=(0.25, 0.5, 0.9))) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+
+    def disc(s, q):
+        v = np.sort(s.dropna().to_numpy())
+        return v[max(int(np.ceil(q * v.size)), 1) - 1]
+
+    want = df.groupby("k")["v"].apply(
+        lambda s: tuple(disc(s, q) for q in (0.25, 0.5, 0.9)))
+    for _, row in got.iterrows():
+        w = want[row["k"]]
+        assert (row["q0_25"], row["q0_5"], row["q0_9"]) == w, row["k"]
+    assert len(got) == 7
