@@ -131,6 +131,26 @@ def _write_geojson(path: str, geometry_col: str = "geometry"):
     return run
 
 
+@step("read_jsonl")
+def _read_jsonl(path: str):
+    """Newline-delimited JSON read (Ray-native parallel reader)."""
+    import ray.data as rd
+
+    return lambda _: rd.read_json(path)
+
+
+@step("write_jsonl")
+def _write_jsonl(path: str):
+    """Newline-delimited JSON write — one .json file per block, the
+    LLM-corpus interchange layout (resumable at file granularity)."""
+
+    def run(ds):
+        ds.write_json(path)
+        return ds
+
+    return run
+
+
 @step("read_geo")
 def _read_geo(path: str, bbox=None, columns=None):
     """GeoParquet read with bbox row-group pruning (sources.geoparquet)."""

@@ -48,6 +48,12 @@ def _builtin(scheme: str):
         from gdal_ray.sources.text import read_geojson
 
         return read_geojson
+    if scheme == "jsonl":
+        # newline-delimited JSON — the standard LLM-corpus interchange
+        # format; Ray's native reader streams files in parallel
+        import ray.data as rd
+
+        return rd.read_json
     return None
 
 
@@ -56,6 +62,8 @@ _EXTENSIONS = {
     ".csv": "csv",
     ".geojson": "geojson",
     ".json": "geojson",
+    ".jsonl": "jsonl",
+    ".ndjson": "jsonl",
 }
 
 

@@ -94,3 +94,39 @@ def test_geojson_pipeline_step_chain(tmp_path):
     doc = json.loads(out.read_text())
     assert len(doc["features"]) == 3
     assert doc["features"][0]["geometry"]["type"] == "Point"
+
+
+def test_jsonl_round_trip_and_duckdb_parity(ray_session, sf_dir, tmp_path):
+    """write_jsonl -> Ray read_json AND DuckDB read_json_auto both
+    reproduce the source table exactly; open_source dispatches on
+    .jsonl / jsonl://."""
+    import duckdb
+    import ray.data as rd
+
+    from gdal_ray.pipelines.steps import run_pipeline
+    from gdal_ray.sources import open_source
+    from gdal_ray.util import sf_path, to_arrow
+
+    out = str(tmp_path / "docs_jsonl")
+    run_pipeline([
+        ("read", {"path": sf_path(sf_dir, "documents"),
+                  "columns": ["doc_id", "lang", "n_chars"]}),
+        ("write_jsonl", {"path": out}),
+    ])
+
+    back = to_arrow(open_source(f"jsonl://{out}")).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    src = to_arrow(rd.read_parquet(sf_path(sf_dir, "documents"),
+                                   columns=["doc_id", "lang", "n_chars"])) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(back) == len(src)
+    assert (back["doc_id"].to_numpy() == src["doc_id"].to_numpy()).all()
+    assert (back["lang"].to_numpy() == src["lang"].to_numpy()).all()
+    assert (back["n_chars"].to_numpy() == src["n_chars"].to_numpy()).all()
+
+    con = duckdb.connect()
+    dk = con.execute(
+        f"SELECT doc_id, lang, n_chars FROM read_json_auto('{out}/*.json') "
+        f"ORDER BY doc_id").df()
+    assert (dk["doc_id"].to_numpy() == src["doc_id"].to_numpy()).all()
+    assert (dk["lang"].to_numpy() == src["lang"].to_numpy()).all()
