@@ -993,3 +993,33 @@ def semi_join_hash(ds, right_ds, keys: Sequence[str], *, anti: bool = False,
 
     return hash_partition_reduce(left.union(right), keys, probe,
                                  num_parts=num_parts)
+
+
+def groupby_string_agg(ds, by: Sequence[str], value: str, order_col: str,
+                       *, sep: str = ",", out: str = "agg",
+                       num_parts: int | None = None):
+    """SQL `string_agg(value, sep ORDER BY order_col)` per key: one hash
+    shuffle by key; each partition sorts once and joins per-key value
+    runs with a single vectorized `pc.binary_join` over list offsets —
+    no per-group Python."""
+    by = list(by)
+
+    def part(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            cols = {c: pa.array([], t[c].type) for c in by}
+            cols[out] = pa.array([], pa.string())
+            return pa.table(cols)
+        df = t.to_pandas().sort_values(by + [order_col], kind="mergesort",
+                                       ignore_index=True)
+        keys = df[by].to_numpy()
+        change = np.flatnonzero((keys[1:] != keys[:-1]).any(axis=1)) + 1
+        starts = np.concatenate([[0], change, [len(df)]]).astype(np.int32)
+        vals = pa.array(df[value].astype(str), pa.string())
+        la = pa.ListArray.from_arrays(pa.array(starts, pa.int32()), vals)
+        joined = pc.binary_join(la, sep)
+        cols = {c: pa.array(df[c].to_numpy()[starts[:-1]]) for c in by}
+        cols[out] = joined
+        return pa.table(cols)
+
+    return hash_partition_reduce(ds.select_columns(by + [value, order_col]),
+                                 by, part, num_parts=num_parts)

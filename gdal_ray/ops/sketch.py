@@ -219,3 +219,40 @@ def groupby_quantiles(ds, by, value: str, qs=(0.5,), *,
 
     return hash_partition_reduce(ds.select_columns(by + [value]), by, part,
                                  num_parts=num_parts)
+
+
+def exact_quantiles_cont(ds, col: str, qs):
+    """EXACT linearly-interpolated quantiles (SQL percentile_cont /
+    DuckDB quantile_cont): value at fractional position q*(n-1) of the
+    sorted non-null values, interpolated between the two adjacent order
+    statistics. Same distributed (value -> count) reduction as
+    exact_quantiles_int; only the driver-side rank select differs."""
+    from gdal_ray.ops.relational import groupby_agg
+    from gdal_ray.util import to_arrow
+
+    counts = to_arrow(groupby_agg(ds, [col], [("n", "count_star", None)]))
+    qs_arr = np.atleast_1d(qs).astype(np.float64)
+    if col not in counts.column_names or counts.num_rows == 0:
+        return np.full(qs_arr.size, np.nan)
+    counts = counts.filter(pa.compute.is_valid(counts[col]))
+    v = counts[col].to_numpy(zero_copy_only=False).astype(np.float64)
+    n = counts["n"].to_numpy(zero_copy_only=False)
+    if v.size == 0:
+        return np.full(qs_arr.size, np.nan)
+    order = np.argsort(v, kind="mergesort")
+    v, n = v[order], n[order]
+    cum = np.cumsum(n)
+    total = int(cum[-1])
+
+    def at_rank(r):  # 0-based order statistic via the counts table
+        return v[np.searchsorted(cum, r + 1)]
+
+    out = []
+    for q in qs_arr:
+        pos = q * (total - 1)
+        lo = int(np.floor(pos))
+        hi = min(lo + 1, total - 1)
+        frac = pos - lo
+        a, b = at_rank(lo), at_rank(hi)
+        out.append(a + frac * (b - a))
+    return np.asarray(out)

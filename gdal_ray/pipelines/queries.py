@@ -2287,6 +2287,62 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def q99_quantiles_cont(sf_dir):
+    """Interpolated (percentile_cont) quantiles of per-doc token counts —
+    distributed (value -> count) reduce, driver-side interpolation."""
+    from gdal_ray.ops.sketch import exact_quantiles_cont
+    from gdal_ray.text.analysis import add_token_count
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = add_token_count(ds, out="n_tokens")
+    vals = exact_quantiles_cont(ds, "n_tokens", [0.1, 0.5, 0.9, 0.99])
+    import numpy as _np
+
+    def rnd6(v):
+        return _np.floor(_np.abs(v) * 1e6 + 0.5) / 1e6 * _np.sign(v)
+
+    return pa.table({"q": pa.array([0.1, 0.5, 0.9, 0.99]),
+                     "val": pa.array(rnd6(vals))})
+
+
+Q99_SQL = """
+WITH tc AS (
+  SELECT length(regexp_extract_all(text, '\\S+')) AS n_tokens
+  FROM documents
+),
+sel AS (
+  SELECT 0.1 AS q, round(quantile_cont(n_tokens, 0.1), 6) AS val FROM tc
+  UNION ALL
+  SELECT 0.5, round(quantile_cont(n_tokens, 0.5), 6) FROM tc
+  UNION ALL
+  SELECT 0.9, round(quantile_cont(n_tokens, 0.9), 6) FROM tc
+  UNION ALL
+  SELECT 0.99, round(quantile_cont(n_tokens, 0.99), 6) FROM tc
+)
+SELECT CAST(q AS DOUBLE) AS q, CAST(val AS DOUBLE) AS val FROM sel
+"""
+
+
+def q100_string_agg(sf_dir):
+    """Ordered per-key string aggregation (string_agg ... ORDER BY):
+    one hash shuffle, vectorized list-offset join."""
+    from gdal_ray.ops.relational import groupby_string_agg
+
+    import pyarrow.dataset as pads
+
+    ds = read_table(sf_dir, "customer",
+                    columns=["c_mktsegment", "c_name", "c_custkey"],
+                    filter=pads.field("c_custkey") < 400)
+    return groupby_string_agg(ds, ["c_mktsegment"], "c_name", "c_custkey",
+                              sep="|", out="names")
+
+
+Q100_SQL = """
+SELECT c_mktsegment, string_agg(c_name, '|' ORDER BY c_custkey) AS names
+FROM customer WHERE c_custkey < 400 GROUP BY c_mktsegment
+"""
+
+
 def _sql_oracle(sql):
     # wrap so float columns round identically on the DuckDB side
     return f"""SELECT * REPLACE (round(total, 4) AS total) FROM ({sql})""" if "total" in sql else sql
@@ -2416,6 +2472,8 @@ def registry():
         "q96_sql_subquery": q96_sql_subquery,
         "q97_lm_score": q97_lm_score,
         "q98_groupby_quantiles": q98_groupby_quantiles,
+        "q99_quantiles_cont": q99_quantiles_cont,
+        "q100_string_agg": q100_string_agg,
     }
     sqls = {
         "q01_tpch_groupby": Q01_SQL,
@@ -2486,6 +2544,8 @@ def registry():
         "q96_sql_subquery": Q96_SQL,
         "q97_lm_score": Q97_SQL,
         "q98_groupby_quantiles": Q98_SQL,
+        "q99_quantiles_cont": Q99_SQL,
+        "q100_string_agg": Q100_SQL,
         "q29_token_quantiles": Q29_SQL,
         "q37_text_normalize": Q37_SQL,
     }

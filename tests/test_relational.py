@@ -469,3 +469,26 @@ def test_semi_join_hash_vs_broadcast(ray_session):
         assert len(got) == len(want)
         assert (got["k"].to_numpy() == want["k"].to_numpy()).all()
         assert np.allclose(got["v"].to_numpy(), want["v"].to_numpy())
+
+
+def test_groupby_string_agg_vs_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.ops.relational import groupby_string_agg
+    from gdal_ray.util import to_arrow
+
+    rng = np.random.RandomState(2)
+    n = 300
+    df = pd.DataFrame({"k": rng.randint(0, 5, n).astype(str),
+                       "v": [f"x{i}" for i in range(n)],
+                       "o": rng.permutation(n)})
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(4)
+    got = to_arrow(groupby_string_agg(ds, ["k"], "v", "o", sep=";",
+                                      out="agg")).to_pandas() \
+        .set_index("k")["agg"].to_dict()
+    want = df.sort_values(["k", "o"]).groupby("k")["v"] \
+        .agg(lambda s: ";".join(s)).to_dict()
+    assert got == want
