@@ -1023,3 +1023,61 @@ def groupby_string_agg(ds, by: Sequence[str], value: str, order_col: str,
 
     return hash_partition_reduce(ds.select_columns(by + [value, order_col]),
                                  by, part, num_parts=num_parts)
+
+
+def session_windows(ds, *, by: str, ts_col: str, gap,
+                    order_cols: Sequence[str] = (),
+                    sum_col: str | None = None,
+                    num_parts: int | None = None):
+    """Per-key SESSION windows: a gap > `gap` (pandas Timedelta or us int)
+    between consecutive events starts a new session. Output one row per
+    session: (by, session_id 0-based per key, n_events, t_start, t_end
+    [, sum_<sum_col>]).
+
+    One hash shuffle by key; sessionization inside each partition is a
+    single sort + vectorized boundary scan + np.reduceat — replacing the
+    earlier groupby(key).map_groups form whose per-group pandas slicing
+    is the documented millions-of-tiny-groups trap."""
+    import pandas as pd
+
+    gap = pd.Timedelta(gap) if not isinstance(gap, pd.Timedelta) else gap
+    order_cols = list(order_cols)
+
+    def part(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        if not len(df):
+            cols = {by: pa.array([], t[by].type),
+                    "session_id": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "t_start": pa.array([], t[ts_col].type),
+                    "t_end": pa.array([], t[ts_col].type)}
+            if sum_col:
+                cols[f"sum_{sum_col}"] = pa.array([], pa.float64())
+            return pa.table(cols)
+        df = df.sort_values([by, ts_col] + order_cols, kind="mergesort",
+                            ignore_index=True)
+        keys = df[by].to_numpy()
+        ts = df[ts_col].to_numpy()
+        new = np.ones(len(df), bool)
+        new[1:] = (keys[1:] != keys[:-1]) | \
+            ((ts[1:] - ts[:-1]) > np.timedelta64(gap.value, "ns"))
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.concatenate([starts, [len(df)]]))
+        # session id restarts at 0 per key
+        key_first = np.ones(starts.size, bool)
+        key_first[1:] = keys[starts[1:]] != keys[starts[:-1]]
+        base = np.maximum.accumulate(
+            np.where(key_first, np.arange(starts.size), 0))
+        sid = np.arange(starts.size) - base
+        ends = starts + sizes - 1
+        cols = {by: pa.array(keys[starts]),
+                "session_id": pa.array(sid.astype(np.int64)),
+                "n_events": pa.array(sizes.astype(np.int64)),
+                "t_start": pa.array(ts[starts]),
+                "t_end": pa.array(ts[ends])}
+        if sum_col:
+            v = df[sum_col].to_numpy(dtype=np.float64)
+            cols[f"sum_{sum_col}"] = pa.array(np.add.reduceat(v, starts))
+        return pa.table(cols)
+
+    return hash_partition_reduce(ds, [by], part, num_parts=num_parts)

@@ -379,30 +379,22 @@ FROM events, range(4) i GROUP BY 1, 2
 
 
 def q14b_session_windows(sf_dir):
-    """Session windows per user (gap > 2h starts a new session) — the ray
-    guide's groupby(key).map_groups-over-sorted-group pattern; oracle uses
-    lag + cumulative-sum window functions."""
-    import pandas as pd
+    """Session windows per user (gap > 2h starts a new session) — the
+    vectorized hash-partition sessionizer (one shuffle, boundary scan +
+    reduceat; replaced the per-user map_groups form); oracle uses lag +
+    cumulative-sum window functions."""
+    from gdal_ray.ops.relational import session_windows
 
-    ds = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
-
-    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        gap = g["ts"].diff() > pd.Timedelta(hours=2)
-        sid = gap.cumsum().fillna(0).astype(int)
-        out = g.groupby(sid).agg(
-            user_id=("user_id", "first"),
-            n_events=("event_id", "size"),
-            t_start=("ts", "min"),
-            t_end=("ts", "max"),
-            sum_value=("value", "sum"),
-        )
-        out["session_id"] = out.index.astype("int64")
-        out["n_events"] = out["n_events"].astype("int64")
-        out["sum_value"] = out["sum_value"].round(6)
-        return out.reset_index(drop=True)
-
-    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "event_id", "ts", "value"])
+    out = session_windows(ds, by="user_id", ts_col="ts", gap="2h",
+                          order_cols=["event_id"], sum_col="value")
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("sum_value"), "sum_value",
+            pc.round(t["sum_value"], ndigits=6,
+                     round_mode="half_towards_infinity")),
+        batch_format="pyarrow", batch_size=None)
 
 
 Q14B_SQL = """
