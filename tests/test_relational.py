@@ -492,3 +492,45 @@ def test_groupby_string_agg_vs_pandas(ray_session):
     want = df.sort_values(["k", "o"]).groupby("k")["v"] \
         .agg(lambda s: ";".join(s)).to_dict()
     assert got == want
+
+
+def test_session_windows_vs_pandas(ray_session):
+    """Vectorized sessionizer == per-user pandas brute force (gap
+    boundary, per-key 0-based session ids, sums)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.ops.relational import session_windows
+    from gdal_ray.util import to_arrow
+
+    rng = np.random.RandomState(8)
+    n = 600
+    df = pd.DataFrame({
+        "u": rng.randint(0, 12, n),
+        "e": np.arange(n),
+        "ts": pd.Timestamp("2026-01-01")
+        + pd.to_timedelta(rng.randint(0, 3 * 24 * 3600, n), unit="s"),
+        "v": rng.standard_normal(n),
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(5)
+    got = to_arrow(session_windows(ds, by="u", ts_col="ts", gap="1h",
+                                   order_cols=["e"], sum_col="v")) \
+        .to_pandas().sort_values(["u", "session_id"]).reset_index(drop=True)
+
+    rows = []
+    for u, g in df.sort_values(["ts", "e"]).groupby("u"):
+        sid = (g["ts"].diff() > pd.Timedelta("1h")).cumsum()
+        for s, gg in g.groupby(sid):
+            rows.append((u, int(s), len(gg), gg["ts"].min(),
+                         gg["ts"].max(), gg["v"].sum()))
+    want = pd.DataFrame(rows, columns=["u", "session_id", "n_events",
+                                       "t_start", "t_end", "sum_v"]) \
+        .sort_values(["u", "session_id"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    for c in ("u", "session_id", "n_events"):
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    assert (got["t_start"].to_numpy() == want["t_start"].to_numpy()).all()
+    assert (got["t_end"].to_numpy() == want["t_end"].to_numpy()).all()
+    assert np.allclose(got["sum_v"].to_numpy(), want["sum_v"].to_numpy())
