@@ -1081,3 +1081,69 @@ def session_windows(ds, *, by: str, ts_col: str, gap,
         return pa.table(cols)
 
     return hash_partition_reduce(ds, [by], part, num_parts=num_parts)
+
+
+def funnel_steps(ds, *, by: str, ts_col: str, event_col: str,
+                 steps: Sequence[str], num_parts: int | None = None):
+    """Ordered funnel analysis: for each key, the earliest time each step
+    can complete given the previous step's completion time (step k's time
+    = min ts of an event == steps[k] with ts >= step k-1's time). Output:
+    (by, depth = #completed steps, t_1..t_k timestamps, null once the
+    funnel breaks). One hash shuffle by key; each step is a vectorized
+    masked segment-min over the partition's sorted rows — no per-key
+    Python."""
+    import pandas as pd
+
+    steps = list(steps)
+
+    def part(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        ts_type = t[ts_col].type
+        if not len(df):
+            cols = {by: pa.array([], t[by].type),
+                    "depth": pa.array([], pa.int64())}
+            for i in range(len(steps)):
+                cols[f"t_{i + 1}"] = pa.array([], ts_type)
+            return pa.table(cols)
+        df = df.sort_values([by, ts_col], kind="mergesort",
+                            ignore_index=True)
+        keys = df[by].to_numpy()
+        ts = df[ts_col].to_numpy()
+        ev = df[event_col].to_numpy()
+        new = np.ones(len(df), bool)
+        new[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1          # segment id per row
+        n_keys = starts.size
+        NAT = np.datetime64("NaT", "us")
+        prev = np.full(n_keys, np.datetime64("1677-09-22", "us"))
+        out_ts = []
+        alive = np.ones(n_keys, bool)
+        for s in steps:
+            # min ts per segment among rows with event==s and ts >= prev
+            ok = (ev == s) & (ts >= prev[seg]) & alive[seg]
+            cur = np.full(n_keys, NAT)
+            idx = np.flatnonzero(ok)
+            if idx.size:
+                # rows are ts-sorted within segment: first ok row per
+                # segment is the min
+                first = np.ones(idx.size, bool)
+                first[1:] = seg[idx][1:] != seg[idx][:-1]
+                cur[seg[idx[first]]] = ts[idx[first]]
+            alive = alive & ~np.isnat(cur)
+            prev = np.where(np.isnat(cur), prev, cur)
+            out_ts.append(cur)
+        depth = np.zeros(n_keys, np.int64)
+        done = np.ones(n_keys, bool)
+        for c in out_ts:
+            done = done & ~np.isnat(c)
+            depth += done
+        cols = {by: pa.array(keys[starts]),
+                "depth": pa.array(depth)}
+        for i, c in enumerate(out_ts):
+            cols[f"t_{i + 1}"] = pa.array(c)  # NaT -> null
+        return pa.table(cols)
+
+    return hash_partition_reduce(
+        ds.select_columns([by, ts_col, event_col]), [by], part,
+        num_parts=num_parts)

@@ -2335,6 +2335,46 @@ FROM customer WHERE c_custkey < 400 GROUP BY c_mktsegment
 """
 
 
+def q101_funnel(sf_dir):
+    """Ordered funnel signup -> click -> purchase per user: step k's time
+    is the min event time >= step k-1's time. One hash shuffle; per-step
+    vectorized segment-min."""
+    from gdal_ray.ops.relational import funnel_steps
+
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_type"])
+    return funnel_steps(ds, by="user_id", ts_col="ts",
+                        event_col="event_type",
+                        steps=["signup", "click", "purchase"])
+
+
+Q101_SQL = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t_1 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t_2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts >= s1.t_1
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t_3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts >= s2.t_2
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+),
+u AS (SELECT DISTINCT user_id FROM events)
+SELECT u.user_id,
+       CAST(CASE WHEN s3.t_3 IS NOT NULL THEN 3
+                 WHEN s2.t_2 IS NOT NULL THEN 2
+                 WHEN s1.t_1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS depth,
+       s1.t_1, s2.t_2, s3.t_3
+FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+       LEFT JOIN s3 USING (user_id)
+"""
+
+
 def _sql_oracle(sql):
     # wrap so float columns round identically on the DuckDB side
     return f"""SELECT * REPLACE (round(total, 4) AS total) FROM ({sql})""" if "total" in sql else sql
@@ -2466,6 +2506,7 @@ def registry():
         "q98_groupby_quantiles": q98_groupby_quantiles,
         "q99_quantiles_cont": q99_quantiles_cont,
         "q100_string_agg": q100_string_agg,
+        "q101_funnel": q101_funnel,
     }
     sqls = {
         "q01_tpch_groupby": Q01_SQL,
@@ -2538,6 +2579,7 @@ def registry():
         "q98_groupby_quantiles": Q98_SQL,
         "q99_quantiles_cont": Q99_SQL,
         "q100_string_agg": Q100_SQL,
+        "q101_funnel": Q101_SQL,
         "q29_token_quantiles": Q29_SQL,
         "q37_text_normalize": Q37_SQL,
     }

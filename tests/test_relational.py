@@ -534,3 +534,47 @@ def test_session_windows_vs_pandas(ray_session):
     assert (got["t_start"].to_numpy() == want["t_start"].to_numpy()).all()
     assert (got["t_end"].to_numpy() == want["t_end"].to_numpy()).all()
     assert np.allclose(got["sum_v"].to_numpy(), want["sum_v"].to_numpy())
+
+
+def test_funnel_steps_vs_bruteforce(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.ops.relational import funnel_steps
+    from gdal_ray.util import to_arrow
+
+    rng = np.random.RandomState(12)
+    n = 500
+    df = pd.DataFrame({
+        "u": rng.randint(0, 30, n),
+        "ts": pd.Timestamp("2026-01-01")
+        + pd.to_timedelta(rng.randint(0, 10**6, n), unit="s"),
+        "ev": rng.choice(["a", "b", "c", "x"], n),
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(4)
+    got = to_arrow(funnel_steps(ds, by="u", ts_col="ts", event_col="ev",
+                                steps=["a", "b", "c"])) \
+        .to_pandas().set_index("u").sort_index()
+
+    for u, g in df.groupby("u"):
+        prev = pd.Timestamp.min
+        times, depth = [], 0
+        alive = True
+        for s in ("a", "b", "c"):
+            cand = g[(g.ev == s) & (g.ts >= prev)] if alive else g.iloc[0:0]
+            if len(cand):
+                tt = cand.ts.min()
+                times.append(tt)
+                prev = tt
+                depth += 1
+            else:
+                times.append(pd.NaT)
+                alive = False
+        row = got.loc[u]
+        assert row["depth"] == depth, u
+        for i, tt in enumerate(times):
+            gv = row[f"t_{i + 1}"]
+            assert (pd.isna(gv) and pd.isna(tt)) or gv == tt, (u, i)
+    assert len(got) == df.u.nunique()
