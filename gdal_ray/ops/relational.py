@@ -1147,3 +1147,56 @@ def funnel_steps(ds, *, by: str, ts_col: str, event_col: str,
     return hash_partition_reduce(
         ds.select_columns([by, ts_col, event_col]), [by], part,
         num_parts=num_parts)
+
+
+def cohort_retention(ds, *, by: str, ts_col: str, period: str = "W",
+                     num_parts: int | None = None):
+    """Cohort retention matrix: cohort = each key's first-activity period,
+    age = periods since cohort; output (cohort period start, age, n_keys
+    distinct). One hash shuffle by key (each key's rows co-locate, so its
+    cohort and distinct active periods compute locally), then the
+    vocabulary-sized (cohort, age) count merges through a second tiny
+    reduce. period: pandas offset alias ('W' weeks from epoch Thursday?
+    no — computed as floor(ts / 7d) weeks, restatable in SQL)."""
+    import pandas as pd
+
+    unit_us = {"D": 86400_000_000, "W": 7 * 86400_000_000}[period]
+
+    def part(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        if not len(df):
+            return pa.table({"cohort": pa.array([], pa.int64()),
+                             "age": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        us = df[ts_col].astype("int64").to_numpy()  # timestamp[us] -> us
+        per = us // unit_us
+        key = df[by].to_numpy()
+        order = np.lexsort((per, key))
+        key, per = key[order], per[order]
+        new = np.ones(key.size, bool)
+        new[1:] = key[1:] != key[:-1]
+        seg = np.cumsum(new) - 1
+        cohort = per[new][seg]          # first (min) period per key
+        age = per - cohort
+        # distinct (key, age) pairs -> count per (cohort, age)
+        d = np.ones(key.size, bool)
+        d[1:] = (key[1:] != key[:-1]) | (age[1:] != age[:-1])
+        ck, ak = cohort[d], age[d]
+        o2 = np.lexsort((ak, ck))
+        ck, ak = ck[o2], ak[o2]
+        n2 = np.ones(ck.size, bool)
+        n2[1:] = (ck[1:] != ck[:-1]) | (ak[1:] != ak[:-1])
+        gid = np.cumsum(n2) - 1
+        cnt = np.bincount(gid).astype(np.int64)
+        return pa.table({"cohort": pa.array(ck[n2]),
+                         "age": pa.array(ak[n2]),
+                         "n": pa.array(cnt)})
+
+    parts = hash_partition_reduce(ds.select_columns([by, ts_col]), [by],
+                                  part, num_parts=num_parts)
+
+    def merge(t: pa.Table) -> pa.Table:
+        return pa.TableGroupBy(t, ["cohort", "age"]).aggregate([("n", "sum")]) \
+            .rename_columns(["cohort", "age", "n"])
+
+    return hash_partition_reduce(parts, ["cohort", "age"], merge)

@@ -2375,6 +2375,33 @@ FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
 """
 
 
+def q102_cohort_retention(sf_dir):
+    """Weekly cohort retention: cohort = each user's first-activity week
+    (floor(epoch/7d)), age = weeks since; counts distinct users active per
+    (cohort, age). One shuffle by user + one vocabulary-sized merge."""
+    from gdal_ray.ops.relational import cohort_retention
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    return cohort_retention(ds, by="user_id", ts_col="ts", period="W")
+
+
+Q102_SQL = """
+WITH p AS (
+  SELECT user_id,
+         epoch_us(ts) // CAST(604800000000 AS BIGINT) AS per
+  FROM events
+),
+c AS (SELECT user_id, MIN(per) AS cohort FROM p GROUP BY user_id),
+d AS (
+  SELECT DISTINCT p.user_id, c.cohort, p.per - c.cohort AS age
+  FROM p JOIN c USING (user_id)
+)
+SELECT CAST(cohort AS BIGINT) AS cohort, CAST(age AS BIGINT) AS age,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM d GROUP BY cohort, age
+"""
+
+
 def _sql_oracle(sql):
     # wrap so float columns round identically on the DuckDB side
     return f"""SELECT * REPLACE (round(total, 4) AS total) FROM ({sql})""" if "total" in sql else sql
@@ -2507,6 +2534,7 @@ def registry():
         "q99_quantiles_cont": q99_quantiles_cont,
         "q100_string_agg": q100_string_agg,
         "q101_funnel": q101_funnel,
+        "q102_cohort_retention": q102_cohort_retention,
     }
     sqls = {
         "q01_tpch_groupby": Q01_SQL,
@@ -2580,6 +2608,7 @@ def registry():
         "q99_quantiles_cont": Q99_SQL,
         "q100_string_agg": Q100_SQL,
         "q101_funnel": Q101_SQL,
+        "q102_cohort_retention": Q102_SQL,
         "q29_token_quantiles": Q29_SQL,
         "q37_text_normalize": Q37_SQL,
     }
