@@ -1200,3 +1200,50 @@ def cohort_retention(ds, *, by: str, ts_col: str, period: str = "W",
             .rename_columns(["cohort", "age", "n"])
 
     return hash_partition_reduce(parts, ["cohort", "age"], merge)
+
+
+def dense_time_counts(ds, *, ts_col: str, unit_us: int,
+                      value_col: str | None = None):
+    """Event counts per fixed time bucket with GAP FILL: every bucket
+    between the global min and max appears, zero-filled when empty (SQL
+    generate_series semantics — plain per-bucket groupby drops silent
+    gaps). Buckets = floor(epoch_us / unit_us).
+
+    Two-level: per-batch bucket partials -> tiny tree merge; the dense
+    range materializes from the merged (bounded: span/unit rows) — the
+    gap-fill itself is never corpus-sized."""
+    from gdal_ray.util import to_arrow
+
+    specs = [("n", "count_star", None)]
+    if value_col:
+        specs.append((f"sum_{value_col}", "sum", value_col))
+
+    def bucket(t: pa.Table) -> pa.Table:
+        us = pc.cast(t[ts_col], pa.int64())
+        b = pc.divide(us, unit_us)
+        out = {"bucket": pc.cast(b, pa.int64())}
+        if value_col:
+            out[value_col] = t[value_col]
+        return pa.table(out)
+
+    bk = ds.map_batches(bucket, batch_format="pyarrow", batch_size=None)
+    agg = to_arrow(groupby_agg(bk, ["bucket"], specs))
+    b = agg["bucket"].to_numpy(zero_copy_only=False)
+    n = agg["n"].to_numpy(zero_copy_only=False)
+    if b.size == 0:
+        cols = {"bucket": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64())}
+        if value_col:
+            cols[f"sum_{value_col}"] = pa.array([], pa.float64())
+        return pa.table(cols)
+    lo, hi = int(b.min()), int(b.max())
+    full = np.arange(lo, hi + 1, dtype=np.int64)
+    dense_n = np.zeros(full.size, np.int64)
+    dense_n[b - lo] = n
+    cols = {"bucket": pa.array(full), "n": pa.array(dense_n)}
+    if value_col:
+        sv = agg[f"sum_{value_col}"].to_numpy(zero_copy_only=False)
+        dense_s = np.zeros(full.size, np.float64)
+        dense_s[b - lo] = sv
+        cols[f"sum_{value_col}"] = pa.array(dense_s)
+    return pa.table(cols)

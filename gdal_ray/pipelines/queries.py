@@ -2402,6 +2402,41 @@ FROM d GROUP BY cohort, age
 """
 
 
+def q103_dense_time_counts(sf_dir):
+    """Hourly event counts + value sums with gap fill (every hour between
+    global min and max present, zeros where empty)."""
+    import pyarrow.compute as pcx
+
+    from gdal_ray.ops.relational import dense_time_counts
+
+    ds = read_table(sf_dir, "events", columns=["ts", "value"])
+    out = dense_time_counts(ds, ts_col="ts", unit_us=3600_000_000,
+                            value_col="value")
+    return out.set_column(
+        out.column_names.index("sum_value"), "sum_value",
+        pcx.round(out["sum_value"], ndigits=4,
+                  round_mode="half_towards_infinity"))
+
+
+Q103_SQL = """
+WITH b AS (
+  SELECT epoch_us(ts) // CAST(3600000000 AS BIGINT) AS bucket,
+         value
+  FROM events
+),
+agg AS (
+  SELECT bucket, COUNT(*) AS n, SUM(value) AS s FROM b GROUP BY bucket
+),
+rng AS (
+  SELECT unnest(generate_series((SELECT MIN(bucket) FROM agg),
+                                (SELECT MAX(bucket) FROM agg))) AS bucket
+)
+SELECT rng.bucket, CAST(COALESCE(agg.n, 0) AS BIGINT) AS n,
+       round(COALESCE(agg.s, 0.0), 4) AS sum_value
+FROM rng LEFT JOIN agg USING (bucket)
+"""
+
+
 def _sql_oracle(sql):
     # wrap so float columns round identically on the DuckDB side
     return f"""SELECT * REPLACE (round(total, 4) AS total) FROM ({sql})""" if "total" in sql else sql
@@ -2535,6 +2570,7 @@ def registry():
         "q100_string_agg": q100_string_agg,
         "q101_funnel": q101_funnel,
         "q102_cohort_retention": q102_cohort_retention,
+        "q103_dense_time_counts": q103_dense_time_counts,
     }
     sqls = {
         "q01_tpch_groupby": Q01_SQL,
@@ -2609,6 +2645,7 @@ def registry():
         "q100_string_agg": Q100_SQL,
         "q101_funnel": Q101_SQL,
         "q102_cohort_retention": Q102_SQL,
+        "q103_dense_time_counts": Q103_SQL,
         "q29_token_quantiles": Q29_SQL,
         "q37_text_normalize": Q37_SQL,
     }
