@@ -2437,6 +2437,38 @@ FROM rng LEFT JOIN agg USING (bucket)
 """
 
 
+def q104_quantile_buckets(sf_dir):
+    """CCNet head/middle/tail bucketing by per-doc token count (exact
+    integer tercile thresholds, so both engines agree bit-for-bit)."""
+    from gdal_ray.text.analysis import add_token_count, quantile_buckets
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = add_token_count(ds, out="n_tokens")
+    out = quantile_buckets(ds, "n_tokens")
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "n_tokens", "bucket"]),
+        batch_format="pyarrow", batch_size=None)
+
+
+Q104_SQL = r"""
+WITH tc AS (
+  SELECT doc_id,
+         length(regexp_extract_all(text, '\S+')) AS n_tokens
+  FROM documents
+),
+thr AS (
+  SELECT quantile_disc(n_tokens, CAST(1 AS DOUBLE)/3) AS t1,
+         quantile_disc(n_tokens, CAST(2 AS DOUBLE)/3) AS t2
+  FROM tc
+)
+SELECT tc.doc_id, tc.n_tokens,
+       CASE WHEN tc.n_tokens <= thr.t1 THEN 'head'
+            WHEN tc.n_tokens <= thr.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM tc CROSS JOIN thr
+"""
+
+
 def _sql_oracle(sql):
     # wrap so float columns round identically on the DuckDB side
     return f"""SELECT * REPLACE (round(total, 4) AS total) FROM ({sql})""" if "total" in sql else sql
@@ -2571,6 +2603,7 @@ def registry():
         "q101_funnel": q101_funnel,
         "q102_cohort_retention": q102_cohort_retention,
         "q103_dense_time_counts": q103_dense_time_counts,
+        "q104_quantile_buckets": q104_quantile_buckets,
     }
     sqls = {
         "q01_tpch_groupby": Q01_SQL,
@@ -2646,6 +2679,7 @@ def registry():
         "q101_funnel": Q101_SQL,
         "q102_cohort_retention": Q102_SQL,
         "q103_dense_time_counts": Q103_SQL,
+        "q104_quantile_buckets": Q104_SQL,
         "q29_token_quantiles": Q29_SQL,
         "q37_text_normalize": Q37_SQL,
     }

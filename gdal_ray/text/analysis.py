@@ -321,3 +321,28 @@ def repetition_signals(ds, text_col: str = "text",
         return pa.table(out)
 
     return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
+def quantile_buckets(ds, col: str, *, edges=(1.0 / 3.0, 2.0 / 3.0),
+                     labels=("head", "middle", "tail"),
+                     out: str = "bucket"):
+    """CCNet-style percentile bucketing (Wenzek et al. 2019 §4.3, public):
+    split a corpus into head/middle/tail by a signal column's quantiles.
+    Thresholds come from the distributed exact quantile (quantile_disc
+    convention — integer-valued signals give bit-identical thresholds on
+    any engine); row i gets labels[k] where k = #thresholds < value
+    (values equal to a threshold fall LEFT, matching `value <= thr`).
+    Two passes: one quantile reduce, one streaming label map."""
+    from gdal_ray.ops.sketch import exact_quantiles_int
+
+    thr = exact_quantiles_int(ds, col, list(edges))
+
+    def f(t: pa.Table) -> pa.Table:
+        v = pc.cast(t[col], pa.float64()).to_numpy(zero_copy_only=False)
+        k = np.zeros(len(t), np.int64)
+        for b in thr:
+            k += (v > b).astype(np.int64)
+        lab = np.asarray(labels, dtype=object)[k]
+        return t.append_column(out, pa.array(lab.tolist(), pa.string()))
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
