@@ -114,3 +114,47 @@ def raster_info(tiles_ds, *, dtype=np.uint32, nodata=None,
                        int(parts["ty1"].to_numpy().max())),
         "statistics": stats.to_dict("records"),
     }
+
+
+def text_corpus_report(ds, *, id_col: str = "doc_id",
+                       text_col: str = "text", lang_col: str | None = None):
+    """One-row corpus profile (the `gdal dataset info` analog for a text
+    corpus): doc count, token totals/means, exact-duplicate rate (HLL
+    approximate distinct content fingerprints vs rows), and the dominant
+    language share when a lang column exists. All mergeable reductions —
+    one pass over the corpus plus the tiny aggregate merges."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from gdal_ray.ops.relational import groupby_agg
+    from gdal_ray.ops.sketch import approx_count_distinct
+    from gdal_ray.text.analysis import add_fingerprint, add_token_count
+    from gdal_ray.util import to_arrow
+
+    d = add_token_count(ds, text_col=text_col, out="__nt")
+    agg = to_arrow(groupby_agg(
+        d, [], [("n_docs", "count_star", None),
+                ("total_tokens", "sum", "__nt"),
+                ("mean_tokens", "mean", "__nt"),
+                ("max_tokens", "max", "__nt")]))
+    fp = add_fingerprint(ds, text_col=text_col, out="__fp")
+    approx_distinct = int(round(approx_count_distinct(fp, "__fp")))
+    n_docs = int(agg["n_docs"][0].as_py())
+    row = {
+        "n_docs": n_docs,
+        "total_tokens": int(agg["total_tokens"][0].as_py()),
+        "mean_tokens": float(agg["mean_tokens"][0].as_py()),
+        "max_tokens": int(agg["max_tokens"][0].as_py()),
+        "approx_distinct_docs": approx_distinct,
+        "approx_dup_rate": round(max(0.0, 1.0 - approx_distinct
+                                     / max(n_docs, 1)), 4),
+    }
+    if lang_col:
+        lct = to_arrow(groupby_agg(ds, [lang_col],
+                                   [("n", "count_star", None)]))
+        lc = lct.to_pandas().sort_values(["n", lang_col],
+                                         ascending=[False, True]).iloc[0]
+        row["n_langs"] = int(lct.num_rows)
+        row["top_lang"] = str(lc[lang_col])
+        row["top_lang_frac"] = round(float(lc["n"]) / max(n_docs, 1), 4)
+    return pa.table({k: [v] for k, v in row.items()})

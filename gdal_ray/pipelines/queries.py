@@ -2469,6 +2469,17 @@ FROM tc CROSS JOIN thr
 """
 
 
+def q105_corpus_report(sf_dir):
+    """One-row text-corpus profile (dataset-info analog): doc/token
+    totals, HLL approximate dup rate, language distribution. Rows-only
+    (HLL has no SQL equivalent); deterministic, golden-pinned."""
+    from gdal_ray.pipelines.info import text_corpus_report
+
+    ds = read_table(sf_dir, "documents",
+                    columns=["doc_id", "text", "lang"])
+    return text_corpus_report(ds, lang_col="lang")
+
+
 def _sql_oracle(sql):
     # wrap so float columns round identically on the DuckDB side
     return f"""SELECT * REPLACE (round(total, 4) AS total) FROM ({sql})""" if "total" in sql else sql
@@ -2604,6 +2615,7 @@ def registry():
         "q102_cohort_retention": q102_cohort_retention,
         "q103_dense_time_counts": q103_dense_time_counts,
         "q104_quantile_buckets": q104_quantile_buckets,
+        "q105_corpus_report": q105_corpus_report,
     }
     sqls = {
         "q01_tpch_groupby": Q01_SQL,

@@ -45,6 +45,8 @@ GOLDENS = {
     # full curation chain (quality+langid+repetition filter+PII+exact
     # dedup+decontam+char budget) — deterministic composed pipeline
     "q95_curation": (481, "8a1be70bf041f9d7"),
+    # one-row corpus profile: counts + HLL dup-rate + top-lang share
+    "q105_corpus_report": (1, "c1dcf23734167715"),
 }
 
 
