@@ -16,7 +16,7 @@ Supported grammar (the OGR dialect subset that maps to our operator layer):
   [WHERE <boolean expr>]
   [GROUP BY col (, ...)]
   [HAVING <boolean expr over aggregates>]
-  [UNION ALL SELECT ...]
+  [UNION [ALL] | INTERSECT | EXCEPT SELECT ...]   (INTERSECT binds tighter)
   [ORDER BY col [ASC|DESC] (, ...)]
   [LIMIT n [OFFSET m]]
 
@@ -135,6 +135,8 @@ _KEYWORDS = {
     "ABS", "ROUND", "FLOOR", "CEIL", "CEILING", "TRIM", "LTRIM", "RTRIM",
     "REPLACE",
     "OVER", "PARTITION", "ROW_NUMBER", "RANK", "DENSE_RANK", "LAG", "LEAD",
+    "NTILE", "PERCENT_RANK", "CUME_DIST", "FIRST_VALUE", "LAST_VALUE",
+    "INTERSECT", "EXCEPT",
 }
 
 
@@ -370,12 +372,20 @@ class Parser:
             return self._maybe_over(
                 Node("agg", (kinds[t[1]],
                              inner.value if inner.kind == "col" else inner)))
-        if t[0] == "kw" and t[1] in ("ROW_NUMBER", "RANK", "DENSE_RANK"):
+        if t[0] == "kw" and t[1] in ("ROW_NUMBER", "RANK", "DENSE_RANK",
+                                     "PERCENT_RANK", "CUME_DIST"):
             self.expect("op", "(")
             self.expect("op", ")")
             if self.peek() != ("kw", "OVER"):
                 raise ValueError(f"{t[1]}() requires an OVER clause")
             return self._maybe_over(Node("call", t[1].lower(), ()))
+        if t[0] == "kw" and t[1] in ("NTILE", "FIRST_VALUE", "LAST_VALUE"):
+            self.expect("op", "(")
+            e = self.expr()
+            self.expect("op", ")")
+            if self.peek() != ("kw", "OVER"):
+                raise ValueError(f"{t[1]}() requires an OVER clause")
+            return self._maybe_over(Node("call", t[1].lower(), (e,)))
         if t[0] == "kw" and t[1] in ("LAG", "LEAD"):
             self.expect("op", "(")
             e = self.expr()
@@ -502,10 +512,13 @@ class Select:
 
 @dataclass
 class Query:
-    cores: list          # [Select]; >1 means UNION ALL chain
+    cores: list          # [Select]; >1 means a set-op chain
     order_by: list
     limit: int | None
     offset: int | None
+    # set_ops[i] combines cores[i] with cores[i+1]:
+    # "union_all" | "union" | "intersect" | "except"
+    set_ops: list = None
 
 
 def _parse_table_ref(p: Parser):
@@ -577,9 +590,17 @@ def _parse_core(p: Parser) -> Select:
 def parse_query(sql: str) -> Query:
     p = Parser(tokenize(sql))
     cores = [_parse_core(p)]
-    while p.peek() == ("kw", "UNION"):
-        p.next()
-        p.expect("kw", "ALL")
+    set_ops = []
+    while p.peek()[0] == "kw" and p.peek()[1] in ("UNION", "INTERSECT",
+                                                  "EXCEPT"):
+        kw = p.next()[1]
+        if kw == "UNION":
+            op = "union_all" if p.accept("kw", "ALL") else "union"
+        else:
+            if p.accept("kw", "ALL"):
+                raise ValueError(f"{kw} ALL not supported (DISTINCT set ops only)")
+            op = kw.lower()
+        set_ops.append(op)
         cores.append(_parse_core(p))
     order_by = []
     if p.accept("kw", "ORDER"):
@@ -602,7 +623,7 @@ def parse_query(sql: str) -> Query:
         if p.accept("kw", "OFFSET"):
             offset = int(p.expect("num")[1])
     p.expect("end")
-    return Query(cores, order_by, limit, offset)
+    return Query(cores, order_by, limit, offset, set_ops=set_ops)
 
 
 def parse_select(sql: str) -> Select:
@@ -1121,18 +1142,47 @@ def _resolve_subqueries(core: Select, sf_dir: str) -> Select:
     return core
 
 
+def _combine_set_ops(outs: list, ops: list, names: list):
+    """Fold a parsed set-op chain. Standard SQL precedence: INTERSECT binds
+    tighter than UNION/EXCEPT; UNION/EXCEPT associate left. All three
+    DISTINCT variants compile to existing distributed operators: UNION ->
+    union_all + distinct (tree merge), INTERSECT/EXCEPT -> distinct +
+    hash-partitioned semi/anti join on the full row (semi_join_hash — one
+    shuffle of each side, no broadcast of the big side)."""
+    from gdal_ray.ops.relational import distinct as op_distinct
+    from gdal_ray.ops.relational import semi_join_hash, union_all
+
+    vals, vops = [outs[0]], []
+    for op, o in zip(ops, outs[1:]):
+        if op == "intersect":
+            vals[-1] = semi_join_hash(
+                op_distinct(vals[-1], names), o, names)
+        else:
+            vops.append(op)
+            vals.append(o)
+    out = vals[0]
+    for op, o in zip(vops, vals[1:]):
+        if op == "union_all":
+            out = union_all(out, o)
+        elif op == "union":
+            out = op_distinct(union_all(out, o), names)
+        else:  # except
+            out = semi_join_hash(op_distinct(out, names), o, names, anti=True)
+    return out
+
+
 def execute(sql: str, sf_dir: str):
-    """Compile + run a SELECT (or UNION ALL chain) against the sf_dir
-    parquet tables."""
+    """Compile + run a SELECT (or set-op chain: UNION [ALL] / INTERSECT /
+    EXCEPT) against the sf_dir parquet tables."""
     from gdal_ray.ops.relational import topk, union_all
 
     q = parse_query(sql)
     q.cores = [_resolve_subqueries(c, sf_dir) for c in q.cores]
     if len(q.cores) == 1:
         return _execute_core(q.cores[0], sf_dir, q.order_by, q.limit, q.offset)
-    # UNION ALL: each core compiles independently; schemas align by POSITION
-    # to the first core's output names (ogr_sql_dialect.rst:515-533 resolves
-    # union layer fields by the first layer's definition)
+    # Set-op chain: each core compiles independently; schemas align by
+    # POSITION to the first core's output names (ogr_sql_dialect.rst:515-533
+    # resolves union layer fields by the first layer's definition)
     first_names = _out_names(q.cores[0])
     outs = []
     for core in q.cores:
@@ -1143,7 +1193,8 @@ def execute(sql: str, sf_dir: str):
                 batch_format="pyarrow", batch_size=None,
             )
         outs.append(o)
-    out = union_all(*outs)
+    ops = q.set_ops or ["union_all"] * (len(outs) - 1)
+    out = _combine_set_ops(outs, ops, first_names)
     want = q.limit + (q.offset or 0) if q.limit is not None else None
     if q.order_by:
         out, keys_, drop_ = _order_keys(out, q.order_by)
@@ -1305,6 +1356,40 @@ def _eval_window_fn(fnode: Node, df, ctx: dict):
             return (peer_start - starts_rep + 1).astype(np.int64)
         cs = np.cumsum(new_peer)
         return (cs - cs[starts_rep] + 1).astype(np.int64)
+    if fnode.kind == "call" and fnode.value == "percent_rank":
+        if not has_order:
+            raise ValueError("PERCENT_RANK() requires ORDER BY")
+        rank0 = (peer_start - starts_rep).astype(np.float64)
+        return rank0 / np.maximum(sizes_rep - 1, 1)  # 1-row partition -> 0.0
+    if fnode.kind == "call" and fnode.value == "cume_dist":
+        if not has_order:
+            raise ValueError("CUME_DIST() requires ORDER BY")
+        return (peer_end - starts_rep + 1) / sizes_rep.astype(np.float64)
+    if fnode.kind == "call" and fnode.value == "ntile":
+        k = int(_const_value(fnode.args[0]))
+        if k <= 0:
+            raise ValueError("NTILE bucket count must be positive")
+        # SQL NTILE: first (size % k) buckets get one extra row
+        quo = sizes_rep // k
+        rem = sizes_rep % k
+        boundary = rem * (quo + 1)
+        small = pos < boundary
+        bucket = np.where(
+            small,
+            pos // np.maximum(quo + 1, 1),
+            rem + np.where(quo > 0, (pos - boundary) // np.maximum(quo, 1), 0))
+        return (bucket + 1).astype(np.int64)
+    if fnode.kind == "call" and fnode.value in ("first_value", "last_value"):
+        (colnode,) = fnode.args
+        if colnode.kind != "col":
+            raise ValueError("FIRST_VALUE/LAST_VALUE supports plain columns only")
+        if not has_order:
+            raise ValueError("FIRST_VALUE/LAST_VALUE requires ORDER BY")
+        arr = df[colnode.value].to_numpy()
+        # default frame RANGE UNBOUNDED PRECEDING..CURRENT ROW: first is
+        # the partition head, last is the current row's last peer
+        idx = starts_rep if fnode.value == "first_value" else peer_end
+        return arr[idx] if n else arr
     if fnode.kind == "call" and fnode.value in ("lag", "lead"):
         colnode, offn, defn = fnode.args
         if colnode.kind != "col":

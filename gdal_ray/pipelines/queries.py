@@ -2480,6 +2480,44 @@ def q105_corpus_report(sf_dir):
     return text_corpus_report(ds, lang_col="lang")
 
 
+def q106_sql_setops(sf_dir):
+    """SQL set operators (UNION / INTERSECT / EXCEPT, standard precedence:
+    INTERSECT binds tighter) through the compiler — INTERSECT/EXCEPT run as
+    hash-partitioned semi/anti joins on the full row, UNION as union_all +
+    tree-merge distinct. Same string is the DuckDB oracle."""
+    from gdal_ray.ops.sql import execute
+
+    return execute(Q106_SQL, sf_dir)
+
+
+Q106_SQL = """
+SELECT c_nationkey AS k FROM customer
+INTERSECT SELECT s_nationkey AS k FROM supplier
+UNION SELECT n_nationkey AS k FROM nation WHERE n_regionkey = 0
+EXCEPT SELECT n_nationkey AS k FROM nation WHERE n_name LIKE 'A%'
+"""
+
+
+def q107_sql_window_dist(sf_dir):
+    """Distribution window functions (NTILE / PERCENT_RANK / CUME_DIST /
+    FIRST_VALUE / LAST_VALUE) over a hash-partitioned pass; unique ORDER BY
+    key keeps NTILE deterministic. Same string is the DuckDB oracle."""
+    from gdal_ray.ops.sql import execute
+
+    return execute(Q107_SQL, sf_dir)
+
+
+Q107_SQL = """
+SELECT o_orderkey,
+       NTILE(5) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey) AS nt,
+       PERCENT_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey) AS pr,
+       CUME_DIST() OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey) AS cd,
+       FIRST_VALUE(o_custkey) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey) AS fv,
+       LAST_VALUE(o_custkey) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey) AS lv
+FROM orders WHERE o_orderkey < 30000
+"""
+
+
 def _sql_oracle(sql):
     # wrap so float columns round identically on the DuckDB side
     return f"""SELECT * REPLACE (round(total, 4) AS total) FROM ({sql})""" if "total" in sql else sql
@@ -2616,6 +2654,8 @@ def registry():
         "q103_dense_time_counts": q103_dense_time_counts,
         "q104_quantile_buckets": q104_quantile_buckets,
         "q105_corpus_report": q105_corpus_report,
+        "q106_sql_setops": q106_sql_setops,
+        "q107_sql_window_dist": q107_sql_window_dist,
     }
     sqls = {
         "q01_tpch_groupby": Q01_SQL,
@@ -2692,6 +2732,8 @@ def registry():
         "q102_cohort_retention": Q102_SQL,
         "q103_dense_time_counts": Q103_SQL,
         "q104_quantile_buckets": Q104_SQL,
+        "q106_sql_setops": Q106_SQL,
+        "q107_sql_window_dist": Q107_SQL,
         "q29_token_quantiles": Q29_SQL,
         "q37_text_normalize": Q37_SQL,
     }

@@ -57,6 +57,14 @@ CASES = [
     "SELECT o_orderkey, LAG(o_totalprice, 1, 0.0) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey) AS prev, LEAD(o_totalprice) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey) AS nxt FROM orders WHERE o_orderkey < 300",
     "SELECT n_nationkey, ROW_NUMBER() OVER (ORDER BY n_name DESC) AS rn FROM nation",
     "SELECT c_custkey, ROW_NUMBER() OVER (PARTITION BY c_nationkey, c_mktsegment ORDER BY c_custkey) AS rn FROM customer WHERE c_custkey < 250",
+    # round-4b: distribution windows + set operators
+    "SELECT c_custkey, NTILE(3) OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS nt FROM customer WHERE c_custkey < 400",
+    "SELECT c_custkey, PERCENT_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS pr, CUME_DIST() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS cd FROM customer WHERE c_custkey < 350",
+    "SELECT o_orderkey, FIRST_VALUE(o_custkey) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey) AS fv, LAST_VALUE(o_custkey) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey) AS lv FROM orders WHERE o_orderkey < 600",
+    "SELECT c_nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier",
+    "SELECT n_nationkey FROM nation EXCEPT SELECT s_nationkey FROM supplier WHERE s_suppkey < 30",
+    "SELECT c_mktsegment AS v FROM customer UNION SELECT o_orderpriority AS v FROM orders",
+    "SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 9000 UNION ALL SELECT s_nationkey AS k FROM supplier INTERSECT SELECT n_nationkey AS k FROM nation WHERE n_nationkey > 10",
 ]
 
 
