@@ -474,6 +474,67 @@ def broadcast_join(
     return ds.map_batches(join_batch, batch_format="pyarrow", batch_size=None)
 
 
+def join_hash(left_ds, right_ds, keys: Sequence[str], *,
+              right_keys: Sequence[str] | None = None, how: str = "inner",
+              suffix: str = "_r", num_parts: int | None = None):
+    """Big-big equi join: neither side broadcast. Both sides are
+    co-partitioned by hash(keys) through the tagged-union shuffle (the
+    same partition-disjoint machinery as semi_join_hash); each partition
+    runs pyarrow's native hash join locally — globally correct because
+    equal keys always land in the same partition.
+
+    how: "inner" | "left" | "right" | "full" (outer). Output columns: the
+    join keys once (left names, coalesced in outer joins), then left
+    non-key columns, then right non-key columns (suffixed on collision).
+    Use broadcast_join when one side fits in memory — one shuffle cheaper.
+    """
+    keys = list(keys)
+    right_keys = list(right_keys) if right_keys is not None else keys
+    jt = {"inner": "inner", "left": "left outer",
+          "right": "right outer", "full": "full outer"}[how]
+    lsch, rsch = left_ds.schema(), right_ds.schema()
+    ltypes = dict(zip(lsch.names, lsch.types))
+    rtypes = dict(zip(rsch.names, rsch.types))
+    lextra = [c for c in lsch.names if c not in keys]
+    rextra0 = [c for c in rsch.names if c not in right_keys]
+    ren = {c: (c + suffix if c in ltypes else c) for c in rextra0}
+    rextra = [ren[c] for c in rextra0]
+    side_col = "__jh_side"
+    out_cols = keys + lextra + rextra
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        cols = {c: t[c] for c in keys + lextra}
+        for c0, c in ren.items():
+            cols[c] = pa.nulls(len(t), rtypes[c0])
+        cols[side_col] = pa.array(np.zeros(len(t), np.int8))
+        return pa.table(cols)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        cols = {k: pc.cast(t[rk], ltypes[k])
+                for k, rk in zip(keys, right_keys)}
+        for c in lextra:
+            cols[c] = pa.nulls(len(t), ltypes[c])
+        for c0, c in ren.items():
+            cols[c] = t[c0]
+        cols[side_col] = pa.array(np.ones(len(t), np.int8))
+        return pa.table(cols)
+
+    left = left_ds.map_batches(tag_left, batch_format="pyarrow",
+                               batch_size=None)
+    right = right_ds.map_batches(tag_right, batch_format="pyarrow",
+                                 batch_size=None)
+
+    def probe(t: pa.Table) -> pa.Table:
+        side = t[side_col].to_numpy(zero_copy_only=False)
+        lt = t.filter(pa.array(side == 0)).select(keys + lextra)
+        rt = t.filter(pa.array(side == 1)).select(keys + rextra)
+        out = lt.join(rt, keys=keys, join_type=jt, use_threads=False)
+        return out.select(out_cols)
+
+    return hash_partition_reduce(left.union(right), keys, probe,
+                                 num_parts=num_parts)
+
+
 def semi_anti_join(ds, keys: Sequence[str], key_set, *, anti: bool = False):
     """Semi/anti join by broadcast key set (ray guide pattern: broadcast the
     key set, filter inside map_batches — no shuffle). key_set: pa.Table with

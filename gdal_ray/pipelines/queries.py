@@ -2518,6 +2518,37 @@ FROM orders WHERE o_orderkey < 30000
 """
 
 
+def q108_full_outer_join(sf_dir):
+    """Big-big FULL OUTER equi join (join_hash): both sides co-partitioned
+    by hash(key), per-partition Arrow native join — neither side broadcast,
+    one shuffle each. Key column coalesced (left name); the oracle mirrors
+    that with COALESCE."""
+    import pyarrow.compute as pc
+
+    from gdal_ray.ops.relational import join_hash
+
+    L = read_table(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    L = L.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t["o_orderkey"], 3), 0)),
+        batch_format="pyarrow", batch_size=None)
+    R = read_table(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+    R = R.map_batches(
+        lambda t: t.filter(pc.greater(t["c_acctbal"], 5000.0)),
+        batch_format="pyarrow", batch_size=None)
+    return join_hash(L, R, ["o_custkey"], right_keys=["c_custkey"],
+                     how="full")
+
+
+Q108_SQL = """
+SELECT COALESCE(o.o_custkey, c.c_custkey) AS o_custkey,
+       o.o_orderkey, o.o_totalprice, c.c_acctbal
+FROM (SELECT * FROM orders WHERE (o_orderkey & 3) = 0) o
+FULL OUTER JOIN (SELECT * FROM customer WHERE c_acctbal > 5000) c
+ON o.o_custkey = c.c_custkey
+"""
+
+
 def _sql_oracle(sql):
     # wrap so float columns round identically on the DuckDB side
     return f"""SELECT * REPLACE (round(total, 4) AS total) FROM ({sql})""" if "total" in sql else sql
@@ -2656,6 +2687,7 @@ def registry():
         "q105_corpus_report": q105_corpus_report,
         "q106_sql_setops": q106_sql_setops,
         "q107_sql_window_dist": q107_sql_window_dist,
+        "q108_full_outer_join": q108_full_outer_join,
     }
     sqls = {
         "q01_tpch_groupby": Q01_SQL,
@@ -2734,6 +2766,7 @@ def registry():
         "q104_quantile_buckets": Q104_SQL,
         "q106_sql_setops": Q106_SQL,
         "q107_sql_window_dist": Q107_SQL,
+        "q108_full_outer_join": Q108_SQL,
         "q29_token_quantiles": Q29_SQL,
         "q37_text_normalize": Q37_SQL,
     }

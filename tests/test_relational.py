@@ -578,3 +578,46 @@ def test_funnel_steps_vs_bruteforce(ray_session):
             gv = row[f"t_{i + 1}"]
             assert (pd.isna(gv) and pd.isna(tt)) or gv == tt, (u, i)
     assert len(got) == df.u.nunique()
+
+
+def test_join_hash_all_types_vs_pandas(ray_session):
+    """Big-big co-partitioned equi join == a driver-side pandas merge for
+    every join type; covers null keys (never match, survive outer sides),
+    colliding payload names (suffix), and key coalescing."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.ops.relational import join_hash
+    from gdal_ray.util import to_arrow
+
+    rng = np.random.RandomState(11)
+    lk = rng.randint(0, 60, 400).astype(np.float64)
+    lk[rng.rand(400) < 0.05] = np.nan
+    rk = rng.randint(30, 90, 120).astype(np.float64)
+    rk[rng.rand(120) < 0.05] = np.nan
+    left = pa.table({"k": lk, "v": rng.standard_normal(400)})
+    right = pa.table({"rk": rk, "v": rng.standard_normal(120)})
+    lds = rd.from_arrow(left).repartition(5)
+    rds = rd.from_arrow(right).repartition(3)
+
+    ldf, rdf = left.to_pandas(), right.to_pandas()
+    for how in ("inner", "left", "right", "full"):
+        got = to_arrow(join_hash(lds, rds, ["k"], right_keys=["rk"],
+                                 how=how, num_parts=16)).to_pandas()
+        assert list(got.columns) == ["k", "v", "v_r"]
+        phow = {"full": "outer"}.get(how, how)
+        want = ldf.merge(rdf.rename(columns={"v": "v_r"}),
+                         left_on="k", right_on="rk", how=phow)
+        want["k"] = want["k"].fillna(want["rk"])  # coalesced key
+        want = want.drop(columns=["rk"])
+        key = ["k", "v", "v_r"]
+        g = got.sort_values(key, na_position="last").reset_index(drop=True)
+        w = want.sort_values(key, na_position="last").reset_index(drop=True)
+        assert len(g) == len(w), how
+        for c in key:
+            a, b = g[c].to_numpy(), w[c].to_numpy()
+            both = ~(np.isnan(a) | np.isnan(b))
+            assert (np.isnan(a) == np.isnan(b)).all(), (how, c)
+            assert np.allclose(a[both], b[both]), (how, c)
