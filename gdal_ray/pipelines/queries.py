@@ -2549,6 +2549,31 @@ ON o.o_custkey = c.c_custkey
 """
 
 
+def q109_top_bigrams(sf_dir):
+    """Corpus-wide top-40 word bigrams (phrase mining): per-batch Arrow
+    gram build + local value_counts partial, tree-merge sum, two-level
+    top-k with deterministic tie cut (count desc, gram asc)."""
+    from gdal_ray.text.analysis import top_ngrams
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    return top_ngrams(ds, n=2, k=40)
+
+
+Q109_SQL = """
+WITH d AS (
+  SELECT list_filter(string_split(text, ' '), w -> w <> '') AS ws
+  FROM documents
+),
+g AS (
+  SELECT ws[i] || ' ' || ws[i+1] AS gram
+  FROM (SELECT ws, unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS i
+        FROM d)
+)
+SELECT gram, CAST(COUNT(*) AS BIGINT) AS n
+FROM g GROUP BY gram ORDER BY n DESC, gram LIMIT 40
+"""
+
+
 def _sql_oracle(sql):
     # wrap so float columns round identically on the DuckDB side
     return f"""SELECT * REPLACE (round(total, 4) AS total) FROM ({sql})""" if "total" in sql else sql
@@ -2688,6 +2713,7 @@ def registry():
         "q106_sql_setops": q106_sql_setops,
         "q107_sql_window_dist": q107_sql_window_dist,
         "q108_full_outer_join": q108_full_outer_join,
+        "q109_top_bigrams": q109_top_bigrams,
     }
     sqls = {
         "q01_tpch_groupby": Q01_SQL,
@@ -2767,6 +2793,7 @@ def registry():
         "q106_sql_setops": Q106_SQL,
         "q107_sql_window_dist": Q107_SQL,
         "q108_full_outer_join": Q108_SQL,
+        "q109_top_bigrams": Q109_SQL,
         "q29_token_quantiles": Q29_SQL,
         "q37_text_normalize": Q37_SQL,
     }

@@ -323,6 +323,47 @@ def repetition_signals(ds, text_col: str = "text",
     return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
 
 
+def top_ngrams(ds, text_col: str = "text", *, n: int = 2, k: int = 50,
+               sep: str = " "):
+    """Corpus-wide top-k word n-grams by occurrence count (vocabulary /
+    phrase mining over a training corpus). Per batch: Arrow whitespace
+    split, windowed gram build with binary_join_element_wise, and a LOCAL
+    value_counts partial — so the shuffle moves one row per DISTINCT gram
+    per batch, not one per occurrence. Then a tree-merge groupby sum and
+    the two-level top-k (count desc, gram asc for a deterministic tie
+    cut). No per-row Python anywhere."""
+    from gdal_ray.ops.relational import groupby_agg, topk
+
+    def partial(t: pa.Table) -> pa.Table:
+        text = pc.cast(t[text_col], pa.string())
+        toks = pc.utf8_split_whitespace(text).combine_chunks()
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.diff(offs)
+        flat = toks.values
+        nd = len(t)
+        doc_of = np.repeat(np.arange(nd, dtype=np.int64), counts)
+        ntok = len(flat)
+        if ntok >= n:
+            same = doc_of[: ntok - n + 1] == doc_of[n - 1:]
+            idx = np.nonzero(same)[0]
+        else:
+            idx = np.zeros(0, np.int64)
+        if idx.size == 0:
+            return pa.table({"gram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        parts = [flat.take(pa.array(idx + j)) for j in range(n)]
+        gram = parts[0] if n == 1 else \
+            pc.binary_join_element_wise(*parts, sep)
+        vc = pc.value_counts(gram)
+        return pa.table({"gram": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None)
+    agg = groupby_agg(partials, ["gram"], [("n", "sum", "n")])
+    return topk(agg, [("n", True), ("gram", False)], k)
+
+
 def quantile_buckets(ds, col: str, *, edges=(1.0 / 3.0, 2.0 / 3.0),
                      labels=("head", "middle", "tail"),
                      out: str = "bucket"):

@@ -569,3 +569,22 @@ def test_lm_score_vs_bruteforce(ray_session):
                                 / (pref.get(g[:2], 0) + alpha))
                        for g in grams) / len(grams)
         assert abs(got.loc[i, "lm_score"] - want) < 1e-12, (i, d)
+
+
+def test_top_ngrams_matches_duckdb(sf_dir, con):
+    """Corpus-wide top-k bigrams + trigrams equal DuckDB's unnest-based
+    counts (count desc, gram asc tie cut)."""
+    ds = rd.read_parquet(sf_path(sf_dir, "documents"), columns=["text"])
+    for n in (2, 3):
+        got = to_arrow(TA.top_ngrams(ds, n=n, k=25)).to_pandas() \
+            .reset_index(drop=True)
+        join = " || ' ' || ".join(f"ws[i+{j}]" for j in range(n))
+        exp = con.execute(f"""
+            WITH d AS (SELECT list_filter(string_split(text, ' '),
+                                          w -> w <> '') AS ws FROM documents),
+            g AS (SELECT {join} AS gram FROM
+                  (SELECT ws, unnest(generate_series(1, greatest(len(ws) - {n - 1}, 0))) AS i FROM d))
+            SELECT gram, COUNT(*) AS n FROM g
+            GROUP BY gram ORDER BY n DESC, gram LIMIT 25""").df()
+        assert got["gram"].tolist() == exp["gram"].tolist()
+        assert got["n"].tolist() == exp["n"].tolist()
