@@ -256,3 +256,93 @@ def exact_quantiles_cont(ds, col: str, qs):
         a, b = at_rank(lo), at_rank(hi)
         out.append(a + frac * (b - a))
     return np.asarray(out)
+
+
+def heavy_hitters(ds, col: str, *, phi: float, tree_width: int = 16):
+    """EXACT φ-heavy hitters (all values with count >= ceil(φ·N)) in two
+    distributed passes — the standard mergeable-summary recipe (Misra-
+    Gries; mergeability per Agarwal et al., "Mergeable Summaries", PODS'12
+    — public):
+
+    1. Candidate sweep: per-batch value_counts truncated to an MG summary
+       of capacity m = 2·ceil(1/φ) (group-sum then subtract the (m+1)-th
+       largest count, keep positive — the pairwise MG merge), tree-merged
+       to one summary. Guarantees a SUPERSET of every value with true
+       count > N/m <= φN/2; summary size is bounded by m regardless of N.
+    2. Exact recount: the <= m candidates broadcast via ray.put; one
+       map_batches filters + counts them per batch (plus the batch row
+       count for N), and a tiny sum finalizes exact counts and applies
+       the ceil(φ·N) threshold.
+
+    Returns a pa.Table (value col named as input, "n" int64), count desc /
+    value asc — bounded by 1/φ rows, so a driver-side table is safe.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    m = 2 * int(np.ceil(1.0 / phi))
+
+    def _mg_truncate(t: pa.Table) -> pa.Table:
+        g = t.group_by([col], use_threads=False).aggregate([("n", "sum")])
+        g = g.rename_columns([col, "n"])
+        n = g["n"].to_numpy(zero_copy_only=False)
+        if n.size <= m:
+            return g
+        kth = np.partition(n, n.size - m - 1)[n.size - m - 1]
+        keep = n - kth
+        mask = keep > 0
+        return pa.table({col: g[col].filter(pa.array(mask)),
+                         "n": pa.array(keep[mask], pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t[col].combine_chunks())
+        p = pa.table({col: vc.field("values"),
+                      "n": pc.cast(vc.field("counts"), pa.int64())})
+        return _mg_truncate(p)
+
+    summary = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .repartition(tree_width)
+        .map_batches(_mg_truncate, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(_mg_truncate, batch_format="pyarrow", batch_size=None)
+    )
+    from gdal_ray.util import to_arrow
+
+    cands = to_arrow(summary)[col].combine_chunks()
+    ref = ray.put(cands)
+
+    def recount(t: pa.Table) -> pa.Table:
+        cv = ray.get(ref)
+        v = t[col].combine_chunks()
+        mask = pc.fill_null(pc.is_in(v, value_set=cv), False)
+        vc = pc.value_counts(v.filter(mask))
+        # the null-key row carries this batch's row count (for N); pyarrow
+        # group_by keeps null as its own group through the tree merge
+        return pa.concat_tables([
+            pa.table({col: vc.field("values"),
+                      "n": pc.cast(vc.field("counts"), pa.int64()),
+                      "total": pa.array(np.zeros(len(vc), np.int64))}),
+            pa.table({col: pa.nulls(1, cv.type),
+                      "n": pa.array([0], pa.int64()),
+                      "total": pa.array([len(t)], pa.int64())}),
+        ])
+
+    def _sum_groups(t: pa.Table) -> pa.Table:
+        g = t.group_by([col], use_threads=False).aggregate(
+            [("n", "sum"), ("total", "sum")])
+        return g.rename_columns([col, "n", "total"])
+
+    parts = (
+        ds.map_batches(recount, batch_format="pyarrow", batch_size=None)
+        .repartition(tree_width)
+        .map_batches(_sum_groups, batch_format="pyarrow", batch_size=None)
+    )
+    agg = _sum_groups(to_arrow(parts))  # <= tree_width * (m + 1) rows
+    total = int(pc.sum(agg["total"]).as_py())
+    thresh = int(np.ceil(phi * total))
+    counted = agg.filter(pc.is_valid(agg[col])).select([col, "n"])
+    out = counted.filter(pc.greater_equal(counted["n"], thresh))
+    idx = pc.sort_indices(out, sort_keys=[("n", "descending"),
+                                          (col, "ascending")])
+    return out.take(idx)

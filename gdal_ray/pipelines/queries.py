@@ -2574,6 +2574,24 @@ FROM g GROUP BY gram ORDER BY n DESC, gram LIMIT 40
 """
 
 
+def q110_heavy_hitters(sf_dir):
+    """EXACT phi-heavy hitters via mergeable Misra-Gries candidate sweep
+    (bounded summary, superset guarantee) + broadcast exact recount — the
+    scale path for 'which values dominate this 100-TB column'."""
+    from gdal_ray.ops.sketch import heavy_hitters
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_partkey"])
+    return heavy_hitters(ds, "l_partkey", phi=0.0006)
+
+
+Q110_SQL = """
+SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem
+GROUP BY l_partkey
+HAVING COUNT(*) >= CEIL(0.0006 * (SELECT COUNT(*) FROM lineitem))
+ORDER BY n DESC, l_partkey
+"""
+
+
 def _sql_oracle(sql):
     # wrap so float columns round identically on the DuckDB side
     return f"""SELECT * REPLACE (round(total, 4) AS total) FROM ({sql})""" if "total" in sql else sql
@@ -2714,6 +2732,7 @@ def registry():
         "q107_sql_window_dist": q107_sql_window_dist,
         "q108_full_outer_join": q108_full_outer_join,
         "q109_top_bigrams": q109_top_bigrams,
+        "q110_heavy_hitters": q110_heavy_hitters,
     }
     sqls = {
         "q01_tpch_groupby": Q01_SQL,
@@ -2794,6 +2813,7 @@ def registry():
         "q107_sql_window_dist": Q107_SQL,
         "q108_full_outer_join": Q108_SQL,
         "q109_top_bigrams": Q109_SQL,
+        "q110_heavy_hitters": Q110_SQL,
         "q29_token_quantiles": Q29_SQL,
         "q37_text_normalize": Q37_SQL,
     }

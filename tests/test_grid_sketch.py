@@ -184,3 +184,27 @@ def test_groupby_quantiles_vs_pandas(ray_session):
         w = want[row["k"]]
         assert (row["q0_25"], row["q0_5"], row["q0_9"]) == w, row["k"]
     assert len(got) == 7
+
+
+def test_heavy_hitters_exact_vs_duckdb(ray_session, sf_dir):
+    """MG candidate sweep + exact recount == DuckDB GROUP BY/HAVING, for a
+    string column and an adversarially tiny capacity (many truncations)."""
+    import duckdb
+    import ray.data as rd
+
+    from gdal_ray.ops.sketch import heavy_hitters
+    from gdal_ray.util import sf_path
+
+    con = duckdb.connect()
+    con.execute(f"create view orders as select * from read_parquet('{sf_path(sf_dir, 'orders')}')")
+    ds = rd.read_parquet(sf_path(sf_dir, "orders"),
+                         columns=["o_orderpriority"]).repartition(9)
+    for phi in (0.3, 0.15, 0.01):
+        got = heavy_hitters(ds, "o_orderpriority", phi=phi).to_pandas()
+        want = con.execute(f"""
+            SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n FROM orders
+            GROUP BY o_orderpriority
+            HAVING COUNT(*) >= CEIL({phi} * (SELECT COUNT(*) FROM orders))
+            ORDER BY n DESC, o_orderpriority""").fetchdf()
+        assert got["o_orderpriority"].tolist() == want["o_orderpriority"].tolist(), phi
+        assert got["n"].tolist() == want["n"].tolist(), phi
