@@ -136,7 +136,7 @@ _KEYWORDS = {
     "REPLACE",
     "OVER", "PARTITION", "ROW_NUMBER", "RANK", "DENSE_RANK", "LAG", "LEAD",
     "NTILE", "PERCENT_RANK", "CUME_DIST", "FIRST_VALUE", "LAST_VALUE",
-    "INTERSECT", "EXCEPT",
+    "INTERSECT", "EXCEPT", "ROLLUP", "CUBE", "GROUPING", "SETS",
 }
 
 
@@ -508,6 +508,9 @@ class Select:
     joins: list = None   # [Join]
     having: Node | None = None
     offset: int | None = None
+    # ROLLUP/CUBE/GROUPING SETS: list of key-name tuples (each a subset of
+    # group_by); None means plain GROUP BY
+    group_sets: list | None = None
 
 
 @dataclass
@@ -570,21 +573,57 @@ def _parse_core(p: Parser) -> Select:
     if p.accept("kw", "WHERE"):
         where = p.expr()
     group_by = []
+    group_sets = None
     if p.accept("kw", "GROUP"):
         p.expect("kw", "BY")
-        # plain column name -> name; anything else -> the expression Node
-        # (pre-computed as a hidden column before grouping)
-        def _gitem():
-            e = p.expr()
-            return e.value if e.kind == "col" else e
-        group_by.append(_gitem())
-        while p.accept("op", ","):
+
+        def _cols_in_parens():
+            p.expect("op", "(")
+            cols = []
+            if p.peek() != ("op", ")"):
+                cols.append(p.expect("id")[1])
+                while p.accept("op", ","):
+                    cols.append(p.expect("id")[1])
+            p.expect("op", ")")
+            return tuple(cols)
+
+        if p.accept("kw", "ROLLUP"):
+            full = list(_cols_in_parens())
+            group_by = full
+            group_sets = [tuple(full[:i]) for i in range(len(full), -1, -1)]
+        elif p.accept("kw", "CUBE"):
+            full = list(_cols_in_parens())
+            group_by = full
+            group_sets = [tuple(c for j, c in enumerate(full)
+                                if mask & (1 << j))
+                          for mask in range((1 << len(full)) - 1, -1, -1)]
+        elif p.peek() == ("kw", "GROUPING"):
+            p.next()
+            p.expect("kw", "SETS")
+            p.expect("op", "(")
+            group_sets = [_cols_in_parens()]
+            while p.accept("op", ","):
+                group_sets.append(_cols_in_parens())
+            p.expect("op", ")")
+            group_by = []
+            for s in group_sets:
+                for c in s:
+                    if c not in group_by:
+                        group_by.append(c)
+        else:
+            # plain column name -> name; anything else -> the expression
+            # Node (pre-computed as a hidden column before grouping)
+            def _gitem():
+                e = p.expr()
+                return e.value if e.kind == "col" else e
             group_by.append(_gitem())
+            while p.accept("op", ","):
+                group_by.append(_gitem())
     having = None
     if p.accept("kw", "HAVING"):
         having = p.expr()
     return Select(items, distinct, table, where, group_by, [], None,
-                  joins=joins, having=having)
+                  joins=joins, having=having, group_sets=group_sets)
 
 
 def parse_query(sql: str) -> Query:
@@ -1535,6 +1574,69 @@ def _mentions_fid(x) -> bool:
     return x == "FID"
 
 
+def _execute_group_sets(q: Select, sf_dir: str):
+    """ROLLUP / CUBE / GROUPING SETS: one full GROUP BY pipeline per
+    grouping set (each a normal distributed groupby_agg), rolled-up key
+    columns padded with typed nulls, results unioned. N_sets scans of the
+    source — the trade for keeping every set a plain one-shuffle
+    aggregate (a ROLLUP of k keys is k+1 small aggregates, not a wide
+    re-shuffle of the first one)."""
+    from gdal_ray.ops.relational import topk, union_all
+
+    names = _out_names(q)
+    per_set = []      # (out, present_names, padded_names)
+    col_items = {}    # out_name -> source col for plain group-col items
+    for idx, (item, alias) in enumerate(q.items):
+        if item.kind == "col" and item.value in q.group_by:
+            col_items[_item_name(item, alias, idx)] = item.value
+    for S in q.group_sets:
+        keep, dropped = [], []
+        for idx, (item, alias) in enumerate(q.items):
+            nm = _item_name(item, alias, idx)
+            if nm in col_items and col_items[nm] not in S:
+                dropped.append(nm)
+            else:
+                keep.append((item, alias))
+        qS = Select(keep, q.distinct, q.table, q.where, list(S), [], None,
+                    joins=q.joins, having=q.having)
+        o = _execute_core(qS, sf_dir, [], None, None)
+        per_set.append((o, [n for n in names if n not in dropped], dropped))
+    # types for padded key columns, from any set that groups on them
+    types = {}
+    for o, present, _ in per_set:
+        sch = o.schema()
+        for n, typ in zip(sch.names, sch.types):
+            types.setdefault(n, typ)
+    outs = []
+    for o, present, dropped in per_set:
+        if dropped:
+            o = o.map_batches(
+                lambda t, dr=list(dropped), ns=list(names):
+                    pa.table({n: (t[n] if n in t.column_names
+                                  else pa.nulls(len(t), types[n]))
+                              for n in ns}),
+                batch_format="pyarrow", batch_size=None)
+        else:
+            o = o.map_batches(lambda t, ns=list(names): t.select(ns),
+                              batch_format="pyarrow", batch_size=None)
+        outs.append(o)
+    out = union_all(*outs)
+    want = q.limit + (q.offset or 0) if q.limit is not None else None
+    if q.order_by:
+        out, keys_, drop_ = _order_keys(out, q.order_by)
+        if want is not None:
+            out = topk(out, keys_, want)
+        else:
+            out = out.sort([c for c, _ in keys_],
+                           descending=[d for _, d in keys_])
+        out = _drop_cols(out, drop_)
+    elif want is not None:
+        out = out.limit(want)
+    if q.offset:
+        out = _apply_offset(out, q.offset)
+    return out
+
+
 def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
     """Compile + run one SELECT core."""
     from gdal_ray.ops.relational import broadcast_join
@@ -1544,7 +1646,9 @@ def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
 
     q = Select(q.items, q.distinct, q.table, q.where, q.group_by,
                list(order_by), limit, joins=q.joins, having=q.having,
-               offset=offset)
+               offset=offset, group_sets=q.group_sets)
+    if q.group_sets is not None:
+        return _execute_group_sets(q, sf_dir)
     wants_fid = _mentions_fid(
         (q.items, q.where, q.group_by, q.having, q.order_by))
     ds = (read_table_with_fid(sf_dir, q.table, fid_col="FID") if wants_fid

@@ -2592,6 +2592,21 @@ ORDER BY n DESC, l_partkey
 """
 
 
+def q111_sql_rollup(sf_dir):
+    """GROUP BY ROLLUP through the SQL compiler: one distributed
+    groupby_agg per grouping set, typed-null padding for rolled-up keys,
+    union. Same string is the DuckDB oracle."""
+    from gdal_ray.ops.sql import execute
+
+    return execute(Q111_SQL, sf_dir)
+
+
+Q111_SQL = """
+SELECT c_mktsegment, c_nationkey, COUNT(*) AS n, SUM(c_acctbal) AS total
+FROM customer GROUP BY ROLLUP(c_mktsegment, c_nationkey)
+"""
+
+
 def _sql_oracle(sql):
     # wrap so float columns round identically on the DuckDB side
     return f"""SELECT * REPLACE (round(total, 4) AS total) FROM ({sql})""" if "total" in sql else sql
@@ -2733,6 +2748,7 @@ def registry():
         "q108_full_outer_join": q108_full_outer_join,
         "q109_top_bigrams": q109_top_bigrams,
         "q110_heavy_hitters": q110_heavy_hitters,
+        "q111_sql_rollup": q111_sql_rollup,
     }
     sqls = {
         "q01_tpch_groupby": Q01_SQL,
@@ -2814,6 +2830,7 @@ def registry():
         "q108_full_outer_join": Q108_SQL,
         "q109_top_bigrams": Q109_SQL,
         "q110_heavy_hitters": Q110_SQL,
+        "q111_sql_rollup": _sql_oracle(Q111_SQL),
         "q29_token_quantiles": Q29_SQL,
         "q37_text_normalize": Q37_SQL,
     }

@@ -65,6 +65,11 @@ CASES = [
     "SELECT n_nationkey FROM nation EXCEPT SELECT s_nationkey FROM supplier WHERE s_suppkey < 30",
     "SELECT c_mktsegment AS v FROM customer UNION SELECT o_orderpriority AS v FROM orders",
     "SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 9000 UNION ALL SELECT s_nationkey AS k FROM supplier INTERSECT SELECT n_nationkey AS k FROM nation WHERE n_nationkey > 10",
+    # round-4c: ROLLUP / CUBE / GROUPING SETS
+    "SELECT c_mktsegment, c_nationkey, COUNT(*) AS n, MIN(c_acctbal) AS lo FROM customer GROUP BY ROLLUP(c_mktsegment, c_nationkey)",
+    "SELECT c_mktsegment, c_nationkey, COUNT(*) AS n FROM customer GROUP BY CUBE(c_mktsegment, c_nationkey)",
+    "SELECT c_mktsegment, c_nationkey, COUNT(*) AS n FROM customer GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())",
+    "SELECT o_orderpriority, COUNT(*) AS n FROM orders GROUP BY ROLLUP(o_orderpriority) ORDER BY n DESC, o_orderpriority LIMIT 4",
 ]
 
 
