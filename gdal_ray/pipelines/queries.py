@@ -2607,6 +2607,30 @@ FROM customer GROUP BY ROLLUP(c_mktsegment, c_nationkey)
 """
 
 
+def q112_bloom_anti_join(sf_dir):
+    """EXACT anti join with a Bloom prefilter: bloom-negative rows resolve
+    with zero shuffle; only the ~fpr fraction plus true matches enter the
+    exact hash-partitioned anti join. Deliberately small bitset (high FPR)
+    so the exact-verify path is genuinely exercised."""
+    import pyarrow.compute as pc
+
+    from gdal_ray.ops.bloom import bloom_semi_join
+
+    L = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    R = read_table(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+    R = R.map_batches(
+        lambda t: t.filter(pc.greater(t["c_acctbal"], 5000.0))
+        .select(["c_custkey"]).rename_columns(["o_custkey"]),
+        batch_format="pyarrow", batch_size=None)
+    return bloom_semi_join(L, R, ["o_custkey"], anti=True, num_bits=1 << 14)
+
+
+Q112_SQL = """
+SELECT o_orderkey, o_custkey FROM orders
+WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+"""
+
+
 def _sql_oracle(sql):
     # wrap so float columns round identically on the DuckDB side
     return f"""SELECT * REPLACE (round(total, 4) AS total) FROM ({sql})""" if "total" in sql else sql
@@ -2749,6 +2773,7 @@ def registry():
         "q109_top_bigrams": q109_top_bigrams,
         "q110_heavy_hitters": q110_heavy_hitters,
         "q111_sql_rollup": q111_sql_rollup,
+        "q112_bloom_anti_join": q112_bloom_anti_join,
     }
     sqls = {
         "q01_tpch_groupby": Q01_SQL,
@@ -2831,6 +2856,7 @@ def registry():
         "q109_top_bigrams": Q109_SQL,
         "q110_heavy_hitters": Q110_SQL,
         "q111_sql_rollup": _sql_oracle(Q111_SQL),
+        "q112_bloom_anti_join": Q112_SQL,
         "q29_token_quantiles": Q29_SQL,
         "q37_text_normalize": Q37_SQL,
     }
