@@ -489,18 +489,50 @@ def sample_tiles_at_points(tiles_ds, points_ds, zoom: int, *,
     def _sel(d: int):
         return {-1: slice(0, halo), 0: slice(None), 1: slice(TILE - halo, TILE)}[d]
 
-    def fan_tiles(t: pa.Table) -> pa.Table:
+    pts = points_ds.map_batches(fan_points, batch_format="pyarrow", batch_size=None)
+
+    # Prefilter: in the sparse-sample regime most tiles carry no sample
+    # point — don't ship their megabyte payloads (x9 halo copies) into the
+    # shuffle. Collect the distinct point-tile keys (bounded by the tile
+    # grid, <= 4^zoom, NOT by point count) and broadcast them once; tiles
+    # emit a copy only toward a key that actually has points. Costs one
+    # extra scan of the points; saves shipping the whole raster.
+    import ray as _ray
+
+    def _pt_keys(t: pa.Table) -> pa.Table:
+        k = (t["t_x"].to_numpy(zero_copy_only=False) << np.int64(32)) \
+            + t["t_y"].to_numpy(zero_copy_only=False)
+        return pa.table({"k": pa.array(np.unique(k))})
+
+    from gdal_ray.util import to_arrow as _to_arrow
+
+    needed = np.unique(_to_arrow(
+        pts.map_batches(_pt_keys, batch_format="pyarrow", batch_size=None)
+    )["k"].to_numpy(zero_copy_only=False))
+    _nref = _ray.put(needed)
+
+    def fan_tiles_filtered(t: pa.Table) -> pa.Table:
+        need = _ray.get(_nref)
+
+        def _has(tx, ty):
+            k = (tx << 32) + ty
+            i = np.searchsorted(need, k)
+            return i < need.size and need[i] == k
+
         xs, ys, roles, datas = [], [], [], []
         for tx, ty, buf in zip(
             t["tile_x"].to_pylist(), t["tile_y"].to_pylist(), t["data"].to_pylist()
         ):
-            xs.append(tx); ys.append(ty); roles.append("self"); datas.append(buf)
+            if _has(tx, ty):
+                xs.append(tx); ys.append(ty); roles.append("self"); datas.append(buf)
             if halo:
-                arr = np.frombuffer(buf, dtype=dtype).reshape(TILE, TILE)
+                arr = None
                 for dx in (-1, 0, 1):
                     for dy in (-1, 0, 1):
-                        if dx == 0 and dy == 0:
+                        if (dx == 0 and dy == 0) or not _has(tx + dx, ty + dy):
                             continue
+                        if arr is None:
+                            arr = np.frombuffer(buf, dtype=dtype).reshape(TILE, TILE)
                         strip = arr[_sel(dy), _sel(dx)]
                         xs.append(tx + dx); ys.append(ty + dy)
                         roles.append(f"{-dx}_{-dy}")
@@ -515,8 +547,8 @@ def sample_tiles_at_points(tiles_ds, points_ds, zoom: int, *,
             }
         )
 
-    pts = points_ds.map_batches(fan_points, batch_format="pyarrow", batch_size=None)
-    tls = tiles_ds.map_batches(fan_tiles, batch_format="pyarrow", batch_size=None)
+    tls = tiles_ds.map_batches(fan_tiles_filtered, batch_format="pyarrow",
+                               batch_size=None)
 
     import pandas as pd
 
