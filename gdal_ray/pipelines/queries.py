@@ -2631,6 +2631,38 @@ WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
 """
 
 
+def q113_vector_dim_stats(sf_dir):
+    """Per-dimension mean/std profile of the embedding column: d-length
+    mergeable partials (sum/sumsq/count), one tiny merge. Oracle unnests
+    the lists (generate_subscripts; float32 elements cast to DOUBLE)."""
+    from gdal_ray.sim.vectors import vector_dim_stats
+
+    ds = read_table(sf_dir, "embeddings", columns=["embedding"])
+    return vector_dim_stats(ds)
+
+
+Q113_SQL = """
+WITH e AS (
+  SELECT unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+)
+SELECT i, ROUND(AVG(x), 6) AS mean, ROUND(STDDEV_POP(x), 6) AS std
+FROM e GROUP BY i ORDER BY i
+"""
+
+
+def q114_kmeans_clusters(sf_dir):
+    """Distributed Lloyd's k-means over the embedding column (k=8, 10
+    streaming passes, deterministic smallest-id init — no RNG) + final
+    assignment. Iterative model fit: no SQL oracle; golden-pinned."""
+    from gdal_ray.sim.vectors import kmeans_assign, kmeans_fit
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cents = kmeans_fit(ds, k=8, iters=10)
+    return kmeans_assign(ds, cents)
+
+
 def _sql_oracle(sql):
     # wrap so float columns round identically on the DuckDB side
     return f"""SELECT * REPLACE (round(total, 4) AS total) FROM ({sql})""" if "total" in sql else sql
@@ -2774,6 +2806,8 @@ def registry():
         "q110_heavy_hitters": q110_heavy_hitters,
         "q111_sql_rollup": q111_sql_rollup,
         "q112_bloom_anti_join": q112_bloom_anti_join,
+        "q113_vector_dim_stats": q113_vector_dim_stats,
+        "q114_kmeans_clusters": q114_kmeans_clusters,
     }
     sqls = {
         "q01_tpch_groupby": Q01_SQL,
@@ -2857,6 +2891,7 @@ def registry():
         "q110_heavy_hitters": Q110_SQL,
         "q111_sql_rollup": _sql_oracle(Q111_SQL),
         "q112_bloom_anti_join": Q112_SQL,
+        "q113_vector_dim_stats": Q113_SQL,
         "q29_token_quantiles": Q29_SQL,
         "q37_text_normalize": Q37_SQL,
     }

@@ -1,0 +1,132 @@
+"""Embedding-column statistics and clustering.
+
+Distributed Lloyd's k-means (the public textbook algorithm; also the
+trainer behind IVF coarse quantizers) done the mergeable way: centroids are
+broadcast once per iteration (ray.put), each batch computes assignments
+with one matmul and emits per-cluster partial sums (k x d + counts) — so
+one iteration is ONE streaming pass whose shuffle volume is k*d floats per
+batch, independent of row count. Per-dimension moment profiling
+(vector_dim_stats) is the same shape with a single pass.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from gdal_ray.sim.knn import _matrix as _list_matrix
+
+
+def _matrix(t: pa.Table, col: str) -> np.ndarray:
+    """(n, d) float64 from a list<float> column OR Ray's tensor extension
+    type (a pandas round-trip, e.g. through topk, converts list columns to
+    ArrowTensorArray)."""
+    arr = t[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if hasattr(arr, "flatten"):
+        return _list_matrix(t, col)
+    return np.asarray(arr.to_numpy(zero_copy_only=False),
+                      dtype=np.float64).reshape(len(t), -1)
+
+
+def vector_dim_stats(ds, vec_col: str = "embedding", *, ndigits: int = 6):
+    """Per-dimension mean/std over a list<float> column: per-batch sum /
+    sumsq / count (d-length partials), one tiny merge. Output rows
+    (i 1-based, mean, std) — population std, matching SQL stddev_pop."""
+    def partial(t: pa.Table) -> pa.Table:
+        m = _matrix(t, vec_col)
+        return pa.table({
+            "i": pa.array(np.arange(1, m.shape[1] + 1, dtype=np.int64)),
+            "s1": pa.array(m.sum(axis=0)),
+            "s2": pa.array((m * m).sum(axis=0)),
+            "n": pa.array(np.full(m.shape[1], m.shape[0], np.int64)),
+        })
+
+    from gdal_ray.ops.relational import groupby_agg
+    from gdal_ray.util import to_arrow
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    agg = to_arrow(groupby_agg(parts, ["i"], [
+        ("s1", "sum", "s1"), ("s2", "sum", "s2"), ("n", "sum", "n")]))
+    s1 = agg["s1"].to_numpy(zero_copy_only=False)
+    s2 = agg["s2"].to_numpy(zero_copy_only=False)
+    n = agg["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+    mean = s1 / n
+    var = np.maximum(s2 / n - mean * mean, 0.0)
+    # DuckDB round() is half-AWAY-from-zero (matters for negative means)
+    rnd = lambda v: np.copysign(
+        np.floor(np.abs(v) * 10.0**ndigits + 0.5) / 10.0**ndigits, v)
+    out = pa.table({"i": agg["i"],
+                    "mean": pa.array(rnd(mean)),
+                    "std": pa.array(rnd(np.sqrt(var)))})
+    return out.take(pc.sort_indices(out["i"]))
+
+
+def kmeans_fit(ds, *, k: int, iters: int = 10, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> np.ndarray:
+    """Distributed Lloyd's: deterministic init (the k vectors with the
+    smallest ids — reproducible across runs and hosts, no RNG), then
+    `iters` streaming passes of broadcast-assign + mergeable partial sums.
+    Empty clusters keep their previous centroid. Returns (k, d) float64."""
+    import ray
+
+    from gdal_ray.ops.relational import topk
+    from gdal_ray.util import to_arrow
+
+    seed_t = to_arrow(topk(ds, [(id_col, False)], k))
+    order = np.argsort(seed_t[id_col].to_numpy(zero_copy_only=False))
+    cents = _matrix(seed_t, vec_col)[order]
+
+    for _ in range(iters):
+        cref = ray.put(cents)
+
+        def partial(t: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            m = _matrix(t, vec_col)
+            d2 = (m * m).sum(axis=1)[:, None] - 2.0 * (m @ c.T) \
+                + (c * c).sum(axis=1)[None, :]
+            a = np.argmin(d2, axis=1)
+            kk, dd = c.shape
+            sums = np.zeros((kk, dd))
+            np.add.at(sums, a, m)
+            cnt = np.bincount(a, minlength=kk).astype(np.int64)
+            return pa.table({
+                "c": pa.array(np.arange(kk, dtype=np.int64)),
+                "n": pa.array(cnt),
+                **{f"s{j}": pa.array(sums[:, j]) for j in range(dd)},
+            })
+
+        agg = to_arrow(ds.map_batches(partial, batch_format="pyarrow",
+                                      batch_size=None))
+        idx = agg["c"].to_numpy(zero_copy_only=False)
+        cnt = np.zeros(k, np.int64)
+        np.add.at(cnt, idx, agg["n"].to_numpy(zero_copy_only=False))
+        sums = np.zeros_like(cents)
+        for j in range(cents.shape[1]):
+            np.add.at(sums[:, j], idx,
+                      agg[f"s{j}"].to_numpy(zero_copy_only=False))
+        nz = cnt > 0
+        cents = np.where(nz[:, None], sums / np.maximum(cnt, 1)[:, None],
+                         cents)
+    return cents
+
+
+def kmeans_assign(ds, cents: np.ndarray, *, id_col: str = "vec_id",
+                  vec_col: str = "embedding", out: str = "cluster"):
+    """Label every vector with its nearest centroid (one matmul per
+    batch; centroids ray.put once)."""
+    import ray
+
+    cref = ray.put(np.asarray(cents, np.float64))
+
+    def f(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        m = _matrix(t, vec_col)
+        d2 = (m * m).sum(axis=1)[:, None] - 2.0 * (m @ c.T) \
+            + (c * c).sum(axis=1)[None, :]
+        return pa.table({id_col: t[id_col],
+                         out: pa.array(np.argmin(d2, axis=1).astype(np.int64))})
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)

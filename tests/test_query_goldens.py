@@ -47,6 +47,8 @@ GOLDENS = {
     "q95_curation": (481, "8a1be70bf041f9d7"),
     # one-row corpus profile: counts + HLL dup-rate + top-lang share
     "q105_corpus_report": (1, "c1dcf23734167715"),
+    # distributed Lloyd's k-means (k=8, 10 iters, smallest-id init)
+    "q114_kmeans_clusters": (500, "71947e9f7eed7339"),
 }
 
 

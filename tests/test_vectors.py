@@ -1,0 +1,57 @@
+"""Embedding-column stats + distributed k-means vs driver-side references."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from gdal_ray.sim.vectors import kmeans_assign, kmeans_fit, vector_dim_stats
+from gdal_ray.util import sf_path, to_arrow
+
+
+def test_vector_dim_stats_matches_duckdb(ray_session, sf_dir):
+    ds = rd.read_parquet(sf_path(sf_dir, "embeddings"),
+                         columns=["embedding"]).repartition(6)
+    got = vector_dim_stats(ds).to_pandas()
+    con = duckdb.connect()
+    exp = con.execute(f"""
+        WITH e AS (
+          SELECT unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM read_parquet('{sf_path(sf_dir, "embeddings")}')
+        )
+        SELECT i, ROUND(AVG(x), 6) AS mean, ROUND(STDDEV_POP(x), 6) AS std
+        FROM e GROUP BY i ORDER BY i""").fetchdf()
+    assert got["i"].tolist() == exp["i"].tolist()
+    assert np.allclose(got["mean"], exp["mean"], atol=2e-6)
+    assert np.allclose(got["std"], exp["std"], atol=2e-6)
+
+
+def test_kmeans_matches_numpy_lloyds(ray_session, sf_dir):
+    """Distributed fit+assign == a driver-side numpy Lloyd's run with the
+    same deterministic smallest-id init."""
+    t = pq.read_table(sf_path(sf_dir, "embeddings"),
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    X = np.asarray(t["embedding"].combine_chunks().flatten(),
+                   dtype=np.float64).reshape(len(t), -1)
+    k, iters = 5, 7
+    order = np.argsort(ids)
+    cents = X[order[:k]]
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        for j in range(k):
+            if (a == j).any():
+                cents[j] = X[a == j].mean(axis=0)
+    want = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+
+    ds = rd.read_parquet(sf_path(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"]).repartition(5)
+    c2 = kmeans_fit(ds, k=k, iters=iters)
+    assert np.allclose(np.sort(c2, axis=0), np.sort(cents, axis=0), atol=1e-8)
+    got = to_arrow(kmeans_assign(ds, c2)).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    lookup = dict(zip(ids, want))
+    assert got["cluster"].tolist() == [lookup[v] for v in got["vec_id"]]
