@@ -535,6 +535,42 @@ def join_hash(left_ds, right_ds, keys: Sequence[str], *,
                                  num_parts=num_parts)
 
 
+def pivot(ds, *, index: Sequence[str], column: str, value: str,
+          agg: str = "sum", values: Sequence | None = None):
+    """Long -> wide: one output column per distinct value of `column`,
+    aggregated with `agg` (sum/count/min/max/mean — null when a cell has
+    no rows, matching SQL's SUM(CASE WHEN ...) with no ELSE). The pivot
+    value set is small by contract (it becomes the schema); if not given
+    it is computed with one distinct pass. The reshape itself is a
+    map_batches column fan + the standard combiner groupby — one shuffle,
+    wide rows only."""
+    from gdal_ray.util import to_arrow
+
+    index = list(index)
+    if values is None:
+        vals_t = to_arrow(distinct(
+            ds.map_batches(lambda t, c=column: t.select([c]),
+                           batch_format="pyarrow", batch_size=None),
+            [column]))
+        values = sorted(v for v in vals_t[column].to_pylist()
+                        if v is not None)
+    values = list(values)
+
+    def widen(t: pa.Table) -> pa.Table:
+        cols = {c: t[c] for c in index}
+        cv, vv = t[column], t[value]
+        nulls = pa.nulls(len(t), t.schema.field(value).type)
+        for i, v in enumerate(values):
+            m = pc.fill_null(pc.equal(cv, pa.scalar(v)), False)
+            cols[f"__pv{i}"] = pc.if_else(m, vv, nulls)
+        return pa.table(cols)
+
+    wide = ds.map_batches(widen, batch_format="pyarrow", batch_size=None)
+    return groupby_agg(wide, index,
+                       [(str(v), agg, f"__pv{i}")
+                        for i, v in enumerate(values)])
+
+
 def semi_anti_join(ds, keys: Sequence[str], key_set, *, anti: bool = False):
     """Semi/anti join by broadcast key set (ray guide pattern: broadcast the
     key set, filter inside map_batches — no shuffle). key_set: pa.Table with

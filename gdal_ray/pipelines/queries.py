@@ -2663,6 +2663,53 @@ def q114_kmeans_clusters(sf_dir):
     return kmeans_assign(ds, cents)
 
 
+def q115_table_profile(sf_dir):
+    """Relational dataset-info: one row per column (count, nulls, EXACT
+    distinct, numeric min/max/mean). One moments pass + one all-columns
+    distinct shuffle; oracle is a per-column UNION ALL of aggregates."""
+    from gdal_ray.pipelines.info import table_profile
+
+    return table_profile(read_table(sf_dir, "orders"))
+
+
+_PROF_NUM = ("CAST(MIN({c}) AS DOUBLE) AS min_num, "
+             "CAST(MAX({c}) AS DOUBLE) AS max_num, "
+             "ROUND(AVG(CAST({c} AS DOUBLE)), 6) AS mean_num")
+_PROF_NON = ("CAST(NULL AS DOUBLE) AS min_num, "
+             "CAST(NULL AS DOUBLE) AS max_num, "
+             "CAST(NULL AS DOUBLE) AS mean_num")
+Q115_SQL = " UNION ALL ".join(
+    f'SELECT \'{c}\' AS "column", COUNT(*) AS n, '
+    f"COUNT(*) - COUNT({c}) AS n_null, "
+    f"COUNT(DISTINCT {c}) AS n_distinct, "
+    + (_PROF_NUM.format(c=c) if num else _PROF_NON) + " FROM orders"
+    for c, num in [("o_orderkey", 1), ("o_custkey", 1),
+                   ("o_orderstatus", 0), ("o_totalprice", 1),
+                   ("o_orderdate", 0), ("o_orderpriority", 0)])
+
+
+def q116_pivot(sf_dir):
+    """Long->wide pivot (order totals by priority x status): one column
+    fan map_batches + the standard combiner groupby — SQL CASE-aggregate
+    oracle with identical column names."""
+    from gdal_ray.ops.relational import pivot
+
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderpriority", "o_orderstatus",
+                             "o_totalprice"])
+    return pivot(ds, index=["o_orderpriority"], column="o_orderstatus",
+                 value="o_totalprice", agg="sum")
+
+
+Q116_SQL = """
+SELECT o_orderpriority,
+       SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END) AS "F",
+       SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END) AS "O",
+       SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END) AS "P"
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 def _sql_oracle(sql):
     # wrap so float columns round identically on the DuckDB side
     return f"""SELECT * REPLACE (round(total, 4) AS total) FROM ({sql})""" if "total" in sql else sql
@@ -2808,6 +2855,8 @@ def registry():
         "q112_bloom_anti_join": q112_bloom_anti_join,
         "q113_vector_dim_stats": q113_vector_dim_stats,
         "q114_kmeans_clusters": q114_kmeans_clusters,
+        "q115_table_profile": q115_table_profile,
+        "q116_pivot": q116_pivot,
     }
     sqls = {
         "q01_tpch_groupby": Q01_SQL,
@@ -2892,6 +2941,8 @@ def registry():
         "q111_sql_rollup": _sql_oracle(Q111_SQL),
         "q112_bloom_anti_join": Q112_SQL,
         "q113_vector_dim_stats": Q113_SQL,
+        "q115_table_profile": Q115_SQL,
+        "q116_pivot": Q116_SQL,
         "q29_token_quantiles": Q29_SQL,
         "q37_text_normalize": Q37_SQL,
     }

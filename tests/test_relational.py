@@ -621,3 +621,66 @@ def test_join_hash_all_types_vs_pandas(ray_session):
             both = ~(np.isnan(a) | np.isnan(b))
             assert (np.isnan(a) == np.isnan(b)).all(), (how, c)
             assert np.allclose(a[both], b[both]), (how, c)
+
+
+def test_pivot_matches_duckdb(ray_session, sf_dir):
+    """Long->wide pivot == DuckDB CASE-aggregates for sum/count/mean,
+    including empty cells (null, not 0)."""
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    from gdal_ray.ops.relational import pivot
+    from gdal_ray.util import sf_path, to_arrow
+
+    con = duckdb.connect()
+    con.execute(f"create view orders as select * from read_parquet('{sf_path(sf_dir, 'orders')}')")
+    vals = [r[0] for r in con.execute(
+        "select distinct o_orderstatus from orders order by 1").fetchall()]
+    ds = rd.read_parquet(sf_path(sf_dir, "orders"),
+                         columns=["o_orderpriority", "o_orderstatus",
+                                  "o_totalprice"]).repartition(5)
+    for agg, sqlagg in [("sum", "SUM"), ("count", "COUNT"), ("mean", "AVG")]:
+        got = to_arrow(pivot(ds, index=["o_orderpriority"],
+                             column="o_orderstatus", value="o_totalprice",
+                             agg=agg)).to_pandas() \
+            .sort_values("o_orderpriority").reset_index(drop=True)
+        sel = ", ".join(
+            f"{sqlagg}(CASE WHEN o_orderstatus = '{v}' THEN o_totalprice END) AS \"{v}\""
+            for v in vals)
+        want = con.execute(
+            f"SELECT o_orderpriority, {sel} FROM orders "
+            "GROUP BY o_orderpriority ORDER BY o_orderpriority").fetchdf()
+        assert list(got.columns) == list(want.columns)
+        for v in vals:
+            a = got[v].to_numpy(dtype=np.float64, na_value=np.nan)
+            b = want[v].to_numpy(dtype=np.float64, na_value=np.nan)
+            assert (np.isnan(a) == np.isnan(b)).all(), (agg, v)
+            m = ~np.isnan(a)
+            assert np.allclose(a[m], b[m]), (agg, v)
+
+
+def test_table_profile_matches_duckdb(ray_session, sf_dir):
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    from gdal_ray.pipelines.info import table_profile
+    from gdal_ray.util import sf_path
+
+    got = table_profile(rd.read_parquet(sf_path(sf_dir, "customer"))
+                        .repartition(4)).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"create view customer as select * from read_parquet('{sf_path(sf_dir, 'customer')}')")
+    for _, r in got.iterrows():
+        c = r["column"]
+        n, nn, ndist = con.execute(
+            f"SELECT COUNT(*), COUNT(*) - COUNT({c}), COUNT(DISTINCT {c}) "
+            "FROM customer").fetchone()
+        assert (r["n"], r["n_null"], r["n_distinct"]) == (n, nn, ndist), c
+        if not np.isnan(r["mean_num"]):
+            lo, hi, mu = con.execute(
+                f"SELECT CAST(MIN({c}) AS DOUBLE), CAST(MAX({c}) AS DOUBLE), "
+                f"ROUND(AVG(CAST({c} AS DOUBLE)), 6) FROM customer").fetchone()
+            assert (r["min_num"], r["max_num"]) == (lo, hi), c
+            assert abs(r["mean_num"] - mu) < 2e-6, c
