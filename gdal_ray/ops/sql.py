@@ -140,6 +140,20 @@ _KEYWORDS = {
 }
 
 
+# built-in scalar functions parsed on the identifier path (no new keywords:
+# these stay valid column names when not followed by '('). Maps the SQL
+# spelling to the canonical call-node name.
+_BUILTIN_CALLS = {
+    "sqrt": "sqrt", "power": "power", "pow": "power", "ln": "ln",
+    "exp": "exp", "sign": "sign", "log2": "log2", "log10": "log10",
+    "log": "log10",  # DuckDB LOG(x) is base-10
+    "year": "year", "month": "month", "day": "day", "hour": "hour",
+    "minute": "minute", "second": "second", "dayofweek": "dow",
+    "dayofyear": "doy", "quarter": "quarter", "week": "week",
+    "date_trunc": "date_trunc", "date_part": "date_part",
+}
+
+
 def tokenize(sql: str):
     out, pos = [], 0
     while pos < len(sql):
@@ -465,6 +479,25 @@ class Parser:
             return Node("case", els, tuple(whens))
         if t[0] == "id":
             name = t[1]
+            lname = name.lower()
+            if lname == "extract" and self.peek() == ("op", "("):
+                # EXTRACT(part FROM expr) — part is a bare word
+                self.next()
+                part = self.next()[1]
+                self.expect("kw", "FROM")
+                e = self.expr()
+                self.expect("op", ")")
+                return Node("call", "extract",
+                            (Node("lit", str(part).lower()), e))
+            if lname in _BUILTIN_CALLS and self.peek() == ("op", "("):
+                self.next()
+                args = []
+                if self.peek() != ("op", ")"):
+                    args.append(self.expr())
+                    while self.accept("op", ","):
+                        args.append(self.expr())
+                self.expect("op", ")")
+                return Node("call", _BUILTIN_CALLS[lname], tuple(args))
             # user-registered SQL function? (register_sql_function)
             if name.lower() in _SQL_FUNCTIONS and self.peek() == ("op", "("):
                 self.next()
@@ -841,6 +874,37 @@ def eval_expr(node: Node, t: pa.Table):
             null = pa.scalar(None, a.type if not isinstance(a, pa.Scalar)
                              else a.type)
             return pc.if_else(eq, null, a)
+        if fn in ("sqrt", "ln", "exp", "log2", "log10"):
+            v = pc.cast(eval_expr(node.args[0], t), pa.float64())
+            return {"sqrt": pc.sqrt, "ln": pc.ln, "exp": pc.exp,
+                    "log2": pc.log2, "log10": pc.log10}[fn](v)
+        if fn == "power":
+            a = pc.cast(eval_expr(node.args[0], t), pa.float64())
+            b = pc.cast(eval_expr(node.args[1], t), pa.float64())
+            return pc.power(a, b)
+        if fn == "sign":
+            # DuckDB SIGN returns an integer -1/0/1 regardless of input type
+            return pc.cast(pc.sign(eval_expr(node.args[0], t)), pa.int64())
+        if fn in _EXTRACT_PARTS:
+            return _extract_part(fn, eval_expr(node.args[0], t))
+        if fn in ("extract", "date_part"):
+            if node.args[0].kind != "lit":
+                raise ValueError(f"{fn}: part must be a literal")
+            part = str(node.args[0].value).lower().strip("'")
+            part = {"dayofweek": "dow", "dayofyear": "doy"}.get(part, part)
+            if part not in _EXTRACT_PARTS:
+                raise ValueError(f"EXTRACT: unsupported part {part!r}")
+            return _extract_part(part, eval_expr(node.args[1], t))
+        if fn == "date_trunc":
+            if node.args[0].kind != "lit":
+                raise ValueError("DATE_TRUNC: part must be a string literal")
+            part = str(node.args[0].value).lower()
+            if part not in ("year", "quarter", "month", "week", "day",
+                            "hour", "minute", "second"):
+                raise ValueError(f"DATE_TRUNC: unsupported part {part!r}")
+            v = eval_expr(node.args[1], t)
+            # ISO semantics match DuckDB: weeks start Monday
+            return pc.floor_temporal(v, unit=part)
         raise ValueError(f"unknown function {fn}")
     if k == "case":
         # evaluate ELSE first, then fold WHENs in reverse with if_else
@@ -876,6 +940,27 @@ def eval_expr(node: Node, t: pa.Table):
             v = pc.round(v, ndigits=0, round_mode="half_to_even")
         return pc.cast(v, ty)
     raise ValueError(f"cannot evaluate {k} here")
+
+
+# EXTRACT parts -> Arrow kernels (all return int64 like DuckDB's BIGINT).
+# dow matches DuckDB: Sunday=0..Saturday=6; week is the ISO week number.
+_EXTRACT_PARTS = {"year", "month", "day", "hour", "minute", "second",
+                  "dow", "doy", "week", "quarter", "epoch"}
+
+
+def _extract_part(part, v):
+    if part == "dow":
+        out = pc.day_of_week(v, week_start=7, count_from_zero=True)
+    elif part == "doy":
+        out = pc.day_of_year(v)
+    elif part == "week":
+        out = pc.iso_week(v)
+    elif part == "epoch":
+        us = pc.cast(pc.cast(v, pa.timestamp("us")), pa.int64())
+        return pc.cast(pc.divide(us, 1_000_000), pa.float64())
+    else:
+        out = getattr(pc, part)(v)
+    return pc.cast(out, pa.int64())
 
 
 def _type_of(v):
@@ -1680,7 +1765,16 @@ def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
 
     ds, q = _apply_windows(ds, q)
 
-    has_agg = any(item.kind == "agg" for item, _ in q.items)
+    def _has_agg(n):
+        if not isinstance(n, Node):
+            return False
+        if n.kind == "agg":
+            return True
+        return any(_has_agg(a) or (isinstance(a, tuple)
+                                   and any(_has_agg(x) for x in a))
+                   for a in n.args)
+
+    has_agg = any(_has_agg(item) for item, _ in q.items)
     if has_agg or q.group_by:
         # aggregates over EXPRESSIONS (SUM(CASE WHEN ...), COUNT(x+1), ...)
         # pre-compute each distinct expression as a hidden column
@@ -1752,6 +1846,31 @@ def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
         specs = []
         cd_specs = []  # COUNT(DISTINCT col) computed via a distinct pass
         names = []
+        post_exprs = {}  # name -> expression evaluated AFTER aggregation
+
+        def _hoist_aggs(node: Node) -> Node:
+            # expression over aggregates (ROUND(SUM(x),2), SUM(a)/COUNT(*)):
+            # each agg subnode becomes a hidden spec column; the remaining
+            # expression evaluates over the aggregated table (group keys
+            # are present there, so expressions of keys work too)
+            if not isinstance(node, Node):
+                return node
+            if node.kind == "agg":
+                kind, col = node.value
+                if kind == "count_distinct":
+                    raise ValueError(
+                        "expressions over COUNT(DISTINCT ...) unsupported")
+                nm = f"__px{len(specs)}"
+                specs.append((nm, kind, col))
+                return Node("col", nm)
+            if node.args:
+                return Node(node.kind, node.value,
+                            tuple(_hoist_aggs(a) if isinstance(a, Node)
+                                  else tuple(_hoist_aggs(x) for x in a)
+                                  if isinstance(a, tuple) else a
+                                  for a in node.args))
+            return node
+
         for idx, (item, alias) in enumerate(q.items):
             name = _item_name(item, alias, idx)
             names.append(name)
@@ -1765,7 +1884,7 @@ def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
                 if item.value not in q.group_by:
                     raise ValueError(f"non-aggregated column {item.value}")
             else:
-                raise ValueError("select items in GROUP BY mode must be columns or aggregates")
+                post_exprs[name] = _hoist_aggs(item)
         sel_cols = [item.value if item.kind == "col" else nm
                     for (item, _), nm in zip(q.items, names)]
         having = q.having
@@ -1779,14 +1898,22 @@ def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
         hidden_cd = [(n, c) for n, k, c in hidden if k == "count_distinct"]
         hidden = [(n, k, c) for n, k, c in hidden if k != "count_distinct"]
         if cd_specs or hidden_cd:
+            if post_exprs:
+                raise ValueError("expressions over aggregates cannot be "
+                                 "combined with COUNT(DISTINCT ...)")
             return _execute_with_count_distinct(
                 ds, q, specs + hidden, cd_specs + hidden_cd, names, having)
         out = groupby_agg(ds, q.group_by, specs + hidden)
 
         def proj(t: pa.Table, hv=having, nm=list(names),
-                 sc=list(sel_cols)) -> pa.Table:
+                 sc=list(sel_cols), pe=dict(post_exprs)) -> pa.Table:
             if hv is not None:
                 t = _filter_table(t, eval_expr(hv, t))
+            for name, nd in pe.items():
+                v = eval_expr(nd, t)
+                if isinstance(v, pa.Scalar):
+                    v = pa.array([v.as_py()] * len(t), v.type)
+                t = t.append_column(name, v)
             # order output columns as written (hidden HAVING specs
             # dropped; hidden group-expression keys rename to item names)
             return t.select(sc).rename_columns(nm)

@@ -2710,6 +2710,27 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+Q117_SQL = """
+SELECT EXTRACT(year FROM o_orderdate) AS y,
+       EXTRACT(quarter FROM o_orderdate) AS q,
+       COUNT(*) AS n,
+       ROUND(SUM(o_totalprice) / COUNT(*), 4) AS avg_price,
+       ROUND(SQRT(SUM(o_totalprice)), 4) AS root_total,
+       ROUND(MAX(o_totalprice) - MIN(o_totalprice), 4) AS spread
+FROM orders
+GROUP BY EXTRACT(year FROM o_orderdate), EXTRACT(quarter FROM o_orderdate)
+"""
+
+
+def q117_sql_date_math(sf_dir):
+    """Round-4d SQL surface: EXTRACT date parts as group keys plus
+    expressions over aggregates (SUM/COUNT ratio, ROUND(SQRT(SUM)))
+    — the agg subtrees hoist to hidden combiner specs and the outer
+    expression evaluates over the merged table (ops/sql.py
+    _hoist_aggs). Same string runs verbatim in DuckDB."""
+    return _sql_query(Q117_SQL)(sf_dir)
+
+
 def _sql_oracle(sql):
     # wrap so float columns round identically on the DuckDB side
     return f"""SELECT * REPLACE (round(total, 4) AS total) FROM ({sql})""" if "total" in sql else sql
@@ -2857,6 +2878,7 @@ def registry():
         "q114_kmeans_clusters": q114_kmeans_clusters,
         "q115_table_profile": q115_table_profile,
         "q116_pivot": q116_pivot,
+        "q117_sql_date_math": q117_sql_date_math,
     }
     sqls = {
         "q01_tpch_groupby": Q01_SQL,
@@ -2943,6 +2965,7 @@ def registry():
         "q113_vector_dim_stats": Q113_SQL,
         "q115_table_profile": Q115_SQL,
         "q116_pivot": Q116_SQL,
+        "q117_sql_date_math": Q117_SQL,
         "q29_token_quantiles": Q29_SQL,
         "q37_text_normalize": Q37_SQL,
     }

@@ -70,6 +70,16 @@ CASES = [
     "SELECT c_mktsegment, c_nationkey, COUNT(*) AS n FROM customer GROUP BY CUBE(c_mktsegment, c_nationkey)",
     "SELECT c_mktsegment, c_nationkey, COUNT(*) AS n FROM customer GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())",
     "SELECT o_orderpriority, COUNT(*) AS n FROM orders GROUP BY ROLLUP(o_orderpriority) ORDER BY n DESC, o_orderpriority LIMIT 4",
+    # round-4d: math fns / date parts / expressions over aggregates
+    "SELECT o_orderkey, SQRT(o_totalprice) AS sq, LN(o_totalprice) AS l, EXP(o_totalprice / 500000) AS e, POWER(o_totalprice, 0.25) AS p, LOG2(o_totalprice) AS l2, LOG10(o_totalprice) AS l10, SIGN(o_totalprice - 150000) AS sg FROM orders WHERE o_orderkey < 400",
+    "SELECT event_id, EXTRACT(year FROM ts) AS y, EXTRACT(month FROM ts) AS mo, EXTRACT(day FROM ts) AS d, EXTRACT(hour FROM ts) AS h, EXTRACT(minute FROM ts) AS mi, EXTRACT(dow FROM ts) AS dw, EXTRACT(doy FROM ts) AS dy, EXTRACT(week FROM ts) AS wk, EXTRACT(quarter FROM ts) AS q, EXTRACT(epoch FROM ts) AS ep FROM events WHERE event_id < 60",
+    "SELECT o_orderkey, YEAR(o_orderdate) AS y, MONTH(o_orderdate) AS m, DAY(o_orderdate) AS d, QUARTER(o_orderdate) AS q, DAYOFWEEK(o_orderdate) AS dw, DAYOFYEAR(o_orderdate) AS dy FROM orders WHERE o_orderkey < 250",
+    "SELECT event_id, DATE_TRUNC('month', ts) AS mt, DATE_TRUNC('day', ts) AS dt, DATE_TRUNC('hour', ts) AS ht, DATE_TRUNC('week', ts) AS wt FROM events WHERE event_id < 80",
+    "SELECT event_id, DATE_PART('year', ts) AS y, DATE_PART('dow', ts) AS dw FROM events WHERE event_id < 40",
+    "SELECT o_orderstatus, ROUND(SUM(o_totalprice), 2) AS tot2, SUM(o_totalprice) / COUNT(*) AS avg_price, MAX(o_totalprice) - MIN(o_totalprice) AS spread FROM orders GROUP BY o_orderstatus",
+    "SELECT c_nationkey, SUM(c_acctbal) / SUM(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END) AS pos_avg, COUNT(*) * 100 AS pct_base FROM customer GROUP BY c_nationkey",
+    "SELECT EXTRACT(month FROM o_orderdate) AS m, COUNT(*) AS n, ROUND(AVG(o_totalprice), 1) AS ap FROM orders GROUP BY EXTRACT(month FROM o_orderdate) ORDER BY m",
+    "SELECT SQRT(SUM(o_totalprice)) AS rt, LN(COUNT(*)) AS lc FROM orders",
 ]
 
 
