@@ -44,6 +44,7 @@ remains available via relational.broadcast_join(first_match_order=...).
 
 from __future__ import annotations
 
+import functools
 import re
 from dataclasses import dataclass
 from typing import Any
@@ -136,7 +137,7 @@ _KEYWORDS = {
     "REPLACE",
     "OVER", "PARTITION", "ROW_NUMBER", "RANK", "DENSE_RANK", "LAG", "LEAD",
     "NTILE", "PERCENT_RANK", "CUME_DIST", "FIRST_VALUE", "LAST_VALUE",
-    "INTERSECT", "EXCEPT", "ROLLUP", "CUBE", "GROUPING", "SETS",
+    "INTERSECT", "EXCEPT", "ROLLUP", "CUBE", "GROUPING", "SETS", "WITH",
 }
 
 
@@ -344,6 +345,16 @@ class Parser:
             return Node("lit", t[1])
         if t == ("kw", "NULL"):
             return Node("lit", None)
+        if t[0] == "kw" and t[1] in ("DATE", "TIMESTAMP") \
+                and self.peek()[0] == "str":
+            # typed literal: DATE '1995-03-15' / TIMESTAMP '...' (standard
+            # SQL; DuckDB parses the same text)
+            import datetime as _dt
+
+            s = self.next()[1]
+            if t[1] == "DATE":
+                return Node("lit", _dt.date.fromisoformat(s))
+            return Node("lit", _dt.datetime.fromisoformat(s))
         if t == ("kw", "EXISTS"):
             self.expect("op", "(")
             sub = _parse_core(self)
@@ -480,6 +491,15 @@ class Parser:
         if t[0] == "id":
             name = t[1]
             lname = name.lower()
+            if lname == "interval" and self.peek()[0] in ("str", "num"):
+                # INTERVAL '3' MONTH / INTERVAL 3 MONTH (constant only;
+                # folded against dates at eval time)
+                n = int(self.next()[1])
+                unit = self.next()[1].lower().rstrip("s")
+                if unit not in ("year", "month", "week", "day", "hour",
+                                "minute", "second"):
+                    raise ValueError(f"INTERVAL: unsupported unit {unit!r}")
+                return Node("interval", (n, unit))
             if lname == "extract" and self.peek() == ("op", "("):
                 # EXTRACT(part FROM expr) — part is a bare word
                 self.next()
@@ -558,7 +578,13 @@ class Query:
 
 
 def _parse_table_ref(p: Parser):
-    name = p.expect("id")[1]
+    if p.accept("op", "("):
+        # derived table: FROM/JOIN ( SELECT ... ) [AS] alias — the Select
+        # node itself stands in for the table name and executes recursively
+        name = _parse_core(p)
+        p.expect("op", ")")
+    else:
+        name = p.expect("id")[1]
     alias = None
     if p.accept("kw", "AS"):
         alias = p.expect("id")[1]
@@ -587,7 +613,13 @@ def _parse_core(p: Parser) -> Select:
         if p.peek() == ("kw", "LEFT"):
             p.next()
             left = True
+            if p.peek()[0] == "id" and p.peek()[1].lower() == "outer":
+                p.next()
             p.expect("kw", "JOIN")
+        elif (p.peek()[0] == "id" and p.peek()[1].lower() == "inner"
+              and p.toks[p.i + 1] == ("kw", "JOIN")):
+            p.next()
+            p.next()
         elif p.peek() == ("kw", "JOIN"):
             p.next()
         else:
@@ -659,8 +691,53 @@ def _parse_core(p: Parser) -> Select:
                   joins=joins, having=having, group_sets=group_sets)
 
 
+def _subst_ctes(x, ctes: dict):
+    """Replace table-name references to CTEs with (deep copies of) their
+    defining Selects — everywhere a Select can appear: FROM, JOIN, and
+    subquery nodes inside expressions."""
+    import copy
+
+    if isinstance(x, Select):
+        if isinstance(x.table, str) and x.table.lower() in ctes:
+            x.table = copy.deepcopy(ctes[x.table.lower()])
+        else:
+            _subst_ctes(x.table, ctes)
+        for j in (x.joins or []):
+            if isinstance(j.table, str) and j.table.lower() in ctes:
+                j.table = copy.deepcopy(ctes[j.table.lower()])
+            else:
+                _subst_ctes(j.table, ctes)
+        _subst_ctes(x.items, ctes)
+        _subst_ctes(x.where, ctes)
+        _subst_ctes(x.having, ctes)
+        _subst_ctes(x.group_by, ctes)
+        _subst_ctes(x.order_by, ctes)
+        return
+    if isinstance(x, Node):
+        _subst_ctes(x.value, ctes)
+        _subst_ctes(x.args, ctes)
+        return
+    if isinstance(x, (tuple, list)):
+        for i in x:
+            _subst_ctes(i, ctes)
+
+
 def parse_query(sql: str) -> Query:
     p = Parser(tokenize(sql))
+    ctes: dict = {}
+    if p.accept("kw", "WITH"):
+        # non-recursive CTEs; each may reference earlier ones (substituted
+        # inline — a CTE used twice executes twice, no materialized reuse)
+        while True:
+            nm = p.expect("id")[1].lower()
+            p.expect("kw", "AS")
+            p.expect("op", "(")
+            sub = _parse_core(p)
+            p.expect("op", ")")
+            _subst_ctes(sub, ctes)
+            ctes[nm] = sub
+            if not p.accept("op", ","):
+                break
     cores = [_parse_core(p)]
     set_ops = []
     while p.peek()[0] == "kw" and p.peek()[1] in ("UNION", "INTERSECT",
@@ -695,6 +772,10 @@ def parse_query(sql: str) -> Query:
         if p.accept("kw", "OFFSET"):
             offset = int(p.expect("num")[1])
     p.expect("end")
+    if ctes:
+        for core in cores:
+            _subst_ctes(core, ctes)
+        _subst_ctes(order_by, ctes)
     return Query(cores, order_by, limit, offset, set_ops=set_ops)
 
 
@@ -759,10 +840,23 @@ def eval_expr(node: Node, t: pa.Table):
         return t[node.value]
     if k == "lit":
         return pa.scalar(node.value)
+    if k == "interval":
+        raise ValueError("bare INTERVAL literal — use date ± INTERVAL")
     if k == "bin":
+        op = node.value
+        if op in ("+", "-") and (node.args[0].kind == "interval"
+                                 or node.args[1].kind == "interval"):
+            if node.args[0].kind == "interval":
+                if op == "-":
+                    raise ValueError("INTERVAL - date is invalid")
+                ivl, other = node.args[0], node.args[1]
+            else:
+                ivl, other = node.args[1], node.args[0]
+            n, unit = ivl.value
+            return _shift_temporal(eval_expr(other, t),
+                                   n if op == "+" else -n, unit)
         a = eval_expr(node.args[0], t)
         b = eval_expr(node.args[1], t)
-        op = node.value
         if op == "||":
             return _concat(a, b)
         if op in ("+", "-", "*", "/", "%"):
@@ -795,10 +889,9 @@ def eval_expr(node: Node, t: pa.Table):
             "ops.sql.execute (subqueries are resolved against sf_dir)")
     if k == "between":
         x = eval_expr(node.args[0], t)
-        return pc.and_(
-            pc.greater_equal(x, eval_expr(node.args[1], t)),
-            pc.less_equal(x, eval_expr(node.args[2], t)),
-        )
+        xlo, lo = _coerce_temporal(x, eval_expr(node.args[1], t))
+        xhi, hi = _coerce_temporal(x, eval_expr(node.args[2], t))
+        return pc.and_(pc.greater_equal(xlo, lo), pc.less_equal(xhi, hi))
     if k == "like":
         return pc.match_like(eval_expr(node.args[0], t), node.args[1].value,
                              ignore_case=(node.value == "i"))
@@ -994,7 +1087,40 @@ def _coerce_temporal(a, b):
         b = pc.cast(b, ta)
     elif (pa.types.is_timestamp(tb) or pa.types.is_date(tb)) and pa.types.is_string(ta):
         a = pc.cast(a, tb)
+    elif pa.types.is_timestamp(ta) and pa.types.is_date(tb):
+        b = pc.cast(b, ta)  # DATE literal vs timestamp column
+    elif pa.types.is_timestamp(tb) and pa.types.is_date(ta):
+        a = pc.cast(a, tb)
     return a, b
+
+
+def _shift_temporal(v, n: int, unit: str):
+    """date/timestamp ± INTERVAL: calendar math for month/year (day clamps
+    to the target month's length, DuckDB semantics), timedelta otherwise.
+    Column (array) shifts support fixed-length units only."""
+    import calendar
+    import datetime as _dt
+
+    if isinstance(v, pa.Scalar):
+        py = v.as_py()
+        if py is None:
+            return v
+        if unit in ("year", "month"):
+            months = n * (12 if unit == "year" else 1)
+            y, m0 = divmod(py.year * 12 + (py.month - 1) + months, 12)
+            d = min(py.day, calendar.monthrange(y, m0 + 1)[1])
+            return pa.scalar(py.replace(year=y, month=m0 + 1, day=d))
+        delta = _dt.timedelta(**{unit + "s": n})
+        if isinstance(py, _dt.date) and not isinstance(py, _dt.datetime) \
+                and unit in ("hour", "minute", "second"):
+            py = _dt.datetime(py.year, py.month, py.day)
+        return pa.scalar(py + delta)
+    if unit in ("week", "day", "hour", "minute", "second"):
+        vv = v if pa.types.is_timestamp(_type_of(v)) \
+            else pc.cast(v, pa.timestamp("us"))
+        return pc.add(vv, pa.scalar(_dt.timedelta(**{unit + "s": n})))
+    raise ValueError("month/year INTERVAL arithmetic on a column is "
+                     "unsupported (constant dates only)")
 
 
 def _geom_areas(col) -> list[float]:
@@ -1214,6 +1340,122 @@ def _apply_offset(out, offset: int):
     return out.repartition(1).map_batches(drop, batch_format="pyarrow", batch_size=None)
 
 
+# ---------------------------------------------------------------------------
+# correlated-subquery decorrelation (scope analysis + join rewrites)
+# ---------------------------------------------------------------------------
+
+_SPECIAL_FIELDS = ("FID", "OGR_GEOM_AREA", "OGR_GEOM_WKT", "OGR_STYLE",
+                   "OGR_GEOMETRY")
+
+
+@functools.lru_cache(maxsize=256)
+def _parquet_cols(path: str) -> tuple:
+    import pyarrow.parquet as pq
+
+    return tuple(pq.read_schema(path).names)
+
+
+def _table_cols(sf_dir: str, table) -> list:
+    if isinstance(table, Select):
+        return list(_out_names(table))
+    from gdal_ray.util import sf_path
+
+    return list(_parquet_cols(sf_path(sf_dir, table)))
+
+
+def _avail_cols(core: Select, sf_dir: str) -> set:
+    """Column names visible inside one Select's own scope (FROM + JOINs +
+    special fields) — the basis for correlated-reference detection."""
+    cols = set(_table_cols(sf_dir, core.table))
+    for j in (core.joins or []):
+        cols.update(_table_cols(sf_dir, j.table))
+    cols.update(_SPECIAL_FIELDS)
+    return cols
+
+
+def _refed_cols(x, acc: set) -> None:
+    """Collect column names referenced by an expression tree, NOT
+    descending into nested subquery scopes (their columns are their own;
+    correlation more than one level up is unsupported)."""
+    if isinstance(x, Node):
+        if x.kind == "col":
+            acc.add(x.value)
+            return
+        if x.kind == "agg":
+            _k, c = x.value
+            if isinstance(c, str):
+                acc.add(c)
+            elif isinstance(c, Node):
+                _refed_cols(c, acc)
+            return
+        if x.kind in ("exists_sub", "scalar_sub"):
+            return
+        if x.kind == "in_sub":
+            _refed_cols(x.args[0], acc)
+            return
+        if isinstance(x.value, (Node, tuple, list)):
+            _refed_cols(x.value, acc)
+        _refed_cols(x.args, acc)
+        return
+    if isinstance(x, (tuple, list)):
+        for i in x:
+            _refed_cols(i, acc)
+
+
+def _is_correlated(sub: Select, sf_dir: str) -> bool:
+    avail = _avail_cols(sub, sf_dir)
+    acc: set = set()
+    _refed_cols((sub.items, sub.where, sub.having), acc)
+    for g in sub.group_by:
+        if isinstance(g, str):
+            acc.add(g)
+        else:
+            _refed_cols(g, acc)
+    return bool(acc - avail)
+
+
+def _split_conjuncts(n):
+    if n is None:
+        return []
+    if n.kind == "bin" and n.value == "and":
+        return _split_conjuncts(n.args[0]) + _split_conjuncts(n.args[1])
+    return [n]
+
+
+def _and_fold(conjs):
+    out = None
+    for c in conjs:
+        out = c if out is None else Node("bin", "and", (out, c))
+    return out
+
+
+def _extract_correlation(sub: Select, outer_cols: set, sf_dir: str):
+    """Split sub.where into equality-correlation key pairs
+    [(outer_col, inner_col)] and a purely-local residue. Non-equality
+    correlated predicates are rejected (not decorrelatable to a key
+    join)."""
+    inner = _avail_cols(sub, sf_dir)
+    pairs, local = [], []
+    for c in _split_conjuncts(sub.where):
+        if (c.kind == "bin" and c.value == "=" and c.args[0].kind == "col"
+                and c.args[1].kind == "col"):
+            a, b = c.args[0].value, c.args[1].value
+            if a in inner and b not in inner and b in outer_cols:
+                pairs.append((b, a))
+                continue
+            if b in inner and a not in inner and a in outer_cols:
+                pairs.append((a, b))
+                continue
+        acc: set = set()
+        _refed_cols(c, acc)
+        if acc - inner:
+            raise ValueError(
+                "unsupported correlated predicate (only equality "
+                f"correlation outer_col = inner_col): {c}")
+        local.append(c)
+    return pairs, _and_fold(local)
+
+
 def _resolve_subqueries(core: Select, sf_dir: str) -> Select:
     """Replace uncorrelated IN (SELECT ...) / scalar (SELECT ...) nodes by
     running each subquery once on the driver (nested subqueries resolve
@@ -1241,16 +1483,23 @@ def _resolve_subqueries(core: Select, sf_dir: str) -> Select:
 
     def walk(n: Node) -> Node:
         if n.kind == "in_sub":
+            if _is_correlated(n.args[1], sf_dir):
+                return Node("in_sub", None,
+                            (walk_any(n.args[0]), n.args[1]))
             left = walk_any(n.args[0])
             col = run_sub(n.args[1]).column(0).combine_chunks()
             return Node("in_vals", col, (left,))
         if n.kind == "scalar_sub":
+            if _is_correlated(n.args[0], sf_dir):
+                return n  # decorrelated to a join in _execute_core
             tbl = run_sub(n.args[0])
             if tbl.num_rows != 1:
                 raise ValueError(
                     f"scalar subquery returned {tbl.num_rows} rows, want 1")
             return Node("lit", tbl.column(0)[0].as_py())
         if n.kind == "exists_sub":
+            if _is_correlated(n.args[0], sf_dir):
+                return n  # decorrelated to a semi join in _execute_core
             sub = _resolve_subqueries(n.args[0], sf_dir)
             n_rows = _execute_core(sub, sf_dir, [], 1, None).count()
             return Node("lit", bool(n_rows))
@@ -1263,6 +1512,11 @@ def _resolve_subqueries(core: Select, sf_dir: str) -> Select:
     core.having = walk_any(core.having)
     core.group_by = [walk_any(g) for g in core.group_by]
     core.order_by = walk_any(core.order_by)
+    if isinstance(core.table, Select):
+        core.table = _resolve_subqueries(core.table, sf_dir)
+    for j in (core.joins or []):
+        if isinstance(j.table, Select):
+            j.table = _resolve_subqueries(j.table, sf_dir)
     return core
 
 
@@ -1303,7 +1557,9 @@ def execute(sql: str, sf_dir: str):
     q = parse_query(sql)
     q.cores = [_resolve_subqueries(c, sf_dir) for c in q.cores]
     if len(q.cores) == 1:
-        return _execute_core(q.cores[0], sf_dir, q.order_by, q.limit, q.offset)
+        out = _execute_core(q.cores[0], sf_dir, q.order_by, q.limit,
+                            q.offset)
+        return _with_schema_sentinel(out, q.cores[0], sf_dir)
     # Set-op chain: each core compiles independently; schemas align by
     # POSITION to the first core's output names (ogr_sql_dialect.rst:515-533
     # resolves union layer fields by the first layer's definition)
@@ -1332,8 +1588,25 @@ def execute(sql: str, sf_dir: str):
         out = out.limit(want)
     if q.offset:
         out = _apply_offset(out, q.offset)
-    return out
+    return _with_schema_sentinel(out, q.cores[0], sf_dir)
 
+
+def _with_schema_sentinel(out, core: Select, sf_dir: str):
+    """Union one statically-typed 0-row block onto the final dataset so an
+    all-empty result still carries column names/types (Ray 2.49 loses the
+    schema of empty pipelines). Skipped for window queries (their output
+    types aren't statically modeled) and whenever inference fails."""
+    found: list = []
+    _collect_windows((core.items, core.having, core.order_by), found)
+    if found:
+        return out
+    try:
+        te = _typed_empty_select(core, sf_dir)
+        import ray.data as _rd
+
+        return out.union(_rd.from_arrow(te))
+    except Exception:
+        return out
 
 
 def _order_keys(out, order_by, *, on_source=False):
@@ -1722,6 +1995,278 @@ def _execute_group_sets(q: Select, sf_dir: str):
     return out
 
 
+def _canon_name(c: str, key_alias: dict) -> str:
+    seen = set()
+    while c in key_alias and c not in seen:
+        seen.add(c)
+        c = key_alias[c]
+    return c
+
+
+def _canon_cols(q: Select, key_alias: dict, order_by=None):
+    """Rewrite references to inner-join-dropped key columns to the
+    surviving (coalesced) name — in this scope only (sub-Select scopes
+    keep their own names; their correlated refs canonicalize at
+    decorrelation time). Unaliased top-level col items keep their
+    original output name via a synthesized alias."""
+
+    def rw(n):
+        if not isinstance(n, Node):
+            return n
+        if n.kind == "col":
+            return Node("col", _canon_name(n.value, key_alias))
+        if n.kind in ("exists_sub", "scalar_sub"):
+            return n
+        if n.kind == "in_sub":
+            return Node("in_sub", n.value, (rw(n.args[0]), n.args[1]))
+        if n.kind == "agg":
+            k_, c = n.value
+            if isinstance(c, str):
+                c = _canon_name(c, key_alias)
+            elif isinstance(c, Node):
+                c = rw(c)
+            return Node("agg", (k_, c), n.args)
+        value = n.value
+        if isinstance(value, Node):
+            value = rw(value)
+        elif isinstance(value, tuple):
+            value = tuple(rw(x) if isinstance(x, Node) else x for x in value)
+        args = tuple(
+            rw(a) if isinstance(a, Node)
+            else tuple(rw(x) if isinstance(x, Node) else x for x in a)
+            if isinstance(a, tuple) else a
+            for a in n.args)
+        return Node(n.kind, value, args)
+
+    new_items = []
+    for item, alias in q.items:
+        new_item = rw(item)
+        if (alias is None and isinstance(item, Node) and item.kind == "col"
+                and new_item.value != item.value):
+            alias = item.value
+        new_items.append((new_item, alias))
+    q.items = new_items
+    q.where = rw(q.where) if q.where is not None else None
+    q.having = rw(q.having) if q.having is not None else None
+    q.group_by = [(_canon_name(g, key_alias) if isinstance(g, str)
+                   else rw(g)) for g in q.group_by]
+    # ORDER BY: rewrite expression entries; plain strings are output
+    # aliases or column names of the result table — leave them
+    q.order_by = [(rw(c) if isinstance(c, Node) else c, d)
+                  for c, d in (q.order_by or [])]
+    return [(rw(c) if isinstance(c, Node) else c, d)
+            for c, d in (order_by or [])]
+
+
+# ---------------------------------------------------------------------------
+# typed-empty sentinel: Ray 2.49 loses the schema of an all-empty pipeline
+# (every block is 0 rows -> pa.table({})). execute() unions one 0-row block
+# with the statically-inferred output schema onto the final dataset, so an
+# empty result still reports its column names/types (SQL semantics; the
+# oracle comparison needs the names even for 0 rows).
+# ---------------------------------------------------------------------------
+
+def _agg_out_type(kind: str, col, E: pa.Table):
+    if kind in ("count_star", "count", "count_distinct"):
+        return pa.int64()
+    if kind in ("mean", "std"):
+        return pa.float64()
+    if isinstance(col, Node):
+        t = _expr_type(col, E)
+    elif isinstance(col, str) and col in E.column_names:
+        t = E[col].type
+    else:
+        t = pa.float64()
+    if kind == "sum" and pa.types.is_integer(t):
+        return pa.int64()  # Arrow group_by sum widens ints
+    return t
+
+
+def _expr_type(node: Node, E: pa.Table):
+    """Output type of an expression, inferred by EVALUATING it on the
+    0-row typed table E (pyarrow kernels are type-deterministic); agg
+    subtrees are replaced by typed placeholder columns first."""
+    repl: dict = {}
+
+    def strip(n):
+        if not isinstance(n, Node):
+            return n
+        if n.kind == "agg":
+            k_, c = n.value
+            nm = f"__ty{len(repl)}"
+            repl[nm] = _agg_out_type(k_, c, E)
+            return Node("col", nm)
+        return Node(n.kind, n.value, tuple(
+            strip(a) if isinstance(a, Node)
+            else tuple(strip(x) if isinstance(x, Node) else x for x in a)
+            if isinstance(a, tuple) else a
+            for a in n.args))
+
+    E2 = E
+    n2 = strip(node)
+    for nm, ty in repl.items():
+        E2 = E2.append_column(nm, pa.chunked_array([pa.array([], ty)]))
+    v = eval_expr(n2, E2)
+    return _type_of(v)
+
+
+def _empty_input_table(q: Select, sf_dir: str) -> pa.Table:
+    """0-row typed table with q's FROM + JOIN columns (right join keys
+    dropped, matching pyarrow join coalescing)."""
+    import pyarrow.parquet as pq
+
+    from gdal_ray.util import sf_path
+
+    def base(tref):
+        if isinstance(tref, Select):
+            return _typed_empty_select(tref, sf_dir)
+        return pq.read_schema(sf_path(sf_dir, tref)).empty_table()
+
+    E = base(q.table)
+    cols = {c: E[c] for c in E.column_names}
+    for j in (q.joins or []):
+        R = base(j.table)
+        rk = j.right_key if j.right_key in R.column_names else j.left_key
+        for c in R.column_names:
+            if c != rk and c not in cols:
+                cols[c] = R[c]
+    return pa.table(cols)
+
+
+def _typed_empty_select(q: Select, sf_dir: str) -> pa.Table:
+    """0-row typed table matching q's OUTPUT schema."""
+    E = _empty_input_table(q, sf_dir)
+    cols = {}
+    for idx, (item, alias) in enumerate(q.items):
+        if isinstance(item, Node) and item.kind == "star":
+            return E
+        name = _item_name(item, alias, idx)
+        if item.kind == "col" and item.value in E.column_names:
+            cols[name] = E[item.value]
+        else:
+            cols[name] = pa.chunked_array([pa.array([], _expr_type(item, E))])
+    return pa.table(cols)
+
+
+def _has_sub_nodes(x) -> bool:
+    if isinstance(x, Node):
+        if x.kind in ("in_sub", "exists_sub", "scalar_sub"):
+            return True
+        return (_has_sub_nodes(x.value) if isinstance(x.value, (Node, tuple, list)) else False) or _has_sub_nodes(x.args)
+    if isinstance(x, (tuple, list)):
+        return any(_has_sub_nodes(i) for i in x)
+    return False
+
+
+def _decorrelate_where(ds, q: Select, sf_dir: str, key_alias: dict):
+    """Rewrite correlated subqueries left in q.where into distributed
+    joins (classic decorrelation; only equality correlation):
+
+    - [NOT] EXISTS (SELECT ... WHERE ok = ik AND local)  ->  hash
+      semi/anti join of the outer stream against the locally-filtered
+      inner keys (semi_join_hash — both sides shuffle, neither
+      broadcasts).
+    - expr IN (SELECT ic FROM ... WHERE ok = ik)         ->  same semi
+      join with (expr-col, ic) as an extra key pair.
+    - cmp (SELECT AGG(x) FROM t WHERE ok = ik AND local) ->  GROUP BY ik
+      aggregate of the inner, broadcast LEFT-joined onto the outer; the
+      scalar node becomes a plain column reference (missing groups join
+      to NULL, so the comparison is NULL -> filtered, SQL semantics).
+
+    Returns the possibly-joined ds and q with q.where rewritten."""
+    import copy
+
+    from gdal_ray.ops.relational import broadcast_join, semi_join_hash
+    from gdal_ray.util import to_arrow
+
+    outer_cols = _avail_cols(q, sf_dir)
+
+    def canon(c):  # physical name after inner-join key coalescing
+        return _canon_name(c, key_alias)
+
+    semi_specs = []    # (anti, sub2: Select, outer_keys)
+    scalar_specs = []  # (hidden, sub2: Select, outer_keys, inner_out_keys)
+
+    kept = []
+    for c in _split_conjuncts(q.where):
+        node, neg = c, False
+        if (node.kind == "un" and node.args
+                and isinstance(node.args[0], Node)
+                and node.args[0].kind in ("exists_sub", "in_sub")):
+            neg, node = True, node.args[0]
+        if node.kind == "exists_sub" and _is_correlated(node.args[0], sf_dir):
+            sub = copy.deepcopy(node.args[0])
+            pairs, local = _extract_correlation(sub, outer_cols, sf_dir)
+            if not pairs:
+                raise ValueError("EXISTS correlation has no equality key")
+            sub2 = Select([(Node("col", ik), canon(ok)) for ok, ik in pairs],
+                          False, sub.table, local, [], [], None,
+                          joins=sub.joins)
+            semi_specs.append((neg, sub2, [canon(ok) for ok, _ in pairs]))
+            continue
+        if node.kind == "in_sub" and _is_correlated(node.args[1], sf_dir):
+            left, sub = node.args
+            if left.kind != "col":
+                raise ValueError("correlated IN: left side must be a column")
+            sub = copy.deepcopy(sub)
+            item0, _a0 = sub.items[0]
+            if item0.kind != "col":
+                raise ValueError("correlated IN: subquery item must be a column")
+            pairs, local = _extract_correlation(sub, outer_cols, sf_dir)
+            pairs = [(left.value, item0.value)] + pairs
+            sub2 = Select([(Node("col", ik), canon(ok)) for ok, ik in pairs],
+                          False, sub.table, local, [], [], None,
+                          joins=sub.joins)
+            semi_specs.append((neg, sub2, [canon(ok) for ok, _ in pairs]))
+            continue
+        kept.append(c)
+
+    def rw(n):
+        if not isinstance(n, Node):
+            return n
+        if n.kind == "scalar_sub" and _is_correlated(n.args[0], sf_dir):
+            sub = copy.deepcopy(n.args[0])
+            if len(sub.items) != 1:
+                raise ValueError("scalar subquery must have one item")
+            item0, _a0 = sub.items[0]
+            pairs, local = _extract_correlation(sub, outer_cols, sf_dir)
+            if not pairs:
+                raise ValueError("scalar-subquery correlation has no "
+                                 "equality key")
+            i = len(scalar_specs)
+            hid = f"__scs{i}"
+            key_names = [f"__sck{i}_{j}" for j in range(len(pairs))]
+            sub2 = Select([(Node("col", ik), kn)
+                           for (ok, ik), kn in zip(pairs, key_names)]
+                          + [(item0, hid)],
+                          False, sub.table, local,
+                          [ik for _, ik in pairs], [], None,
+                          joins=sub.joins)
+            scalar_specs.append((hid, sub2, [canon(ok) for ok, _ in pairs],
+                                 key_names))
+            return Node("col", hid)
+        new_args = tuple(
+            rw(a) if isinstance(a, Node)
+            else tuple(rw(x) for x in a) if isinstance(a, tuple)
+            else a
+            for a in n.args)
+        return Node(n.kind, n.value, new_args)
+
+    kept = [rw(c) for c in kept]
+    q.where = _and_fold(kept)
+
+    for hid, sub2, okeys, ikeys in scalar_specs:
+        inner = to_arrow(_execute_core(
+            _resolve_subqueries(sub2, sf_dir), sf_dir, [], None, None))
+        ds = broadcast_join(ds, inner, keys=okeys, right_keys=ikeys,
+                            how="left")
+    for anti, sub2, okeys in semi_specs:
+        inner_ds = _execute_core(
+            _resolve_subqueries(sub2, sf_dir), sf_dir, [], None, None)
+        ds = semi_join_hash(ds, inner_ds, okeys, anti=anti)
+    return ds, q
+
+
 def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
     """Compile + run one SELECT core."""
     from gdal_ray.ops.relational import broadcast_join
@@ -1736,15 +2281,27 @@ def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
         return _execute_group_sets(q, sf_dir)
     wants_fid = _mentions_fid(
         (q.items, q.where, q.group_by, q.having, q.order_by))
-    ds = (read_table_with_fid(sf_dir, q.table, fid_col="FID") if wants_fid
-          else read_table(sf_dir, q.table))
+    if isinstance(q.table, Select):
+        # derived table: FROM (SELECT ...) alias — executes recursively
+        # as its own streaming pipeline
+        ds = _execute_core(q.table, sf_dir, [], None, None)
+    else:
+        ds = (read_table_with_fid(sf_dir, q.table, fid_col="FID")
+              if wants_fid else read_table(sf_dir, q.table))
 
+    key_alias: dict = {}
     for j in (q.joins or []):
         import pyarrow.parquet as pq
 
-        from gdal_ray.util import sf_path
+        from gdal_ray.util import sf_path, to_arrow
 
-        right = pq.read_table(sf_path(sf_dir, j.table))
+        if isinstance(j.table, Select):
+            # derived join side: run and broadcast (the classic
+            # dimension-side plan; big-big goes through join_hash in the
+            # operator layer, not the SQL surface)
+            right = to_arrow(_execute_core(j.table, sf_dir, [], None, None))
+        else:
+            right = pq.read_table(sf_path(sf_dir, j.table))
         # ON a = b: decide which side names a right-table column
         if j.right_key in right.column_names:
             lk, rk = j.left_key, j.right_key
@@ -1752,8 +2309,21 @@ def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
             lk, rk = j.right_key, j.left_key
         else:
             raise ValueError(f"JOIN key not found in {j.table}")
+        while lk in key_alias:  # left key itself dropped by an earlier join
+            lk = key_alias[lk]
         ds = broadcast_join(ds, right, keys=[lk], right_keys=[rk],
                             how="left" if j.left else "inner")
+        if not j.left:
+            # pyarrow join coalesces the right key column away; on an
+            # inner join the dropped name is value-equal to the kept one,
+            # so later references canonicalize to the surviving column
+            key_alias[rk] = lk
+
+    if key_alias:
+        order_by = _canon_cols(q, key_alias, order_by)
+
+    if q.where is not None and _has_sub_nodes(q.where):
+        ds, q = _decorrelate_where(ds, q, sf_dir, key_alias)
 
     if q.where is not None:
         where = q.where
@@ -1904,6 +2474,23 @@ def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
             return _execute_with_count_distinct(
                 ds, q, specs + hidden, cd_specs + hidden_cd, names, having)
         out = groupby_agg(ds, q.group_by, specs + hidden)
+        if not q.group_by:
+            # global aggregate over zero rows must still yield ONE row
+            # (COUNT -> 0, other aggregates -> NULL), SQL semantics
+            import ray.data as _rd
+
+            from gdal_ray.util import to_arrow as _ta
+
+            tbl = _ta(out)
+            if tbl.num_rows == 0:
+                cols = {}
+                for nm_, kind, _c in specs + hidden:
+                    if kind in ("count_star", "count"):
+                        cols[nm_] = pa.array([0], pa.int64())
+                    else:
+                        cols[nm_] = pa.array([None], pa.float64())
+                tbl = pa.table(cols)
+            out = _rd.from_arrow(tbl)
 
         def proj(t: pa.Table, hv=having, nm=list(names),
                  sc=list(sel_cols), pe=dict(post_exprs)) -> pa.Table:
