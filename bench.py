@@ -122,6 +122,15 @@ def run_bench() -> dict:
     timed("q92_span_dedup", Q.q92_span_dedup)
     timed("q93_bfs", Q.q93_bfs_shortest_paths)
 
+    # TPC-H representatives through the SQL compiler: q1 (scan + 8-agg
+    # combiner), q5 (6-way join + agg), q18 (IN-subquery + 3-way join +
+    # group + top-100)
+    from gdal_ray.ops.sql import execute as sql_execute
+
+    timed("tpch_q01", lambda sd: sql_execute(Q.TPCH_SQLS["q118_tpch01"][0], sd))
+    timed("tpch_q05", lambda sd: sql_execute(Q.TPCH_SQLS["q121_tpch05"][0], sd))
+    timed("tpch_q18", lambda sd: sql_execute(Q.TPCH_SQLS["q131_tpch18"][0], sd))
+
     if run_queries:
         # north-star dedup: >= 10^7 synthetic urls (~50% dup rate), first-wins
         # by url with the hash-partitioned merge — NO single-task merge stage

@@ -152,6 +152,12 @@ _BUILTIN_CALLS = {
     "minute": "minute", "second": "second", "dayofweek": "dow",
     "dayofyear": "doy", "quarter": "quarter", "week": "week",
     "date_trunc": "date_trunc", "date_part": "date_part",
+    "strpos": "strpos", "instr": "strpos", "contains": "contains",
+    "starts_with": "starts_with", "ends_with": "ends_with",
+    "left": "left", "right": "right", "lpad": "lpad", "rpad": "rpad",
+    "split_part": "split_part", "least": "least", "greatest": "greatest",
+    "repeat": "repeat", "reverse": "reverse", "mod": "mod",
+    "regexp_replace": "regexp_replace", "regexp_matches": "regexp_matches",
 }
 
 
@@ -448,6 +454,15 @@ class Parser:
             self.expect("op", ")")
             name = {"CEILING": "ceil"}.get(t[1], t[1].lower())
             return Node("call", name, (e,))
+        if t == ("kw", "LEFT") and self.peek() == ("op", "("):
+            # LEFT(s, n) the string function — LEFT is otherwise the
+            # LEFT JOIN keyword
+            self.next()
+            s = self.expr()
+            self.expect("op", ",")
+            n = self.expr()
+            self.expect("op", ")")
+            return Node("call", "left", (s, n))
         if t == ("kw", "ROUND"):
             self.expect("op", "(")
             e = self.expr()
@@ -967,6 +982,68 @@ def eval_expr(node: Node, t: pa.Table):
             null = pa.scalar(None, a.type if not isinstance(a, pa.Scalar)
                              else a.type)
             return pc.if_else(eq, null, a)
+        if fn == "strpos":
+            # DuckDB: 1-based first occurrence, 0 when absent
+            pos = pc.find_substring(eval_expr(node.args[0], t),
+                                    node.args[1].value)
+            return pc.cast(pc.add(pos, 1), pa.int64())
+        if fn in ("contains", "starts_with", "ends_with"):
+            k2 = {"contains": pc.match_substring,
+                  "starts_with": pc.starts_with, "ends_with": pc.ends_with}
+            return k2[fn](eval_expr(node.args[0], t), node.args[1].value)
+        if fn in ("left", "right"):
+            s = eval_expr(node.args[0], t)
+            n = int(node.args[1].value)
+            if fn == "left":
+                return pc.utf8_slice_codeunits(s, 0, max(n, 0))
+            if n <= 0:
+                return pc.utf8_slice_codeunits(s, 0, 0)
+            return pc.if_else(
+                pc.greater_equal(pc.utf8_length(s), n),
+                pc.utf8_slice_codeunits(s, -n), s)
+        if fn in ("lpad", "rpad"):
+            # DuckDB truncates to n when the string is longer (1-char fill)
+            s = eval_expr(node.args[0], t)
+            n = int(node.args[1].value)
+            fill = node.args[2].value if len(node.args) > 2 else " "
+            if len(fill) != 1:
+                raise ValueError(f"{fn.upper()}: 1-character fill only")
+            padded = (pc.utf8_lpad if fn == "lpad" else pc.utf8_rpad)(
+                s, n, padding=fill)
+            return pc.if_else(pc.greater(pc.utf8_length(s), n),
+                              pc.utf8_slice_codeunits(s, 0, n), padded)
+        if fn == "split_part":
+            # 1-based part; '' when out of range (list_slice + join)
+            s = eval_expr(node.args[0], t)
+            delim = node.args[1].value
+            i = int(node.args[2].value)
+            parts = pc.split_pattern(s, delim)
+            piece = pc.list_slice(parts, i - 1, i)
+            return pc.binary_join(piece, "")
+        if fn in ("least", "greatest"):
+            vals = _unify_numeric([eval_expr(a, t) for a in node.args])
+            k2 = pc.min_element_wise if fn == "least" else pc.max_element_wise
+            return k2(*vals)  # skip_nulls=True matches DuckDB
+        if fn == "repeat":
+            return pc.binary_repeat(eval_expr(node.args[0], t),
+                                    int(node.args[1].value))
+        if fn == "reverse":
+            return pc.utf8_reverse(eval_expr(node.args[0], t))
+        if fn == "mod":
+            return _sql_mod(eval_expr(node.args[0], t),
+                            eval_expr(node.args[1], t))
+        if fn == "regexp_replace":
+            # DuckDB replaces the FIRST match unless the 'g' option is given
+            s = eval_expr(node.args[0], t)
+            pat = node.args[1].value
+            rep = node.args[2].value
+            glob = (len(node.args) > 3 and "g" in str(node.args[3].value))
+            return pc.replace_substring_regex(
+                s, pattern=pat, replacement=rep,
+                max_replacements=None if glob else 1)
+        if fn == "regexp_matches":
+            return pc.match_substring_regex(eval_expr(node.args[0], t),
+                                            node.args[1].value)
         if fn in ("sqrt", "ln", "exp", "log2", "log10"):
             v = pc.cast(eval_expr(node.args[0], t), pa.float64())
             return {"sqrt": pc.sqrt, "ln": pc.ln, "exp": pc.exp,

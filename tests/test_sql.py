@@ -80,6 +80,13 @@ CASES = [
     "SELECT c_nationkey, SUM(c_acctbal) / SUM(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END) AS pos_avg, COUNT(*) * 100 AS pct_base FROM customer GROUP BY c_nationkey",
     "SELECT EXTRACT(month FROM o_orderdate) AS m, COUNT(*) AS n, ROUND(AVG(o_totalprice), 1) AS ap FROM orders GROUP BY EXTRACT(month FROM o_orderdate) ORDER BY m",
     "SELECT SQRT(SUM(o_totalprice)) AS rt, LN(COUNT(*)) AS lc FROM orders",
+    # round-4e: string function catalogue
+    "SELECT s_suppkey, STRPOS(s_name, '1') AS sp, CONTAINS(s_name, 'Supplier') AS ct, STARTS_WITH(s_name, 'Sup') AS sw, ENDS_WITH(s_name, '3') AS ew FROM supplier",
+    "SELECT c_custkey, LEFT(c_name, 8) AS l8, RIGHT(c_name, 4) AS r4, REVERSE(c_mktsegment) AS rv, REPEAT(c_mktsegment, 2) AS rp FROM customer WHERE c_custkey < 60",
+    "SELECT s_suppkey, LPAD(s_name, 12, '*') AS lp, RPAD(s_name, 20, '.') AS rpd, LPAD(CAST(s_suppkey AS TEXT), 5, '0') AS z5 FROM supplier",
+    "SELECT c_custkey, SPLIT_PART(c_name, '#', 2) AS num, SPLIT_PART(c_name, '#', 5) AS oob, SPLIT_PART(c_mktsegment, 'I', 1) AS seg1 FROM customer WHERE c_custkey < 80",
+    "SELECT o_orderkey, LEAST(o_totalprice, 100000) AS lo, GREATEST(o_totalprice, 100000, o_orderkey) AS hi, MOD(o_orderkey, 7) AS m7 FROM orders WHERE o_orderkey < 200",
+    "SELECT s_suppkey, REGEXP_REPLACE(s_name, '[0-9]+', 'N') AS rr, REGEXP_REPLACE(s_name, '[0-9]', 'N', 'g') AS rrg, REGEXP_MATCHES(s_name, '^Supplier#0*[0-9]$') AS rm FROM supplier",
 ]
 
 
