@@ -1424,6 +1424,11 @@ def _apply_offset(out, offset: int):
 _SPECIAL_FIELDS = ("FID", "OGR_GEOM_AREA", "OGR_GEOM_WKT", "OGR_STYLE",
                    "OGR_GEOMETRY")
 
+# SQL JOIN planner bound: a parquet right side above this many rows uses
+# the co-partitioned join_hash (both sides shuffle) instead of a driver
+# read + ray.put broadcast. Override via config for constrained workers.
+_BROADCAST_JOIN_MAX_ROWS = 4_000_000
+
 
 @functools.lru_cache(maxsize=256)
 def _parquet_cols(path: str) -> tuple:
@@ -2372,24 +2377,42 @@ def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
 
         from gdal_ray.util import sf_path, to_arrow
 
+        right = None
+        right_rows = 0
         if isinstance(j.table, Select):
             # derived join side: run and broadcast (the classic
-            # dimension-side plan; big-big goes through join_hash in the
-            # operator layer, not the SQL surface)
+            # dimension-side plan)
             right = to_arrow(_execute_core(j.table, sf_dir, [], None, None))
+            rcols = right.column_names
         else:
-            right = pq.read_table(sf_path(sf_dir, j.table))
+            path = sf_path(sf_dir, j.table)
+            rcols = list(_parquet_cols(path))
+            right_rows = pq.read_metadata(path).num_rows
         # ON a = b: decide which side names a right-table column
-        if j.right_key in right.column_names:
+        if j.right_key in rcols:
             lk, rk = j.left_key, j.right_key
-        elif j.left_key in right.column_names:
+        elif j.left_key in rcols:
             lk, rk = j.right_key, j.left_key
         else:
             raise ValueError(f"JOIN key not found in {j.table}")
         while lk in key_alias:  # left key itself dropped by an earlier join
             lk = key_alias[lk]
-        ds = broadcast_join(ds, right, keys=[lk], right_keys=[rk],
-                            how="left" if j.left else "inner")
+        if right_rows > _BROADCAST_JOIN_MAX_ROWS:
+            # big right side: co-partitioned hash join — both sides
+            # shuffle, nothing broadcasts (the 100-TB path; the row bound
+            # keeps dimension tables on the one-shuffle-cheaper broadcast
+            # plan). join_hash keeps the LEFT key name, same coalescing
+            # contract as the broadcast path.
+            from gdal_ray.ops.relational import join_hash
+
+            right_ds = read_table(sf_dir, j.table)
+            ds = join_hash(ds, right_ds, [lk], right_keys=[rk],
+                           how="left" if j.left else "inner")
+        else:
+            if right is None:
+                right = pq.read_table(sf_path(sf_dir, j.table))
+            ds = broadcast_join(ds, right, keys=[lk], right_keys=[rk],
+                                how="left" if j.left else "inner")
         if not j.left:
             # pyarrow join coalesces the right key column away; on an
             # inner join the dropped name is value-equal to the kept one,

@@ -87,6 +87,26 @@ def test_decorrelation_matches_duckdb(sf_dir, con, sql):
     _compare(got, exp, sql)
 
 
+def test_join_hash_path_matches_broadcast(sf_dir, con, monkeypatch):
+    """Forcing every parquet join side over the broadcast bound must give
+    identical results through the co-partitioned join_hash plan (the
+    100-TB path for big right sides)."""
+    import gdal_ray.ops.sql as S
+
+    sql = TPCH_SQLS["q119_tpch03"][0]
+    monkeypatch.setattr(S, "_BROADCAST_JOIN_MAX_ROWS", 0)
+    got = to_arrow(execute(sql, sf_dir)).to_pandas()
+    exp = con.execute(sql).df()
+    _compare(got, exp, "q3-via-join_hash")
+    # LEFT JOIN through the hash path too
+    sql2 = ("SELECT c_custkey, COUNT(o_orderkey) AS n FROM customer "
+            "LEFT JOIN orders ON o_custkey = c_custkey "
+            "GROUP BY c_custkey ORDER BY n DESC, c_custkey LIMIT 25")
+    got2 = to_arrow(execute(sql2, sf_dir)).to_pandas()
+    exp2 = con.execute(sql2).df()
+    _compare(got2, exp2, "left-join-via-join_hash")
+
+
 def test_empty_group_result_keeps_schema(sf_dir):
     """Ray 2.49 drops the schema of an all-empty pipeline; the typed-empty
     sentinel must preserve column names AND parquet-derived types."""
