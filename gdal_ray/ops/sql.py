@@ -317,8 +317,47 @@ class Parser:
                 order.append((e, desc))
                 if not self.accept("op", ","):
                     break
+        frame = None
+        t2 = self.peek()
+        if t2[0] == "id" and t2[1].lower() in ("rows", "range"):
+            mode = self.next()[1].lower()
+
+            def bound():
+                b = self.next()
+                if b[0] == "id" and b[1].lower() == "unbounded":
+                    d = self.next()[1].lower()
+                    return ("up" if d == "preceding" else "uf", 0)
+                if b[0] == "id" and b[1].lower() == "current":
+                    if self.next()[1].lower() != "row":
+                        raise ValueError("expected CURRENT ROW")
+                    return ("cr", 0)
+                if b[0] == "num":
+                    d = self.next()[1].lower()
+                    return ("p" if d == "preceding" else "f", int(b[1]))
+                raise ValueError(f"bad frame bound {b}")
+
+            if self.accept("kw", "BETWEEN"):
+                lo = bound()
+                self.expect("kw", "AND")
+                hi = bound()
+            else:
+                lo, hi = bound(), ("cr", 0)
+            if mode == "range":
+                # only the two ROWS-equivalent RANGE frames are supported
+                # (value-based RANGE windows live in ops.relational
+                # rolling_agg); UNBOUNDED..CURRENT is the default frame
+                if (lo, hi) == (("up", 0), ("cr", 0)):
+                    frame = None
+                elif (lo, hi) == (("up", 0), ("uf", 0)):
+                    frame = ("rows", lo, hi)
+                else:
+                    raise ValueError(
+                        "RANGE frames with offsets are unsupported "
+                        "(use ROWS, or ops.relational.rolling_agg)")
+            else:
+                frame = ("rows", lo, hi)
         self.expect("op", ")")
-        return Node("win", None, (fnode, tuple(parts), tuple(order)))
+        return Node("win", frame, (fnode, tuple(parts), tuple(order)))
 
     def add_expr(self):
         left = self.mul_expr()
@@ -1792,7 +1831,7 @@ def _apply_windows(ds, q: Select):
                       for o, d in order)
         if any(c is None for c, _ in ocols):
             raise ValueError("window ORDER BY supports plain columns only")
-        groups.setdefault((pcols, ocols), []).append((nm, fnode))
+        groups.setdefault((pcols, ocols), []).append((nm, fnode, w.value))
     for (pcols, ocols), jobs in groups.items():
         ds = _window_pass(ds, list(pcols), list(ocols), jobs)
     return ds, q
@@ -1815,9 +1854,37 @@ def _const_value(node: Node):
     raise ValueError("literal argument required")
 
 
-def _eval_window_fn(fnode: Node, df, ctx: dict):
+def _frame_bounds(frame, ctx):
+    """ROWS frame -> per-row inclusive [lo, hi] absolute index arrays
+    (hi < lo means an empty frame)."""
+    n = ctx["n"]
+    i = np.arange(n)
+    starts_rep = ctx["starts_rep"]
+    ends_rep = starts_rep + ctx["sizes_rep"]  # exclusive segment end
+    _mode, (lk, ln), (hk, hn) = frame
+
+    def side(kind, k, default_lo):
+        if kind == "up":
+            return starts_rep.copy()
+        if kind == "uf":
+            return ends_rep - 1
+        if kind == "cr":
+            return i.copy()
+        if kind == "p":
+            return np.maximum(i - k, starts_rep) if default_lo \
+                else i - k  # hi below segment start -> empty, keep raw
+        return np.minimum(i + k, ends_rep - 1) if not default_lo \
+            else i + k  # lo past segment end -> empty, keep raw
+
+    lo = side(lk, ln, True)
+    hi = side(hk, hn, False)
+    return lo, hi
+
+
+def _eval_window_fn(fnode: Node, df, ctx: dict, frame=None):
     """One window column over the sorted partition frame. ctx carries the
-    vectorized segment/peer geometry (see _window_pass)."""
+    vectorized segment/peer geometry (see _window_pass). frame is an
+    optional explicit ROWS frame (ranking functions ignore it, per SQL)."""
     n = ctx["n"]
     pos, sizes_rep = ctx["pos"], ctx["sizes_rep"]
     starts, ends, starts_rep = ctx["starts"], ctx["ends"], ctx["starts_rep"]
@@ -1825,6 +1892,69 @@ def _eval_window_fn(fnode: Node, df, ctx: dict):
     new_peer, peer_start, peer_end = (
         ctx.get("new_peer"), ctx.get("peer_start"), ctx.get("peer_end"))
     has_order = new_peer is not None
+
+    if frame is not None and (
+            fnode.kind == "agg"
+            or (fnode.kind == "call"
+                and fnode.value in ("first_value", "last_value"))):
+        lo, hi = _frame_bounds(frame, ctx)
+        empty = lo > hi
+        if fnode.kind == "call":
+            (colnode,) = fnode.args
+            if colnode.kind != "col":
+                raise ValueError(
+                    "FIRST_VALUE/LAST_VALUE supports plain columns only")
+            s = df[colnode.value]
+            idx = np.clip(lo if fnode.value == "first_value" else hi, 0,
+                          max(n - 1, 0))
+            out = s.to_numpy()[idx] if n else s.to_numpy()
+            if empty.any():
+                out = out.astype(object)
+                out[empty] = None
+            return out
+        akind, col = fnode.value
+        loc = np.clip(lo, 0, n)  # raw lo may exceed the segment (empty)
+        hic = np.clip(hi + 1, 0, n)
+        hic = np.maximum(hic, loc)  # empty -> zero-width slice
+        if akind == "count_star":
+            return (hic - loc).astype(np.int64)
+        if not isinstance(col, str):
+            raise ValueError("windowed aggregates support plain columns only")
+        v = df[col].astype("float64").to_numpy()
+        valid = ~np.isnan(v)
+        vz = np.where(valid, v, 0.0)
+        ccnt = np.concatenate([[0], np.cumsum(valid.astype(np.int64))])
+        cnt = ccnt[hic] - ccnt[loc]
+        if akind == "count":
+            return cnt.astype(np.int64)
+        _mode, (lk2, _ln2), (hk2, _hn2) = frame
+        bounded = lk2 != "up" and hk2 != "uf"
+        if akind in ("sum", "mean"):
+            if bounded:
+                # direct per-window summation: a prefix-sum DIFFERENCE
+                # carries the magnitude of the running total (~1e-10 abs
+                # error at 10k rows) and flips rounded 4th digits vs the
+                # oracle; small bounded windows sum exactly
+                ssum = np.zeros(n)
+                for j in np.flatnonzero(cnt > 0):
+                    ssum[j] = np.sum(vz[loc[j]:hic[j]])
+            else:
+                csum = np.concatenate([[0.0], np.cumsum(vz)])
+                ssum = csum[hic] - csum[loc]
+            out = np.where(cnt > 0, ssum, np.nan)
+            return out / np.maximum(cnt, 1) if akind == "mean" else out
+        # min/max over explicit ROWS frames: per-segment numpy slices —
+        # exact; windows are small by contract (bounded frame offsets)
+        fn = np.fmin if akind == "min" else np.fmax
+        out = np.full(n, np.nan)
+        nonempty = loc < hic
+        idxs = np.flatnonzero(nonempty)
+        for j in idxs:
+            w = v[loc[j]:hic[j]]
+            w = w[~np.isnan(w)]
+            if w.size:
+                out[j] = fn.reduce(w)
+        return out
 
     if fnode.kind == "call" and fnode.value == "row_number":
         return (pos + 1).astype(np.int64)
@@ -1986,8 +2116,8 @@ def _window_pass(ds, part_cols: list, order_spec: list, jobs: list):
         elif ocols:
             ctx["new_peer"] = np.array([], bool)
             ctx["peer_start"] = ctx["peer_end"] = np.array([], np.int64)
-        for nm, fnode in jobs:
-            df[nm] = _eval_window_fn(fnode, df, ctx)
+        for nm, fnode, frame in jobs:
+            df[nm] = _eval_window_fn(fnode, df, ctx, frame)
         return pa.Table.from_pandas(df, preserve_index=False)
 
     if is_global:

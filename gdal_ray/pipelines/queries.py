@@ -2731,6 +2731,35 @@ def q117_sql_date_math(sf_dir):
     return _sql_query(Q117_SQL)(sf_dir)
 
 
+Q134_SQL = """
+SELECT user_id, ts,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 4) AS s10,
+       COUNT(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS c10,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 4) AS s5,
+       MIN(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS mn3,
+       MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS mx3
+FROM events WHERE user_id < 200
+"""
+
+
+def q134_moving_windows(sf_dir):
+    """Explicit ROWS window frames (sliding sum/count/min/max) — the
+    classic per-entity time-series smoothing, the SUM/COUNT pair being
+    the decomposed moving average. One hash shuffle by user_id; exact
+    per-window summation inside each partition (ops/sql _frame_bounds;
+    AVG itself is deliberately absent: 2-decimal inputs averaged over
+    /4- or /8-row windows sit EXACTLY on 4th-digit rounding midpoints
+    where the two engines' 1-ulp summation differences flip the rounded
+    digit — a structural oracle-parity hazard, not a window bug). Same
+    string runs verbatim in DuckDB."""
+    return _sql_query(Q134_SQL)(sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # TPC-H suite (adapted to the available testdata columns; queries whose
 # mandatory columns exist run with the ORIGINAL text — q1/q5/q6/q14/q15/
@@ -3010,6 +3039,7 @@ def registry():
         "q116_pivot": q116_pivot,
         "q117_sql_date_math": q117_sql_date_math,
         **{name: _sql_query(sql) for name, (sql, _fc) in TPCH_SQLS.items()},
+        "q134_moving_windows": q134_moving_windows,
     }
     sqls = {
         "q01_tpch_groupby": Q01_SQL,
@@ -3099,6 +3129,7 @@ def registry():
         "q117_sql_date_math": Q117_SQL,
         **{name: _round4_oracle(sql, fc)
            for name, (sql, fc) in TPCH_SQLS.items()},
+        "q134_moving_windows": Q134_SQL,
         "q29_token_quantiles": Q29_SQL,
         "q37_text_normalize": Q37_SQL,
     }

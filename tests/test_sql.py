@@ -87,6 +87,13 @@ CASES = [
     "SELECT c_custkey, SPLIT_PART(c_name, '#', 2) AS num, SPLIT_PART(c_name, '#', 5) AS oob, SPLIT_PART(c_mktsegment, 'I', 1) AS seg1 FROM customer WHERE c_custkey < 80",
     "SELECT o_orderkey, LEAST(o_totalprice, 100000) AS lo, GREATEST(o_totalprice, 100000, o_orderkey) AS hi, MOD(o_orderkey, 7) AS m7 FROM orders WHERE o_orderkey < 200",
     "SELECT s_suppkey, REGEXP_REPLACE(s_name, '[0-9]+', 'N') AS rr, REGEXP_REPLACE(s_name, '[0-9]', 'N', 'g') AS rrg, REGEXP_MATCHES(s_name, '^Supplier#0*[0-9]$') AS rm FROM supplier",
+    # round-4f: explicit ROWS window frames
+    "SELECT o_orderkey, AVG(o_totalprice) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS ma4 FROM orders WHERE o_orderkey < 500",
+    "SELECT o_orderkey, SUM(o_totalprice) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS s5, COUNT(*) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS c5 FROM orders WHERE o_orderkey < 400",
+    "SELECT o_orderkey, MIN(o_totalprice) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS mn, MAX(o_totalprice) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey ROWS 2 PRECEDING) AS mx FROM orders WHERE o_orderkey < 400",
+    "SELECT o_orderkey, SUM(o_totalprice) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey ROWS BETWEEN 2 FOLLOWING AND 4 FOLLOWING) AS fut FROM orders WHERE o_orderkey < 300",
+    "SELECT o_orderkey, FIRST_VALUE(o_custkey) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS fv, LAST_VALUE(o_custkey) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv FROM orders WHERE o_orderkey < 300",
+    "SELECT o_orderkey, AVG(o_totalprice) OVER (ORDER BY o_orderkey ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS ma10 FROM orders WHERE o_orderkey < 200",
 ]
 
 
