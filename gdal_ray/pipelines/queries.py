@@ -2760,6 +2760,22 @@ def q134_moving_windows(sf_dir):
     return _sql_query(Q134_SQL)(sf_dir)
 
 
+Q135_SQL = """
+SELECT CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) % 10 AS kb,
+       COUNT(*) AS n, ROUND(SUM(value), 4) AS total
+FROM events GROUP BY CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) % 10
+ORDER BY kb
+"""
+
+
+def q135_json_props(sf_dir):
+    """JSON property extraction over the events props column (flat
+    '$.key' paths as one vectorized Arrow regex — no per-row json.loads)
+    feeding a grouped aggregate. Same string runs in DuckDB via its JSON
+    extension."""
+    return _sql_query(Q135_SQL)(sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # TPC-H suite (adapted to the available testdata columns; queries whose
 # mandatory columns exist run with the ORIGINAL text — q1/q5/q6/q14/q15/
@@ -3040,6 +3056,7 @@ def registry():
         "q117_sql_date_math": q117_sql_date_math,
         **{name: _sql_query(sql) for name, (sql, _fc) in TPCH_SQLS.items()},
         "q134_moving_windows": q134_moving_windows,
+        "q135_json_props": q135_json_props,
     }
     sqls = {
         "q01_tpch_groupby": Q01_SQL,
@@ -3130,6 +3147,7 @@ def registry():
         **{name: _round4_oracle(sql, fc)
            for name, (sql, fc) in TPCH_SQLS.items()},
         "q134_moving_windows": Q134_SQL,
+        "q135_json_props": Q135_SQL,
         "q29_token_quantiles": Q29_SQL,
         "q37_text_normalize": Q37_SQL,
     }

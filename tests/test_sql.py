@@ -87,6 +87,9 @@ CASES = [
     "SELECT c_custkey, SPLIT_PART(c_name, '#', 2) AS num, SPLIT_PART(c_name, '#', 5) AS oob, SPLIT_PART(c_mktsegment, 'I', 1) AS seg1 FROM customer WHERE c_custkey < 80",
     "SELECT o_orderkey, LEAST(o_totalprice, 100000) AS lo, GREATEST(o_totalprice, 100000, o_orderkey) AS hi, MOD(o_orderkey, 7) AS m7 FROM orders WHERE o_orderkey < 200",
     "SELECT s_suppkey, REGEXP_REPLACE(s_name, '[0-9]+', 'N') AS rr, REGEXP_REPLACE(s_name, '[0-9]', 'N', 'g') AS rrg, REGEXP_MATCHES(s_name, '^Supplier#0*[0-9]$') AS rm FROM supplier",
+    # round-4f: JSON property extraction (flat paths)
+    "SELECT event_id, JSON_EXTRACT_STRING(props, '$.k') AS k FROM events WHERE event_id < 120",
+    "SELECT CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) % 5 AS kb, COUNT(*) AS n FROM events GROUP BY CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) % 5 ORDER BY kb",
     # round-4f: explicit ROWS window frames
     "SELECT o_orderkey, AVG(o_totalprice) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS ma4 FROM orders WHERE o_orderkey < 500",
     "SELECT o_orderkey, SUM(o_totalprice) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS s5, COUNT(*) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS c5 FROM orders WHERE o_orderkey < 400",
