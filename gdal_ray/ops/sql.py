@@ -138,6 +138,7 @@ _KEYWORDS = {
     "OVER", "PARTITION", "ROW_NUMBER", "RANK", "DENSE_RANK", "LAG", "LEAD",
     "NTILE", "PERCENT_RANK", "CUME_DIST", "FIRST_VALUE", "LAST_VALUE",
     "INTERSECT", "EXCEPT", "ROLLUP", "CUBE", "GROUPING", "SETS", "WITH",
+    "QUALIFY",
 }
 
 
@@ -431,9 +432,11 @@ class Parser:
             if t[1] == "COUNT" and self.accept("kw", "DISTINCT"):
                 inner = self.expr()
                 self.expect("op", ")")
-                if inner.kind != "col":
-                    raise ValueError("COUNT(DISTINCT ...) supports plain columns only")
-                return Node("agg", ("count_distinct", inner.value))
+                # expression targets pre-compute as hidden columns (same
+                # path as aggregates over expressions)
+                return Node("agg", ("count_distinct",
+                                    inner.value if inner.kind == "col"
+                                    else inner))
             inner = self.expr()
             self.expect("op", ")")
             kinds = {"COUNT": "count", "SUM": "sum", "MIN": "min",
@@ -619,6 +622,8 @@ class Select:
     # ROLLUP/CUBE/GROUPING SETS: list of key-name tuples (each a subset of
     # group_by); None means plain GROUP BY
     group_sets: list | None = None
+    # QUALIFY predicate (filter over window-function results)
+    qualify: Node | None = None
 
 
 @dataclass
@@ -742,8 +747,20 @@ def _parse_core(p: Parser) -> Select:
     having = None
     if p.accept("kw", "HAVING"):
         having = p.expr()
+    qualify = None
+    if p.accept("kw", "QUALIFY"):
+        qualify = p.expr()
+    # GROUP BY ordinals (GROUP BY 1, 2): positional references into the
+    # select list, standard DuckDB/Postgres shorthand
+    for gi, g in enumerate(group_by):
+        if isinstance(g, Node) and g.kind == "lit" and isinstance(g.value, int):
+            if not 1 <= g.value <= len(items):
+                raise ValueError(f"GROUP BY ordinal {g.value} out of range")
+            it = items[g.value - 1][0]
+            group_by[gi] = it.value if it.kind == "col" else it
     return Select(items, distinct, table, where, group_by, [], None,
-                  joins=joins, having=having, group_sets=group_sets)
+                  joins=joins, having=having, group_sets=group_sets,
+                  qualify=qualify)
 
 
 def _subst_ctes(x, ctes: dict):
@@ -765,6 +782,7 @@ def _subst_ctes(x, ctes: dict):
         _subst_ctes(x.items, ctes)
         _subst_ctes(x.where, ctes)
         _subst_ctes(x.having, ctes)
+        _subst_ctes(x.qualify, ctes)
         _subst_ctes(x.group_by, ctes)
         _subst_ctes(x.order_by, ctes)
         return
@@ -831,6 +849,15 @@ def parse_query(sql: str) -> Query:
         for core in cores:
             _subst_ctes(core, ctes)
         _subst_ctes(order_by, ctes)
+    # ORDER BY ordinals (ORDER BY 1 DESC): positional references into the
+    # first core's select list, resolved to the OUTPUT column name
+    for oi, (c, d) in enumerate(order_by):
+        if isinstance(c, Node) and c.kind == "lit" and isinstance(c.value, int):
+            items = cores[0].items
+            if not 1 <= c.value <= len(items):
+                raise ValueError(f"ORDER BY ordinal {c.value} out of range")
+            it, alias = items[c.value - 1]
+            order_by[oi] = (_item_name(it, alias, c.value - 1), d)
     return Query(cores, order_by, limit, offset, set_ops=set_ops)
 
 
@@ -1652,6 +1679,7 @@ def _resolve_subqueries(core: Select, sf_dir: str) -> Select:
     core.items = [(walk_any(e), alias) for e, alias in core.items]
     core.where = walk_any(core.where)
     core.having = walk_any(core.having)
+    core.qualify = walk_any(core.qualify)
     core.group_by = [walk_any(g) for g in core.group_by]
     core.order_by = walk_any(core.order_by)
     if isinstance(core.table, Select):
@@ -1808,15 +1836,39 @@ def _apply_windows(ds, q: Select):
     wins: list = []
     for item, _ in q.items:
         _collect_windows(item, wins)
-    if not wins:
+    _collect_windows(q.qualify, wins)
+    if not wins and q.qualify is None:
         return ds, q
-    if q.group_by:
+    if q.group_by and wins:
         raise ValueError("window functions cannot combine with GROUP BY")
     misplaced: list = []
     _collect_windows(q.where, misplaced)
     _collect_windows(q.having, misplaced)
     if misplaced:
-        raise ValueError("window functions are allowed only in SELECT items")
+        raise ValueError(
+            "window functions are allowed only in SELECT items / QUALIFY")
+
+    # QUALIFY may reference select-item ALIASES (QUALIFY rn = 1):
+    # substitute the aliased expression before window rewriting
+    if q.qualify is not None:
+        alias_map = {a: i for i, a in q.items if a}
+
+        def subst_alias(n):
+            if not isinstance(n, Node):
+                return n
+            if n.kind == "col" and n.value in alias_map:
+                return alias_map[n.value]
+            return Node(n.kind, n.value, tuple(
+                subst_alias(a) if isinstance(a, Node)
+                else tuple(subst_alias(x) for x in a)
+                if isinstance(a, tuple) else a
+                for a in n.args))
+
+        q.qualify = subst_alias(q.qualify)
+        wins = []
+        for item, _ in q.items:
+            _collect_windows(item, wins)
+        _collect_windows(q.qualify, wins)
 
     names: list[tuple[Node, str]] = []
 
@@ -1841,6 +1893,8 @@ def _apply_windows(ds, q: Select):
         return x
 
     q.items = [(rw(i), a) for i, a in q.items]
+    qualify = rw(q.qualify) if q.qualify is not None else None
+    q.qualify = None
 
     groups: dict = {}
     for w, nm in names:
@@ -1855,6 +1909,14 @@ def _apply_windows(ds, q: Select):
         groups.setdefault((pcols, ocols), []).append((nm, fnode, w.value))
     for (pcols, ocols), jobs in groups.items():
         ds = _window_pass(ds, list(pcols), list(ocols), jobs)
+    if qualify is not None:
+        # QUALIFY: filter AFTER window computation (DuckDB semantics);
+        # the hidden __win columns stay available for the predicate and
+        # are dropped by the final projection
+        def qfilt(t: pa.Table, qn=qualify) -> pa.Table:
+            return _filter_table(t, eval_expr(qn, t))
+
+        ds = ds.map_batches(qfilt, batch_format="pyarrow", batch_size=None)
     return ds, q
 
 
@@ -2281,6 +2343,7 @@ def _canon_cols(q: Select, key_alias: dict, order_by=None):
     q.items = new_items
     q.where = rw(q.where) if q.where is not None else None
     q.having = rw(q.having) if q.having is not None else None
+    q.qualify = rw(q.qualify) if q.qualify is not None else None
     q.group_by = [(_canon_name(g, key_alias) if isinstance(g, str)
                    else rw(g)) for g in q.group_by]
     # ORDER BY: rewrite expression entries; plain strings are output
@@ -2509,7 +2572,7 @@ def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
 
     q = Select(q.items, q.distinct, q.table, q.where, q.group_by,
                list(order_by), limit, joins=q.joins, having=q.having,
-               offset=offset, group_sets=q.group_sets)
+               offset=offset, group_sets=q.group_sets, qualify=q.qualify)
     if q.group_sets is not None:
         return _execute_group_sets(q, sf_dir)
     wants_fid = _mentions_fid(

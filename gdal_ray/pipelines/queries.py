@@ -2760,6 +2760,25 @@ def q134_moving_windows(sf_dir):
     return _sql_query(Q134_SQL)(sf_dir)
 
 
+Q136_SQL = """
+SELECT lang, doc_id, n_chars,
+       ROW_NUMBER() OVER (PARTITION BY lang, source
+                          ORDER BY n_chars DESC, doc_id) AS rn
+FROM documents
+QUALIFY rn <= 5
+ORDER BY lang, doc_id
+"""
+
+
+def q136_qualify_topk(sf_dir):
+    """QUALIFY top-k per group (keep the k longest documents per
+    lang x source) — the standard curation survivor-selection shape in
+    ONE SQL statement: window pass (hash-partitioned by the window key)
+    then the QUALIFY filter before projection. Same string runs verbatim
+    in DuckDB."""
+    return _sql_query(Q136_SQL)(sf_dir)
+
+
 Q135_SQL = """
 SELECT CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) % 10 AS kb,
        COUNT(*) AS n, ROUND(SUM(value), 4) AS total
@@ -3057,6 +3076,7 @@ def registry():
         **{name: _sql_query(sql) for name, (sql, _fc) in TPCH_SQLS.items()},
         "q134_moving_windows": q134_moving_windows,
         "q135_json_props": q135_json_props,
+        "q136_qualify_topk": q136_qualify_topk,
     }
     sqls = {
         "q01_tpch_groupby": Q01_SQL,
@@ -3148,6 +3168,7 @@ def registry():
            for name, (sql, fc) in TPCH_SQLS.items()},
         "q134_moving_windows": Q134_SQL,
         "q135_json_props": Q135_SQL,
+        "q136_qualify_topk": Q136_SQL,
         "q29_token_quantiles": Q29_SQL,
         "q37_text_normalize": Q37_SQL,
     }

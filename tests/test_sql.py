@@ -87,6 +87,13 @@ CASES = [
     "SELECT c_custkey, SPLIT_PART(c_name, '#', 2) AS num, SPLIT_PART(c_name, '#', 5) AS oob, SPLIT_PART(c_mktsegment, 'I', 1) AS seg1 FROM customer WHERE c_custkey < 80",
     "SELECT o_orderkey, LEAST(o_totalprice, 100000) AS lo, GREATEST(o_totalprice, 100000, o_orderkey) AS hi, MOD(o_orderkey, 7) AS m7 FROM orders WHERE o_orderkey < 200",
     "SELECT s_suppkey, REGEXP_REPLACE(s_name, '[0-9]+', 'N') AS rr, REGEXP_REPLACE(s_name, '[0-9]', 'N', 'g') AS rrg, REGEXP_MATCHES(s_name, '^Supplier#0*[0-9]$') AS rm FROM supplier",
+    # round-4g: QUALIFY / ordinals / COUNT(DISTINCT expr)
+    "SELECT c_nationkey, c_custkey, c_acctbal FROM customer QUALIFY ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) = 1",
+    "SELECT c_nationkey, c_custkey, ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn FROM customer QUALIFY rn <= 3",
+    "SELECT c_mktsegment, COUNT(*) AS n FROM customer GROUP BY 1 ORDER BY 2 DESC, 1",
+    "SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n FROM orders GROUP BY 1, 2 ORDER BY 1, 2",
+    "SELECT COUNT(DISTINCT c_nationkey % 7) AS n7 FROM customer",
+    "SELECT c_mktsegment, COUNT(DISTINCT c_nationkey % 5) AS g5 FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment",
     # round-4f: JSON property extraction (flat paths)
     "SELECT event_id, JSON_EXTRACT_STRING(props, '$.k') AS k FROM events WHERE event_id < 120",
     "SELECT CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) % 5 AS kb, COUNT(*) AS n FROM events GROUP BY CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) % 5 ORDER BY kb",
@@ -159,10 +166,9 @@ def test_parse_errors():
         parse_select("SELECT FROM lineitem")
     with pytest.raises(ValueError):
         parse_select("SELECT a lineitem")
-    # SUM(a + b) is legal since round 3 (pre-computed hidden column);
-    # COUNT(DISTINCT <expr>) remains column-only
-    with pytest.raises(ValueError):
-        parse_select("SELECT COUNT(DISTINCT a + b) FROM t")
+    # SUM(a + b) and COUNT(DISTINCT a + b) are legal since rounds 3/4c
+    # (expression targets pre-compute as hidden columns)
+    parse_select("SELECT COUNT(DISTINCT a + b) FROM t")
 
 
 def test_ogr_geom_area_special_field(tmp_path):
