@@ -2444,6 +2444,82 @@ def _typed_empty_select(q: Select, sf_dir: str) -> pa.Table:
     return pa.table(cols)
 
 
+def _all_col_refs(x, acc: set) -> bool:
+    """Collect EVERY column name an expression tree might touch —
+    including inside nested subquery scopes (over-collection is safe for
+    pruning: the set is intersected with the table schema). Returns False
+    when pruning must be disabled (SELECT * or a special field)."""
+    ok = True
+    if isinstance(x, Select):
+        for item, _ in x.items:
+            ok &= _all_col_refs(item, acc)
+        ok &= _all_col_refs(x.where, acc)
+        ok &= _all_col_refs(x.having, acc)
+        ok &= _all_col_refs(x.qualify, acc)
+        for g in x.group_by:
+            if isinstance(g, str):
+                acc.add(g)
+            else:
+                ok &= _all_col_refs(g, acc)
+        for c, _ in (x.order_by or []):
+            if isinstance(c, str):
+                acc.add(c)
+            else:
+                ok &= _all_col_refs(c, acc)
+        for j in (x.joins or []):
+            acc.add(j.left_key)
+            acc.add(j.right_key)
+            if isinstance(j.table, Select):
+                ok &= _all_col_refs(j.table, acc)
+        if isinstance(x.table, Select):
+            ok &= _all_col_refs(x.table, acc)
+        return ok
+    if isinstance(x, Node):
+        if x.kind == "star":
+            return False
+        if x.kind == "col":
+            if x.value in _SPECIAL_FIELDS:
+                return False  # special fields read geometry/style columns
+            acc.add(x.value)
+            return True
+        if x.kind == "agg":
+            _k, c = x.value
+            if isinstance(c, str):
+                acc.add(c)
+            elif isinstance(c, Node):
+                ok &= _all_col_refs(c, acc)
+            return ok
+        if isinstance(x.value, (Node, tuple, list, Select)):
+            ok &= _all_col_refs(x.value, acc)
+        ok &= _all_col_refs(x.args, acc)
+        return ok
+    if isinstance(x, (tuple, list)):
+        for i in x:
+            ok &= _all_col_refs(i, acc)
+    return ok
+
+
+def _pruned_columns(q: Select, order_by, sf_dir: str) -> list | None:
+    """Column list for the FROM-table read (prune at the read: only
+    referenced columns leave storage), or None when pruning is unsafe
+    (SELECT *, special fields, or nothing resolvable)."""
+    acc: set = set()
+    if not _all_col_refs(q, acc):
+        return None
+    for c, _ in (order_by or []):
+        if isinstance(c, str):
+            acc.add(c)
+        elif not _all_col_refs(c, acc):
+            return None
+    from gdal_ray.util import sf_path
+
+    schema_cols = list(_parquet_cols(sf_path(sf_dir, q.table)))
+    cols = [c for c in schema_cols if c in acc]
+    # a pure COUNT(*) references nothing: read the narrowest single
+    # column (row count still needs one column off disk)
+    return cols or [schema_cols[0]]
+
+
 def _has_sub_nodes(x) -> bool:
     if isinstance(x, Node):
         if x.kind in ("in_sub", "exists_sub", "scalar_sub"):
@@ -2581,9 +2657,12 @@ def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
         # derived table: FROM (SELECT ...) alias — executes recursively
         # as its own streaming pipeline
         ds = _execute_core(q.table, sf_dir, [], None, None)
+    elif wants_fid:
+        ds = read_table_with_fid(sf_dir, q.table, fid_col="FID")
     else:
-        ds = (read_table_with_fid(sf_dir, q.table, fid_col="FID")
-              if wants_fid else read_table(sf_dir, q.table))
+        # prune at the read: only referenced columns leave storage
+        ds = read_table(sf_dir, q.table,
+                        columns=_pruned_columns(q, order_by, sf_dir))
 
     key_alias: dict = {}
     for j in (q.joins or []):
@@ -2611,6 +2690,15 @@ def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
             raise ValueError(f"JOIN key not found in {j.table}")
         while lk in key_alias:  # left key itself dropped by an earlier join
             lk = key_alias[lk]
+        rneed = None
+        if not isinstance(j.table, Select):
+            acc: set = set()
+            if _all_col_refs(q, acc):
+                for c, _ in (order_by or []):
+                    if isinstance(c, str):
+                        acc.add(c)
+                acc.add(rk)
+                rneed = [c for c in rcols if c in acc]
         if right_rows > _BROADCAST_JOIN_MAX_ROWS:
             # big right side: co-partitioned hash join — both sides
             # shuffle, nothing broadcasts (the 100-TB path; the row bound
@@ -2619,12 +2707,13 @@ def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
             # contract as the broadcast path.
             from gdal_ray.ops.relational import join_hash
 
-            right_ds = read_table(sf_dir, j.table)
+            right_ds = read_table(sf_dir, j.table, columns=rneed)
             ds = join_hash(ds, right_ds, [lk], right_keys=[rk],
                            how="left" if j.left else "inner")
         else:
             if right is None:
-                right = pq.read_table(sf_path(sf_dir, j.table))
+                right = pq.read_table(sf_path(sf_dir, j.table),
+                                      columns=rneed)
             ds = broadcast_join(ds, right, keys=[lk], right_keys=[rk],
                                 how="left" if j.left else "inner")
         if not j.left:
