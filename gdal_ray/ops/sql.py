@@ -2520,6 +2520,130 @@ def _pruned_columns(q: Select, order_by, sf_dir: str) -> list | None:
     return cols or [schema_cols[0]]
 
 
+def _lit_for_field(v, ftype):
+    """Coerce a SQL literal to the parquet field's type family for a
+    dataset-expression comparison (the scanner does not apply SQL's
+    implicit temporal coercion). None = not coercible, skip pushdown."""
+    import datetime as _dt
+
+    if v is None:
+        return None
+    if pa.types.is_timestamp(ftype):
+        if isinstance(v, _dt.datetime):
+            return v
+        if isinstance(v, _dt.date):
+            return _dt.datetime(v.year, v.month, v.day)
+        if isinstance(v, str):
+            try:
+                return _dt.datetime.fromisoformat(v)
+            except ValueError:
+                return None
+        return None
+    if pa.types.is_date(ftype):
+        if isinstance(v, _dt.datetime):
+            return v.date()
+        if isinstance(v, _dt.date):
+            return v
+        if isinstance(v, str):
+            try:
+                return _dt.date.fromisoformat(v)
+            except ValueError:
+                return None
+        return None
+    if isinstance(v, (int, float)) and (pa.types.is_integer(ftype)
+                                        or pa.types.is_floating(ftype)):
+        return v
+    if isinstance(v, str) and pa.types.is_string(ftype):
+        return v
+    return None
+
+
+def _pushdown_filter(q: Select, sf_dir: str):
+    """pyarrow dataset expression for the WHERE conjuncts that name only
+    FROM-table columns and literals (col CMP lit / BETWEEN / IN) — pushed
+    into read_parquet so row groups prune at the scan. Advisory only: the
+    full WHERE still evaluates after the read (idempotent conjuncts)."""
+    if q.where is None or isinstance(q.table, Select):
+        return None
+    import pyarrow.dataset as pds
+    import pyarrow.parquet as pq
+
+    from gdal_ray.util import sf_path
+
+    schema = pq.read_schema(sf_path(sf_dir, q.table))
+    types = {f.name: f.type for f in schema}
+
+    def litval(n):
+        """Literal value of a constant expression (folds DATE ± INTERVAL
+        via eval on an empty table); None when not constant."""
+        if n.kind == "lit":
+            return n.value
+        acc: set = set()
+        _refed_cols(n, acc)
+        if acc or _has_sub_nodes(n):
+            return None
+        try:
+            v = eval_expr(n, pa.table({}))
+        except Exception:
+            return None
+        return v.as_py() if isinstance(v, pa.Scalar) else None
+
+    def conv(c):
+        if c.kind == "bin" and c.value in ("=", "<>", "<", "<=", ">", ">="):
+            a, b = c.args
+            op = c.value
+            if b.kind == "col" and a.kind != "col":
+                a, b = b, a
+                op = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}.get(op, op)
+            if a.kind != "col" or a.value not in types:
+                return None
+            bv = litval(b)
+            if bv is None:
+                return None
+            v = _lit_for_field(bv, types[a.value])
+            if v is None:
+                return None
+            f = pds.field(a.value)
+            return {"=": f == v, "<>": f != v, "<": f < v, "<=": f <= v,
+                    ">": f > v, ">=": f >= v}[op]
+        if c.kind == "between":
+            x, lo, hi = c.args
+            if x.kind != "col" or x.value not in types:
+                return None
+            lov, hiv = litval(lo), litval(hi)
+            if lov is None or hiv is None:
+                return None
+            vlo = _lit_for_field(lov, types[x.value])
+            vhi = _lit_for_field(hiv, types[x.value])
+            if vlo is None or vhi is None:
+                return None
+            f = pds.field(x.value)
+            return (f >= vlo) & (f <= vhi)
+        if c.kind == "in":
+            x, vals = c.args
+            if x.kind != "col" or x.value not in types:
+                return None
+            out = []
+            for vn in vals:
+                if vn.kind != "lit":
+                    return None
+                v = _lit_for_field(vn.value, types[x.value])
+                if v is None:
+                    return None
+                out.append(v)
+            return pds.field(x.value).isin(out)
+        return None
+
+    exprs = [e for e in map(conv, _split_conjuncts(q.where))
+             if e is not None]
+    if not exprs:
+        return None
+    out = exprs[0]
+    for e in exprs[1:]:
+        out = out & e
+    return out
+
+
 def _has_sub_nodes(x) -> bool:
     if isinstance(x, Node):
         if x.kind in ("in_sub", "exists_sub", "scalar_sub"):
@@ -2660,9 +2784,11 @@ def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
     elif wants_fid:
         ds = read_table_with_fid(sf_dir, q.table, fid_col="FID")
     else:
-        # prune at the read: only referenced columns leave storage
+        # prune at the read: only referenced columns leave storage, and
+        # literal WHERE conjuncts push down to row-group pruning
         ds = read_table(sf_dir, q.table,
-                        columns=_pruned_columns(q, order_by, sf_dir))
+                        columns=_pruned_columns(q, order_by, sf_dir),
+                        filter=_pushdown_filter(q, sf_dir))
 
     key_alias: dict = {}
     for j in (q.joins or []):
