@@ -558,6 +558,18 @@ class Parser:
                                 "minute", "second"):
                     raise ValueError(f"INTERVAL: unsupported unit {unit!r}")
                 return Node("interval", (n, unit))
+            if lname in ("stddev", "stddev_samp", "variance", "var_samp") \
+                    and self.peek() == ("op", "("):
+                # sample stddev/variance (DuckDB/OGR STDDEV_SAMP
+                # semantics; the grouped-Welford combiner in groupby_agg)
+                self.next()
+                inner = self.expr()
+                self.expect("op", ")")
+                tgt = inner.value if inner.kind == "col" else inner
+                std = Node("agg", ("std", tgt))
+                if lname in ("stddev", "stddev_samp"):
+                    return std
+                return Node("bin", "*", (std, std))
             if lname == "extract" and self.peek() == ("op", "("):
                 # EXTRACT(part FROM expr) — part is a bare word
                 self.next()

@@ -87,6 +87,9 @@ CASES = [
     "SELECT c_custkey, SPLIT_PART(c_name, '#', 2) AS num, SPLIT_PART(c_name, '#', 5) AS oob, SPLIT_PART(c_mktsegment, 'I', 1) AS seg1 FROM customer WHERE c_custkey < 80",
     "SELECT o_orderkey, LEAST(o_totalprice, 100000) AS lo, GREATEST(o_totalprice, 100000, o_orderkey) AS hi, MOD(o_orderkey, 7) AS m7 FROM orders WHERE o_orderkey < 200",
     "SELECT s_suppkey, REGEXP_REPLACE(s_name, '[0-9]+', 'N') AS rr, REGEXP_REPLACE(s_name, '[0-9]', 'N', 'g') AS rrg, REGEXP_MATCHES(s_name, '^Supplier#0*[0-9]$') AS rm FROM supplier",
+    # round-4g: STDDEV / VARIANCE aggregates
+    "SELECT c_mktsegment, ROUND(STDDEV(c_acctbal), 4) AS sd, ROUND(VARIANCE(c_acctbal), 2) AS vr, COUNT(*) AS n FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment",
+    "SELECT ROUND(STDDEV_SAMP(o_totalprice), 4) AS sd, ROUND(VAR_SAMP(o_totalprice), 2) AS vr FROM orders",
     # round-4g: QUALIFY / ordinals / COUNT(DISTINCT expr)
     "SELECT c_nationkey, c_custkey, c_acctbal FROM customer QUALIFY ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) = 1",
     "SELECT c_nationkey, c_custkey, ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn FROM customer QUALIFY rn <= 3",
