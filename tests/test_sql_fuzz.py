@@ -41,6 +41,14 @@ def _num_expr(depth: int):
         st.tuples(sub, st.sampled_from(["<", ">="]), sub, sub, sub).map(
             lambda t: f"(CASE WHEN {t[0]} {t[1]} {t[2]} THEN {t[3]} ELSE {t[4]} END)"
         ),
+        # round-4 scalar surface: LEAST/GREATEST/MOD (all BIGINT-stable)
+        # and date-part extraction (BIGINT in both engines)
+        st.tuples(sub, sub).map(lambda t: f"LEAST({t[0]}, {t[1]})"),
+        st.tuples(sub, sub).map(lambda t: f"GREATEST({t[0]}, {t[1]})"),
+        sub.map(lambda e: f"MOD({e}, CAST(97 AS BIGINT))"),
+        st.sampled_from(["year", "month", "day", "dow", "doy", "week",
+                         "quarter"]).map(
+            lambda p: f"EXTRACT({p} FROM o_orderdate)"),
     )
 
 
