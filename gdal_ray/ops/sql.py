@@ -558,6 +558,19 @@ class Parser:
                                 "minute", "second"):
                     raise ValueError(f"INTERVAL: unsupported unit {unit!r}")
                 return Node("interval", (n, unit))
+            if lname == "quantile_disc" and self.peek() == ("op", "("):
+                # exact discrete quantile aggregate (DuckDB quantile_disc)
+                # — non-algebraic, routed to ops.sketch.groupby_quantiles
+                self.next()
+                inner = self.expr()
+                self.expect("op", ",")
+                qn = self.expr()
+                self.expect("op", ")")
+                if inner.kind != "col":
+                    raise ValueError(
+                        "QUANTILE_DISC supports plain columns only")
+                return Node("agg", ("quantile_disc", inner.value),
+                            (Node("lit", float(_const_value(qn))),))
             if lname in ("stddev", "stddev_samp", "variance", "var_samp") \
                     and self.peek() == ("op", "("):
                 # sample stddev/variance (DuckDB/OGR STDDEV_SAMP
@@ -2775,6 +2788,49 @@ def _decorrelate_where(ds, q: Select, sf_dir: str, key_alias: dict):
     return ds, q
 
 
+def _attach_quantiles(out, ds, q: Select, qt_specs):
+    """QUANTILE_DISC aggregates: non-algebraic, so they bypass the
+    combiner — one extra hash shuffle by the group keys through
+    ops.sketch.groupby_quantiles (exact, DuckDB quantile_disc
+    convention), then a broadcast LEFT join back onto the algebraic
+    aggregate (grouped results are the small side by construction; an
+    all-null-value group joins to NULL, SQL semantics). The input ds is
+    traversed a second time — quantiles need every row, not a partial."""
+    import ray.data as rd
+
+    from gdal_ray.ops.relational import broadcast_join
+    from gdal_ray.ops.sketch import groupby_quantiles
+    from gdal_ray.util import to_arrow
+
+    keys = list(q.group_by)
+    dsq = ds
+    if not keys:
+        dsq = ds.map_batches(
+            lambda t: t.append_column(
+                "__qk", pa.array(np.zeros(len(t), np.int8))),
+            batch_format="pyarrow", batch_size=None)
+        keys = ["__qk"]
+    bycol: dict = {}
+    for name, col, qv in qt_specs:
+        bycol.setdefault(col, []).append((name, qv))
+    for col, entries in bycol.items():
+        qs = [qv for _, qv in entries]
+        qt = to_arrow(groupby_quantiles(dsq, keys, col, qs=qs))
+        ren = {("q" + str(qv).replace(".", "_")): name
+               for name, qv in entries}
+        qt = qt.rename_columns([ren.get(c, c) for c in qt.column_names])
+        if q.group_by:
+            out = broadcast_join(out, qt, keys=list(q.group_by), how="left")
+        else:
+            base = to_arrow(out)
+            for name, _qv in entries:
+                v = qt[name] if qt.num_rows == len(base) else \
+                    pa.nulls(len(base), pa.float64())
+                base = base.append_column(name, v)
+            out = rd.from_arrow(base)
+    return out
+
+
 def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
     """Compile + run one SELECT core."""
     from gdal_ray.ops.relational import broadcast_join
@@ -2968,9 +3024,9 @@ def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
                 return node
             if node.kind == "agg":
                 kind, col = node.value
-                if kind == "count_distinct":
+                if kind in ("count_distinct", "quantile_disc"):
                     raise ValueError(
-                        "expressions over COUNT(DISTINCT ...) unsupported")
+                        f"expressions over {kind.upper()} unsupported")
                 nm = f"__px{len(specs)}"
                 specs.append((nm, kind, col))
                 return Node("col", nm)
@@ -2982,6 +3038,7 @@ def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
                                   for a in node.args))
             return node
 
+        qt_specs = []  # (name, col, q): non-algebraic, via groupby_quantiles
         for idx, (item, alias) in enumerate(q.items):
             name = _item_name(item, alias, idx)
             names.append(name)
@@ -2989,6 +3046,8 @@ def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
                 kind, col = item.value
                 if kind == "count_distinct":
                     cd_specs.append((name, col))
+                elif kind == "quantile_disc":
+                    qt_specs.append((name, col, float(item.args[0].value)))
                 else:
                     specs.append((name, kind, col))
             elif item.kind == "col":
@@ -3009,11 +3068,13 @@ def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
         hidden_cd = [(n, c) for n, k, c in hidden if k == "count_distinct"]
         hidden = [(n, k, c) for n, k, c in hidden if k != "count_distinct"]
         if cd_specs or hidden_cd:
-            if post_exprs:
-                raise ValueError("expressions over aggregates cannot be "
-                                 "combined with COUNT(DISTINCT ...)")
+            if post_exprs or qt_specs:
+                raise ValueError("expressions over aggregates / quantiles "
+                                 "cannot be combined with COUNT(DISTINCT)")
             return _execute_with_count_distinct(
                 ds, q, specs + hidden, cd_specs + hidden_cd, names, having)
+        if qt_specs and not (specs + hidden):
+            hidden.append(("__qcnt", "count_star", None))
         out = groupby_agg(ds, q.group_by, specs + hidden)
         if not q.group_by:
             # global aggregate over zero rows must still yield ONE row
@@ -3032,6 +3093,8 @@ def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
                         cols[nm_] = pa.array([None], pa.float64())
                 tbl = pa.table(cols)
             out = _rd.from_arrow(tbl)
+        if qt_specs:
+            out = _attach_quantiles(out, ds, q, qt_specs)
 
         def proj(t: pa.Table, hv=having, nm=list(names),
                  sc=list(sel_cols), pe=dict(post_exprs)) -> pa.Table:

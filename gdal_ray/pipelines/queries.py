@@ -2760,6 +2760,24 @@ def q134_moving_windows(sf_dir):
     return _sql_query(Q134_SQL)(sf_dir)
 
 
+Q137_SQL = """
+SELECT lang, source,
+       QUANTILE_DISC(n_chars, 0.5) AS med_chars,
+       QUANTILE_DISC(n_chars, 0.95) AS p95_chars,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY lang, source ORDER BY lang, source
+"""
+
+
+def q137_quantile_disc(sf_dir):
+    """Per-(lang, source) exact document-length quantiles through SQL
+    QUANTILE_DISC — non-algebraic, routed around the combiner to
+    ops.sketch.groupby_quantiles (one hash shuffle) and broadcast-joined
+    back onto the COUNT aggregate. Same string runs verbatim in
+    DuckDB."""
+    return _sql_query(Q137_SQL)(sf_dir)
+
+
 Q136_SQL = """
 SELECT lang, doc_id, n_chars,
        ROW_NUMBER() OVER (PARTITION BY lang, source
@@ -3077,6 +3095,7 @@ def registry():
         "q134_moving_windows": q134_moving_windows,
         "q135_json_props": q135_json_props,
         "q136_qualify_topk": q136_qualify_topk,
+        "q137_quantile_disc": q137_quantile_disc,
     }
     sqls = {
         "q01_tpch_groupby": Q01_SQL,
@@ -3169,6 +3188,7 @@ def registry():
         "q134_moving_windows": Q134_SQL,
         "q135_json_props": Q135_SQL,
         "q136_qualify_topk": Q136_SQL,
+        "q137_quantile_disc": Q137_SQL,
         "q29_token_quantiles": Q29_SQL,
         "q37_text_normalize": Q37_SQL,
     }

@@ -87,6 +87,10 @@ CASES = [
     "SELECT c_custkey, SPLIT_PART(c_name, '#', 2) AS num, SPLIT_PART(c_name, '#', 5) AS oob, SPLIT_PART(c_mktsegment, 'I', 1) AS seg1 FROM customer WHERE c_custkey < 80",
     "SELECT o_orderkey, LEAST(o_totalprice, 100000) AS lo, GREATEST(o_totalprice, 100000, o_orderkey) AS hi, MOD(o_orderkey, 7) AS m7 FROM orders WHERE o_orderkey < 200",
     "SELECT s_suppkey, REGEXP_REPLACE(s_name, '[0-9]+', 'N') AS rr, REGEXP_REPLACE(s_name, '[0-9]', 'N', 'g') AS rrg, REGEXP_MATCHES(s_name, '^Supplier#0*[0-9]$') AS rm FROM supplier",
+    # round-4h: QUANTILE_DISC aggregates (exact, non-algebraic)
+    "SELECT c_mktsegment, QUANTILE_DISC(c_acctbal, 0.5) AS med, QUANTILE_DISC(c_acctbal, 0.9) AS p90, COUNT(*) AS n FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment",
+    "SELECT QUANTILE_DISC(o_totalprice, 0.5) AS med FROM orders",
+    "SELECT l_returnflag, QUANTILE_DISC(l_quantity, 0.25) AS q1, QUANTILE_DISC(l_quantity, 0.75) AS q3, SUM(l_quantity) AS tot FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
     # round-4g: STDDEV / VARIANCE aggregates
     "SELECT c_mktsegment, ROUND(STDDEV(c_acctbal), 4) AS sd, ROUND(VARIANCE(c_acctbal), 2) AS vr, COUNT(*) AS n FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment",
     "SELECT ROUND(STDDEV_SAMP(o_totalprice), 4) AS sd, ROUND(VAR_SAMP(o_totalprice), 2) AS vr FROM orders",
