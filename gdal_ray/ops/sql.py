@@ -558,6 +558,28 @@ class Parser:
                                 "minute", "second"):
                     raise ValueError(f"INTERVAL: unsupported unit {unit!r}")
                 return Node("interval", (n, unit))
+            if lname == "string_agg" and self.peek() == ("op", "("):
+                # STRING_AGG(col, 'sep' ORDER BY ocol) — ordered per-key
+                # concatenation (ops.relational.groupby_string_agg). The
+                # ORDER BY is REQUIRED: without it concatenation order is
+                # engine-nondeterministic and can never oracle-match.
+                self.next()
+                inner = self.expr()
+                self.expect("op", ",")
+                sepn = self.expr()
+                if not self.accept("kw", "ORDER"):
+                    raise ValueError("STRING_AGG requires ORDER BY "
+                                     "(deterministic concatenation order)")
+                self.expect("kw", "BY")
+                ocol = self.expr()
+                self.expect("op", ")")
+                if inner.kind != "col" or ocol.kind != "col" \
+                        or sepn.kind != "lit":
+                    raise ValueError("STRING_AGG(col, 'sep' ORDER BY col) "
+                                     "supports plain columns + literal sep")
+                return Node("agg", ("string_agg", inner.value),
+                            (Node("lit", str(sepn.value)),
+                             Node("lit", ocol.value)))
             if lname == "quantile_disc" and self.peek() == ("op", "("):
                 # exact discrete quantile aggregate (DuckDB quantile_disc)
                 # — non-algebraic, routed to ops.sketch.groupby_quantiles
@@ -2508,11 +2530,13 @@ def _all_col_refs(x, acc: set) -> bool:
             acc.add(x.value)
             return True
         if x.kind == "agg":
-            _k, c = x.value
+            k_, c = x.value
             if isinstance(c, str):
                 acc.add(c)
             elif isinstance(c, Node):
                 ok &= _all_col_refs(c, acc)
+            if k_ == "string_agg":  # ORDER BY column rides in args[1]
+                acc.add(x.args[1].value)
             return ok
         if isinstance(x.value, (Node, tuple, list, Select)):
             ok &= _all_col_refs(x.value, acc)
@@ -2811,8 +2835,24 @@ def _attach_quantiles(out, ds, q: Select, qt_specs):
             batch_format="pyarrow", batch_size=None)
         keys = ["__qk"]
     bycol: dict = {}
+    sa_specs = []
     for name, col, qv in qt_specs:
-        bycol.setdefault(col, []).append((name, qv))
+        if isinstance(qv, tuple) and qv[0] == "string_agg":
+            sa_specs.append((name, col, qv[1], qv[2]))
+        else:
+            bycol.setdefault(col, []).append((name, qv))
+    for name, col, sep, ocol in sa_specs:
+        from gdal_ray.ops.relational import groupby_string_agg
+
+        qt = to_arrow(groupby_string_agg(dsq, keys, col, ocol,
+                                         sep=sep, out=name))
+        if q.group_by:
+            out = broadcast_join(out, qt, keys=list(q.group_by), how="left")
+        else:
+            base = to_arrow(out)
+            v = qt[name] if qt.num_rows == len(base) else \
+                pa.nulls(len(base), pa.string())
+            out = rd.from_arrow(base.append_column(name, v))
     for col, entries in bycol.items():
         qs = [qv for _, qv in entries]
         qt = to_arrow(groupby_quantiles(dsq, keys, col, qs=qs))
@@ -3024,7 +3064,8 @@ def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
                 return node
             if node.kind == "agg":
                 kind, col = node.value
-                if kind in ("count_distinct", "quantile_disc"):
+                if kind in ("count_distinct", "quantile_disc",
+                            "string_agg"):
                     raise ValueError(
                         f"expressions over {kind.upper()} unsupported")
                 nm = f"__px{len(specs)}"
@@ -3048,6 +3089,10 @@ def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
                     cd_specs.append((name, col))
                 elif kind == "quantile_disc":
                     qt_specs.append((name, col, float(item.args[0].value)))
+                elif kind == "string_agg":
+                    qt_specs.append((name, col, ("string_agg",
+                                                 item.args[0].value,
+                                                 item.args[1].value)))
                 else:
                     specs.append((name, kind, col))
             elif item.kind == "col":

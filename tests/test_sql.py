@@ -87,6 +87,9 @@ CASES = [
     "SELECT c_custkey, SPLIT_PART(c_name, '#', 2) AS num, SPLIT_PART(c_name, '#', 5) AS oob, SPLIT_PART(c_mktsegment, 'I', 1) AS seg1 FROM customer WHERE c_custkey < 80",
     "SELECT o_orderkey, LEAST(o_totalprice, 100000) AS lo, GREATEST(o_totalprice, 100000, o_orderkey) AS hi, MOD(o_orderkey, 7) AS m7 FROM orders WHERE o_orderkey < 200",
     "SELECT s_suppkey, REGEXP_REPLACE(s_name, '[0-9]+', 'N') AS rr, REGEXP_REPLACE(s_name, '[0-9]', 'N', 'g') AS rrg, REGEXP_MATCHES(s_name, '^Supplier#0*[0-9]$') AS rm FROM supplier",
+    # round-4h: STRING_AGG with required ORDER BY
+    "SELECT c_nationkey, STRING_AGG(c_name, '|' ORDER BY c_custkey) AS members, COUNT(*) AS n FROM customer WHERE c_custkey < 60 GROUP BY c_nationkey ORDER BY c_nationkey",
+    "SELECT STRING_AGG(n_name, ',' ORDER BY n_nationkey) AS all_nations FROM nation",
     # round-4h: QUANTILE_DISC aggregates (exact, non-algebraic)
     "SELECT c_mktsegment, QUANTILE_DISC(c_acctbal, 0.5) AS med, QUANTILE_DISC(c_acctbal, 0.9) AS p90, COUNT(*) AS n FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment",
     "SELECT QUANTILE_DISC(o_totalprice, 0.5) AS med FROM orders",
