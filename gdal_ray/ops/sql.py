@@ -865,9 +865,9 @@ def parse_query(sql: str) -> Query:
         kw = p.next()[1]
         if kw == "UNION":
             op = "union_all" if p.accept("kw", "ALL") else "union"
+        elif p.accept("kw", "ALL"):
+            op = kw.lower() + "_all"  # bag semantics (multiplicities)
         else:
-            if p.accept("kw", "ALL"):
-                raise ValueError(f"{kw} ALL not supported (DISTINCT set ops only)")
             op = kw.lower()
         set_ops.append(op)
         cores.append(_parse_core(p))
@@ -1752,6 +1752,8 @@ def _combine_set_ops(outs: list, ops: list, names: list):
         if op == "intersect":
             vals[-1] = semi_join_hash(
                 op_distinct(vals[-1], names), o, names)
+        elif op == "intersect_all":
+            vals[-1] = _bag_set_op(vals[-1], o, names, "intersect")
         else:
             vops.append(op)
             vals.append(o)
@@ -1761,9 +1763,38 @@ def _combine_set_ops(outs: list, ops: list, names: list):
             out = union_all(out, o)
         elif op == "union":
             out = op_distinct(union_all(out, o), names)
+        elif op == "except_all":
+            out = _bag_set_op(out, o, names, "except")
         else:  # except
             out = semi_join_hash(op_distinct(out, names), o, names, anti=True)
     return out
+
+
+def _bag_set_op(a, b, names: list, mode: str):
+    """INTERSECT ALL / EXCEPT ALL (bag semantics): count multiplicities
+    of each distinct full row on both sides (combiner groupby — one
+    shuffle each), hash-join the count tables, then replicate each row
+    min(na, nb) (intersect) or max(na - nb, 0) (except) times. No
+    broadcast; full rows shuffle once per side."""
+    from gdal_ray.ops.relational import groupby_agg, join_hash
+
+    ca = groupby_agg(a, names, [("__na", "count_star", None)])
+    cb = groupby_agg(b, names, [("__nb", "count_star", None)])
+    joined = join_hash(ca, cb, names,
+                       how="inner" if mode == "intersect" else "left")
+
+    def rep(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t.select(names)
+        na = t["__na"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = np.nan_to_num(
+            t["__nb"].to_numpy(zero_copy_only=False).astype(np.float64))
+        k = np.minimum(na, nb) if mode == "intersect" else na - nb
+        k = np.maximum(k, 0).astype(np.int64)
+        idx = np.repeat(np.arange(len(t)), k)
+        return t.select(names).take(pa.array(idx))
+
+    return joined.map_batches(rep, batch_format="pyarrow", batch_size=None)
 
 
 def execute(sql: str, sf_dir: str):

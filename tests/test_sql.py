@@ -87,6 +87,11 @@ CASES = [
     "SELECT c_custkey, SPLIT_PART(c_name, '#', 2) AS num, SPLIT_PART(c_name, '#', 5) AS oob, SPLIT_PART(c_mktsegment, 'I', 1) AS seg1 FROM customer WHERE c_custkey < 80",
     "SELECT o_orderkey, LEAST(o_totalprice, 100000) AS lo, GREATEST(o_totalprice, 100000, o_orderkey) AS hi, MOD(o_orderkey, 7) AS m7 FROM orders WHERE o_orderkey < 200",
     "SELECT s_suppkey, REGEXP_REPLACE(s_name, '[0-9]+', 'N') AS rr, REGEXP_REPLACE(s_name, '[0-9]', 'N', 'g') AS rrg, REGEXP_MATCHES(s_name, '^Supplier#0*[0-9]$') AS rm FROM supplier",
+    # round-4h: bag-semantics set operators
+    "SELECT c_nationkey AS k FROM customer INTERSECT ALL SELECT s_nationkey AS k FROM supplier",
+    "SELECT c_nationkey AS k FROM customer EXCEPT ALL SELECT s_nationkey AS k FROM supplier",
+    "SELECT c_mktsegment AS v FROM customer WHERE c_custkey < 100 EXCEPT ALL SELECT c_mktsegment AS v FROM customer WHERE c_custkey < 40",
+    "SELECT o_orderpriority AS p FROM orders WHERE o_orderkey < 200 INTERSECT ALL SELECT o_orderpriority AS p FROM orders WHERE o_orderkey >= 100 AND o_orderkey < 300",
     # round-4h: STRING_AGG with required ORDER BY
     "SELECT c_nationkey, STRING_AGG(c_name, '|' ORDER BY c_custkey) AS members, COUNT(*) AS n FROM customer WHERE c_custkey < 60 GROUP BY c_nationkey ORDER BY c_nationkey",
     "SELECT STRING_AGG(n_name, ',' ORDER BY n_nationkey) AS all_nations FROM nation",
