@@ -256,7 +256,20 @@ class Parser:
             t = self.peek()
         if t[0] == "op" and t[1] in ("=", "<>", "!=", "<", "<=", ">", ">="):
             self.next()
-            node = Node("bin", {"!=": "<>"}.get(t[1], t[1]), (left, self.add_expr()))
+            op = {"!=": "<>"}.get(t[1], t[1])
+            nt = self.peek()
+            if nt[1] is not None and str(nt[1]).lower() in \
+                    ("any", "all", "some") \
+                    and self.toks[self.i + 1] == ("op", "("):
+                which = "any" if str(nt[1]).lower() in ("any", "some") \
+                    else "all"
+                self.next()
+                self.next()
+                sub = _parse_core(self)
+                self.expect("op", ")")
+                node = Node("quant", (op, which), (left, sub))
+            else:
+                node = Node("bin", op, (left, self.add_expr()))
         elif t == ("kw", "ILIKE"):
             self.next()
             node = Node("like", "i", (left, self.add_expr()))
@@ -1684,6 +1697,10 @@ def _resolve_subqueries(core: Select, sf_dir: str) -> Select:
     def run_sub(sub: Select) -> pa.Table:
         sub = _resolve_subqueries(sub, sf_dir)
         tbl = to_arrow(_execute_core(sub, sf_dir, [], None, None))
+        if tbl.num_columns == 0 and tbl.num_rows == 0:
+            # Ray loses the schema of all-empty pipelines; rebuild the
+            # typed empty from the subquery's statically-inferred schema
+            tbl = _typed_empty_select(sub, sf_dir)
         if tbl.num_columns != 1:
             raise ValueError("subquery must return exactly one column")
         return tbl
@@ -1705,6 +1722,60 @@ def _resolve_subqueries(core: Select, sf_dir: str) -> Select:
             left = walk_any(n.args[0])
             col = run_sub(n.args[1]).column(0).combine_chunks()
             return Node("in_vals", col, (left,))
+        if n.kind == "quant":
+            # cmp ANY/ALL (SELECT ...): uncorrelated quantified
+            # comparison — fold the subquery to its min/max bound plus
+            # null/empty bookkeeping, then rewrite to a CASE tree with
+            # SQL three-valued semantics (empty: ALL->TRUE, ANY->FALSE;
+            # nulls in the sub make the undecided branch NULL)
+            op, which = n.value
+            left = walk_any(n.args[0])
+            if _is_correlated(n.args[1], sf_dir):
+                raise ValueError("correlated ANY/ALL subqueries are "
+                                 "unsupported (use EXISTS)")
+            col = run_sub(n.args[1]).column(0)
+            vals = col.drop_null()
+            has_null = col.null_count > 0
+            NULL, TRUE, FALSE = (Node("lit", None), Node("lit", True),
+                                 Node("lit", False))
+            if len(col) == 0:
+                return TRUE if which == "all" else FALSE
+            isnull = Node("isnull", True, (left,))
+            if op == "=" and which == "any":  # IN semantics
+                return Node("in_vals", vals.combine_chunks(), (left,))
+            if op == "<>" and which == "all":  # NOT IN semantics
+                return Node("un", "not",
+                            (Node("in_vals", vals.combine_chunks(),
+                                  (left,)),))
+            if len(vals) == 0:  # all-null subquery: always unknown
+                return Node("case", NULL, ((isnull, NULL),))
+            if op in ("<", "<=", ">", ">="):
+                if which == "all":
+                    agg = pc.min(vals) if op in ("<", "<=") else pc.max(vals)
+                else:
+                    agg = pc.max(vals) if op in ("<", "<=") else pc.min(vals)
+                cmpn = Node("bin", op, (left, Node("lit", agg.as_py())))
+                if which == "all":
+                    whens = ((isnull, NULL),
+                             (Node("un", "not", (cmpn,)), FALSE))
+                    els = NULL if has_null else TRUE
+                else:
+                    whens = ((isnull, NULL), (cmpn, TRUE))
+                    els = NULL if has_null else FALSE
+                return Node("case", els, whens)
+            # = ALL / <> ANY via the min/max-equality trick
+            eq_all = Node("bin", "and", (
+                Node("bin", "=", (left, Node("lit", pc.min(vals).as_py()))),
+                Node("bin", "=", (left, Node("lit", pc.max(vals).as_py())))))
+            if op == "=":
+                whens = ((isnull, NULL),
+                         (Node("un", "not", (eq_all,)), FALSE))
+                els = NULL if has_null else TRUE
+            else:  # <> ANY: exists v != x
+                whens = ((isnull, NULL),
+                         (Node("un", "not", (eq_all,)), TRUE))
+                els = NULL if has_null else FALSE
+            return Node("case", els, whens)
         if n.kind == "scalar_sub":
             if _is_correlated(n.args[0], sf_dir):
                 return n  # decorrelated to a join in _execute_core

@@ -87,6 +87,14 @@ CASES = [
     "SELECT c_custkey, SPLIT_PART(c_name, '#', 2) AS num, SPLIT_PART(c_name, '#', 5) AS oob, SPLIT_PART(c_mktsegment, 'I', 1) AS seg1 FROM customer WHERE c_custkey < 80",
     "SELECT o_orderkey, LEAST(o_totalprice, 100000) AS lo, GREATEST(o_totalprice, 100000, o_orderkey) AS hi, MOD(o_orderkey, 7) AS m7 FROM orders WHERE o_orderkey < 200",
     "SELECT s_suppkey, REGEXP_REPLACE(s_name, '[0-9]+', 'N') AS rr, REGEXP_REPLACE(s_name, '[0-9]', 'N', 'g') AS rrg, REGEXP_MATCHES(s_name, '^Supplier#0*[0-9]$') AS rm FROM supplier",
+    # round-4h: quantified ANY / ALL / SOME subqueries
+    "SELECT COUNT(*) AS n FROM customer WHERE c_acctbal > ALL (SELECT s_acctbal FROM supplier WHERE s_nationkey < 5)",
+    "SELECT COUNT(*) AS n FROM customer WHERE c_acctbal < ANY (SELECT s_acctbal FROM supplier)",
+    "SELECT COUNT(*) AS n FROM customer WHERE c_nationkey = ANY (SELECT s_nationkey FROM supplier WHERE s_suppkey < 4)",
+    "SELECT COUNT(*) AS n FROM customer WHERE c_nationkey <> ALL (SELECT s_nationkey FROM supplier WHERE s_suppkey < 4)",
+    "SELECT COUNT(*) AS n FROM orders WHERE o_totalprice >= ALL (SELECT o_totalprice FROM orders WHERE o_orderkey < 0)",
+    "SELECT COUNT(*) AS n FROM orders WHERE o_totalprice > SOME (SELECT o_totalprice FROM orders WHERE o_orderkey < 0)",
+    "SELECT COUNT(*) AS n FROM customer WHERE c_nationkey = ALL (SELECT s_nationkey FROM supplier WHERE s_suppkey = 2)",
     # round-4h: bag-semantics set operators
     "SELECT c_nationkey AS k FROM customer INTERSECT ALL SELECT s_nationkey AS k FROM supplier",
     "SELECT c_nationkey AS k FROM customer EXCEPT ALL SELECT s_nationkey AS k FROM supplier",
