@@ -1584,9 +1584,49 @@ def _parquet_cols(path: str) -> tuple:
     return tuple(pq.read_schema(path).names)
 
 
+# ---------------------------------------------------------------------------
+# table registry: SQL over ANY Dataset / Arrow table, not just the sf_dir
+# parquet files — the OGRDataSource::ExecuteSQL equivalent
+# (ogr/ogrsf_frmts/generic/ogrdatasource.cpp SQL entry point)
+# ---------------------------------------------------------------------------
+
+_TABLE_REGISTRY: dict = {}
+
+
+def register_table(name: str, src) -> None:
+    """Bind `name` for use in FROM/JOIN clauses of execute(). src may be a
+    ray.data.Dataset, a pyarrow.Table, or a parquet file path. Registered
+    names shadow sf_dir files. Scan-level column pruning / predicate
+    pushdown apply only to path sources; Dataset/Table sources are used
+    as-is (they are already in memory / in flight)."""
+    _TABLE_REGISTRY[name.lower()] = src
+
+
+def unregister_table(name: str) -> None:
+    _TABLE_REGISTRY.pop(name.lower(), None)
+
+
+def _registry_get(table):
+    if isinstance(table, str):
+        return _TABLE_REGISTRY.get(table.lower())
+    return None
+
+
+def _registry_cols(src) -> list:
+    if isinstance(src, pa.Table):
+        return list(src.column_names)
+    if isinstance(src, str):
+        return list(_parquet_cols(src))
+    sch = src.schema()
+    return list(sch.names)
+
+
 def _table_cols(sf_dir: str, table) -> list:
     if isinstance(table, Select):
         return list(_out_names(table))
+    src = _registry_get(table)
+    if src is not None:
+        return _registry_cols(src)
     from gdal_ray.util import sf_path
 
     return list(_parquet_cols(sf_path(sf_dir, table)))
@@ -2565,6 +2605,16 @@ def _empty_input_table(q: Select, sf_dir: str) -> pa.Table:
     def base(tref):
         if isinstance(tref, Select):
             return _typed_empty_select(tref, sf_dir)
+        src = _registry_get(tref)
+        if src is not None:
+            if isinstance(src, pa.Table):
+                return src.schema.empty_table()
+            if isinstance(src, str):
+                return pq.read_schema(src).empty_table()
+            sch = src.schema()
+            return pa.schema(
+                [pa.field(n, t) for n, t in zip(sch.names, sch.types)]
+            ).empty_table()
         return pq.read_schema(sf_path(sf_dir, tref)).empty_table()
 
     E = base(q.table)
@@ -2714,7 +2764,8 @@ def _pushdown_filter(q: Select, sf_dir: str):
     FROM-table columns and literals (col CMP lit / BETWEEN / IN) — pushed
     into read_parquet so row groups prune at the scan. Advisory only: the
     full WHERE still evaluates after the read (idempotent conjuncts)."""
-    if q.where is None or isinstance(q.table, Select):
+    if q.where is None or isinstance(q.table, Select) \
+            or _registry_get(q.table) is not None:
         return None
     import pyarrow.dataset as pds
     import pyarrow.parquet as pq
@@ -2987,10 +3038,23 @@ def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
         return _execute_group_sets(q, sf_dir)
     wants_fid = _mentions_fid(
         (q.items, q.where, q.group_by, q.having, q.order_by))
+    from_src = (_registry_get(q.table)
+                if not isinstance(q.table, Select) else None)
     if isinstance(q.table, Select):
         # derived table: FROM (SELECT ...) alias — executes recursively
         # as its own streaming pipeline
         ds = _execute_core(q.table, sf_dir, [], None, None)
+    elif from_src is not None:
+        # registered table (ExecuteSQL-on-a-Dataset): use the bound
+        # Dataset / Arrow table / path as the FROM source
+        import ray.data as _rd
+
+        if isinstance(from_src, pa.Table):
+            ds = _rd.from_arrow(from_src)
+        elif isinstance(from_src, str):
+            ds = _rd.read_parquet(from_src)
+        else:
+            ds = from_src
     elif wants_fid:
         ds = read_table_with_fid(sf_dir, q.table, fid_col="FID")
     else:
@@ -3008,10 +3072,17 @@ def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
 
         right = None
         right_rows = 0
+        jsrc = (_registry_get(j.table)
+                if not isinstance(j.table, Select) else None)
         if isinstance(j.table, Select):
             # derived join side: run and broadcast (the classic
             # dimension-side plan)
             right = to_arrow(_execute_core(j.table, sf_dir, [], None, None))
+            rcols = right.column_names
+        elif jsrc is not None:
+            right = (jsrc if isinstance(jsrc, pa.Table)
+                     else pq.read_table(jsrc) if isinstance(jsrc, str)
+                     else to_arrow(jsrc))
             rcols = right.column_names
         else:
             path = sf_path(sf_dir, j.table)
