@@ -295,10 +295,23 @@ def _edit(rename: dict | None = None, set_fields: dict | None = None,
 @step("sql")
 def _sql(query: str, sf_dir: str):
     """`gdal vector sql` — compile a SELECT (OGR-dialect subset) to Ray ops
-    via gdal_ray.ops.sql; opens its own table like the reference step."""
-    from gdal_ray.ops.sql import execute
+    via gdal_ray.ops.sql; opens its own table like the reference step.
+    The incoming dataset is additionally bound as table name `input`
+    (FROM input / JOIN input), mirroring ExecuteSQL's implicit layer."""
+    from gdal_ray.ops.sql import execute, register_table, unregister_table
 
-    return lambda _ds: execute(query, sf_dir)
+    def run(ds):
+        if ds is not None:
+            register_table("input", ds)
+        try:
+            return execute(query, sf_dir)
+        finally:
+            # resolution is eager inside execute(); the binding is only
+            # needed while the plan is built
+            if ds is not None:
+                unregister_table("input")
+
+    return run
 
 
 @step("sql_like")

@@ -59,6 +59,23 @@ def test_registered_table_in_join(sf_dir, scored):
         unregister_table("dockeys")
 
 
+def test_sql_step_binds_input(ray_session, sf_dir):
+    """The pipeline `sql` step exposes its incoming dataset as table
+    `input` (ExecuteSQL's implicit layer)."""
+    from gdal_ray.pipelines.steps import run_pipeline
+
+    out = run_pipeline([
+        ("read", {"path": sf_path(sf_dir, "customer")}),
+        ("sql", {"query": "SELECT c_mktsegment, COUNT(*) AS n FROM input "
+                          "GROUP BY c_mktsegment ORDER BY c_mktsegment",
+                 "sf_dir": sf_dir}),
+    ])
+    t = to_arrow(out)
+    assert t.column_names == ["c_mktsegment", "n"]
+    assert sum(t["n"].to_pylist()) == to_arrow(
+        read_table(sf_dir, "customer", columns=["c_custkey"])).num_rows
+
+
 def test_registered_table_shadows_file(sf_dir):
     """A registered Arrow table with the same name as an sf_dir file wins."""
     tiny = pa.table({"r_regionkey": pa.array([99], pa.int64()),
