@@ -265,7 +265,7 @@ class Parser:
                     else "all"
                 self.next()
                 self.next()
-                sub = _parse_core(self)
+                sub = _parse_subselect(self)
                 self.expect("op", ")")
                 node = Node("quant", (op, which), (left, sub))
             else:
@@ -277,7 +277,7 @@ class Parser:
             self.next()
             self.expect("op", "(")
             if self.peek() == ("kw", "SELECT"):
-                sub = _parse_core(self)
+                sub = _parse_subselect(self)
                 self.expect("op", ")")
                 node = Node("in_sub", None, (left, sub))
             else:
@@ -417,12 +417,12 @@ class Parser:
             return Node("lit", _dt.datetime.fromisoformat(s))
         if t == ("kw", "EXISTS"):
             self.expect("op", "(")
-            sub = _parse_core(self)
+            sub = _parse_subselect(self)
             self.expect("op", ")")
             return Node("exists_sub", None, (sub,))
         if t == ("op", "("):
             if self.peek() == ("kw", "SELECT"):
-                sub = _parse_core(self)
+                sub = _parse_subselect(self)
                 self.expect("op", ")")
                 return Node("scalar_sub", None, (sub,))
             e = self.expr()
@@ -697,11 +697,34 @@ class Query:
     set_ops: list = None
 
 
+def _parse_subselect(p: Parser) -> Select:
+    """A parenthesized SELECT (subquery / derived table): a full core plus
+    its OWN optional ORDER BY / LIMIT / OFFSET (needed for top-1 scalar
+    subqueries and LIMITed derived tables)."""
+    core = _parse_core(p)
+    if p.accept("kw", "ORDER"):
+        p.expect("kw", "BY")
+        while True:
+            e = p.expr()
+            col = e.value if e.kind == "col" else e
+            desc = bool(p.accept("kw", "DESC"))
+            if not desc:
+                p.accept("kw", "ASC")
+            core.order_by.append((col, desc))
+            if not p.accept("op", ","):
+                break
+    if p.accept("kw", "LIMIT"):
+        core.limit = int(p.expect("num")[1])
+        if p.accept("kw", "OFFSET"):
+            core.offset = int(p.expect("num")[1])
+    return core
+
+
 def _parse_table_ref(p: Parser):
     if p.accept("op", "("):
         # derived table: FROM/JOIN ( SELECT ... ) [AS] alias — the Select
         # node itself stands in for the table name and executes recursively
-        name = _parse_core(p)
+        name = _parse_subselect(p)
         p.expect("op", ")")
     else:
         name = p.expect("id")[1]
@@ -865,7 +888,7 @@ def parse_query(sql: str) -> Query:
             nm = p.expect("id")[1].lower()
             p.expect("kw", "AS")
             p.expect("op", "(")
-            sub = _parse_core(p)
+            sub = _parse_subselect(p)
             p.expect("op", ")")
             _subst_ctes(sub, ctes)
             ctes[nm] = sub
@@ -1736,7 +1759,8 @@ def _resolve_subqueries(core: Select, sf_dir: str) -> Select:
 
     def run_sub(sub: Select) -> pa.Table:
         sub = _resolve_subqueries(sub, sf_dir)
-        tbl = to_arrow(_execute_core(sub, sf_dir, [], None, None))
+        tbl = to_arrow(_execute_core(
+            sub, sf_dir, sub.order_by, sub.limit, sub.offset))
         if tbl.num_columns == 0 and tbl.num_rows == 0:
             # Ray loses the schema of all-empty pipelines; rebuild the
             # typed empty from the subquery's statically-inferred schema
@@ -3043,7 +3067,8 @@ def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
     if isinstance(q.table, Select):
         # derived table: FROM (SELECT ...) alias — executes recursively
         # as its own streaming pipeline
-        ds = _execute_core(q.table, sf_dir, [], None, None)
+        ds = _execute_core(q.table, sf_dir, q.table.order_by,
+                           q.table.limit, q.table.offset)
     elif from_src is not None:
         # registered table (ExecuteSQL-on-a-Dataset): use the bound
         # Dataset / Arrow table / path as the FROM source
@@ -3077,7 +3102,9 @@ def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
         if isinstance(j.table, Select):
             # derived join side: run and broadcast (the classic
             # dimension-side plan)
-            right = to_arrow(_execute_core(j.table, sf_dir, [], None, None))
+            right = to_arrow(_execute_core(
+                j.table, sf_dir, j.table.order_by, j.table.limit,
+                j.table.offset))
             rcols = right.column_names
         elif jsrc is not None:
             right = (jsrc if isinstance(jsrc, pa.Table)

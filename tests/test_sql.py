@@ -87,6 +87,11 @@ CASES = [
     "SELECT c_custkey, SPLIT_PART(c_name, '#', 2) AS num, SPLIT_PART(c_name, '#', 5) AS oob, SPLIT_PART(c_mktsegment, 'I', 1) AS seg1 FROM customer WHERE c_custkey < 80",
     "SELECT o_orderkey, LEAST(o_totalprice, 100000) AS lo, GREATEST(o_totalprice, 100000, o_orderkey) AS hi, MOD(o_orderkey, 7) AS m7 FROM orders WHERE o_orderkey < 200",
     "SELECT s_suppkey, REGEXP_REPLACE(s_name, '[0-9]+', 'N') AS rr, REGEXP_REPLACE(s_name, '[0-9]', 'N', 'g') AS rrg, REGEXP_MATCHES(s_name, '^Supplier#0*[0-9]$') AS rm FROM supplier",
+    # round-4h: ORDER BY / LIMIT inside subqueries and derived tables
+    "SELECT COUNT(*) AS n FROM orders WHERE o_custkey = (SELECT c_custkey FROM customer ORDER BY c_acctbal DESC LIMIT 1)",
+    "SELECT SUM(o_totalprice) AS tot FROM (SELECT o_totalprice FROM orders ORDER BY o_totalprice DESC LIMIT 10) t",
+    "SELECT COUNT(*) AS n FROM orders WHERE o_custkey IN (SELECT c_custkey FROM customer ORDER BY c_acctbal DESC LIMIT 5)",
+    "SELECT COUNT(*) AS n FROM orders JOIN (SELECT c_custkey AS top_ck FROM customer ORDER BY c_acctbal DESC LIMIT 20) tc ON top_ck = o_custkey",
     # round-4h: quantified ANY / ALL / SOME subqueries
     "SELECT COUNT(*) AS n FROM customer WHERE c_acctbal > ALL (SELECT s_acctbal FROM supplier WHERE s_nationkey < 5)",
     "SELECT COUNT(*) AS n FROM customer WHERE c_acctbal < ANY (SELECT s_acctbal FROM supplier)",
