@@ -74,7 +74,51 @@ def con(sf_dir):
     con.execute(
         f"create view orders as select * from read_parquet('{sf_path(sf_dir, 'orders')}')"
     )
+    con.execute(
+        f"create view supplier as select * from read_parquet('{sf_path(sf_dir, 'supplier')}')"
+    )
     return con
+
+
+def _str_expr(depth: int):
+    """Random string-expression trees over supplier columns — the round-4
+    string catalogue composed with itself (every rendered string also runs
+    verbatim in DuckDB)."""
+    base = st.sampled_from(["s_name", "CAST(s_suppkey AS TEXT)"])
+    if depth <= 0:
+        return base
+    sub = _str_expr(depth - 1)
+    return st.one_of(
+        base,
+        sub.map(lambda e: f"UPPER({e})"),
+        sub.map(lambda e: f"LOWER({e})"),
+        sub.map(lambda e: f"REVERSE({e})"),
+        st.tuples(sub, st.integers(1, 6), st.integers(1, 8)).map(
+            lambda t: f"SUBSTR({t[0]}, {t[1]}, {t[2]})"),
+        st.tuples(sub, st.integers(0, 9)).map(
+            lambda t: f"LEFT({t[0]}, {t[1]})"),
+        st.tuples(sub, st.integers(1, 9)).map(
+            lambda t: f"RIGHT({t[0]}, {t[1]})"),
+        st.tuples(sub, st.integers(3, 14)).map(
+            lambda t: f"LPAD({t[0]}, {t[1]}, '*')"),
+        st.tuples(sub, st.integers(3, 14)).map(
+            lambda t: f"RPAD({t[0]}, {t[1]}, '.')"),
+        st.tuples(sub, sub).map(lambda t: f"CONCAT({t[0]}, '-', {t[1]})"),
+        sub.map(lambda e: f"REPLACE({e}, '0', 'x')"),
+        sub.map(lambda e: f"TRIM(CONCAT(' ', {e}, ' '))"),
+    )
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(expr=_str_expr(3))
+def test_random_string_expression_matches_duckdb(sf_dir, con, expr):
+    sql = f"SELECT s_suppkey, {expr} AS v FROM supplier"
+    got = to_arrow(execute(sql, sf_dir)).to_pandas().sort_values(
+        "s_suppkey").reset_index(drop=True)
+    exp = con.execute(sql).df().sort_values(
+        "s_suppkey").reset_index(drop=True)
+    assert (got["v"].fillna("__N") == exp["v"].fillna("__N")).all(), sql
 
 
 @settings(max_examples=25, deadline=None,
