@@ -1932,6 +1932,92 @@ def _bag_set_op(a, b, names: list, mode: str):
     return joined.map_batches(rep, batch_format="pyarrow", batch_size=None)
 
 
+def explain(sql: str, sf_dir: str) -> str:
+    """Human-readable plan sketch for a SELECT: per core, the FROM source
+    with its pruned column list and pushed-down scan filter, each join
+    with its chosen strategy (broadcast vs co-partitioned hash), the
+    aggregate specs, and which subqueries decorrelate to joins. Purely
+    static — nothing executes."""
+    q = parse_query(sql)
+    lines = []
+    for ci, core in enumerate(q.cores):
+        if len(q.cores) > 1:
+            lines.append(f"CORE {ci} ({(q.set_ops or ['?'])[ci - 1] if ci else 'first'}):")
+        tbl = core.table
+        if isinstance(tbl, Select):
+            lines.append("SCAN derived subquery")
+        elif _registry_get(tbl) is not None:
+            lines.append(f"SCAN registered table {tbl!r} (as-is)")
+        else:
+            cols = _pruned_columns(core, q.order_by if ci == 0 else [],
+                                   sf_dir)
+            flt = _pushdown_filter(core, sf_dir)
+            lines.append(
+                f"SCAN {tbl} columns={cols if cols else 'ALL'}"
+                + (f" pushdown=({flt})" if flt is not None else ""))
+        for j in (core.joins or []):
+            if isinstance(j.table, Select):
+                lines.append(f"JOIN derived subquery ON {j.left_key} = "
+                             f"{j.right_key} [broadcast]")
+                continue
+            if _registry_get(j.table) is not None:
+                lines.append(f"JOIN registered {j.table!r} ON {j.left_key} "
+                             f"= {j.right_key} [broadcast]")
+                continue
+            import pyarrow.parquet as _pq
+
+            from gdal_ray.util import sf_path as _sp
+
+            n = _pq.read_metadata(_sp(sf_dir, j.table)).num_rows
+            strat = ("co-partitioned hash (both sides shuffle)"
+                     if n > _BROADCAST_JOIN_MAX_ROWS
+                     else f"broadcast ({n} rows)")
+            how = "LEFT" if j.left else "INNER"
+            lines.append(f"{how} JOIN {j.table} ON {j.left_key} = "
+                         f"{j.right_key} [{strat}]")
+        subs: list = []
+
+        def scan_subs(x):
+            if isinstance(x, Node):
+                if x.kind in ("exists_sub", "in_sub", "scalar_sub",
+                              "quant"):
+                    sub = x.args[-1] if x.kind != "exists_sub" else x.args[0]
+                    if isinstance(sub, Select):
+                        corr = _is_correlated(sub, sf_dir)
+                        subs.append((x.kind, corr))
+                    return
+                scan_subs(x.value) if isinstance(
+                    x.value, (Node, tuple, list)) else None
+                scan_subs(x.args)
+            elif isinstance(x, (tuple, list)):
+                for i in x:
+                    scan_subs(i)
+
+        scan_subs((core.items, core.where, core.having))
+        for kind, corr in subs:
+            plan = {"exists_sub": "semi/anti join" if corr else "constant",
+                    "in_sub": "semi join" if corr else "IN-list broadcast",
+                    "scalar_sub": "groupby + broadcast left join" if corr
+                    else "constant",
+                    "quant": "min/max bound fold"}[kind]
+            lines.append(f"SUBQUERY {kind} "
+                         f"[{'correlated -> ' if corr else ''}{plan}]")
+        if core.group_by or any(
+                isinstance(i, Node) and i.kind == "agg"
+                for i, _ in core.items):
+            lines.append(f"AGGREGATE group_by={core.group_by} "
+                         "[per-batch combiner + tree/hash merge]")
+        if core.qualify is not None:
+            lines.append("QUALIFY filter after window pass")
+    if q.order_by:
+        lines.append(f"ORDER BY {q.order_by}"
+                     + (f" LIMIT {q.limit} [two-level top-k, no global "
+                        "sort]" if q.limit else " [distributed sort]"))
+    elif q.limit:
+        lines.append(f"LIMIT {q.limit}")
+    return "\n".join(lines)
+
+
 def execute(sql: str, sf_dir: str):
     """Compile + run a SELECT (or set-op chain: UNION [ALL] / INTERSECT /
     EXCEPT) against the sf_dir parquet tables."""
@@ -2713,6 +2799,19 @@ def _all_col_refs(x, acc: set) -> bool:
                 ok &= _all_col_refs(c, acc)
             if k_ == "string_agg":  # ORDER BY column rides in args[1]
                 acc.add(x.args[1].value)
+            return ok
+        if x.kind == "exists_sub":
+            # EXISTS(SELECT * ...): the conventional star projects nothing
+            # — only the sub's predicates (which carry any correlated
+            # outer references) matter for pruning
+            sub = x.args[0]
+            ok &= _all_col_refs(sub.where, acc)
+            ok &= _all_col_refs(sub.having, acc)
+            for j in (sub.joins or []):
+                acc.add(j.left_key)
+                acc.add(j.right_key)
+            if isinstance(sub.table, Select):
+                ok &= _all_col_refs(sub.table, acc)
             return ok
         if isinstance(x.value, (Node, tuple, list, Select)):
             ok &= _all_col_refs(x.value, acc)

@@ -76,6 +76,26 @@ def test_sql_step_binds_input(ray_session, sf_dir):
         read_table(sf_dir, "customer", columns=["c_custkey"])).num_rows
 
 
+def test_explain_plan_sketch(sf_dir):
+    """explain(): static plan introspection — pruned columns, pushdown
+    filter, join strategy, decorrelation plan; nothing executes."""
+    from gdal_ray.ops.sql import explain
+
+    plan = explain(
+        "SELECT l_orderkey, SUM(l_extendedprice) AS s FROM lineitem "
+        "JOIN orders ON o_orderkey = l_orderkey "
+        "WHERE l_shipdate > DATE '1996-01-01' AND EXISTS "
+        "(SELECT * FROM customer WHERE c_custkey = o_custkey) "
+        "GROUP BY l_orderkey", sf_dir)
+    assert "SCAN lineitem columns=[" in plan
+    assert "pushdown=" in plan
+    assert "JOIN orders" in plan and "broadcast" in plan
+    assert "correlated -> semi/anti join" in plan
+    assert "AGGREGATE" in plan
+    # EXISTS(SELECT *) must not disable outer pruning
+    assert "columns=ALL" not in plan
+
+
 def test_registered_table_shadows_file(sf_dir):
     """A registered Arrow table with the same name as an sf_dir file wins."""
     tiny = pa.table({"r_regionkey": pa.array([99], pa.int64()),
