@@ -19,6 +19,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from gdal_ray.geo import webmercator as wm
 from gdal_ray.raster.checksum import checksum as _checksum
@@ -618,11 +619,26 @@ def sample_tiles_at_points(tiles_ds, points_ds, zoom: int, *,
         out["value"] = v
         return out.drop(columns=["__px", "__py"])
 
+    # the union pads point columns with nulls for tile rows, so the pandas
+    # group kernel promotes int64 point columns to float64 — cast them back
+    # to the input schema (driver value-hashes are dtype-sensitive: an
+    # event_id of 164.0 vs 164 is a hash mismatch even with equal values)
+    pt_schema = points_ds.schema()
+    pt_types = dict(zip(pt_schema.names, pt_schema.types))
+
+    def _finish(t: pa.Table) -> pa.Table:
+        t = t.drop_columns([c for c in ("t_x", "t_y") if c in t.column_names])
+        cols = {}
+        for name in t.column_names:
+            col = t[name]
+            want = pt_types.get(name)
+            if want is not None and col.type != want:
+                col = pc.cast(col, want)
+            cols[name] = col
+        return pa.table(cols)
+
     joined = pts.union(tls).groupby(["t_x", "t_y"]).map_groups(sample, batch_format="pandas")
-    return joined.map_batches(
-        lambda t: t.drop_columns([c for c in ("t_x", "t_y") if c in t.column_names]),
-        batch_format="pyarrow", batch_size=None,
-    )
+    return joined.map_batches(_finish, batch_format="pyarrow", batch_size=None)
 
 
 def _kern_weights(method: str, t: np.ndarray) -> np.ndarray:

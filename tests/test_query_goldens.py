@@ -37,7 +37,9 @@ GOLDENS = {
     "q51_polygonize": (204, "57ef88d713f9a3f2"),
     "q52_layer_algebra": (7, "04b09b04545942c0"),
     "q53_tile_pyramid": (1481, "cf52e763b8dfee3b"),
-    "q58_sample_cubic": (17, "d7b4f8a08e83c07a"),
+    # re-pinned r5: sample_tiles_at_points now restores point-column dtypes
+    # (event_id int64, was float64 via union NaN-padding) — driver q57 fix
+    "q58_sample_cubic": (17, "a3de13395def07b2"),
     "q59_st_sql": (8, "e7372b89a2b3b996"),
     # re-pinned r4: flagship wraps lons across the dateline instead of
     # clamping (uniform component now spans the full 360 deg)

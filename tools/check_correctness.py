@@ -34,6 +34,19 @@ def compare(name, got: pd.DataFrame, exp: pd.DataFrame) -> list[str]:
     if len(got) != len(exp):
         problems.append(f"rowcount {len(got)} != {len(exp)}")
         return problems
+    # the driver's value-hash is dtype-sensitive (164.0 vs 164 differ):
+    # flag float-vs-int class mismatches normalize() would otherwise hide
+    for c in got.columns:
+        gk = "f" if pd.api.types.is_float_dtype(got[c]) else (
+            "i" if pd.api.types.is_integer_dtype(got[c]) else "o")
+        ek = "f" if pd.api.types.is_float_dtype(exp[c]) else (
+            "i" if pd.api.types.is_integer_dtype(exp[c]) else "o")
+        if gk != ek:
+            problems.append(
+                f"col {c}: dtype class {got[c].dtype} vs {exp[c].dtype} "
+                "(driver hash would mismatch)")
+    if problems:
+        return problems
     g, e = normalize(got), normalize(exp)
     for c in g.columns:
         gv, ev = g[c].to_numpy(), e[c].to_numpy()
