@@ -649,11 +649,15 @@ class Parser:
                 # registry lives on the driver, but eval runs in Ray worker
                 # processes — the closure ships with the task
                 return Node("udf", _SQL_FUNCTIONS[name.lower()], tuple(args))
-            # table-qualified reference tbl.col — resolved to the bare
-            # column name (column names are unique across joined tables)
+            # table-qualified reference tbl.col — kept DOTTED here; the
+            # scope-resolution pass (_resolve_scopes) later strips the
+            # qualifier when unambiguous or rewrites it onto the renamed
+            # column of a duplicated-table alias (self-join support,
+            # reference: ogr/swq_select.cpp field resolution over multiple
+            # table defs)
             if self.peek() == ("op", ".") and self.toks[self.i + 1][0] == "id":
                 self.next()
-                name = self.next()[1]
+                name = f"{name}.{self.next()[1]}"
             return Node("col", name)
         raise ValueError(f"unexpected token {t}")
 
@@ -665,6 +669,9 @@ class Join:
     left: bool           # LEFT JOIN vs inner JOIN
     left_key: str        # bare column name on the accumulated left side
     right_key: str       # bare column name on the joined table
+    # additional equi key pairs [(left, right)] for composite-key joins
+    # (comma-FROM planning folds every connecting equality into one join)
+    extra_pairs: list | None = None
 
 
 @dataclass
@@ -684,6 +691,12 @@ class Select:
     group_sets: list | None = None
     # QUALIFY predicate (filter over window-function results)
     qualify: Node | None = None
+    # comma-separated FROM list [(table, alias), ...] INCLUDING the first
+    # ref; None for single-table FROM. _resolve_scopes converts the extra
+    # refs into equi Joins extracted from WHERE.
+    from_refs: list | None = None
+    # alias of the (first) FROM table, for scope resolution
+    table_alias: str | None = None
 
 
 @dataclass
@@ -750,6 +763,12 @@ def _parse_core(p: Parser) -> Select:
             break
     p.expect("kw", "FROM")
     table, _table_alias = _parse_table_ref(p)
+    from_refs = [(table, _table_alias)]
+    # comma-separated FROM list (TPC-H style implicit joins): the extra
+    # refs become Join entries in _resolve_scopes, with equi predicates
+    # lifted out of WHERE
+    while p.accept("op", ","):
+        from_refs.append(_parse_table_ref(p))
     joins = []
     while True:
         left = False
@@ -843,7 +862,9 @@ def _parse_core(p: Parser) -> Select:
             group_by[gi] = it.value if it.kind == "col" else it
     return Select(items, distinct, table, where, group_by, [], None,
                   joins=joins, having=having, group_sets=group_sets,
-                  qualify=qualify)
+                  qualify=qualify,
+                  from_refs=from_refs if len(from_refs) > 1 else None,
+                  table_alias=_table_alias)
 
 
 def _subst_ctes(x, ctes: dict):
@@ -955,6 +976,374 @@ def parse_select(sql: str) -> Select:
     core.limit = q.limit
     core.offset = q.offset
     return core
+
+
+# ---------------------------------------------------------------------------
+# scope resolution: alias-qualified columns, duplicated tables (self-joins),
+# comma-separated FROM lists. Reference: ogr/swq_select.cpp resolves
+# table-qualified field names against the select's table_defs; here each
+# DUPLICATED base table with an alias is rewritten into a derived Select
+# that renames its columns to "<alias>.<col>", so the rest of the planner
+# (joins, decorrelation, aggregation) needs no scope concept at all.
+# ---------------------------------------------------------------------------
+
+
+def _iter_sub_selects(x):
+    """Yield every Select nested in an expression tree (subquery nodes),
+    not recursing into the yielded Selects themselves."""
+    if isinstance(x, Select):
+        yield x
+        return
+    if isinstance(x, Node):
+        if isinstance(x.value, (Node, tuple, list, Select)):
+            yield from _iter_sub_selects(x.value)
+        for a in x.args:
+            if isinstance(a, (Node, tuple, list, Select)):
+                yield from _iter_sub_selects(a)
+        return
+    if isinstance(x, (tuple, list)):
+        for i in x:
+            yield from _iter_sub_selects(i)
+
+
+def _core_expr_roots(core: Select):
+    return (core.items, core.where, core.having, core.qualify,
+            core.group_by, core.order_by)
+
+
+def _count_base_tables(core: Select, counts: dict) -> None:
+    refs = list(core.from_refs or [(core.table, core.table_alias)])
+    refs += [(j.table, j.alias) for j in (core.joins or [])]
+    for t, _a in refs:
+        if isinstance(t, str):
+            counts[t.lower()] = counts.get(t.lower(), 0) + 1
+        elif isinstance(t, Select):
+            _count_base_tables(t, counts)
+    for sub in _iter_sub_selects(_core_expr_roots(core)):
+        _count_base_tables(sub, counts)
+
+
+def _collect_dotted(x, usage: dict) -> None:
+    """Record alias -> {col} for every dotted column reference, descending
+    into nested subquery scopes (an inner scope may reference an outer
+    alias — correlation)."""
+    if isinstance(x, Select):
+        for s in (_core_expr_roots(x)):
+            _collect_dotted(s, usage)
+        for j in (x.joins or []):
+            for k in (j.left_key, j.right_key):
+                if isinstance(k, str) and "." in k:
+                    a, c = k.split(".", 1)
+                    usage.setdefault(a.lower(), set()).add(c)
+            if isinstance(j.table, Select):
+                _collect_dotted(j.table, usage)
+        if isinstance(x.table, Select):
+            _collect_dotted(x.table, usage)
+        return
+    if isinstance(x, Node):
+        if x.kind == "col" and isinstance(x.value, str) and "." in x.value:
+            a, c = x.value.split(".", 1)
+            usage.setdefault(a.lower(), set()).add(c)
+            return
+        if x.kind == "agg":
+            _k, c = x.value
+            if isinstance(c, str) and "." in c:
+                a, cc = c.split(".", 1)
+                usage.setdefault(a.lower(), set()).add(cc)
+            elif isinstance(c, Node):
+                _collect_dotted(c, usage)
+            _collect_dotted(x.args, usage)
+            return
+        if isinstance(x.value, (Node, tuple, list, Select)):
+            _collect_dotted(x.value, usage)
+        _collect_dotted(x.args, usage)
+        return
+    if isinstance(x, (tuple, list)):
+        for i in x:
+            _collect_dotted(i, usage)
+
+
+def _ref_rows(t, sf_dir: str) -> int:
+    """Approximate row count of a FROM/JOIN ref for join-order anchoring
+    (parquet metadata only — nothing executes)."""
+    if isinstance(t, Select):
+        base = getattr(t, "_rename_of", None)
+        return _ref_rows(base, sf_dir) if base is not None else -1
+    src = _registry_get(t)
+    if src is not None:
+        if isinstance(src, pa.Table):
+            return src.num_rows
+        if isinstance(src, str):
+            import pyarrow.parquet as pq
+
+            return pq.read_metadata(src).num_rows
+        return -1
+    try:
+        import pyarrow.parquet as pq
+
+        from gdal_ray.util import sf_path
+
+        return pq.read_metadata(sf_path(sf_dir, t)).num_rows
+    except Exception:
+        return -1
+
+
+def _resolve_scopes(q: Query, sf_dir: str) -> Query:
+    """Resolve alias-qualified column references and comma-FROM lists in
+    every core (and its subqueries). After this pass no dotted reference
+    remains except those naming columns of a renamed (duplicated-table)
+    ref, which ARE the physical column names of its rename wrapper."""
+    counts: dict = {}
+    for core in q.cores:
+        _count_base_tables(core, counts)
+    dup = {t for t, n in counts.items() if n > 1}
+    first_renamed: set = set()
+    for ci, core in enumerate(q.cores):
+        renamed = _resolve_core_scopes(core, sf_dir, set(), dup)
+        if ci == 0:
+            first_renamed = renamed
+    # top-level ORDER BY: same rewrite as inside the first core's scope
+    fixed = []
+    for c, d in q.order_by:
+        if isinstance(c, str) and "." in c:
+            a, cc = c.split(".", 1)
+            c = c if a.lower() in first_renamed else cc
+        elif isinstance(c, Node):
+            c = _rewrite_qualified(c, first_renamed, {}, {})
+        fixed.append((c, d))
+    q.order_by = fixed
+    return q
+
+
+def _rewrite_qualified(x, renamed: set, bare_map: dict, _memo: dict):
+    """Rewrite col references: 'a.c' keeps its dotted name when `a` is a
+    renamed alias (local or enclosing scope), else strips to 'c'; bare
+    names in bare_map rewrite to their dotted owner (mixed-qualification
+    fallback for renamed refs)."""
+    def fix_name(v: str) -> str:
+        if "." in v:
+            a, c = v.split(".", 1)
+            return v if a.lower() in renamed else c
+        return bare_map.get(v, v)
+
+    def rw(x):
+        if isinstance(x, Select):
+            return x  # nested scopes handled by _resolve_core_scopes
+        if isinstance(x, Node):
+            if x.kind == "col" and isinstance(x.value, str):
+                return Node("col", fix_name(x.value))
+            if x.kind == "agg":
+                k, c = x.value
+                if isinstance(c, str):
+                    c = fix_name(c)
+                elif isinstance(c, Node):
+                    c = rw(c)
+                return Node("agg", (k, c), rw(x.args))
+            v = x.value
+            if isinstance(v, (Node, tuple, list)):
+                v = rw(v)
+            return Node(x.kind, v, rw(x.args))
+        if isinstance(x, tuple):
+            return tuple(rw(i) for i in x)
+        if isinstance(x, list):
+            return [rw(i) for i in x]
+        return x
+
+    return rw(x)
+
+
+def _resolve_core_scopes(core: Select, sf_dir: str, outer_renamed: set,
+                         dup: set) -> set:
+    """Resolve one core's scope in place; returns the set of renamed
+    aliases visible inside it (local + enclosing), for Query-level use."""
+    refs = list(core.from_refs or [(core.table, core.table_alias)])
+    join_refs = [(j.table, j.alias) for j in (core.joins or [])]
+
+    # which local refs need renaming: aliased + base table duplicated
+    # anywhere in the query
+    local_renames: dict = {}   # alias(lower) -> base table name
+    for t, a in refs + join_refs:
+        if isinstance(t, str) and a and t.lower() in dup:
+            local_renames[a.lower()] = t
+
+    usage: dict = {}
+    _collect_dotted(_core_expr_roots(core), usage)
+    for sub in _iter_sub_selects(_core_expr_roots(core)):
+        _collect_dotted(sub, usage)
+
+    # mixed-qualification fallback: a bare column that belongs to exactly
+    # one renamed ref and to no unrenamed ref rewrites to its dotted name
+    unren_cols: set = set(_SPECIAL_FIELDS)
+    base_cols: dict = {}
+    for t, a in refs + join_refs:
+        if isinstance(t, str) and a and a.lower() in local_renames:
+            base_cols[a.lower()] = list(_table_cols(sf_dir, t))
+        else:
+            unren_cols.update(_table_cols(sf_dir, t))
+    bare_map: dict = {}
+    if local_renames:
+        bare_acc: set = set()
+        _refed_cols(_core_expr_roots(core), bare_acc)
+        for g in core.group_by:
+            if isinstance(g, str):
+                bare_acc.add(g)
+        for v in bare_acc:
+            if not isinstance(v, str) or "." in v or v in unren_cols:
+                continue
+            owners = [a for a, cols in base_cols.items() if v in cols]
+            if len(owners) == 1:
+                bare_map[v] = f"{owners[0]}.{v}"
+                usage.setdefault(owners[0], set()).add(v)
+
+    renamed = outer_renamed | set(local_renames)
+
+    # rewrite this core's expressions (group_by/order_by strings included).
+    # An unaliased column item that resolves to a renamed (dotted) column
+    # keeps its UNQUALIFIED output name, SQL naming rules (SELECT n1.n_name
+    # outputs column n_name).
+    new_items = []
+    for e, a in core.items:
+        ne = _rewrite_qualified(e, renamed, bare_map, {})
+        if (a is None and isinstance(ne, Node) and ne.kind == "col"
+                and isinstance(ne.value, str) and "." in ne.value
+                and ne.value.split(".", 1)[0].lower() in renamed):
+            a = ne.value.split(".", 1)[1]
+        new_items.append((ne, a))
+    core.items = new_items
+    core.where = _rewrite_qualified(core.where, renamed, bare_map, {})
+    core.having = _rewrite_qualified(core.having, renamed, bare_map, {})
+    core.qualify = _rewrite_qualified(core.qualify, renamed, bare_map, {})
+
+    def fix_str(v):
+        if isinstance(v, str):
+            if "." in v:
+                a, c = v.split(".", 1)
+                return v if a.lower() in renamed else c
+            return bare_map.get(v, v)
+        return _rewrite_qualified(v, renamed, bare_map, {})
+
+    core.group_by = [fix_str(g) for g in core.group_by]
+    core.order_by = [(fix_str(c), d) for c, d in core.order_by]
+    if core.group_sets is not None:
+        core.group_sets = [tuple(fix_str(c) for c in s)
+                           for s in core.group_sets]
+    for j in (core.joins or []):
+        j.left_key = fix_str(j.left_key)
+        j.right_key = fix_str(j.right_key)
+
+    # build rename wrappers (derived Selects projecting "<alias>.<col>")
+    def wrapper(alias: str, base: str) -> Select:
+        used = usage.get(alias, set())
+        unknown = used - set(base_cols[alias])
+        if unknown:
+            raise ValueError(
+                f"column(s) {sorted(unknown)} not in table {base!r} "
+                f"(alias {alias!r})")
+        cols = sorted(used) if used else list(base_cols[alias])
+        w = Select([(Node("col", c), f"{alias}.{c}") for c in cols],
+                   False, base, None, [], [], None, joins=[])
+        w._rename_of = base
+        return w
+
+    refs = [(wrapper(a.lower(), t), a)
+            if isinstance(t, str) and a and a.lower() in local_renames
+            else (t, a) for t, a in refs]
+    for j in (core.joins or []):
+        if (isinstance(j.table, str) and j.alias
+                and j.alias.lower() in local_renames):
+            j.table = wrapper(j.alias.lower(), j.table)
+
+    # recurse: derived tables and subquery Selects (enclosing renames
+    # visible for correlation)
+    for t, _a in refs:
+        if isinstance(t, Select) and getattr(t, "_rename_of", None) is None:
+            _resolve_core_scopes(t, sf_dir, renamed, dup)
+    for j in (core.joins or []):
+        if (isinstance(j.table, Select)
+                and getattr(j.table, "_rename_of", None) is None):
+            _resolve_core_scopes(j.table, sf_dir, renamed, dup)
+    for sub in _iter_sub_selects(_core_expr_roots(core)):
+        _resolve_core_scopes(sub, sf_dir, renamed, dup)
+
+    # comma-FROM list -> left-deep equi joins lifted out of WHERE
+    if len(refs) > 1:
+        _plan_comma_joins(core, refs, sf_dir)
+    else:
+        core.table, core.table_alias = refs[0]
+        core.from_refs = None
+    return renamed
+
+
+def _plan_comma_joins(core: Select, refs: list, sf_dir: str) -> None:
+    """Convert a comma-separated FROM list into the planner's left-deep
+    Join chain: the largest ref anchors (so a renamed fact table never
+    lands on the broadcast side), then greedily attach refs connected by
+    an equi conjunct from WHERE; remaining conjuncts (including extra
+    equalities between already-joined tables) stay as post-join filters.
+    Inner-join reordering is semantics-preserving."""
+    cols = {i: set(_table_cols(sf_dir, t)) for i, (t, _a) in enumerate(refs)}
+    rows = [_ref_rows(t, sf_dir) for t, _a in refs]
+    anchor = max(range(len(refs)), key=lambda i: (rows[i], -i))
+    conjs = _split_conjuncts(core.where)
+    used: set = set()
+    acc_cols = set(cols[anchor])
+    remaining = [i for i in range(len(refs)) if i != anchor]
+    new_joins: list = []
+    while remaining:
+        found = None
+        for ri in remaining:
+            for ci, c in enumerate(conjs):
+                if ci in used:
+                    continue
+                if not (c.kind == "bin" and c.value == "="
+                        and c.args[0].kind == "col"
+                        and c.args[1].kind == "col"):
+                    continue
+                a, b = c.args[0].value, c.args[1].value
+                if a in acc_cols and b in cols[ri] and b not in acc_cols:
+                    found = (ri, a, b, ci)
+                    break
+                if b in acc_cols and a in cols[ri] and a not in acc_cols:
+                    found = (ri, b, a, ci)
+                    break
+            if found:
+                break
+        if found is None:
+            names = [refs[i][0] if isinstance(refs[i][0], str)
+                     else (refs[i][1] or "<derived>") for i in remaining]
+            raise ValueError(
+                f"no equi-join predicate connects FROM tables {names} "
+                "(cross joins unsupported)")
+        ri, lk, rk, ci = found
+        used.add(ci)
+        # fold every other equality connecting the same ref into the same
+        # join (composite key): joining on one key and filtering the rest
+        # would blow up the intermediate (ps_suppkey = l_suppkey AND
+        # ps_partkey = l_partkey must join on BOTH)
+        extra = []
+        for cj, c in enumerate(conjs):
+            if cj in used:
+                continue
+            if not (c.kind == "bin" and c.value == "="
+                    and c.args[0].kind == "col"
+                    and c.args[1].kind == "col"):
+                continue
+            a2, b2 = c.args[0].value, c.args[1].value
+            if a2 in acc_cols and b2 in cols[ri] and b2 not in acc_cols:
+                extra.append((a2, b2))
+                used.add(cj)
+            elif b2 in acc_cols and a2 in cols[ri] and a2 not in acc_cols:
+                extra.append((b2, a2))
+                used.add(cj)
+        t, a = refs[ri]
+        new_joins.append(Join(t, a, False, lk, rk,
+                              extra_pairs=extra or None))
+        acc_cols |= cols[ri]
+        remaining.remove(ri)
+    core.table, core.table_alias = refs[anchor]
+    core.joins = new_joins + (core.joins or [])
+    core.where = _and_fold([c for i, c in enumerate(conjs) if i not in used])
+    core.from_refs = None
 
 
 # ---------------------------------------------------------------------------
@@ -1555,7 +1944,11 @@ def _execute_with_count_distinct(ds, q, specs, cd_specs, names, having):
         out = pa.table(cols)
     if having is not None:
         out = _filter_table(out, eval_expr(having, out))
-    out = out.select(names)
+    # group-key items may carry an alias: select by the SOURCE column
+    # name, then rename to the output names (mirrors the groupby_agg path)
+    src = [item.value if item.kind == "col" else nm
+           for (item, _a), nm in zip(q.items, names)]
+    out = out.select(src).rename_columns(names)
     if q.order_by:
         sort_keys = []
         tmp = out
@@ -1721,23 +2114,30 @@ def _and_fold(conjs):
     return out
 
 
-def _extract_correlation(sub: Select, outer_cols: set, sf_dir: str):
+def _extract_correlation(sub: Select, outer_cols: set, sf_dir: str,
+                         allow_nonequi: bool = False):
     """Split sub.where into equality-correlation key pairs
-    [(outer_col, inner_col)] and a purely-local residue. Non-equality
-    correlated predicates are rejected (not decorrelatable to a key
-    join)."""
+    [(outer_col, inner_col)] and a purely-local residue. With
+    allow_nonequi, `inner_col <> outer_col` correlated conjuncts are
+    additionally extracted as a third list [(outer_col, inner_col)]
+    (used by the EXISTS grouped-count decorrelation, TPC-H q21 shape);
+    other non-equality correlated predicates are rejected (not
+    decorrelatable to a key join)."""
     inner = _avail_cols(sub, sf_dir)
-    pairs, local = [], []
+    pairs, nonequi, local = [], [], []
     for c in _split_conjuncts(sub.where):
-        if (c.kind == "bin" and c.value == "=" and c.args[0].kind == "col"
-                and c.args[1].kind == "col"):
+        if (c.kind == "bin" and c.value in ("=", "<>")
+                and c.args[0].kind == "col" and c.args[1].kind == "col"):
             a, b = c.args[0].value, c.args[1].value
-            if a in inner and b not in inner and b in outer_cols:
-                pairs.append((b, a))
-                continue
-            if b in inner and a not in inner and a in outer_cols:
-                pairs.append((a, b))
-                continue
+            dest = pairs if c.value == "=" else (
+                nonequi if allow_nonequi else None)
+            if dest is not None:
+                if a in inner and b not in inner and b in outer_cols:
+                    dest.append((b, a))
+                    continue
+                if b in inner and a not in inner and a in outer_cols:
+                    dest.append((a, b))
+                    continue
         acc: set = set()
         _refed_cols(c, acc)
         if acc - inner:
@@ -1745,6 +2145,8 @@ def _extract_correlation(sub: Select, outer_cols: set, sf_dir: str):
                 "unsupported correlated predicate (only equality "
                 f"correlation outer_col = inner_col): {c}")
         local.append(c)
+    if allow_nonequi:
+        return pairs, nonequi, _and_fold(local)
     return pairs, _and_fold(local)
 
 
@@ -1939,6 +2341,7 @@ def explain(sql: str, sf_dir: str) -> str:
     aggregate specs, and which subqueries decorrelate to joins. Purely
     static — nothing executes."""
     q = parse_query(sql)
+    q = _resolve_scopes(q, sf_dir)
     lines = []
     for ci, core in enumerate(q.cores):
         if len(q.cores) > 1:
@@ -2024,6 +2427,7 @@ def execute(sql: str, sf_dir: str):
     from gdal_ray.ops.relational import topk, union_all
 
     q = parse_query(sql)
+    q = _resolve_scopes(q, sf_dir)
     q.cores = [_resolve_subqueries(c, sf_dir) for c in q.cores]
     if len(q.cores) == 1:
         out = _execute_core(q.cores[0], sf_dir, q.order_by, q.limit,
@@ -2731,9 +3135,11 @@ def _empty_input_table(q: Select, sf_dir: str) -> pa.Table:
     cols = {c: E[c] for c in E.column_names}
     for j in (q.joins or []):
         R = base(j.table)
-        rk = j.right_key if j.right_key in R.column_names else j.left_key
+        rks = set()
+        for jl, jr in [(j.left_key, j.right_key)] + list(j.extra_pairs or []):
+            rks.add(jr if jr in R.column_names else jl)
         for c in R.column_names:
-            if c != rk and c not in cols:
+            if c not in rks and c not in cols:
                 cols[c] = R[c]
     return pa.table(cols)
 
@@ -3007,6 +3413,7 @@ def _decorrelate_where(ds, q: Select, sf_dir: str, key_alias: dict):
 
     semi_specs = []    # (anti, sub2: Select, outer_keys)
     scalar_specs = []  # (hidden, sub2: Select, outer_keys, inner_out_keys)
+    exagg_specs = []   # (sub2: Select, outer_keys, inner_out_keys)
 
     kept = []
     for c in _split_conjuncts(q.where):
@@ -3017,9 +3424,59 @@ def _decorrelate_where(ds, q: Select, sf_dir: str, key_alias: dict):
             neg, node = True, node.args[0]
         if node.kind == "exists_sub" and _is_correlated(node.args[0], sf_dir):
             sub = copy.deepcopy(node.args[0])
-            pairs, local = _extract_correlation(sub, outer_cols, sf_dir)
+            pairs, nonequi, local = _extract_correlation(
+                sub, outer_cols, sf_dir, allow_nonequi=True)
             if not pairs:
                 raise ValueError("EXISTS correlation has no equality key")
+            if nonequi:
+                # mixed-correlation EXISTS (TPC-H q21 shape):
+                #   EXISTS(... WHERE ik = ok AND ik2 <> ok2 AND local)
+                # decorrelates to a grouped count comparison: per equi
+                # key, n = COUNT(DISTINCT ik2) and m = MIN(ik2) of the
+                # locally-filtered inner; then
+                #   EXISTS     <=> n >= 2 OR (n = 1 AND m <> ok2)
+                #   NOT EXISTS <=> n IS NULL OR n = 0 OR (n = 1 AND m = ok2)
+                # (plus an ok2-null guard for SQL three-valued semantics).
+                if len(nonequi) != 1:
+                    raise ValueError(
+                        "EXISTS supports at most one <> correlation")
+                ok2, ik2 = nonequi[0]
+                i = len(exagg_specs)
+                ncol, mcol = f"__exn{i}", f"__exm{i}"
+                knames = [f"__exk{i}_{j}" for j in range(len(pairs))]
+                sub2 = Select(
+                    [(Node("col", ik), kn)
+                     for (ok, ik), kn in zip(pairs, knames)]
+                    + [(Node("agg", ("count_distinct", ik2)), ncol),
+                       (Node("agg", ("min", ik2)), mcol)],
+                    False, sub.table, local,
+                    [ik for _, ik in pairs], [], None, joins=sub.joins)
+                exagg_specs.append(
+                    (sub2, [canon(ok) for ok, _ in pairs], knames))
+                n_ref = Node("col", ncol)
+                m_ref = Node("col", mcol)
+                o_ref = Node("col", canon(ok2))
+                one_neq = Node("bin", "and", (
+                    Node("bin", "=", (n_ref, Node("lit", 1))),
+                    Node("bin", "<>", (m_ref, o_ref))))
+                if not neg:
+                    pred = Node("bin", "and", (
+                        Node("isnull", False, (o_ref,)),
+                        Node("bin", "or", (
+                            Node("bin", ">=", (n_ref, Node("lit", 2))),
+                            one_neq))))
+                else:
+                    one_eq = Node("bin", "and", (
+                        Node("bin", "=", (n_ref, Node("lit", 1))),
+                        Node("bin", "=", (m_ref, o_ref))))
+                    pred = Node("bin", "or", (Node("bin", "or", (
+                        Node("isnull", True, (o_ref,)),
+                        Node("isnull", True, (n_ref,)))),
+                        Node("bin", "or", (
+                            Node("bin", "=", (n_ref, Node("lit", 0))),
+                            one_eq))))
+                kept.append(pred)
+                continue
             sub2 = Select([(Node("col", ik), canon(ok)) for ok, ik in pairs],
                           False, sub.table, local, [], [], None,
                           joins=sub.joins)
@@ -3081,6 +3538,18 @@ def _decorrelate_where(ds, q: Select, sf_dir: str, key_alias: dict):
             _resolve_subqueries(sub2, sf_dir), sf_dir, [], None, None))
         ds = broadcast_join(ds, inner, keys=okeys, right_keys=ikeys,
                             how="left")
+    for sub2, okeys, ikeys in exagg_specs:
+        inner = to_arrow(_execute_core(
+            _resolve_subqueries(sub2, sf_dir), sf_dir, [], None, None))
+        if inner.num_rows > _BROADCAST_JOIN_MAX_ROWS:
+            import ray.data as _rd
+
+            from gdal_ray.ops.relational import join_hash
+            ds = join_hash(ds, _rd.from_arrow(inner.to_batches()),
+                           okeys, right_keys=ikeys, how="left")
+        else:
+            ds = broadcast_join(ds, inner, keys=okeys, right_keys=ikeys,
+                                how="left")
     for anti, sub2, okeys in semi_specs:
         inner_ds = _execute_core(
             _resolve_subqueries(sub2, sf_dir), sf_dir, [], None, None)
@@ -3215,14 +3684,19 @@ def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
             rcols = list(_parquet_cols(path))
             right_rows = pq.read_metadata(path).num_rows
         # ON a = b: decide which side names a right-table column
-        if j.right_key in rcols:
-            lk, rk = j.left_key, j.right_key
-        elif j.left_key in rcols:
-            lk, rk = j.right_key, j.left_key
-        else:
-            raise ValueError(f"JOIN key not found in {j.table}")
-        while lk in key_alias:  # left key itself dropped by an earlier join
-            lk = key_alias[lk]
+        # (composite-key joins from comma-FROM planning carry extra pairs)
+        lks, rks = [], []
+        for jl, jr in [(j.left_key, j.right_key)] + list(j.extra_pairs or []):
+            if jr in rcols:
+                lk, rk = jl, jr
+            elif jl in rcols:
+                lk, rk = jr, jl
+            else:
+                raise ValueError(f"JOIN key not found in {j.table}")
+            while lk in key_alias:  # key itself dropped by an earlier join
+                lk = key_alias[lk]
+            lks.append(lk)
+            rks.append(rk)
         rneed = None
         if not isinstance(j.table, Select):
             acc: set = set()
@@ -3230,7 +3704,7 @@ def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
                 for c, _ in (order_by or []):
                     if isinstance(c, str):
                         acc.add(c)
-                acc.add(rk)
+                acc.update(rks)
                 rneed = [c for c in rcols if c in acc]
         if right_rows > _BROADCAST_JOIN_MAX_ROWS:
             # big right side: co-partitioned hash join — both sides
@@ -3241,19 +3715,20 @@ def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
             from gdal_ray.ops.relational import join_hash
 
             right_ds = read_table(sf_dir, j.table, columns=rneed)
-            ds = join_hash(ds, right_ds, [lk], right_keys=[rk],
+            ds = join_hash(ds, right_ds, lks, right_keys=rks,
                            how="left" if j.left else "inner")
         else:
             if right is None:
                 right = pq.read_table(sf_path(sf_dir, j.table),
                                       columns=rneed)
-            ds = broadcast_join(ds, right, keys=[lk], right_keys=[rk],
+            ds = broadcast_join(ds, right, keys=lks, right_keys=rks,
                                 how="left" if j.left else "inner")
         if not j.left:
             # pyarrow join coalesces the right key column away; on an
             # inner join the dropped name is value-equal to the kept one,
             # so later references canonicalize to the surviving column
-            key_alias[rk] = lk
+            for lk, rk in zip(lks, rks):
+                key_alias[rk] = lk
 
     if key_alias:
         order_by = _canon_cols(q, key_alias, order_by)

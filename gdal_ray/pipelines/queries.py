@@ -2888,8 +2888,8 @@ AND l_returnflag = 'R'
 GROUP BY c_custkey, c_name, c_acctbal, n_name
 ORDER BY revenue DESC, c_custkey LIMIT 20""", ["revenue"]),
     "q126_tpch12": ("""SELECT l_returnflag,
-  SUM(CASE WHEN o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS high_line_count,
-  SUM(CASE WHEN o_orderpriority <> '1-URGENT' AND o_orderpriority <> '2-HIGH' THEN 1 ELSE 0 END) AS low_line_count
+  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority <> '1-URGENT' AND o_orderpriority <> '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON o_orderkey = l_orderkey
 WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-01-01' + INTERVAL '1' YEAR
 GROUP BY l_returnflag ORDER BY l_returnflag""", []),
@@ -2931,6 +2931,101 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity >= 1 AND l
     AND NOT EXISTS (SELECT * FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 250000)
 ) custsale GROUP BY cntrycode ORDER BY cntrycode""", ["totacctbal"]),
 }
+
+
+# TPC-H queries that need partsupp: the table is synthesized
+# deterministically from the sf_dir's part/supplier keys
+# (sources/tpch_extra.py, dbgen's 4-suppliers-per-part dispersion) and
+# registered before execution; the DuckDB oracle reads the SAME parquet
+# file via read_parquet(). Filters are adapted to the testdata value
+# domains, plan shapes preserved: Q2 correlated-min scalar subquery over
+# a 4-way comma join, Q9 composite-key (partkey, suppkey) join, Q11
+# HAVING vs uncorrelated scalar, Q16 COUNT(DISTINCT) + NOT IN, Q20
+# nested IN + correlated scalar, Q21 alias-qualified self-join with
+# mixed =/<> EXISTS correlation.
+TPCH_PS_SQLS = {
+    "q138_tpch02": ("""SELECT s_acctbal, s_name, n_name, p_partkey, p_brand
+FROM part, supplier, partsupp, nation, region
+WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+  AND p_size = 15 AND p_type = 'LARGE'
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+  AND ps_supplycost = (
+    SELECT MIN(ps_supplycost) FROM partsupp, supplier, nation, region
+    WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey AND r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""", []),
+    "q139_tpch09": ("""SELECT nation, o_year, SUM(amount) AS sum_profit FROM (
+  SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount) - ps_supplycost * l_quantity AS amount
+  FROM part, supplier, lineitem, partsupp, orders, nation
+  WHERE s_suppkey = l_suppkey AND ps_suppkey = l_suppkey AND ps_partkey = l_partkey
+    AND p_partkey = l_partkey AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+    AND p_name LIKE '%red%'
+) profit GROUP BY nation, o_year ORDER BY nation, o_year DESC""", ["sum_profit"]),
+    "q140_tpch11": ("""SELECT ps_partkey, SUM(ps_supplycost * ps_availqty) AS value
+FROM partsupp, supplier, nation
+WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_7'
+GROUP BY ps_partkey
+HAVING SUM(ps_supplycost * ps_availqty) > (
+  SELECT SUM(ps_supplycost * ps_availqty) * 0.0001
+  FROM partsupp, supplier, nation
+  WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_7')
+ORDER BY value DESC, ps_partkey""", ["value"]),
+    "q141_tpch16": ("""SELECT p_brand, p_type, p_size, COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+FROM partsupp, part
+WHERE p_partkey = ps_partkey AND p_brand <> 'Brand#9' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 7, 10, 14, 19, 23, 45)
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%77%')
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""", []),
+    "q142_tpch20": ("""SELECT s_name, s_acctbal FROM supplier, nation
+WHERE s_suppkey IN (
+  SELECT ps_suppkey FROM partsupp
+  WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+    AND ps_availqty > (SELECT 0.5 * SUM(l_quantity) FROM lineitem
+      WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'))
+  AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+ORDER BY s_name""", []),
+    "q143_tpch21": ("""SELECT s_name, COUNT(*) AS numwait
+FROM supplier, lineitem l1, orders, nation
+WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F' AND l1.l_discount > 0.05
+  AND EXISTS (SELECT * FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT * FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_discount > 0.05)
+  AND s_nationkey = n_nationkey AND n_name = 'NATION_7'
+GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""", []),
+}
+
+
+def _sql_query_ps(sql):
+    """Like _sql_query but synthesizes + registers the partsupp table for
+    the target sf_dir first (idempotent, deterministic)."""
+    base = _sql_query(sql)
+
+    def run(sf_dir):
+        from gdal_ray.ops.sql import register_table
+        from gdal_ray.sources.tpch_extra import ensure_partsupp
+
+        register_table("partsupp", ensure_partsupp(sf_dir))
+        return base(sf_dir)
+
+    return run
+
+
+def _ps_oracle(sql: str, float_cols) -> str:
+    """Oracle text for a partsupp query: DuckDB reads the same synthesized
+    parquet the Ray side registered."""
+    import re as _re
+
+    from gdal_ray.sources.tpch_extra import PARTSUPP_PATH
+
+    sql = _re.sub(r"\bpartsupp\b",
+                  f"read_parquet('{PARTSUPP_PATH}')", sql)
+    return _round4_oracle(sql, float_cols)
 
 
 def _round4_oracle(sql: str, float_cols) -> str:
@@ -3092,6 +3187,8 @@ def registry():
         "q116_pivot": q116_pivot,
         "q117_sql_date_math": q117_sql_date_math,
         **{name: _sql_query(sql) for name, (sql, _fc) in TPCH_SQLS.items()},
+        **{name: _sql_query_ps(sql)
+           for name, (sql, _fc) in TPCH_PS_SQLS.items()},
         "q134_moving_windows": q134_moving_windows,
         "q135_json_props": q135_json_props,
         "q136_qualify_topk": q136_qualify_topk,
@@ -3185,6 +3282,8 @@ def registry():
         "q117_sql_date_math": Q117_SQL,
         **{name: _round4_oracle(sql, fc)
            for name, (sql, fc) in TPCH_SQLS.items()},
+        **{name: _ps_oracle(sql, fc)
+           for name, (sql, fc) in TPCH_PS_SQLS.items()},
         "q134_moving_windows": Q134_SQL,
         "q135_json_props": Q135_SQL,
         "q136_qualify_topk": Q136_SQL,

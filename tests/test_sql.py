@@ -132,6 +132,18 @@ CASES = [
     "SELECT o_orderkey, SUM(o_totalprice) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey ROWS BETWEEN 2 FOLLOWING AND 4 FOLLOWING) AS fut FROM orders WHERE o_orderkey < 300",
     "SELECT o_orderkey, FIRST_VALUE(o_custkey) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS fv, LAST_VALUE(o_custkey) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv FROM orders WHERE o_orderkey < 300",
     "SELECT o_orderkey, AVG(o_totalprice) OVER (ORDER BY o_orderkey ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS ma10 FROM orders WHERE o_orderkey < 200",
+    # round-5: comma-separated FROM (implicit joins lifted out of WHERE)
+    "SELECT n_name, COUNT(*) AS c FROM customer, nation WHERE c_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name",
+    "SELECT n_name, SUM(o_totalprice) AS rev FROM orders, customer, nation WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey AND o_orderkey < 2000 GROUP BY n_name ORDER BY n_name",
+    # round-5: alias-qualified self-joins (duplicated base table)
+    "SELECT n1.n_name AS a, n2.n_name AS b FROM nation n1, nation n2 WHERE n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey ORDER BY a, b",
+    "SELECT n1.n_regionkey AS rk, COUNT(*) AS pairs FROM nation n1, nation n2 WHERE n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey <> n2.n_nationkey GROUP BY n1.n_regionkey ORDER BY rk",
+    # round-5: composite-key comma join (both equalities must join, not filter)
+    "SELECT COUNT(*) AS n FROM lineitem l1, lineitem l2 WHERE l1.l_orderkey = l2.l_orderkey AND l1.l_linenumber = l2.l_linenumber",
+    # round-5: mixed =/<> correlated EXISTS (TPC-H q21 shape, grouped-count
+    # decorrelation) on a self-joined alias
+    "SELECT o_orderpriority, COUNT(*) AS n FROM orders o1 WHERE EXISTS (SELECT * FROM orders o2 WHERE o2.o_custkey = o1.o_custkey AND o2.o_orderkey <> o1.o_orderkey) GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    "SELECT o_orderpriority, COUNT(*) AS n FROM orders o1 WHERE NOT EXISTS (SELECT * FROM orders o2 WHERE o2.o_custkey = o1.o_custkey AND o2.o_orderkey <> o1.o_orderkey AND o2.o_totalprice > 100000) GROUP BY o_orderpriority ORDER BY o_orderpriority",
 ]
 
 
@@ -451,3 +463,32 @@ def test_exists_subquery(ray_session, sf_dir):
         got = to_arrow(execute(s, sf_dir)).to_pandas()
         exp = con.execute(s).df()
         assert len(got) == len(exp), s
+
+
+def test_partsupp_synthesis_deterministic(sf_dir, tmp_path):
+    """The synthesized partsupp table (sources/tpch_extra.py) is a pure
+    function of the sf_dir's part/supplier keys: two generations produce
+    byte-identical tables, keys form a valid primary key, and every
+    ps_suppkey exists in supplier (referential integrity the TPC-H
+    queries rely on)."""
+    import pyarrow.parquet as pq
+
+    from gdal_ray.sources.tpch_extra import ensure_partsupp
+
+    p1 = ensure_partsupp(sf_dir, path=str(tmp_path / "ps1.parquet"))
+    p2 = ensure_partsupp(sf_dir, path=str(tmp_path / "ps2.parquet"))
+    t1, t2 = pq.read_table(p1), pq.read_table(p2)
+    assert t1.equals(t2)
+    assert t1.column_names == ["ps_partkey", "ps_suppkey", "ps_availqty",
+                               "ps_supplycost"]
+    import pandas as pd
+
+    df = t1.to_pandas()
+    assert not df.duplicated(["ps_partkey", "ps_suppkey"]).any()
+    skeys = set(pq.read_table(sf_path(sf_dir, "supplier"),
+                              columns=["s_suppkey"])["s_suppkey"].to_pylist())
+    assert set(df["ps_suppkey"]).issubset(skeys)
+    assert (df["ps_availqty"] >= 1).all() and (df["ps_availqty"] <= 9999).all()
+    # ~4 suppliers per part (dedup may trim at tiny supplier counts)
+    per_part = df.groupby("ps_partkey").size()
+    assert per_part.max() <= 4 and per_part.median() >= 2
