@@ -731,12 +731,13 @@ def asof_join(left_ds, right_ds, *, on: str, by: Sequence[str] = (),
     smallest >=), optionally matching equality keys `by` first.
 
     Distributed shape: both sides union-tagged and hash-partitioned by
-    `by` (or a single partition-id when by is empty — then partitions
-    split by ON-RANGE instead... no: with no keys the right side is
-    BROADCAST-sized per partition, so rows hash-partition on a constant
-    and the right side must fit one task; pass by-keys for true scale).
-    Within each partition: sort right by on, np.searchsorted per left row
-    — fully vectorized, no per-row Python."""
+    `by`; with by=() both sides RANGE-partition by `on` quantiles
+    (bounded deterministic sample) and each partition additionally
+    receives the per-range boundary candidates (last right row per range
+    for 'backward', first for 'forward'), keeping the per-partition
+    searchsorted exact without any single-task funnel. Within each
+    partition: sort right by on, np.searchsorted per left row — fully
+    vectorized, no per-row Python."""
     import pandas as pd
 
     by = list(by)
@@ -829,13 +830,85 @@ def asof_join(left_ds, right_ds, *, on: str, by: Sequence[str] = (),
     if part_keys:
         return hash_partition_reduce(u, part_keys, resolve, num_parts=num_parts)
 
-    def add_const(t: pa.Table) -> pa.Table:
-        return t.append_column("__p", pa.array(np.zeros(len(t), np.int8)))
+    # keyless as-of at scale: RANGE-partition both sides by `on` quantiles
+    # (bounded deterministic sample of the left side), then make each
+    # partition self-sufficient by injecting the per-range boundary
+    # candidates — for 'backward' the LAST right row of every range, for
+    # 'forward' the FIRST. A left row's true match is either inside its
+    # own range or IS an earlier/later range's boundary candidate, so the
+    # per-partition searchsorted stays exact. Candidate count is bounded
+    # by the partition count — tiny broadcast, no single-task funnel.
+    from gdal_ray.util import default_num_parts, to_arrow
+    import ray as _ray
 
-    return (u.map_batches(add_const, batch_format="pyarrow", batch_size=None)
+    def _onvals(t: pa.Table) -> np.ndarray:
+        v = t[on].to_numpy(zero_copy_only=False)
+        if np.issubdtype(v.dtype, np.datetime64):
+            v = v.astype("datetime64[us]").view(np.int64)
+        return v.astype(np.float64) if v.dtype.kind == "f" else v
+
+    def samp(t: pa.Table) -> pa.Table:
+        v = _onvals(t)
+        if v.size == 0:
+            return pa.table({"v": pa.array(np.empty(0, np.int64))})
+        k = min(v.size, 64)
+        idx = np.linspace(0, v.size - 1, k).astype(np.int64)
+        return pa.table({"v": pa.array(np.sort(v)[idx].astype(np.int64)
+                                       if v.dtype.kind != "f"
+                                       else np.sort(v)[idx])})
+
+    sample = to_arrow(left_ds.map_batches(
+        samp, batch_format="pyarrow", batch_size=None))["v"].to_numpy(
+        zero_copy_only=False)
+    K = num_parts or min(64, default_num_parts())
+    if sample.size:
+        cuts = np.unique(np.quantile(sample, np.linspace(0, 1, K + 1)[1:-1]))
+    else:
+        cuts = np.empty(0, np.float64)
+    cuts_ref = _ray.put(cuts)
+
+    # per-range boundary candidates from the tagged right side: two-level
+    # (per-batch argmax/argmin per range, then one driver reduce over the
+    # bounded partials)
+    keep = "last" if direction == "backward" else "first"
+
+    def cand(t: pa.Table) -> pa.Table:
+        cc = _ray.get(cuts_ref)
+        if len(t) == 0:
+            return t.slice(0, 0)
+        v = _onvals(t)
+        p = np.searchsorted(cc, v, side="right")
+        order = np.lexsort((v, p))
+        p_s = p[order]
+        bounds = np.flatnonzero(np.diff(p_s)) + 1
+        if keep == "last":
+            pick = np.concatenate([bounds - 1, [p_s.size - 1]])
+        else:
+            pick = np.concatenate([[0], bounds])
+        return t.take(pa.array(order[pick]))
+
+    cand_partials = to_arrow(rt.map_batches(
+        cand, batch_format="pyarrow", batch_size=None))
+    cands = cand(cand_partials) if cand_partials.num_rows else cand_partials
+    cands_ref = _ray.put(cands)
+
+    def add_range(t: pa.Table) -> pa.Table:
+        cc = _ray.get(cuts_ref)
+        p = np.searchsorted(cc, _onvals(t), side="right") \
+            if len(t) else np.empty(0, np.int64)
+        return t.append_column("__p", pa.array(p.astype(np.int64)))
+
+    def resolve_part(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__p"])
+        extra = _ray.get(cands_ref)
+        if extra.num_rows:
+            t = pa.concat_tables(
+                [t, extra.select(t.column_names)]).combine_chunks()
+        return resolve(t)
+
+    return (u.map_batches(add_range, batch_format="pyarrow", batch_size=None)
             .groupby("__p")
-            .map_groups(lambda t: resolve(t.drop_columns(["__p"])),
-                        batch_format="pyarrow"))
+            .map_groups(resolve_part, batch_format="pyarrow"))
 
 
 def rolling_agg(ds, *, by: Sequence[str], on: str, value: str,

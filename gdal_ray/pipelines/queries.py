@@ -467,30 +467,48 @@ def q17_zonal_mode(sf_dir):
 
     zoned = ds.map_batches(zone, batch_format="pyarrow", batch_size=None)
 
-    # two-level: per-batch (zone, type) counts, then per-zone mode stats
+    # three-level, no driver funnel: per-batch (zone, type) partial counts
+    # -> distributed combiner tree merge (groupby_agg) -> hash-partition by
+    # zone and compute all per-zone mode stats VECTORIZED (sorted
+    # drop-duplicates = per-zone argmax/argmin, no Python loop over zones)
+    from gdal_ray.ops.relational import groupby_agg
+
     def part(t: pa.Table) -> pa.Table:
         df = t.select(["admin_id", "event_type"]).to_pandas()
         g = df.groupby(["admin_id", "event_type"], sort=False).size().reset_index(name="n")
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    counts = zoned.map_batches(part, batch_format="pyarrow", batch_size=None).repartition(1)
+    partials = zoned.map_batches(part, batch_format="pyarrow", batch_size=None)
+    counts = groupby_agg(partials, ["admin_id", "event_type"],
+                         [("n", "sum", "n")])
+
+    P = 32
+
+    def add_part(t: pa.Table) -> pa.Table:
+        a = t["admin_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("part", pa.array((a % P).astype(np.int64)))
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.groupby(["admin_id", "event_type"], sort=False)["n"].sum().reset_index()
-        rows = []
-        for zid, g in df.groupby("admin_id", sort=True):
-            g = g.sort_values(["n", "event_type"], ascending=[False, True], kind="mergesort")
-            rows.append(
-                (
-                    zid,
-                    g["event_type"].iloc[0],                 # majority (ties: lexical)
-                    g["event_type"].iloc[-1],                # minority
-                    len(g),                                  # variety
-                )
-            )
-        return pd.DataFrame(rows, columns=["admin_id", "majority", "minority", "variety"])
+        df = df.drop(columns=["part"])
+        maj = df.sort_values(["admin_id", "n", "event_type"],
+                             ascending=[True, False, True],
+                             kind="mergesort").drop_duplicates("admin_id")
+        mnr = df.sort_values(["admin_id", "n", "event_type"],
+                             ascending=[True, True, False],
+                             kind="mergesort").drop_duplicates("admin_id")
+        out = (df.groupby("admin_id", sort=True).size()
+               .reset_index(name="variety"))
+        out = out.merge(maj[["admin_id", "event_type"]]
+                        .rename(columns={"event_type": "majority"}),
+                        on="admin_id")
+        out = out.merge(mnr[["admin_id", "event_type"]]
+                        .rename(columns={"event_type": "minority"}),
+                        on="admin_id")
+        return out[["admin_id", "majority", "minority", "variety"]]
 
-    return counts.map_batches(finish, batch_format="pandas", batch_size=None)
+    return (counts.map_batches(add_part, batch_format="pyarrow",
+                               batch_size=None)
+            .groupby("part").map_groups(finish, batch_format="pandas"))
 
 
 Q17_SQL = f"""
@@ -1573,7 +1591,7 @@ def _sql_query(sql):
 
 
 Q78_SQL = """SELECT c_mktsegment,
-SUM(CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END) AS rich,
+CAST(SUM(CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END) AS BIGINT) AS rich,
 COUNT(CASE WHEN c_acctbal < 0 THEN 1 END) AS debt,
 MAX(COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'zzz')) AS seg2
 FROM customer GROUP BY c_mktsegment"""

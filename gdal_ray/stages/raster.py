@@ -183,13 +183,14 @@ def burn_features_to_tiles(ds, zoom: int, *, wkb_col="geometry",
         raise ValueError("salted burn requires merge='add' (additive partials)")
 
     def add_salt(t: pa.Table) -> pa.Table:
-        import hashlib as _h
-
-        s = np.array(
-            [int(_h.md5(b).hexdigest()[:8], 16) % salt for b in t["geometry"].to_pylist()],
-            dtype=np.int32,
-        )
-        return t.append_column("salt", pa.array(s))
+        # vectorized FNV-1a over the Arrow binary buffers (the per-row
+        # hashlib.md5 list comprehension here was the one Python loop on
+        # the rasterize1m bench path). Salting only needs a DETERMINISTIC
+        # spread — partials sum exactly whatever the assignment — so a
+        # bounded 64-byte prefix fold mixed with the WKB length suffices
+        # and keeps the loop count independent of geometry size.
+        s = _fnv_binary_prefix(t["geometry"], max_bytes=64) % np.uint64(salt)
+        return t.append_column("salt", pa.array(s.astype(np.int32)))
 
     salted = fanned.map_batches(add_salt, batch_format="pyarrow", batch_size=None)
     partial_tiles = salted.groupby(["tile_x", "tile_y", "salt"]).map_groups(
@@ -214,6 +215,35 @@ def burn_features_to_tiles(ds, zoom: int, *, wkb_col="geometry",
     return partial_tiles.groupby(["tile_x", "tile_y"]).map_groups(
         merge_salted, batch_format="pandas"
     )
+
+
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def _fnv_binary_prefix(col, max_bytes: int = 64) -> np.ndarray:
+    """FNV-1a 64 over the first max_bytes of each binary value plus its
+    length, vectorized across rows via the Arrow (offsets, data) buffers
+    (same per-byte-position fold as text/dedup._hash_tokens_fnv, bounded
+    so huge geometries don't stretch the loop)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32,
+                            count=n + 1, offset=arr.offset * 4).astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    starts = offsets[:-1]
+    lengths = offsets[1:] - starts
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    cap = int(min(lengths.max(), max_bytes)) if n else 0
+    with np.errstate(over="ignore"):
+        for j in range(cap):
+            m = lengths > j
+            b = data[np.minimum(starts + j, data.size - 1)].astype(np.uint64)
+            h = np.where(m, (h ^ b) * _FNV_PRIME, h)
+        h = (h ^ lengths.astype(np.uint64)) * _FNV_PRIME
+    return h
 
 
 def _reduce2x2(r: np.ndarray, agg: str) -> np.ndarray:

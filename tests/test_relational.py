@@ -684,3 +684,39 @@ def test_table_profile_matches_duckdb(ray_session, sf_dir):
                 f"ROUND(AVG(CAST({c} AS DOUBLE)), 6) FROM customer").fetchone()
             assert (r["min_num"], r["max_num"]) == (lo, hi), c
             assert abs(r["mean_num"] - mu) < 2e-6, c
+
+
+def test_asof_join_keyless_range_partitioned():
+    """by=() as-of joins RANGE-partition by `on` quantiles with boundary
+    candidates instead of funneling into one task — parity vs
+    pandas.merge_asof at 100k x 100k rows, both directions, including
+    left rows that must reach back across many empty ranges."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    rng = np.random.RandomState(7)
+    n = 100_000
+    lt = np.sort(rng.uniform(0, 1e6, n))
+    # right side clustered low so many upper ranges have NO right rows:
+    # their matches must come from boundary candidates
+    rt = np.sort(rng.uniform(0, 4e5, n))
+    rv = np.arange(n, dtype=np.int64)
+    left = pa.table({"t": pa.array(lt)})
+    right = pa.table({"t": pa.array(rt), "v": pa.array(rv)})
+    lds = rd.from_arrow([left.slice(i, 25_000) for i in range(0, n, 25_000)])
+    rds = rd.from_arrow([right.slice(i, 25_000) for i in range(0, n, 25_000)])
+    for direction in ("backward", "forward"):
+        got = (to_arrow(R.asof_join(lds, rds, on="t", direction=direction))
+               .to_pandas().sort_values("t").reset_index(drop=True))
+        exp = pd.merge_asof(pd.DataFrame({"t": lt}),
+                            pd.DataFrame({"t": rt, "v": rv}),
+                            on="t", direction=direction)
+        assert len(got) == n
+        gv, ev = got["v"].to_numpy(), exp["v"].to_numpy()
+        miss = np.isnan(gv.astype(np.float64)) if gv.dtype.kind == "f" \
+            else pd.isna(got["v"]).to_numpy()
+        emiss = pd.isna(exp["v"]).to_numpy()
+        assert (miss == emiss).all()
+        assert (gv[~miss].astype(np.int64) == ev[~emiss].astype(np.int64)).all()
