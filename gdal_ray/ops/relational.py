@@ -26,6 +26,8 @@ from typing import Sequence
 
 import numpy as np
 import pyarrow as pa
+
+from gdal_ray.util import pd_to_arrow as _pd2pa
 import pyarrow.compute as pc
 
 
@@ -663,7 +665,7 @@ def first_by(ds, group_keys: Sequence[str], order_cols: Sequence[str],
     partial = ds.map_batches(winners, batch_format="pandas", batch_size=None)
     if merge == "hash":
         def reduce_tbl(t: pa.Table) -> pa.Table:
-            return pa.Table.from_pandas(winners(t.to_pandas()), preserve_index=False)
+            return _pd2pa(winners(t.to_pandas()), preserve_index=False)
 
         return hash_partition_reduce(partial, group_keys, reduce_tbl, num_parts=num_parts)
     reduced = partial.repartition(1)
@@ -1004,7 +1006,7 @@ def rolling_agg(ds, *, by: Sequence[str], on: str, value: str,
             col = out[a]
             df[f"roll_{a}"] = col.astype(np.int64) if a == "count" else col
         df = df.drop(columns=["__ts"])
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return _pd2pa(df, preserve_index=False)
 
     return hash_partition_reduce(ds, by, part, num_parts=num_parts)
 
@@ -1034,7 +1036,7 @@ def rank_within(ds, *, by: Sequence[str], order_by: Sequence[tuple[str, bool]],
         sizes = np.diff(np.concatenate([starts, [len(df)]]))
         rn = np.arange(len(df), dtype=np.int64) - np.repeat(starts, sizes) + 1
         df[out_col] = rn
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return _pd2pa(df, preserve_index=False)
 
     return hash_partition_reduce(ds, by, part, num_parts=num_parts)
 
@@ -1107,7 +1109,7 @@ def budget_take(ds, *, by: Sequence[str], order_col: str, weight_col: str,
         df = df[run <= budget]
         if not keep_cum:
             df = df.drop(columns=[cc])
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return _pd2pa(df, preserve_index=False)
 
     return hash_partition_reduce(ds, by, part, num_parts=num_parts)
 

@@ -12,6 +12,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from gdal_ray.util import pd_to_arrow as _pd2pa
+
 from gdal_ray.pipelines.pages import _splitmix64
 
 
@@ -215,7 +217,7 @@ def groupby_quantiles(ds, by, value: str, qs=(0.5,), *,
         for q, qn in zip(qs, qnames):
             rank = np.maximum(np.ceil(q * sizes).astype(np.int64), 1)
             out[qn] = vals[starts + rank - 1]
-        return pa.Table.from_pandas(pd.DataFrame(out), preserve_index=False)
+        return _pd2pa(pd.DataFrame(out), preserve_index=False)
 
     return hash_partition_reduce(ds.select_columns(by + [value]), by, part,
                                  num_parts=num_parts)

@@ -51,6 +51,8 @@ from typing import Any
 
 import numpy as np
 import pyarrow as pa
+
+from gdal_ray.util import pd_to_arrow as _pd2pa
 import pyarrow.compute as pc
 
 # ---------------------------------------------------------------------------
@@ -2904,7 +2906,7 @@ def _window_pass(ds, part_cols: list, order_spec: list, jobs: list):
             ctx["peer_start"] = ctx["peer_end"] = np.array([], np.int64)
         for nm, fnode, frame in jobs:
             df[nm] = _eval_window_fn(fnode, df, ctx, frame)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return _pd2pa(df, preserve_index=False)
 
     if is_global:
         ds = ds.map_batches(

@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+
+from gdal_ray.util import pd_to_arrow as _pd2pa
 import pyarrow.compute as pc
 
 from gdal_ray.ops import relational as R
@@ -476,7 +478,7 @@ def q17_zonal_mode(sf_dir):
     def part(t: pa.Table) -> pa.Table:
         df = t.select(["admin_id", "event_type"]).to_pandas()
         g = df.groupby(["admin_id", "event_type"], sort=False).size().reset_index(name="n")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _pd2pa(g, preserve_index=False)
 
     partials = zoned.map_batches(part, batch_format="pyarrow", batch_size=None)
     counts = groupby_agg(partials, ["admin_id", "event_type"],
@@ -1482,7 +1484,7 @@ def q51_polygonize(sf_dir):
         gy = np.clip(((90.0 - lat) / 180.0 * 32).astype(np.int64), 0, 31)
         df = pd.DataFrame({"gx": gx, "gy": gy})
         g = df.groupby(["gy", "gx"], sort=False).size().reset_index(name="n")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _pd2pa(g, preserve_index=False)
 
     cells = R.groupby_agg(
         ds.map_batches(partial_counts, batch_format="pyarrow", batch_size=None),

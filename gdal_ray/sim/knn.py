@@ -14,6 +14,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from gdal_ray.util import pd_to_arrow as _pd2pa
+
 
 def _matrix(t: pa.Table, col: str) -> np.ndarray:
     arr = t[col].combine_chunks()
@@ -210,7 +212,7 @@ def lsh_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int, dim: int,
         concurrency=2, batch_size=None,)
 
     def scan(g: pd.DataFrame) -> pd.DataFrame:
-        table = pa.Table.from_pandas(g, preserve_index=False)
+        table = _pd2pa(g, preserve_index=False)
         bucket = int(g["bucket"].iloc[0])
         qs = ray.get(bref).get(bucket, [])
         if not qs:

@@ -16,6 +16,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from gdal_ray.util import pd_to_arrow as _pd2pa
+
 from gdal_ray.ops.relational import first_by, groupby_agg
 
 
@@ -103,7 +105,7 @@ def grid_points(ds, *, extent, cell: float, radius: float, method: str = "invdis
                                                  cell=cell, radius=radius, value_col=value_col)
             df = pd.DataFrame({"gx": gx, "gy": gy, "d2": d2, "value": pv})
             idx = df.groupby(["gx", "gy"], sort=False)["d2"].idxmin()
-            return pa.Table.from_pandas(df.loc[idx], preserve_index=False)
+            return _pd2pa(df.loc[idx], preserve_index=False)
 
         partials = ds.map_batches(part, batch_format="pyarrow", batch_size=None)
         out = first_by(partials, ["gx", "gy"], ["d2", "value"])
@@ -117,7 +119,7 @@ def grid_points(ds, *, extent, cell: float, radius: float, method: str = "invdis
                                                  cell=cell, radius=radius, value_col=value_col)
             df = pd.DataFrame({"gx": gx, "gy": gy, "d2": d2, "value": pv})
             df = df.sort_values(["gx", "gy", "d2", "value"], kind="mergesort")
-            return pa.Table.from_pandas(
+            return _pd2pa(
                 df.groupby(["gx", "gy"], sort=False).head(max_points),
                 preserve_index=False,
             )
@@ -147,7 +149,7 @@ def grid_points(ds, *, extent, cell: float, radius: float, method: str = "invdis
             g = df.groupby(["gx", "gy"], sort=False).agg(
                 mn=("v", "min"), mx=("v", "max"), n=("v", "size"),
                 sd=("d", "sum")).reset_index()
-            return pa.Table.from_pandas(g, preserve_index=False)
+            return _pd2pa(g, preserve_index=False)
 
         partials = ds.map_batches(part_dm, batch_format="pyarrow", batch_size=None)
         summed = groupby_agg(partials, ["gx", "gy"], [
@@ -229,7 +231,7 @@ def grid_points(ds, *, extent, cell: float, radius: float, method: str = "invdis
             w = np.ones_like(d2)
         df = pd.DataFrame({"gx": gx, "gy": gy, "wv": w * pv, "w": w})
         g = df.groupby(["gx", "gy"], sort=False).sum().reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _pd2pa(g, preserve_index=False)
 
     partials = ds.map_batches(part, batch_format="pyarrow", batch_size=None)
     summed = groupby_agg(partials, ["gx", "gy"], [("wv", "sum", "wv"), ("w", "sum", "w")])

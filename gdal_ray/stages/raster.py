@@ -19,6 +19,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+from gdal_ray.util import pd_to_arrow as _pd2pa
 import pyarrow.compute as pc
 
 from gdal_ray.geo import webmercator as wm
@@ -44,7 +46,7 @@ def points_to_tile_counts(ds, zoom: int, *, lon_col="lon", lat_col="lat"):
         pix = (gy % TILE) * TILE + (gx % TILE)
         df = pd.DataFrame({"tile_x": tx, "tile_y": ty, "pix": pix})
         g = df.groupby(["tile_x", "tile_y", "pix"], sort=False).size().reset_index(name="n")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _pd2pa(g, preserve_index=False)
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
 
@@ -1352,7 +1354,7 @@ def _polygonize_root_map(pair_refs):
     uf = UnionFind()
     for t in ray.get(list(pair_refs)):
         if isinstance(t, pd.DataFrame):
-            t = pa.Table.from_pandas(t, preserve_index=False)
+            t = _pd2pa(t, preserve_index=False)
         if t.num_rows == 0:
             continue
         for ta, ya, la, tb, yb, lb in zip(

@@ -28,6 +28,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from gdal_ray.util import pd_to_arrow as _pd2pa
+
 from gdal_ray.raster.polygonize import UnionFind, label_array
 
 TILE = 256
@@ -101,7 +103,7 @@ def _sieve_component_merge(threshold, pair_refs, piece_refs):
     cross_adj = []
     for t in pair_tables:
         if isinstance(t, pd.DataFrame):
-            t = pa.Table.from_pandas(t, preserve_index=False)
+            t = _pd2pa(t, preserve_index=False)
         if t.num_rows == 0:
             continue
         eqs = t["eq"].to_pylist()
