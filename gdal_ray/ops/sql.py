@@ -710,6 +710,8 @@ class Query:
     # set_ops[i] combines cores[i] with cores[i+1]:
     # "union_all" | "union" | "intersect" | "except"
     set_ops: list = None
+    # WITH RECURSIVE ctes: {name: (base_core, step_core, union_all)}
+    rec_ctes: dict | None = None
 
 
 def _parse_subselect(p: Parser) -> Select:
@@ -901,20 +903,66 @@ def _subst_ctes(x, ctes: dict):
             _subst_ctes(i, ctes)
 
 
+def _refs_table(x, name: str) -> bool:
+    """Does a Select (or expression tree) reference table `name` in any
+    FROM/JOIN position, including nested subqueries?"""
+    if isinstance(x, Select):
+        refs = list(x.from_refs or [(x.table, x.table_alias)])
+        refs += [(j.table, j.alias) for j in (x.joins or [])]
+        for t, _a in refs:
+            if isinstance(t, str) and t.lower() == name:
+                return True
+            if isinstance(t, Select) and _refs_table(t, name):
+                return True
+        return any(_refs_table(r, name)
+                   for r in (x.items, x.where, x.having, x.qualify,
+                             x.group_by, x.order_by))
+    if isinstance(x, Node):
+        if isinstance(x.value, (Node, tuple, list, Select)) \
+                and _refs_table(x.value, name):
+            return True
+        return _refs_table(x.args, name)
+    if isinstance(x, (tuple, list)):
+        return any(_refs_table(i, name) for i in x)
+    return False
+
+
 def parse_query(sql: str) -> Query:
     p = Parser(tokenize(sql))
     ctes: dict = {}
+    rec_ctes: dict = {}
     if p.accept("kw", "WITH"):
         # non-recursive CTEs; each may reference earlier ones (substituted
-        # inline — a CTE used twice executes twice, no materialized reuse)
+        # inline — a CTE used twice executes twice, no materialized reuse).
+        # WITH RECURSIVE: a CTE body of the form `base UNION [ALL] step`
+        # where step references the CTE itself becomes a driver-controlled
+        # fixpoint loop (linear recursion, SQL:1999 semantics: the step
+        # sees only the PREVIOUS iteration's new rows) whose step executes
+        # as a full distributed pipeline each round.
+        if p.peek()[0] == "id" and p.peek()[1].lower() == "recursive":
+            p.next()
         while True:
             nm = p.expect("id")[1].lower()
             p.expect("kw", "AS")
             p.expect("op", "(")
             sub = _parse_subselect(p)
-            p.expect("op", ")")
-            _subst_ctes(sub, ctes)
-            ctes[nm] = sub
+            if p.peek() == ("kw", "UNION"):
+                p.next()
+                union_all = bool(p.accept("kw", "ALL"))
+                step = _parse_core(p)
+                p.expect("op", ")")
+                _subst_ctes(sub, ctes)
+                _subst_ctes(step, ctes)
+                if not _refs_table(step, nm):
+                    raise ValueError(
+                        f"CTE {nm!r} has a UNION body but no "
+                        "self-reference (only WITH RECURSIVE bodies may "
+                        "contain set ops)")
+                rec_ctes[nm] = (sub, step, union_all)
+            else:
+                p.expect("op", ")")
+                _subst_ctes(sub, ctes)
+                ctes[nm] = sub
             if not p.accept("op", ","):
                 break
     cores = [_parse_core(p)]
@@ -964,7 +1012,8 @@ def parse_query(sql: str) -> Query:
                 raise ValueError(f"ORDER BY ordinal {c.value} out of range")
             it, alias = items[c.value - 1]
             order_by[oi] = (_item_name(it, alias, c.value - 1), d)
-    return Query(cores, order_by, limit, offset, set_ops=set_ops)
+    return Query(cores, order_by, limit, offset, set_ops=set_ops,
+                 rec_ctes=rec_ctes or None)
 
 
 def parse_select(sql: str) -> Select:
@@ -2343,6 +2392,14 @@ def explain(sql: str, sf_dir: str) -> str:
     aggregate specs, and which subqueries decorrelate to joins. Purely
     static — nothing executes."""
     q = parse_query(sql)
+    if q.rec_ctes:
+        # the main plan depends on the fixpoint table's schema/size —
+        # sketch only the recursion structure without executing
+        return "\n".join(
+            f"RECURSIVE CTE {nm!r}: driver fixpoint "
+            f"[base once, distributed step per round, "
+            f"{'UNION ALL' if ua else 'UNION (dedup vs seen)'}]"
+            for nm, (_b, _s, ua) in q.rec_ctes.items())
     q = _resolve_scopes(q, sf_dir)
     lines = []
     for ci, core in enumerate(q.cores):
@@ -2423,13 +2480,112 @@ def explain(sql: str, sf_dir: str) -> str:
     return "\n".join(lines)
 
 
+def _run_recursive_cte(name: str, base: Select, step: Select,
+                       union_all: bool, sf_dir: str,
+                       max_iters: int = 10_000) -> pa.Table:
+    """Fixpoint loop for one WITH RECURSIVE cte (linear recursion). Each
+    round the CTE name is bound to the PREVIOUS round's new rows (the
+    SQL:1999 working table) and the step runs as a full distributed
+    pipeline; only the accumulated recursion table lives on the driver
+    (the same bounded-result contract as uncorrelated IN-lists — a
+    recursion table IS the query's working set). UNION dedups new rows
+    against everything seen; UNION ALL stops when the step yields no
+    rows. Reference shape: ops/graph.py frontier rounds, whose DuckDB
+    oracles were recursive CTEs — this closes that loop in SQL."""
+    import pandas as pd
+
+    from gdal_ray.util import to_arrow
+
+    def run_core(core: Select) -> pa.Table:
+        import copy as _copy
+
+        c = _copy.deepcopy(core)
+        qq = Query([c], [], None, None)
+        _resolve_scopes(qq, sf_dir)
+        c = _resolve_subqueries(qq.cores[0], sf_dir)
+        return to_arrow(_execute_core(c, sf_dir, c.order_by, c.limit,
+                                      c.offset)).combine_chunks()
+
+    def dedup(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        df = t.to_pandas()
+        return _pd2pa(df.drop_duplicates()).cast(t.schema)
+
+    def anti(new: pa.Table, seen: pa.Table) -> pa.Table:
+        if new.num_rows == 0 or seen.num_rows == 0:
+            return new
+        nd = new.to_pandas()
+        sd = seen.to_pandas()
+        m = nd.merge(sd.drop_duplicates(), how="left", indicator=True,
+                     on=list(nd.columns))
+        return _pd2pa(m[m["_merge"] == "left_only"]
+                      .drop(columns=["_merge"])).cast(new.schema)
+
+    total = run_core(base)
+    names = total.column_names
+    if not union_all:
+        total = dedup(total)
+    frontier = total
+    it = 0
+    while frontier.num_rows:
+        it += 1
+        if it > max_iters:
+            raise ValueError(
+                f"WITH RECURSIVE {name!r} exceeded {max_iters} iterations")
+        register_table(name, frontier)
+        try:
+            new = run_core(step)
+        finally:
+            unregister_table(name)
+        if new.num_rows == 0:
+            break  # fixpoint (Ray may drop the schema of empty results)
+        if new.num_columns != len(names):
+            raise ValueError(
+                f"recursive step of {name!r} yields {new.num_columns} "
+                f"columns, base has {len(names)}")
+        new = new.rename_columns(names)
+        if union_all:
+            fresh = new
+        else:
+            fresh = anti(dedup(new), total)
+        if fresh.num_rows == 0:
+            break
+        total = pa.concat_tables([total, fresh.cast(total.schema)])
+        frontier = fresh
+    return total.combine_chunks()
+
+
 def execute(sql: str, sf_dir: str):
     """Compile + run a SELECT (or set-op chain: UNION [ALL] / INTERSECT /
     EXCEPT) against the sf_dir parquet tables."""
     from gdal_ray.ops.relational import topk, union_all
 
     q = parse_query(sql)
+    if q.rec_ctes:
+        # materialize each recursive CTE to a fixpoint table and bind it
+        # for the main query (and for later recursive CTEs). The binding
+        # is consumed at plan time (from_arrow captures the data), so the
+        # lazy result Dataset stays valid after unregistration.
+        bound = []
+        try:
+            for nm, (base, step, ua) in q.rec_ctes.items():
+                register_table(nm, _run_recursive_cte(nm, base, step, ua,
+                                                      sf_dir))
+                bound.append(nm)
+            q2 = Query(q.cores, q.order_by, q.limit, q.offset,
+                       set_ops=q.set_ops)
+            q2 = _resolve_scopes(q2, sf_dir)
+            return _execute_rest(q2, sf_dir)
+        finally:
+            for nm in bound:
+                unregister_table(nm)
     q = _resolve_scopes(q, sf_dir)
+    return _execute_rest(q, sf_dir)
+
+
+def _execute_rest(q: Query, sf_dir: str):
+    from gdal_ray.ops.relational import topk, union_all
     q.cores = [_resolve_subqueries(c, sf_dir) for c in q.cores]
     if len(q.cores) == 1:
         out = _execute_core(q.cores[0], sf_dir, q.order_by, q.limit,

@@ -3021,6 +3021,29 @@ GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""", []),
 }
 
 
+Q144_SQL = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT event_id % 301 AS src, (event_id + user_id) % 301 AS dst
+  FROM events WHERE event_id % 13 = 0
+),
+r AS (
+  SELECT CAST(0 AS BIGINT) AS node, 0 AS d FROM region
+  UNION
+  SELECT e.dst, r.d + 1 FROM r JOIN e ON e.src = r.node WHERE r.d < 25
+)
+SELECT node, CAST(MIN(d) AS BIGINT) AS dist FROM r GROUP BY node ORDER BY node
+"""
+
+
+def q144_recursive_cte(sf_dir):
+    """WITH RECURSIVE in SQL: the q93 BFS oracle text now runs in the
+    ENGINE too — a driver fixpoint whose step (frontier JOIN edges)
+    executes as a distributed pipeline each round (ops/sql.py
+    _run_recursive_cte; frontier machinery reference: ops/graph.py
+    bfs_shortest_paths). Same string runs verbatim in DuckDB."""
+    return _sql_query(Q144_SQL)(sf_dir)
+
+
 def _sql_query_ps(sql):
     """Like _sql_query but synthesizes + registers the partsupp table for
     the target sf_dir first (idempotent, deterministic)."""
@@ -3209,6 +3232,7 @@ def registry():
         **{name: _sql_query(sql) for name, (sql, _fc) in TPCH_SQLS.items()},
         **{name: _sql_query_ps(sql)
            for name, (sql, _fc) in TPCH_PS_SQLS.items()},
+        "q144_recursive_cte": q144_recursive_cte,
         "q134_moving_windows": q134_moving_windows,
         "q135_json_props": q135_json_props,
         "q136_qualify_topk": q136_qualify_topk,
@@ -3304,6 +3328,7 @@ def registry():
            for name, (sql, fc) in TPCH_SQLS.items()},
         **{name: _ps_oracle(sql, fc)
            for name, (sql, fc) in TPCH_PS_SQLS.items()},
+        "q144_recursive_cte": Q144_SQL,
         "q134_moving_windows": Q134_SQL,
         "q135_json_props": Q135_SQL,
         "q136_qualify_topk": Q136_SQL,

@@ -492,3 +492,48 @@ def test_partsupp_synthesis_deterministic(sf_dir, tmp_path):
     # ~4 suppliers per part (dedup may trim at tiny supplier counts)
     per_part = df.groupby("ps_partkey").size()
     assert per_part.max() <= 4 and per_part.median() >= 2
+
+
+def test_recursive_cte_fixpoint(sf_dir):
+    """WITH RECURSIVE (linear recursion): UNION dedup semantics, working
+    table = previous round's new rows, natural termination on an empty
+    step — verified against DuckDB's recursive CTE on the same string."""
+    from gdal_ray.ops.sql import execute
+    from gdal_ray.util import to_arrow
+
+    sql = """
+    WITH RECURSIVE r AS (
+      SELECT CAST(0 AS BIGINT) AS n FROM region
+      UNION
+      SELECT r.n + 1 FROM r WHERE r.n < 7
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(n) AS BIGINT) AS s FROM r
+    """
+    got = to_arrow(execute(sql, sf_dir)).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"create view region as select * from "
+                f"read_parquet('{sf_path(sf_dir, 'region')}')")
+    exp = con.execute(sql).df()
+    assert got["cnt"].iloc[0] == exp["cnt"].iloc[0] == 8
+    assert got["s"].iloc[0] == exp["s"].iloc[0] == 28
+
+
+def test_recursive_cte_union_all_and_guard(sf_dir):
+    from gdal_ray.ops.sql import execute
+    from gdal_ray.util import to_arrow
+
+    # UNION ALL recursion terminates when the step yields no rows
+    sql = """
+    WITH RECURSIVE r AS (
+      SELECT CAST(1 AS BIGINT) AS n FROM region WHERE r_regionkey = 0
+      UNION ALL
+      SELECT r.n * 2 FROM r WHERE r.n < 16
+    )
+    SELECT CAST(SUM(n) AS BIGINT) AS s FROM r
+    """
+    got = to_arrow(execute(sql, sf_dir)).to_pandas()
+    assert got["s"].iloc[0] == 1 + 2 + 4 + 8 + 16
+    # non-self-referential UNION body is rejected with a clear error
+    with pytest.raises(ValueError, match="self-reference"):
+        execute("""WITH x AS (SELECT 1 AS a FROM region UNION
+                   SELECT 2 AS a FROM region) SELECT a FROM x""", sf_dir)
