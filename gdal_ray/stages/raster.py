@@ -90,6 +90,70 @@ def points_to_tile_counts(ds, zoom: int, *, lon_col="lon", lat_col="lat"):
     )
 
 
+def encode_tiles_png(tiles_ds, *, dtype=np.uint32, mode: str = "gray16"):
+    """Encode raw tile arrays to PNG payloads — the reference tile
+    pipeline writes encoded images, not raw arrays
+    (apps/gdalalg_raster_tile.cpp: PNG/JPEG/WebP per the output-format
+    argument; PNG here, via the dependency-free raster/png.py codec).
+
+    mode: 'gray16' clips values to uint16 (lossless for counts < 65536),
+    'gray8' clips to uint8. Adds a `png` binary column next to the tile
+    keys; deterministic bytes, so goldens pin them."""
+    from gdal_ray.raster.png import encode_png
+
+    if mode not in ("gray16", "gray8"):
+        raise ValueError("mode must be 'gray16' or 'gray8'")
+    out_t = np.uint16 if mode == "gray16" else np.uint8
+    lim = 65535 if mode == "gray16" else 255
+
+    def enc(t: pa.Table) -> pa.Table:
+        pngs = []
+        for buf in t["data"].to_pylist():
+            arr = np.frombuffer(buf, dtype=dtype).reshape(TILE, TILE)
+            pngs.append(encode_png(np.minimum(arr, lim).astype(out_t)))
+        keep = [c for c in ("zoom", "tile_x", "tile_y", "checksum")
+                if c in t.column_names]
+        return t.select(keep).append_column("png", pa.array(pngs, pa.binary()))
+
+    return tiles_ds.map_batches(enc, batch_format="pyarrow", batch_size=None)
+
+
+def write_tiles_png(tiles_ds, out_dir: str, *, dtype=np.uint32,
+                    mode: str = "gray16"):
+    """PNG tile sink: encode + write one {out_dir}/{z}/{x}/{y}.png per
+    tile (the standard XYZ layout the reference's tile command emits).
+    Resumable: existing files are skipped, so a re-run only writes the
+    missing tiles. Returns the (z, x, y, n_bytes, skipped) manifest."""
+    import os
+
+    enc = encode_tiles_png(tiles_ds, dtype=dtype, mode=mode)
+
+    def write(t: pa.Table) -> pa.Table:
+        rows = {"zoom": [], "tile_x": [], "tile_y": [], "n_bytes": [],
+                "skipped": []}
+        for z, x, y, png in zip(t["zoom"].to_pylist(),
+                                t["tile_x"].to_pylist(),
+                                t["tile_y"].to_pylist(),
+                                t["png"].to_pylist()):
+            d = os.path.join(out_dir, str(z), str(x))
+            path = os.path.join(d, f"{y}.png")
+            skipped = os.path.exists(path)
+            if not skipped:
+                os.makedirs(d, exist_ok=True)
+                tmp = f"{path}.tmp{os.getpid()}"
+                with open(tmp, "wb") as f:
+                    f.write(png)
+                os.replace(tmp, path)
+            rows["zoom"].append(z)
+            rows["tile_x"].append(x)
+            rows["tile_y"].append(y)
+            rows["n_bytes"].append(len(png))
+            rows["skipped"].append(skipped)
+        return pa.table(rows)
+
+    return enc.map_batches(write, batch_format="pyarrow", batch_size=None)
+
+
 def tile_geotransform(tx: int, ty: int, zoom: int):
     """Affine GT of one 256px tile in lon/lat 'web' pseudo coords (x=lon
     linear; y uses mercator pixel rows — adequate for burn tests)."""
