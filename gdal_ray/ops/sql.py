@@ -3342,6 +3342,9 @@ def _all_col_refs(x, acc: set) -> bool:
         for j in (x.joins or []):
             acc.add(j.left_key)
             acc.add(j.right_key)
+            for jl, jr in (j.extra_pairs or []):
+                acc.add(jl)
+                acc.add(jr)
             if isinstance(j.table, Select):
                 ok &= _all_col_refs(j.table, acc)
         if isinstance(x.table, Select):

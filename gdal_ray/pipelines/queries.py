@@ -2866,39 +2866,42 @@ WHERE o_orderdate >= DATE '1996-07-01' AND o_orderdate < DATE '1996-07-01' + INT
 AND EXISTS (SELECT * FROM lineitem WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
 GROUP BY o_orderpriority ORDER BY o_orderpriority""", []),
     "q121_tpch05": ("""SELECT n_name, SUM(l_extendedprice * (1 - l_discount)) AS revenue
-FROM lineitem JOIN orders ON o_orderkey = l_orderkey JOIN customer ON c_custkey = o_custkey
-JOIN supplier ON s_suppkey = l_suppkey JOIN nation ON n_nationkey = s_nationkey
-JOIN region ON r_regionkey = n_regionkey
-WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey AND r_name = 'ASIA'
 AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-01-01' + INTERVAL '1' YEAR
 GROUP BY n_name ORDER BY revenue DESC""", ["revenue"]),
     "q122_tpch06": ("""SELECT SUM(l_extendedprice * l_discount) AS revenue FROM lineitem
 WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-01-01' + INTERVAL '1' YEAR
 AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""", ["revenue"]),
+    # q7/q8: VERBATIM alias-qualified self-join form (nation n1, nation n2
+    # — the round-5 scope-resolution pass; previously derived-table
+    # rewrites)
     "q123_tpch07": ("""SELECT supp_nation, cust_nation, l_year, SUM(volume) AS revenue FROM (
-  SELECT supp_nation, cust_nation, EXTRACT(year FROM l_shipdate) AS l_year,
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         EXTRACT(year FROM l_shipdate) AS l_year,
          l_extendedprice * (1 - l_discount) AS volume
-  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
-  JOIN customer ON c_custkey = o_custkey JOIN supplier ON s_suppkey = l_suppkey
-  JOIN (SELECT n_nationkey AS sn_key, n_name AS supp_nation FROM nation) sn ON sn_key = s_nationkey
-  JOIN (SELECT n_nationkey AS cn_key, n_name AS cust_nation FROM nation) cn ON cn_key = c_nationkey
-  WHERE ((supp_nation = 'NATION_6' AND cust_nation = 'NATION_7')
-      OR (supp_nation = 'NATION_7' AND cust_nation = 'NATION_6'))
+  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+    AND c_nationkey = n2.n_nationkey
+    AND ((n1.n_name = 'NATION_6' AND n2.n_name = 'NATION_7')
+      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_6'))
     AND l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
 ) shipping GROUP BY supp_nation, cust_nation, l_year
 ORDER BY supp_nation, cust_nation, l_year""", ["revenue"]),
     "q124_tpch08": ("""SELECT o_year, SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END) / SUM(volume) AS mkt_share
 FROM (
   SELECT EXTRACT(year FROM o_orderdate) AS o_year,
-         l_extendedprice * (1 - l_discount) AS volume, nation2 AS nation
-  FROM lineitem JOIN part ON p_partkey = l_partkey
-  JOIN orders ON o_orderkey = l_orderkey JOIN customer ON c_custkey = o_custkey
-  JOIN (SELECT n_nationkey AS cn_key, n_regionkey AS cn_region FROM nation) cn ON cn_key = c_nationkey
-  JOIN region ON r_regionkey = cn_region
-  JOIN supplier ON s_suppkey = l_suppkey
-  JOIN (SELECT n_nationkey AS sn_key, n_name AS nation2 FROM nation) sn ON sn_key = s_nationkey
-  WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+         l_extendedprice * (1 - l_discount) AS volume, n2.n_name AS nation
+  FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+    AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
     AND o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+    AND p_type = 'PROMO'
 ) all_nations GROUP BY o_year ORDER BY o_year""", ["mkt_share"]),
     "q125_tpch10": ("""SELECT c_custkey, c_name, SUM(l_extendedprice * (1 - l_discount)) AS revenue, c_acctbal, n_name
 FROM lineitem JOIN orders ON o_orderkey = l_orderkey JOIN customer ON c_custkey = o_custkey
@@ -3336,4 +3339,18 @@ def registry():
         "q29_token_quantiles": Q29_SQL,
         "q37_text_normalize": Q37_SQL,
     }
+    # The driver's correctness run has twice truncated at the FIRST ~50
+    # registry entries (VERDICT r4 #10), so order newest-first (highest
+    # query number = newest / riskiest / least driver-verified), with the
+    # round-4 red row q57 pinned in front — the long-green q01-q50 block
+    # moves to the tail it no longer needs to occupy.
+    def _qnum(name: str) -> int:
+        import re as _re
+
+        m = _re.match(r"q(\d+)", name)
+        return int(m.group(1)) if m else 0
+
+    order = sorted(qs, key=lambda n: (n != "q57_pixel_info", -_qnum(n), n))
+    qs = {n: qs[n] for n in order}
+    sqls = {n: sqls[n] for n in order if n in sqls}
     return qs, sqls
