@@ -3047,6 +3047,48 @@ def q144_recursive_cte(sf_dir):
     return _sql_query(Q144_SQL)(sf_dir)
 
 
+def q145_mdim_cube(sf_dir):
+    """mdim (chunked N-D array) pipeline — the GDALMDArray subsystem
+    (gcore/multidim/gdal_multidim.h) mapped onto chunk tables
+    (gdal_ray/mdim.py): build a 3-D event-count cube, slice axis 0 with
+    chunk pruning at the read, SUM-reduce axis 2 (one shuffle keyed by
+    kept chunk coords), flatten to relational rows. The DuckDB oracle is
+    the equivalent grouped count over the slice window (zero cells via a
+    grid LEFT JOIN; slice coordinates are rebased, hence the +2). Cube
+    construction here is a bounded 240-cell count (driver aggregate; at
+    scale it's a groupby_agg feeding mdim chunk rows) — the DISTRIBUTED
+    surface under test is slice-prune / axis-reduce / flatten."""
+    import pyarrow.parquet as _pq
+
+    from gdal_ray import mdim
+    from gdal_ray.util import sf_path, to_arrow
+
+    ev = _pq.read_table(sf_path(sf_dir, "events"),
+                        columns=["event_id", "user_id"])
+    e = ev["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    u = ev["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cube = np.zeros((8, 6, 5), np.int64)
+    np.add.at(cube, (e % 8, u % 6, u % 5), 1)
+    path = "/tmp/gdal_ray_mdim_cube"
+    mdim.write_array(cube, path, chunks=(3, 4, 2), dims=("a", "b", "t"))
+    _m, ds = mdim.read_slice(path, (slice(2, 7),))
+    rm, rds = mdim.reduce_axis(_m, ds, axis=2, op="sum")
+    return mdim.to_table(rm, rds)
+
+
+Q145_SQL = """
+WITH counts AS (
+  SELECT event_id % 8 AS a0, user_id % 6 AS a1, COUNT(*) AS c
+  FROM events WHERE event_id % 8 BETWEEN 2 AND 6 GROUP BY 1, 2
+),
+grid AS (SELECT a.range AS i0, b.range AS i1
+         FROM range(0, 5) a, range(0, 6) b)
+SELECT i0, i1, CAST(COALESCE(c, 0) AS DOUBLE) AS value
+FROM grid LEFT JOIN counts ON a0 = i0 + 2 AND a1 = i1
+ORDER BY i0, i1
+"""
+
+
 def _sql_query_ps(sql):
     """Like _sql_query but synthesizes + registers the partsupp table for
     the target sf_dir first (idempotent, deterministic)."""
@@ -3236,6 +3278,7 @@ def registry():
         **{name: _sql_query_ps(sql)
            for name, (sql, _fc) in TPCH_PS_SQLS.items()},
         "q144_recursive_cte": q144_recursive_cte,
+        "q145_mdim_cube": q145_mdim_cube,
         "q134_moving_windows": q134_moving_windows,
         "q135_json_props": q135_json_props,
         "q136_qualify_topk": q136_qualify_topk,
@@ -3332,6 +3375,7 @@ def registry():
         **{name: _ps_oracle(sql, fc)
            for name, (sql, fc) in TPCH_PS_SQLS.items()},
         "q144_recursive_cte": Q144_SQL,
+        "q145_mdim_cube": Q145_SQL,
         "q134_moving_windows": Q134_SQL,
         "q135_json_props": Q135_SQL,
         "q136_qualify_topk": Q136_SQL,
