@@ -674,6 +674,9 @@ class Join:
     # additional equi key pairs [(left, right)] for composite-key joins
     # (comma-FROM planning folds every connecting equality into one join)
     extra_pairs: list | None = None
+    # ASOF JOIN: (eq_pairs [(a, b)...], (op, a, b)) — the inequality pair
+    # decides direction at plan time once column sides are known
+    asof_spec: tuple | None = None
 
 
 @dataclass
@@ -776,6 +779,36 @@ def _parse_core(p: Parser) -> Select:
     joins = []
     while True:
         left = False
+        # ASOF [LEFT] JOIN tbl ON <equi conjuncts> AND <on-col ineq>
+        # (DuckDB syntax; executes on ops.relational.asof_join)
+        if (p.peek()[0] == "id" and p.peek()[1].lower() == "asof"
+                and (p.toks[p.i + 1] == ("kw", "JOIN")
+                     or (p.toks[p.i + 1] == ("kw", "LEFT")
+                         and p.toks[p.i + 2] == ("kw", "JOIN")))):
+            p.next()
+            aleft = bool(p.accept("kw", "LEFT"))
+            p.expect("kw", "JOIN")
+            jtable, jalias = _parse_table_ref(p)
+            p.expect("kw", "ON")
+            eq, ineq = [], []
+            for c in _split_conjuncts(p.expr()):
+                if (c.kind == "bin" and c.args[0].kind == "col"
+                        and c.args[1].kind == "col"):
+                    if c.value == "=":
+                        eq.append((c.args[0].value, c.args[1].value))
+                        continue
+                    if c.value in (">=", "<="):
+                        ineq.append((c.value, c.args[0].value,
+                                     c.args[1].value))
+                        continue
+                raise ValueError(
+                    "ASOF JOIN ON must be col = col conjuncts plus one "
+                    "col >= col / col <= col inequality")
+            if len(ineq) != 1:
+                raise ValueError("ASOF JOIN needs exactly one inequality")
+            joins.append(Join(jtable, jalias, aleft, "", "",
+                              asof_spec=(eq, ineq[0])))
+            continue
         if p.peek() == ("kw", "LEFT"):
             p.next()
             left = True
@@ -1281,6 +1314,35 @@ def _resolve_core_scopes(core: Select, sf_dir: str, outer_renamed: set,
     for j in (core.joins or []):
         j.left_key = fix_str(j.left_key)
         j.right_key = fix_str(j.right_key)
+        if j.asof_spec is not None:
+            # keep the SIDE information the qualifier carries before it is
+            # stripped: ('r', col) / ('l', col) marks, resolved against
+            # this join's alias vs any other in-scope alias (needed when
+            # both sides share a column name, e.g. l.ts >= r.ts)
+            jal = (j.alias or (j.table if isinstance(j.table, str) else "")
+                   ).lower()
+            local_aliases = {al.lower() for _, al in
+                             (core.from_refs or
+                              [(core.table, core.table_alias)]) if al}
+            local_aliases |= {t.lower() for t, _ in
+                              (core.from_refs or
+                               [(core.table, core.table_alias)])
+                              if isinstance(t, str)}
+
+            def aso_fix(v):
+                if isinstance(v, str) and "." in v:
+                    ql, c = v.split(".", 1)
+                    ql = ql.lower()
+                    name = v if ql in renamed else c
+                    if ql == jal:
+                        return ("r", name)
+                    if ql in local_aliases or ql in renamed:
+                        return ("l", name)
+                return (None, fix_str(v))
+
+            eqp, (op_, a_, b_) = j.asof_spec
+            j.asof_spec = ([(aso_fix(x), aso_fix(y)) for x, y in eqp],
+                           (op_, aso_fix(a_), aso_fix(b_)))
 
     # build rename wrappers (derived Selects projecting "<alias>.<col>")
     def wrapper(alias: str, base: str) -> Select:
@@ -2418,6 +2480,15 @@ def explain(sql: str, sf_dir: str) -> str:
                 f"SCAN {tbl} columns={cols if cols else 'ALL'}"
                 + (f" pushdown=({flt})" if flt is not None else ""))
         for j in (core.joins or []):
+            if j.asof_spec is not None:
+                eqp, (op_, a_, b_) = j.asof_spec
+                how = "ASOF LEFT" if j.left else "ASOF"
+                strat = ("range-partitioned by on-quantiles" if not eqp
+                         else "hash-partitioned by equi keys")
+                lines.append(f"{how} JOIN "
+                             f"{j.table if isinstance(j.table, str) else 'derived'}"
+                             f" ON {a_} {op_} {b_} [{strat}]")
+                continue
             if isinstance(j.table, Select):
                 lines.append(f"JOIN derived subquery ON {j.left_key} = "
                              f"{j.right_key} [broadcast]")
@@ -3777,6 +3848,88 @@ def _attach_quantiles(out, ds, q: Select, qt_specs):
     return out
 
 
+def _apply_asof_join(ds, j: Join, sf_dir: str, key_alias: dict, q: Select):
+    """Plan one SQL ASOF [LEFT] JOIN onto ops.relational.asof_join: equi
+    conjuncts become `by` keys (hash-partitioned; keyless falls to the
+    range-partitioned path), the single inequality picks the on-column
+    and direction, right columns rename to the left key names (asof_join
+    matches by name), and a hidden match indicator implements the
+    default INNER semantics (DuckDB drops unmatched left rows; ASOF LEFT
+    JOIN keeps them)."""
+    import ray.data as rd
+
+    from gdal_ray.ops.relational import asof_join
+    from gdal_ray.util import read_table, sf_path
+
+    eq, (op, a, b) = j.asof_spec
+    if isinstance(j.table, Select):
+        right_ds = _execute_core(j.table, sf_dir, j.table.order_by,
+                                 j.table.limit, j.table.offset)
+        rcols = set(_out_names(j.table))
+    else:
+        src = _registry_get(j.table)
+        if src is not None:
+            right_ds = (rd.from_arrow(src) if isinstance(src, pa.Table)
+                        else rd.read_parquet(src) if isinstance(src, str)
+                        else src)
+            rcols = set(_registry_cols(src))
+        else:
+            rcols = set(_parquet_cols(sf_path(sf_dir, j.table)))
+            acc: set = set()
+            rneed = None
+            if _all_col_refs(q, acc):
+                acc.update(x for pair in eq for x in pair)
+                acc.update((a, b))
+                rneed = [c for c in rcols if c in acc]
+            right_ds = read_table(sf_dir, j.table, columns=rneed)
+
+    def orient(x, y):
+        """Return (left_col, right_col, swapped) for two (side, name)
+        operands — qualifier-derived side marks first, column membership
+        fallback. swapped means y is the left column."""
+        (sx, nx), (sy, ny) = x, y
+        if sx == "r" and sy != "r":
+            return ny, nx, True
+        if sy == "r" and sx != "r":
+            return nx, ny, False
+        if sx == "l" and sy != "l":
+            return nx, ny, False
+        if sy == "l" and sx != "l":
+            return ny, nx, True
+        if ny in rcols and nx not in rcols:
+            return nx, ny, False
+        if nx in rcols and ny not in rcols:
+            return ny, nx, True
+        raise ValueError(f"ASOF JOIN key {nx} = {ny}: ambiguous sides")
+
+    by_pairs = [orient(x, y)[:2] for x, y in eq]
+    lon, ron, swapped = orient(a, b)
+    a_is_left = not swapped
+    direction = ("backward" if (op == ">=") == a_is_left else "forward")
+    by_pairs = [(_canon_name(lx, key_alias), rx) for lx, rx in by_pairs]
+    lon = _canon_name(lon, key_alias)
+    ren = {rx: lx for lx, rx in by_pairs}
+    ren[ron] = lon
+
+    def prep(t: pa.Table, ren=dict(ren)) -> pa.Table:
+        t = t.rename_columns([ren.get(c, c) for c in t.column_names])
+        return t.append_column(
+            "__asof_m", pa.array(np.ones(len(t), np.int8)))
+
+    right_ds = right_ds.map_batches(prep, batch_format="pyarrow",
+                                    batch_size=None)
+    out = asof_join(ds, right_ds, on=lon, by=[lx for lx, _ in by_pairs],
+                    direction=direction)
+
+    def finish(t: pa.Table, inner=not j.left) -> pa.Table:
+        if inner and len(t):
+            t = t.filter(pc.is_valid(t["__asof_m"]))
+        return t.drop_columns(
+            [c for c in ("__asof_m",) if c in t.column_names])
+
+    return out.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
 def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
     """Compile + run one SELECT core."""
     from gdal_ray.ops.relational import broadcast_join
@@ -3824,6 +3977,9 @@ def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
 
         from gdal_ray.util import sf_path, to_arrow
 
+        if j.asof_spec is not None:
+            ds = _apply_asof_join(ds, j, sf_dir, key_alias, q)
+            continue
         right = None
         right_rows = 0
         jsrc = (_registry_get(j.table)

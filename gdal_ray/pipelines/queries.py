@@ -3076,6 +3076,24 @@ def q145_mdim_cube(sf_dir):
     return mdim.to_table(rm, rds)
 
 
+Q146_SQL = """
+SELECT l.event_id AS event_id, r.value AS ref_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_id % 7 = 0) l
+ASOF JOIN (SELECT user_id, ts, value FROM events WHERE event_id % 3 = 0) r
+ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY event_id
+"""
+
+
+def q146_sql_asof(sf_dir):
+    """ASOF JOIN inside the SQL compiler (DuckDB syntax; executes on
+    ops.relational.asof_join — equi conjuncts hash-partition as `by`
+    keys, the inequality picks on-column and direction, hidden match
+    indicator gives INNER semantics). Same string runs verbatim in
+    DuckDB (its native ASOF JOIN is the oracle)."""
+    return _sql_query(Q146_SQL)(sf_dir)
+
+
 Q145_SQL = """
 WITH counts AS (
   SELECT event_id % 8 AS a0, user_id % 6 AS a1, COUNT(*) AS c
@@ -3279,6 +3297,7 @@ def registry():
            for name, (sql, _fc) in TPCH_PS_SQLS.items()},
         "q144_recursive_cte": q144_recursive_cte,
         "q145_mdim_cube": q145_mdim_cube,
+        "q146_sql_asof": q146_sql_asof,
         "q134_moving_windows": q134_moving_windows,
         "q135_json_props": q135_json_props,
         "q136_qualify_topk": q136_qualify_topk,
@@ -3376,6 +3395,7 @@ def registry():
            for name, (sql, fc) in TPCH_PS_SQLS.items()},
         "q144_recursive_cte": Q144_SQL,
         "q145_mdim_cube": Q145_SQL,
+        "q146_sql_asof": Q146_SQL,
         "q134_moving_windows": Q134_SQL,
         "q135_json_props": Q135_SQL,
         "q136_qualify_topk": Q136_SQL,

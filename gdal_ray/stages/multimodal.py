@@ -24,9 +24,15 @@ import pyarrow as pa
 from gdal_ray.pipelines.pages import _splitmix64
 
 
-def synth_image_column(ds, *, id_col: str, width=32, height=32):
-    """Attach a deterministic fake image payload (raw uint8 RGB bytes) +
-    metadata columns — stands in for reading a real image-bytes column."""
+def synth_image_column(ds, *, id_col: str, width=32, height=32,
+                       fmt: str = "raw-rgb8"):
+    """Attach a deterministic image payload + metadata columns — stands
+    in for reading a real image-bytes column. fmt='raw-rgb8' stores raw
+    uint8 RGB bytes; fmt='png' stores REAL PNG-encoded bytes (the
+    dependency-free raster/png.py codec), so the downstream decode path
+    exercises a genuine compressed format end-to-end."""
+    if fmt not in ("raw-rgb8", "png"):
+        raise ValueError("fmt must be 'raw-rgb8' or 'png'")
 
     def f(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -37,21 +43,36 @@ def synth_image_column(ds, *, id_col: str, width=32, height=32):
             xs = np.arange(width, dtype=np.uint64)
             ys = np.arange(height, dtype=np.uint64)
             img = ((xs[None, :] * 7 + ys[:, None] * 13 + rng_seed) & np.uint64(0xFF)).astype(np.uint8)
-            payloads.append(np.repeat(img[:, :, None], 3, axis=2).tobytes())
+            rgb = np.repeat(img[:, :, None], 3, axis=2)
+            if fmt == "png":
+                from gdal_ray.raster.png import encode_png
+
+                payloads.append(encode_png(rgb))
+            else:
+                payloads.append(rgb.tobytes())
         t = t.append_column("image", pa.array(payloads, pa.binary()))
         t = t.append_column("img_width", pa.array(np.full(len(ids), width, np.int32)))
         t = t.append_column("img_height", pa.array(np.full(len(ids), height, np.int32)))
-        t = t.append_column("img_format", pa.array(["raw-rgb8"] * len(ids), pa.string()))
+        t = t.append_column("img_format", pa.array([fmt] * len(ids), pa.string()))
         return t
 
     return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
 
 
 def _decode_payload(buf: bytes, fmt: str, w: int, h: int) -> np.ndarray:
-    """Codec boundary. raw-rgb8 decodes for real; anything else would need
-    an image library that this container does not ship."""
+    """Codec boundary. raw-rgb8 and png decode FOR REAL (png via the
+    dependency-free raster/png.py codec — a genuine compressed image
+    format end-to-end, not a fake); jpeg/webp/video formats would need an
+    image library this container does not ship."""
     if fmt == "raw-rgb8":
         return np.frombuffer(buf, np.uint8).reshape(h, w, 3)
+    if fmt == "png":
+        from gdal_ray.raster.png import decode_png
+
+        img = decode_png(bytes(buf))
+        if img.ndim == 2:  # grayscale -> 3-channel for the feature path
+            img = np.repeat(img[:, :, None], 3, axis=2)
+        return img[:, :, :3].astype(np.uint8)
     raise NotImplementedError(
         f"codec {fmt!r}: real decode requires an image library (PIL/turbojpeg); "
         "plug it into ImageStage._decode"

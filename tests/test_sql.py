@@ -537,3 +537,37 @@ def test_recursive_cte_union_all_and_guard(sf_dir):
     with pytest.raises(ValueError, match="self-reference"):
         execute("""WITH x AS (SELECT 1 AS a FROM region UNION
                    SELECT 2 AS a FROM region) SELECT a FROM x""", sf_dir)
+
+
+def test_sql_asof_join_variants(sf_dir, con):
+    """SQL ASOF [LEFT] JOIN vs DuckDB's native ASOF JOIN: keyless
+    (range-partitioned path), keyed, LEFT (unmatched rows kept), and
+    forward direction via a flipped inequality."""
+    import numpy as np
+
+    from gdal_ray.ops.sql import execute
+    from gdal_ray.util import to_arrow
+
+    sqls = [
+        """SELECT l.event_id AS event_id, r.value AS ref_value
+FROM (SELECT event_id, ts FROM events WHERE event_id % 5 = 0) l
+ASOF JOIN (SELECT ts, value FROM events WHERE event_id % 9 = 0) r
+ON l.ts >= r.ts ORDER BY event_id""",
+        """SELECT l.event_id AS event_id, r.value AS ref_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_id % 5 = 0) l
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_id % 4 = 0) r
+ON l.user_id = r.user_id AND l.ts >= r.ts ORDER BY event_id""",
+        """SELECT l.event_id AS event_id, r.value AS ref_value
+FROM (SELECT event_id, ts FROM events WHERE event_id % 5 = 0) l
+ASOF JOIN (SELECT ts, value FROM events WHERE event_id % 9 = 0) r
+ON l.ts <= r.ts ORDER BY event_id""",
+    ]
+    for sql in sqls:
+        got = to_arrow(execute(sql, sf_dir)).to_pandas().reset_index(drop=True)
+        exp = con.execute(sql).df().reset_index(drop=True)
+        assert len(got) == len(exp), sql
+        assert (got["event_id"].to_numpy() == exp["event_id"].to_numpy()).all()
+        gv = got["ref_value"].to_numpy(float)
+        ev = exp["ref_value"].to_numpy(float)
+        assert np.all((np.isnan(gv) & np.isnan(ev))
+                      | np.isclose(gv, ev, rtol=1e-12, equal_nan=True)), sql
