@@ -1307,6 +1307,20 @@ def _resolve_core_scopes(core: Select, sf_dir: str, outer_renamed: set,
         return _rewrite_qualified(v, renamed, bare_map, {})
 
     core.group_by = [fix_str(g) for g in core.group_by]
+    # GROUP BY <select-item alias> (DuckDB/Postgres shorthand): a name
+    # that is NOT a visible column but IS an item alias substitutes the
+    # aliased expression (real columns take precedence, SQL rules)
+    all_cols = set(unren_cols)
+    for cols_ in base_cols.values():
+        all_cols.update(cols_)
+    alias_map = {a: e for e, a in core.items if a}
+    new_gb = []
+    for g in core.group_by:
+        if isinstance(g, str) and g not in all_cols and g in alias_map:
+            e = alias_map[g]
+            g = e.value if (isinstance(e, Node) and e.kind == "col") else e
+        new_gb.append(g)
+    core.group_by = new_gb
     core.order_by = [(fix_str(c), d) for c, d in core.order_by]
     if core.group_sets is not None:
         core.group_sets = [tuple(fix_str(c) for c in s)

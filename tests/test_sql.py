@@ -571,3 +571,22 @@ ON l.ts <= r.ts ORDER BY event_id""",
         ev = exp["ref_value"].to_numpy(float)
         assert np.all((np.isnan(gv) & np.isnan(ev))
                       | np.isclose(gv, ev, rtol=1e-12, equal_nan=True)), sql
+
+
+def test_group_by_alias(sf_dir, con):
+    """GROUP BY <select alias> (DuckDB shorthand; real columns take
+    precedence)."""
+    import numpy as np
+
+    from gdal_ray.ops.sql import execute
+    from gdal_ray.util import to_arrow
+
+    for sql in [
+        "SELECT c_nationkey % 5 AS g, COUNT(*) AS n FROM customer GROUP BY g ORDER BY g",
+        "SELECT UPPER(c_mktsegment) AS seg, COUNT(*) AS n FROM customer GROUP BY seg ORDER BY seg",
+    ]:
+        got = to_arrow(execute(sql, sf_dir)).to_pandas().reset_index(drop=True)
+        exp = con.execute(sql).df().reset_index(drop=True)
+        assert len(got) == len(exp), sql
+        for c in got.columns:
+            assert (got[c].astype(str) == exp[c].astype(str)).all(), (sql, c)
