@@ -350,7 +350,7 @@ class Parser:
                     return ("cr", 0)
                 if b[0] == "num":
                     d = self.next()[1].lower()
-                    return ("p" if d == "preceding" else "f", int(b[1]))
+                    return ("p" if d == "preceding" else "f", float(b[1]))
                 raise ValueError(f"bad frame bound {b}")
 
             if self.accept("kw", "BETWEEN"):
@@ -360,19 +360,15 @@ class Parser:
             else:
                 lo, hi = bound(), ("cr", 0)
             if mode == "range":
-                # only the two ROWS-equivalent RANGE frames are supported
-                # (value-based RANGE windows live in ops.relational
-                # rolling_agg); UNBOUNDED..CURRENT is the default frame
-                if (lo, hi) == (("up", 0), ("cr", 0)):
+                # UNBOUNDED..CURRENT is the default frame (peers); offset
+                # RANGE frames are VALUE windows over the single numeric
+                # ORDER BY key (evaluated in _frame_bounds)
+                if (lo, hi) == (("up", 0.0), ("cr", 0.0)):
                     frame = None
-                elif (lo, hi) == (("up", 0), ("uf", 0)):
-                    frame = ("rows", lo, hi)
                 else:
-                    raise ValueError(
-                        "RANGE frames with offsets are unsupported "
-                        "(use ROWS, or ops.relational.rolling_agg)")
+                    frame = ("range", lo, hi)
             else:
-                frame = ("rows", lo, hi)
+                frame = ("rows", (lo[0], int(lo[1])), (hi[0], int(hi[1])))
         self.expect("op", ")")
         return Node("win", frame, (fnode, tuple(parts), tuple(order)))
 
@@ -2884,13 +2880,44 @@ def _const_value(node: Node):
 
 
 def _frame_bounds(frame, ctx):
-    """ROWS frame -> per-row inclusive [lo, hi] absolute index arrays
-    (hi < lo means an empty frame)."""
+    """ROWS / RANGE frame -> per-row inclusive [lo, hi] absolute index
+    arrays (hi < lo means an empty frame). RANGE offsets are VALUE
+    windows over the single numeric ORDER BY key: per segment one
+    searchsorted against (key ± offset); CURRENT ROW means the peer
+    group (SQL semantics), DESC orders negate the key so the same
+    ascending logic applies."""
     n = ctx["n"]
     i = np.arange(n)
     starts_rep = ctx["starts_rep"]
     ends_rep = starts_rep + ctx["sizes_rep"]  # exclusive segment end
     _mode, (lk, ln), (hk, hn) = frame
+    if _mode == "range":
+        w = ctx.get("ov_num")
+        if w is None:
+            raise ValueError(
+                "RANGE offset frames need exactly one numeric (or "
+                "timestamp) ORDER BY key")
+        starts, ends = ctx["starts"], ctx["ends"]
+        lo = np.empty(n, np.int64)
+        hi = np.empty(n, np.int64)
+        for s, e in zip(starts, ends):
+            seg = w[s:e]
+            if lk == "up":
+                lo[s:e] = s
+            elif lk == "cr":
+                lo[s:e] = ctx["peer_start"][s:e]
+            else:
+                off = -ln if lk == "p" else ln
+                lo[s:e] = s + np.searchsorted(seg, seg + off, side="left")
+            if hk == "uf":
+                hi[s:e] = e - 1
+            elif hk == "cr":
+                hi[s:e] = ctx["peer_end"][s:e]
+            else:
+                off = -hn if hk == "p" else hn
+                hi[s:e] = s + np.searchsorted(seg, seg + off,
+                                              side="right") - 1
+        return lo, hi
 
     def side(kind, k, default_lo):
         if kind == "up":
@@ -3142,6 +3169,15 @@ def _window_pass(ds, part_cols: list, order_spec: list, jobs: list):
             is_last = np.concatenate([new_peer[1:], [True]])
             pe = np.where(is_last, np.arange(n), n)
             ctx["peer_end"] = np.minimum.accumulate(pe[::-1])[::-1]
+            if len(ocols) == 1:
+                # numeric ORDER BY key for RANGE offset frames (DESC
+                # negates so ascending searchsorted logic applies)
+                ov1 = df[ocols[0]].to_numpy()
+                if np.issubdtype(ov1.dtype, np.datetime64):
+                    ov1 = ov1.astype("datetime64[us]").view(np.int64)
+                if ov1.dtype.kind in "iuf":
+                    ov1 = ov1.astype(np.float64)
+                    ctx["ov_num"] = -ov1 if order_spec[0][1] else ov1
         elif ocols:
             ctx["new_peer"] = np.array([], bool)
             ctx["peer_start"] = ctx["peer_end"] = np.array([], np.int64)
@@ -3779,23 +3815,29 @@ def _decorrelate_where(ds, q: Select, sf_dir: str, key_alias: dict):
     kept = [rw(c) for c in kept]
     q.where = _and_fold(kept)
 
-    for hid, sub2, okeys, ikeys in scalar_specs:
-        inner = to_arrow(_execute_core(
-            _resolve_subqueries(sub2, sf_dir), sf_dir, [], None, None))
-        ds = broadcast_join(ds, inner, keys=okeys, right_keys=ikeys,
-                            how="left")
-    for sub2, okeys, ikeys in exagg_specs:
-        inner = to_arrow(_execute_core(
-            _resolve_subqueries(sub2, sf_dir), sf_dir, [], None, None))
+    def _left_join_inner(ds, inner: pa.Table, okeys, ikeys):
+        """Grouped decorrelation results join back LEFT onto the outer
+        stream: broadcast when dimension-sized, co-partitioned hash join
+        when the group count itself is big (correlated aggregates keyed
+        by a fact-table column at scale)."""
         if inner.num_rows > _BROADCAST_JOIN_MAX_ROWS:
             import ray.data as _rd
 
             from gdal_ray.ops.relational import join_hash
-            ds = join_hash(ds, _rd.from_arrow(inner.to_batches()),
-                           okeys, right_keys=ikeys, how="left")
-        else:
-            ds = broadcast_join(ds, inner, keys=okeys, right_keys=ikeys,
-                                how="left")
+
+            return join_hash(ds, _rd.from_arrow(inner.to_batches()),
+                             okeys, right_keys=ikeys, how="left")
+        return broadcast_join(ds, inner, keys=okeys, right_keys=ikeys,
+                              how="left")
+
+    for hid, sub2, okeys, ikeys in scalar_specs:
+        inner = to_arrow(_execute_core(
+            _resolve_subqueries(sub2, sf_dir), sf_dir, [], None, None))
+        ds = _left_join_inner(ds, inner, okeys, ikeys)
+    for sub2, okeys, ikeys in exagg_specs:
+        inner = to_arrow(_execute_core(
+            _resolve_subqueries(sub2, sf_dir), sf_dir, [], None, None))
+        ds = _left_join_inner(ds, inner, okeys, ikeys)
     for anti, sub2, okeys in semi_specs:
         inner_ds = _execute_core(
             _resolve_subqueries(sub2, sf_dir), sf_dir, [], None, None)

@@ -590,3 +590,36 @@ def test_group_by_alias(sf_dir, con):
         assert len(got) == len(exp), sql
         for c in got.columns:
             assert (got[c].astype(str) == exp[c].astype(str)).all(), (sql, c)
+
+
+def test_range_offset_frames(sf_dir, con):
+    """RANGE offset window frames (value windows over the ORDER BY key)
+    vs DuckDB — ASC, DESC, asymmetric bounds, CURRENT ROW peers."""
+    import numpy as np
+
+    from gdal_ray.ops.sql import execute
+    from gdal_ray.util import to_arrow
+
+    sqls = [
+        """SELECT o_orderkey, CAST(COUNT(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+           RANGE BETWEEN 5000 PRECEDING AND 5000 FOLLOWING) AS BIGINT) AS near
+           FROM orders WHERE o_orderkey < 400""",
+        """SELECT o_orderkey, SUM(o_totalprice) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+           RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS s
+           FROM orders WHERE o_orderkey < 400""",
+        """SELECT o_orderkey, CAST(COUNT(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC
+           RANGE BETWEEN 2500 PRECEDING AND 7500 FOLLOWING) AS BIGINT) AS near
+           FROM orders WHERE o_orderkey < 300""",
+    ]
+    for sql in sqls:
+        got = to_arrow(execute(sql, sf_dir)).to_pandas()
+        exp = con.execute(sql).df()
+        got = got.sort_values(list(sorted(got.columns))).reset_index(drop=True)
+        exp = exp.sort_values(list(sorted(exp.columns))).reset_index(drop=True)
+        assert len(got) == len(exp), sql
+        for c in got.columns:
+            if got[c].dtype.kind == "f":
+                assert np.allclose(got[c], exp[c].astype(float),
+                                   rtol=1e-9, equal_nan=True), (sql, c)
+            else:
+                assert (got[c].astype(str) == exp[c].astype(str)).all(), (sql, c)
