@@ -130,6 +130,34 @@ def run_bench() -> dict:
     timed("tpch_q01", lambda sd: sql_execute(Q.TPCH_SQLS["q118_tpch01"][0], sd))
     timed("tpch_q05", lambda sd: sql_execute(Q.TPCH_SQLS["q121_tpch05"][0], sd))
     timed("tpch_q18", lambda sd: sql_execute(Q.TPCH_SQLS["q131_tpch18"][0], sd))
+    # q21: the alias-self-join EXISTS/NOT-EXISTS decorrelation (round 5) —
+    # two grouped count-distinct passes over lineitem + 4-way comma join
+    timed("tpch_q21", lambda sd: Q.registry()[0]["q143_tpch21"](sd))
+
+    # keyless as-of at 10^6 x 10^6 rows: the range-partitioned path with
+    # boundary candidates (round 5; previously a single-task funnel)
+    def asof_keyless_bench(sd):
+        import numpy as np
+        import pyarrow as pa_
+        import ray.data as rd_
+
+        from gdal_ray.ops.relational import asof_join
+
+        n = int(os.environ.get("GRAFT_ASOF_N", "1000000"))
+
+        def synth(b: pa_.Table, scale: float) -> pa_.Table:
+            ids = b["id"].to_numpy()
+            t = ((ids * 2654435761) % (1 << 30)).astype(np.float64) * scale
+            return pa_.table({"t": pa_.array(t),
+                              "v": pa_.array(ids.astype(np.int64))})
+
+        left = rd_.range(n).map_batches(
+            lambda b: synth(b, 1.0), batch_format="pyarrow", batch_size=None)
+        right = rd_.range(n).map_batches(
+            lambda b: synth(b, 0.37), batch_format="pyarrow", batch_size=None)
+        return asof_join(left, right, on="t")
+
+    timed("asof1m_keyless", asof_keyless_bench)
 
     if run_queries:
         # north-star dedup: >= 10^7 synthetic urls (~50% dup rate), first-wins
