@@ -183,9 +183,12 @@ def exact_quantiles_int(ds, col: str, qs):
 
 
 def groupby_quantiles(ds, by, value: str, qs=(0.5,), *,
-                      num_parts: int | None = None):
-    """EXACT per-key quantiles (DuckDB quantile_disc convention: the value
-    at 1-based rank ceil(q*n) of the key's sorted non-null values).
+                      num_parts: int | None = None,
+                      interpolate: bool = False):
+    """EXACT per-key quantiles. Default: DuckDB quantile_disc convention
+    (the value at 1-based rank ceil(q*n) of the key's sorted non-null
+    values); interpolate=True: quantile_cont / percentile_cont (value at
+    fractional position q*(n-1), linearly interpolated — float output).
     One hash shuffle by key; within each partition the per-key rank
     select is one sort + vectorized boundary scan — no per-group Python.
     Output columns: by + [f"q{q}" with '.'->'_'] (e.g. q0_5)."""
@@ -203,7 +206,8 @@ def groupby_quantiles(ds, by, value: str, qs=(0.5,), *,
         if not len(df):
             cols = {c: pa.array([], t[c].type) for c in by}
             for qn in qnames:
-                cols[qn] = pa.array([], t[value].type)
+                cols[qn] = pa.array([], pa.float64() if interpolate
+                                    else t[value].type)
             return pa.table(cols)
         df = df.sort_values(by + [value], kind="mergesort",
                             ignore_index=True)
@@ -215,8 +219,17 @@ def groupby_quantiles(ds, by, value: str, qs=(0.5,), *,
         vals = df[value].to_numpy()
         out = {c: df[c].to_numpy()[starts] for c in by}
         for q, qn in zip(qs, qnames):
-            rank = np.maximum(np.ceil(q * sizes).astype(np.int64), 1)
-            out[qn] = vals[starts + rank - 1]
+            if interpolate:
+                pos = q * (sizes - 1).astype(np.float64)
+                lo = np.floor(pos).astype(np.int64)
+                hi = np.minimum(lo + 1, sizes - 1)
+                frac = pos - lo
+                v = vals.astype(np.float64)
+                out[qn] = (v[starts + lo] * (1.0 - frac)
+                           + v[starts + hi] * frac)
+            else:
+                rank = np.maximum(np.ceil(q * sizes).astype(np.int64), 1)
+                out[qn] = vals[starts + rank - 1]
         return _pd2pa(pd.DataFrame(out), preserve_index=False)
 
     return hash_partition_reduce(ds.select_columns(by + [value]), by, part,

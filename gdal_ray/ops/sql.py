@@ -139,6 +139,7 @@ _KEYWORDS = {
     "REPLACE",
     "OVER", "PARTITION", "ROW_NUMBER", "RANK", "DENSE_RANK", "LAG", "LEAD",
     "NTILE", "PERCENT_RANK", "CUME_DIST", "FIRST_VALUE", "LAST_VALUE",
+    "NTH_VALUE",
     "INTERSECT", "EXCEPT", "ROLLUP", "CUBE", "GROUPING", "SETS", "WITH",
     "QUALIFY",
 }
@@ -471,6 +472,15 @@ class Parser:
             if self.peek() != ("kw", "OVER"):
                 raise ValueError(f"{t[1]}() requires an OVER clause")
             return self._maybe_over(Node("call", t[1].lower(), (e,)))
+        if t == ("kw", "NTH_VALUE"):
+            self.expect("op", "(")
+            e = self.expr()
+            self.expect("op", ",")
+            nn = self.expr()
+            self.expect("op", ")")
+            if self.peek() != ("kw", "OVER"):
+                raise ValueError("NTH_VALUE() requires an OVER clause")
+            return self._maybe_over(Node("call", "nth_value", (e, nn)))
         if t[0] == "kw" and t[1] in ("LAG", "LEAD"):
             self.expect("op", "(")
             e = self.expr()
@@ -591,6 +601,20 @@ class Parser:
                 return Node("agg", ("string_agg", inner.value),
                             (Node("lit", str(sepn.value)),
                              Node("lit", ocol.value)))
+            if lname == "quantile_cont" and self.peek() == ("op", "("):
+                # exact interpolated quantile (DuckDB quantile_cont /
+                # percentile_cont) — ops.sketch.groupby_quantiles with
+                # linear interpolation
+                self.next()
+                inner = self.expr()
+                self.expect("op", ",")
+                qn = self.expr()
+                self.expect("op", ")")
+                if inner.kind != "col":
+                    raise ValueError(
+                        "QUANTILE_CONT supports plain columns only")
+                return Node("agg", ("quantile_cont", inner.value),
+                            (Node("lit", float(_const_value(qn))),))
             if lname == "quantile_disc" and self.peek() == ("op", "("):
                 # exact discrete quantile aggregate (DuckDB quantile_disc)
                 # — non-algebraic, routed to ops.sketch.groupby_quantiles
@@ -2952,17 +2976,25 @@ def _eval_window_fn(fnode: Node, df, ctx: dict, frame=None):
     if frame is not None and (
             fnode.kind == "agg"
             or (fnode.kind == "call"
-                and fnode.value in ("first_value", "last_value"))):
+                and fnode.value in ("first_value", "last_value",
+                                    "nth_value"))):
         lo, hi = _frame_bounds(frame, ctx)
         empty = lo > hi
         if fnode.kind == "call":
-            (colnode,) = fnode.args
+            colnode = fnode.args[0]
             if colnode.kind != "col":
                 raise ValueError(
-                    "FIRST_VALUE/LAST_VALUE supports plain columns only")
+                    "FIRST_VALUE/LAST_VALUE/NTH_VALUE supports plain "
+                    "columns only")
             s = df[colnode.value]
-            idx = np.clip(lo if fnode.value == "first_value" else hi, 0,
-                          max(n - 1, 0))
+            if fnode.value == "nth_value":
+                k = int(_const_value(fnode.args[1]))
+                raw = lo + (k - 1)
+                empty = empty | (raw > hi)
+                idx = np.clip(raw, 0, max(n - 1, 0))
+            else:
+                idx = np.clip(lo if fnode.value == "first_value" else hi,
+                              0, max(n - 1, 0))
             out = s.to_numpy()[idx] if n else s.to_numpy()
             if empty.any():
                 out = out.astype(object)
@@ -3055,6 +3087,22 @@ def _eval_window_fn(fnode: Node, df, ctx: dict, frame=None):
         # the partition head, last is the current row's last peer
         idx = starts_rep if fnode.value == "first_value" else peer_end
         return arr[idx] if n else arr
+    if fnode.kind == "call" and fnode.value == "nth_value":
+        colnode, nn = fnode.args
+        if colnode.kind != "col":
+            raise ValueError("NTH_VALUE supports plain columns only")
+        if not has_order:
+            raise ValueError("NTH_VALUE requires ORDER BY")
+        k = int(_const_value(nn))
+        arr = df[colnode.value].to_numpy()
+        raw = starts_rep + (k - 1)
+        # default frame UP..CURRENT-peers: NULL until the nth row enters
+        ok = raw <= peer_end
+        out = arr[np.clip(raw, 0, max(n - 1, 0))] if n else arr
+        if n and (~ok).any():
+            out = out.astype(object)
+            out[~ok] = None
+        return out
     if fnode.kind == "call" and fnode.value in ("lag", "lead"):
         colnode, offn, defn = fnode.args
         if colnode.kind != "col":
@@ -3868,10 +3916,13 @@ def _attach_quantiles(out, ds, q: Select, qt_specs):
             batch_format="pyarrow", batch_size=None)
         keys = ["__qk"]
     bycol: dict = {}
+    bycol_cont: dict = {}
     sa_specs = []
     for name, col, qv in qt_specs:
         if isinstance(qv, tuple) and qv[0] == "string_agg":
             sa_specs.append((name, col, qv[1], qv[2]))
+        elif isinstance(qv, tuple) and qv[0] == "cont":
+            bycol_cont.setdefault(col, []).append((name, qv[1]))
         else:
             bycol.setdefault(col, []).append((name, qv))
     for name, col, sep, ocol in sa_specs:
@@ -3886,21 +3937,24 @@ def _attach_quantiles(out, ds, q: Select, qt_specs):
             v = qt[name] if qt.num_rows == len(base) else \
                 pa.nulls(len(base), pa.string())
             out = rd.from_arrow(base.append_column(name, v))
-    for col, entries in bycol.items():
-        qs = [qv for _, qv in entries]
-        qt = to_arrow(groupby_quantiles(dsq, keys, col, qs=qs))
-        ren = {("q" + str(qv).replace(".", "_")): name
-               for name, qv in entries}
-        qt = qt.rename_columns([ren.get(c, c) for c in qt.column_names])
-        if q.group_by:
-            out = broadcast_join(out, qt, keys=list(q.group_by), how="left")
-        else:
-            base = to_arrow(out)
-            for name, _qv in entries:
-                v = qt[name] if qt.num_rows == len(base) else \
-                    pa.nulls(len(base), pa.float64())
-                base = base.append_column(name, v)
-            out = rd.from_arrow(base)
+    for interp, colmap in ((False, bycol), (True, bycol_cont)):
+        for col, entries in colmap.items():
+            qs = [qv for _, qv in entries]
+            qt = to_arrow(groupby_quantiles(dsq, keys, col, qs=qs,
+                                            interpolate=interp))
+            ren = {("q" + str(qv).replace(".", "_")): name
+                   for name, qv in entries}
+            qt = qt.rename_columns([ren.get(c, c) for c in qt.column_names])
+            if q.group_by:
+                out = broadcast_join(out, qt, keys=list(q.group_by),
+                                     how="left")
+            else:
+                base = to_arrow(out)
+                for name, _qv in entries:
+                    v = qt[name] if qt.num_rows == len(base) else \
+                        pa.nulls(len(base), pa.float64())
+                    base = base.append_column(name, v)
+                out = rd.from_arrow(base)
     return out
 
 
@@ -4212,7 +4266,7 @@ def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
             if node.kind == "agg":
                 kind, col = node.value
                 if kind in ("count_distinct", "quantile_disc",
-                            "string_agg"):
+                            "quantile_cont", "string_agg"):
                     raise ValueError(
                         f"expressions over {kind.upper()} unsupported")
                 nm = f"__px{len(specs)}"
@@ -4236,6 +4290,9 @@ def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
                     cd_specs.append((name, col))
                 elif kind == "quantile_disc":
                     qt_specs.append((name, col, float(item.args[0].value)))
+                elif kind == "quantile_cont":
+                    qt_specs.append(
+                        (name, col, ("cont", float(item.args[0].value))))
                 elif kind == "string_agg":
                     qt_specs.append((name, col, ("string_agg",
                                                  item.args[0].value,

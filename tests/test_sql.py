@@ -623,3 +623,49 @@ def test_range_offset_frames(sf_dir, con):
                                    rtol=1e-9, equal_nan=True), (sql, c)
             else:
                 assert (got[c].astype(str) == exp[c].astype(str)).all(), (sql, c)
+
+
+def test_nth_value_window(sf_dir, con):
+    from gdal_ray.ops.sql import execute
+    from gdal_ray.util import to_arrow
+
+    sql = ("SELECT o_orderkey, NTH_VALUE(o_custkey, 3) OVER "
+           "(PARTITION BY o_orderpriority ORDER BY o_orderkey) AS nv, "
+           "NTH_VALUE(o_custkey, 2) OVER (PARTITION BY o_orderpriority "
+           "ORDER BY o_orderkey ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)"
+           " AS nvf FROM orders WHERE o_orderkey < 400")
+    got = to_arrow(execute(sql, sf_dir)).to_pandas() \
+        .sort_values("o_orderkey").reset_index(drop=True)
+    exp = con.execute(sql).df().sort_values("o_orderkey") \
+        .reset_index(drop=True)
+    for c in ("nv", "nvf"):
+        g = got[c].astype("float64")
+        e = exp[c].astype("float64")
+        assert ((g.isna() == e.isna()) & ((g == e) | g.isna())).all(), c
+
+
+def test_quantile_cont(sf_dir, con):
+    """QUANTILE_CONT (exact interpolated quantiles, percentile_cont
+    semantics) vs DuckDB, grouped and global, mixed with other
+    aggregates."""
+    import numpy as np
+
+    from gdal_ray.ops.sql import execute
+    from gdal_ray.util import to_arrow
+
+    sqls = [
+        "SELECT o_orderpriority, QUANTILE_CONT(o_totalprice, 0.5) AS med, "
+        "QUANTILE_CONT(o_totalprice, 0.9) AS p90, COUNT(*) AS n "
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
+        "SELECT QUANTILE_CONT(c_acctbal, 0.25) AS q1 FROM customer",
+    ]
+    for sql in sqls:
+        got = to_arrow(execute(sql, sf_dir)).to_pandas().reset_index(drop=True)
+        exp = con.execute(sql).df().reset_index(drop=True)
+        assert len(got) == len(exp), sql
+        for c in got.columns:
+            if got[c].dtype.kind == "f":
+                assert np.allclose(got[c].astype(float),
+                                   exp[c].astype(float), rtol=1e-9), (sql, c)
+            else:
+                assert (got[c].astype(str) == exp[c].astype(str)).all(), (sql, c)
