@@ -183,6 +183,26 @@ def _write(path: str, partition_cols=None, mode: str = "overwrite"):
     return run
 
 
+@step("tile_png")
+def _tile_png(out: str, zoom: int = 6, lon_col: str = "lon",
+              lat_col: str = "lat", mode: str = "gray16"):
+    """`gdal raster tile` with ENCODED payloads
+    (apps/gdalalg_raster_tile.cpp writes PNG/JPEG/WebP): burn the input
+    points into the zoom-level density raster and write a resumable
+    {out}/{z}/{x}/{y}.png XYZ tree (raster/png.py codec; existing files
+    skip, so re-runs only fill the gaps)."""
+
+    def run(ds):
+        from gdal_ray.stages.raster import (points_to_tile_counts,
+                                            write_tiles_png)
+
+        tiles = points_to_tile_counts(ds, int(zoom), lon_col=lon_col,
+                                      lat_col=lat_col)
+        return write_tiles_png(tiles, out, mode=mode)
+
+    return run
+
+
 # ---- relational steps ------------------------------------------------------
 
 
