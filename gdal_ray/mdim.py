@@ -191,6 +191,132 @@ def _trim(meta: MDMeta, ds, slices):
                                     batch_size=None)
 
 
+def from_table(ds, *, shape, chunks, dtype, dims=None,
+               value_col: str = "value", combine: str = "sum",
+               fill=0):
+    """DISTRIBUTED construction: build a chunk table from a Dataset of
+    (i0..ik, value) rows — the inverse of to_table. Per batch, rows map
+    to (linear chunk id, local offset, value) triples; ONE hash shuffle
+    by chunk id; each partition densifies its chunks with a sorted
+    boundary scan + vectorized scatter (np.add.at for combine='sum',
+    ordered assignment for 'last'). Cells no row covers take `fill`.
+    Returns (MDMeta, Dataset of chunk rows). This is how a 100-TB array
+    materializes from a relational aggregate without ever touching the
+    driver."""
+    import pandas as pd
+
+    from gdal_ray.util import default_num_parts
+
+    if combine not in ("sum", "last"):
+        raise ValueError("combine must be 'sum' or 'last'")
+    shape = tuple(int(s) for s in shape)
+    chunks = tuple(int(c) for c in chunks)
+    dt = np.dtype(dtype)
+    meta = MDMeta(shape, chunks, str(dt),
+                  tuple(dims) if dims else
+                  tuple(f"dim{i}" for i in range(len(shape))))
+    k = meta.ndim
+    grid = meta.grid()
+    gstride = np.ones(k, np.int64)
+    for i in range(k - 2, -1, -1):
+        gstride[i] = gstride[i + 1] * grid[i + 1]
+
+    def part(t: pa.Table) -> pa.Table:
+        n = len(t)
+        idx = [t[f"i{i}"].to_numpy(zero_copy_only=False).astype(np.int64)
+               for i in range(k)]
+        v = t[value_col].to_numpy(zero_copy_only=False)
+        cc = [idx[i] // chunks[i] for i in range(k)]
+        cid = np.zeros(n, np.int64)
+        for i in range(k):
+            cid += cc[i] * gstride[i]
+        # local linear offset inside the chunk PIECE (boundary chunks are
+        # smaller): strides derive per row from the piece shape
+        psh = [np.minimum(chunks[i],
+                          shape[i] - cc[i] * chunks[i]) for i in range(k)]
+        lstride = np.ones((k, n), np.int64)
+        for i in range(k - 2, -1, -1):
+            lstride[i] = lstride[i + 1] * psh[i + 1]
+        lloc = np.zeros(n, np.int64)
+        for i in range(k):
+            lloc += (idx[i] - cc[i] * chunks[i]) * lstride[i]
+        return pa.table({"cid": pa.array(cid), "lloc": pa.array(lloc),
+                         "v": pa.array(v)})
+
+    P = default_num_parts()
+
+    def add_part(t: pa.Table) -> pa.Table:
+        c = t["cid"].to_numpy(zero_copy_only=False)
+        return t.append_column("part", pa.array((c % P).astype(np.int64)))
+
+    def densify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cid", "lloc"], kind="mergesort",
+                          ignore_index=True)
+        cid = g["cid"].to_numpy()
+        lloc = g["lloc"].to_numpy()
+        v = g["v"].to_numpy()
+        change = np.flatnonzero(cid[1:] != cid[:-1]) + 1
+        bounds = np.concatenate([[0], change, [len(g)]])
+        rows: dict = {}
+        for i in range(k):
+            rows[f"c{i}"] = []
+            rows[f"o{i}"] = []
+            rows[f"s{i}"] = []
+        rows["data"] = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            c = int(cid[s])
+            cc = []
+            rem = c
+            for i in range(k):
+                cc.append(rem // gstride[i])
+                rem = rem % gstride[i]
+            psh = tuple(min(chunks[i], shape[i] - cc[i] * chunks[i])
+                        for i in range(k))
+            size = int(np.prod(psh))
+            if combine == "sum":
+                arr = np.zeros(size, np.float64)
+                np.add.at(arr, lloc[s:e], v[s:e].astype(np.float64))
+                arr = arr.astype(dt)
+                if fill:
+                    covered = np.zeros(size, bool)
+                    covered[lloc[s:e]] = True
+                    arr[~covered] = fill
+            else:
+                arr = np.full(size, fill, dt)
+                arr[lloc[s:e]] = v[s:e].astype(dt)
+            for i in range(k):
+                rows[f"c{i}"].append(int(cc[i]))
+                rows[f"o{i}"].append(int(cc[i] * chunks[i]))
+                rows[f"s{i}"].append(int(psh[i]))
+            rows["data"].append(arr.tobytes())
+        return pd.DataFrame(rows)
+
+    out = (ds.map_batches(part, batch_format="pyarrow", batch_size=None)
+           .map_batches(add_part, batch_format="pyarrow", batch_size=None)
+           .groupby("part").map_groups(densify, batch_format="pandas"))
+    return meta, out
+
+
+def slice_array(meta: MDMeta, ds, slices):
+    """Slice an in-memory chunk Dataset (read_slice's pushdown analog
+    for arrays not yet on storage): whole-chunk pruning is a vectorized
+    filter on the chunk coordinates, then the same boundary trim."""
+    slices = _norm_slices(meta, slices)
+
+    def keep(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        m = np.ones(len(t), bool)
+        for i, (lo, hi) in enumerate(slices):
+            c = t[f"c{i}"].to_numpy(zero_copy_only=False)
+            ch = meta.chunks[i]
+            m &= (c >= lo // ch) & (c <= (hi - 1) // ch)
+        return t.filter(pa.array(m))
+
+    pruned = ds.map_batches(keep, batch_format="pyarrow", batch_size=None)
+    return _trim(meta, pruned, slices)
+
+
 def statistics(meta: MDMeta, ds) -> dict:
     """Global min/max/mean/std/count — per-chunk algebraic partials, one
     tree reduce (GDALMDArray::GetStatistics analog)."""

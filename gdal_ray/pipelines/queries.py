@@ -3050,29 +3050,30 @@ def q144_recursive_cte(sf_dir):
 def q145_mdim_cube(sf_dir):
     """mdim (chunked N-D array) pipeline — the GDALMDArray subsystem
     (gcore/multidim/gdal_multidim.h) mapped onto chunk tables
-    (gdal_ray/mdim.py): build a 3-D event-count cube, slice axis 0 with
-    chunk pruning at the read, SUM-reduce axis 2 (one shuffle keyed by
-    kept chunk coords), flatten to relational rows. The DuckDB oracle is
-    the equivalent grouped count over the slice window (zero cells via a
-    grid LEFT JOIN; slice coordinates are rebased, hence the +2). Cube
-    construction here is a bounded 240-cell count (driver aggregate; at
-    scale it's a groupby_agg feeding mdim chunk rows) — the DISTRIBUTED
-    surface under test is slice-prune / axis-reduce / flatten."""
-    import pyarrow.parquet as _pq
-
+    (gdal_ray/mdim.py), END-TO-END DISTRIBUTED: events emit (i0, i1, i2,
+    1) rows per batch; mdim.from_table scatter-sums them into the 3-D
+    count cube (one hash shuffle by chunk id); slice_array prunes + trims
+    axis 0; reduce_axis SUM-folds axis 2 (one shuffle keyed by kept chunk
+    coords); to_table flattens back to relational rows. The DuckDB oracle
+    is the equivalent grouped count over the slice window (zero cells via
+    a grid LEFT JOIN; slice coordinates are rebased, hence the +2)."""
     from gdal_ray import mdim
-    from gdal_ray.util import sf_path, to_arrow
 
-    ev = _pq.read_table(sf_path(sf_dir, "events"),
-                        columns=["event_id", "user_id"])
-    e = ev["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    u = ev["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    cube = np.zeros((8, 6, 5), np.int64)
-    np.add.at(cube, (e % 8, u % 6, u % 5), 1)
-    path = "/tmp/gdal_ray_mdim_cube"
-    mdim.write_array(cube, path, chunks=(3, 4, 2), dims=("a", "b", "t"))
-    _m, ds = mdim.read_slice(path, (slice(2, 7),))
-    rm, rds = mdim.reduce_axis(_m, ds, axis=2, op="sum")
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def cells(t: pa.Table) -> pa.Table:
+        e = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"i0": pa.array(e % 8), "i1": pa.array(u % 6),
+                         "i2": pa.array(u % 5),
+                         "value": pa.array(np.ones(len(t), np.int64))})
+
+    rows = ev.map_batches(cells, batch_format="pyarrow", batch_size=None)
+    meta, cube = mdim.from_table(rows, shape=(8, 6, 5), chunks=(3, 4, 2),
+                                 dtype=np.int64, dims=("a", "b", "t"),
+                                 combine="sum")
+    sm, sds = mdim.slice_array(meta, cube, (slice(2, 7),))
+    rm, rds = mdim.reduce_axis(sm, sds, axis=2, op="sum")
     return mdim.to_table(rm, rds)
 
 

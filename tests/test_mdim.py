@@ -74,3 +74,34 @@ def test_to_table_bridge(store):
     assert t["value"].sum() == arr.sum()
     one = t[(t["i0"] == 3) & (t["i1"] == 4) & (t["i2"] == 5)]
     assert one["value"].iloc[0] == arr[3, 4, 5]
+
+
+def test_from_table_roundtrip(store):
+    """Distributed construction: to_table -> from_table reproduces the
+    array exactly (combine='last' with unique cells), and scatter-sum
+    combines duplicate cell rows."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    arr, path, _ = store
+    m, ds = mdim.open_array(path)
+    rows = mdim.to_table(m, ds)
+    m2, cube = mdim.from_table(rows, shape=arr.shape, chunks=(16, 10, 8),
+                               dtype=np.int64, combine="last")
+    np.testing.assert_array_equal(mdim.materialize(m2, cube), arr)
+    # duplicate rows sum under combine='sum'
+    t = pa.table({"i0": pa.array([0, 0, 1], pa.int64()),
+                  "i1": pa.array([0, 0, 1], pa.int64()),
+                  "value": pa.array([2, 3, 7], pa.int64())})
+    m3, c3 = mdim.from_table(rd.from_arrow(t), shape=(2, 2), chunks=(2, 2),
+                             dtype=np.int64, combine="sum")
+    got = mdim.materialize(m3, c3)
+    assert got[0, 0] == 5 and got[1, 1] == 7 and got[0, 1] == 0
+
+
+def test_slice_array_in_memory(store):
+    arr, path, _ = store
+    m, ds = mdim.open_array(path)
+    sl = (slice(10, 33), slice(4, 20), slice(None))
+    sm, sds = mdim.slice_array(m, ds, sl)
+    np.testing.assert_array_equal(mdim.materialize(sm, sds), arr[sl])
