@@ -48,6 +48,10 @@ def _builtin(scheme: str):
         from gdal_ray.sources.text import read_geojson
 
         return read_geojson
+    if scheme in ("geotiff", "gtiff", "tif"):
+        from gdal_ray.sources.geotiff import read_geotiff_tiles
+
+        return read_geotiff_tiles
     if scheme == "jsonl":
         # newline-delimited JSON — the standard LLM-corpus interchange
         # format; Ray's native reader streams files in parallel
@@ -64,6 +68,8 @@ _EXTENSIONS = {
     ".json": "geojson",
     ".jsonl": "jsonl",
     ".ndjson": "jsonl",
+    ".tif": "geotiff",
+    ".tiff": "geotiff",
 }
 
 
