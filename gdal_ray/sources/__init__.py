@@ -48,6 +48,10 @@ def _builtin(scheme: str):
         from gdal_ray.sources.text import read_geojson
 
         return read_geojson
+    if scheme in ("shapefile", "shp", "esri shapefile"):
+        from gdal_ray.sources.shapefile import read_shapefile
+
+        return read_shapefile
     if scheme in ("geotiff", "gtiff", "tif"):
         from gdal_ray.sources.geotiff import read_geotiff_tiles
 
@@ -70,6 +74,7 @@ _EXTENSIONS = {
     ".ndjson": "jsonl",
     ".tif": "geotiff",
     ".tiff": "geotiff",
+    ".shp": "shapefile",
 }
 
 
