@@ -168,3 +168,150 @@ def read_shapefile(path: str, **kwargs):
     import ray.data as rd
 
     return rd.from_arrow(read_shapefile_table(path))
+
+
+# ---------------------------------------------------------------------------
+# writer
+# ---------------------------------------------------------------------------
+
+
+def _wkb_to_shape(g) -> tuple:
+    """Parsed WKB geometry -> (shape_type, content bytes after the type
+    int). Polygons re-orient rings to the spec (outer CW, holes CCW)."""
+    kind = g[0]
+    if kind == "point":
+        x, y = np.asarray(g[1], np.float64)[0]
+        return 1, struct.pack("<dd", float(x), float(y))
+    if kind == "multipoint":
+        pts = np.concatenate([np.asarray(p[1], np.float64) for p in g[1]])
+        return 8, (_bbox(pts) + struct.pack("<i", len(pts))
+                   + pts.astype("<f8").tobytes())
+    if kind in ("linestring", "multilinestring", "polygon",
+                "multipolygon"):
+        if kind == "linestring":
+            parts = [np.asarray(g[1], np.float64)]
+            st = 3
+        elif kind == "multilinestring":
+            parts = [np.asarray(p[1], np.float64) for p in g[1]]
+            st = 3
+        else:
+            polys = [g] if kind == "polygon" else g[1]
+            parts = []
+            for p in polys:
+                rings = p[1]
+                for i, r in enumerate(rings):
+                    r = np.asarray(r, np.float64)
+                    cw = _ring_area(r) <= 0
+                    want_cw = i == 0
+                    parts.append(r if cw == want_cw else r[::-1])
+            st = 5
+        pts = np.concatenate(parts)
+        offs = np.cumsum([0] + [len(p) for p in parts[:-1]])
+        return st, (_bbox(pts)
+                    + struct.pack("<ii", len(parts), len(pts))
+                    + np.asarray(offs, "<i4").tobytes()
+                    + pts.astype("<f8").tobytes())
+    raise ValueError(f"unsupported geometry kind {kind!r}")
+
+
+def _bbox(pts: np.ndarray) -> bytes:
+    return struct.pack("<dddd", pts[:, 0].min(), pts[:, 1].min(),
+                       pts[:, 0].max(), pts[:, 1].max())
+
+
+def write_shapefile(table, path: str) -> None:
+    """Write an Arrow table (WKB `geometry` + attribute columns) as
+    .shp/.shx/.dbf. All geometries must share a shape type family.
+    Attribute typing: ints -> N(18,0), floats -> N(24,15), bools -> L,
+    strings -> C(254) (the reference driver's 254-char max)."""
+    import os
+
+    import pyarrow as pa
+
+    base = os.path.splitext(path)[0]
+    geoms = table["geometry"].to_pylist()
+    recs = []
+    stype = 0
+    gxmin = gymin = np.inf
+    gxmax = gymax = -np.inf
+    for b in geoms:
+        if b is None:
+            recs.append((0, b""))
+            continue
+        st, content = _wkb_to_shape(W.parse_wkb(bytes(b)))
+        stype = st
+        recs.append((st, content))
+        pts = (np.frombuffer(content, "<f8", 2).reshape(1, 2)
+               if st == 1 else
+               np.frombuffer(content[:32], "<f8", 4).reshape(2, 2))
+        gxmin = min(gxmin, pts[:, 0].min())
+        gymin = min(gymin, pts[:, 1].min())
+        gxmax = max(gxmax, pts[:, 0].max())
+        gymax = max(gymax, pts[:, 1].max())
+    if not np.isfinite(gxmin):
+        gxmin = gymin = gxmax = gymax = 0.0
+
+    shp = bytearray()
+    shx = bytearray()
+    off_words = 50  # header is 100 bytes = 50 words
+    for i, (st, content) in enumerate(recs):
+        body = struct.pack("<i", st) + content
+        clen = len(body) // 2
+        shx += struct.pack(">ii", off_words, clen)
+        shp += struct.pack(">ii", i + 1, clen) + body
+        off_words += 4 + clen
+
+    def header(total_words: int) -> bytes:
+        return (struct.pack(">iiiiiii", 9994, 0, 0, 0, 0, 0, total_words)
+                + struct.pack("<ii", 1000, stype)
+                + struct.pack("<dddddddd", gxmin, gymin, gxmax, gymax,
+                              0, 0, 0, 0))
+
+    with open(base + ".shp", "wb") as f:
+        f.write(header(50 + len(shp) // 2) + shp)
+    with open(base + ".shx", "wb") as f:
+        f.write(header(50 + len(shx) // 2) + shx)
+
+    # dbf
+    fields = []
+    for name in table.column_names:
+        if name in ("geometry", "FID"):
+            continue
+        col = table[name]
+        t = col.type
+        if pa.types.is_integer(t):
+            fields.append((name[:10], "N", 18, 0))
+        elif pa.types.is_floating(t):
+            fields.append((name[:10], "N", 24, 15))
+        elif pa.types.is_boolean(t):
+            fields.append((name[:10], "L", 1, 0))
+        else:
+            fields.append((name[:10], "C", 254, 0))
+    nrec = table.num_rows
+    rec_size = 1 + sum(f[2] for f in fields)
+    hdr_size = 32 + 32 * len(fields) + 1
+    out = bytearray()
+    out += struct.pack("<BBBBIHH", 3, 95, 1, 1, nrec, hdr_size, rec_size)
+    out += b"\x00" * 20
+    for name, ftype, flen, fdec in fields:
+        out += name.encode("latin-1").ljust(11, b"\x00")
+        out += ftype.encode() + b"\x00" * 4
+        out += bytes([flen, fdec]) + b"\x00" * 14
+    out += b"\x0d"
+    for r in range(nrec):
+        out += b" "
+        for name, ftype, flen, fdec in fields:
+            src = table[[c for c in table.column_names
+                         if c[:10] == name][0]][r].as_py()
+            if src is None:
+                out += b" " * flen
+            elif ftype == "N":
+                s = (f"{src:.{fdec}f}" if fdec else str(int(src)))
+                out += s.rjust(flen)[:flen].encode("latin-1")
+            elif ftype == "L":
+                out += b"T" if src else b"F"
+            else:
+                out += str(src).ljust(flen)[:flen].encode("latin-1")
+    out += b"\x1a"
+    with open(base + ".dbf", "wb") as f:
+        f.write(out)

@@ -57,3 +57,64 @@ def test_shapefile_sql_pipeline(ray_session, sf_dir):
     finally:
         unregister_table("tpoly")
     assert out["EAS_ID"].tolist() == [168, 169, 166, 158, 165]
+
+
+def test_shapefile_write_roundtrip(tmp_path):
+    """Writer round-trip on the reference's own poly.shp: write what we
+    read, read it back, geometry bytes + attributes identical; .shx
+    record offsets consistent with the .shp stream."""
+    import struct
+
+    from gdal_ray.sources.shapefile import write_shapefile
+
+    t = read_shapefile_table(POLY)
+    out = str(tmp_path / "copy.shp")
+    write_shapefile(t, out)
+    t2 = read_shapefile_table(out)
+    a, b = t.to_pandas(), t2.to_pandas()
+    assert len(a) == len(b)
+    assert a["EAS_ID"].tolist() == b["EAS_ID"].tolist()
+    assert a["PRFEDEA"].tolist() == b["PRFEDEA"].tolist()
+    assert np.allclose(a["AREA"], b["AREA"], rtol=1e-12)
+    for ga, gb in zip(a["geometry"], b["geometry"]):
+        pa_, pb_ = W.parse_wkb(ga), W.parse_wkb(gb)
+        assert pa_[0] == pb_[0]
+        for ra, rb in zip(pa_[1], pb_[1]):
+            np.testing.assert_allclose(ra, rb)
+    shx = open(str(tmp_path / "copy.shx"), "rb").read()
+    n = (len(shx) - 100) // 8
+    assert n == len(a)
+    off0, len0 = struct.unpack(">ii", shx[100:108])
+    assert off0 == 50  # first record right after the header
+
+
+def test_shapefile_write_points_and_lines(tmp_path):
+    import pyarrow as pa
+
+    from gdal_ray.sources.shapefile import write_shapefile
+
+    pts = pa.table({
+        "geometry": pa.array([W.encode_point(1.5, 2.5),
+                              W.encode_point(-3.0, 4.0)], pa.binary()),
+        "name": pa.array(["a", "b"]),
+        "flag": pa.array([True, False]),
+    })
+    p = str(tmp_path / "pts.shp")
+    write_shapefile(pts, p)
+    back = read_shapefile_table(p).to_pandas()
+    assert back["name"].tolist() == ["a", "b"]
+    assert back["flag"].tolist() == [True, False]
+    g0 = W.parse_wkb(back["geometry"].iloc[0])
+    np.testing.assert_allclose(g0[1][0], [1.5, 2.5])
+
+    lines = pa.table({
+        "geometry": pa.array([W.encode_linestring(
+            np.array([[0.0, 0.0], [1.0, 2.0], [3.0, 1.0]]))], pa.binary()),
+        "n": pa.array([7]),
+    })
+    p2 = str(tmp_path / "ln.shp")
+    write_shapefile(lines, p2)
+    back2 = read_shapefile_table(p2).to_pandas()
+    assert back2["n"].tolist() == [7]
+    g = W.parse_wkb(back2["geometry"].iloc[0])
+    assert g[0] == "linestring" and len(g[1]) == 3
