@@ -2835,14 +2835,15 @@ def q135_json_props(sf_dir):
 
 # ---------------------------------------------------------------------------
 # TPC-H suite (adapted to the available testdata columns; queries whose
-# mandatory columns exist run with the ORIGINAL text — q1/q5/q6/q14/q15/
-# q17/q18/q19 are near-verbatim; the rest substitute equivalent predicates
-# for missing columns, preserving the reference plan shape: multi-way
-# joins, correlated EXISTS / scalar subqueries, derived tables, CTEs,
-# INTERVAL arithmetic, expression-over-aggregate projections). Q2/Q9/Q11/
-# Q16/Q20 need the partsupp table (absent from the testdata) and Q21 needs
-# alias-qualified self-join correlation — skipped, documented here. Every
-# string runs verbatim in DuckDB as its own oracle.
+# mandatory columns exist run with the ORIGINAL text — q1/q3/q5/q6/q7/q8/
+# q10/q14/q15/q17/q18/q19 verbatim incl. comma-FROM lists and the
+# nation n1/n2 alias self-joins; the rest substitute equivalent
+# predicates for missing columns, preserving the reference plan shape:
+# multi-way joins, correlated EXISTS / scalar subqueries, derived
+# tables, CTEs, INTERVAL arithmetic, expression-over-aggregate
+# projections). Q2/Q9/Q11/Q16/Q20/Q21 live in TPCH_PS_SQLS below over
+# the synthesized partsupp — all 22 oracle-checked. Every string runs
+# verbatim in DuckDB as its own oracle.
 # ---------------------------------------------------------------------------
 
 TPCH_SQLS = {
@@ -2857,8 +2858,9 @@ GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
      ["sum_qty", "sum_base_price", "sum_disc_price", "sum_charge",
       "avg_qty", "avg_price", "avg_disc"]),
     "q119_tpch03": ("""SELECT l_orderkey, SUM(l_extendedprice * (1 - l_discount)) AS revenue, o_orderdate
-FROM lineitem JOIN orders ON o_orderkey = l_orderkey JOIN customer ON c_custkey = o_custkey
-WHERE c_mktsegment = 'BUILDING' AND o_orderdate < DATE '1996-03-15' AND l_shipdate > DATE '1996-03-15'
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+AND o_orderdate < DATE '1996-03-15' AND l_shipdate > DATE '1996-03-15'
 GROUP BY l_orderkey, o_orderdate
 ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""", ["revenue"]),
     "q120_tpch04": ("""SELECT o_orderpriority, COUNT(*) AS order_count FROM orders
@@ -2904,10 +2906,10 @@ FROM (
     AND p_type = 'PROMO'
 ) all_nations GROUP BY o_year ORDER BY o_year""", ["mkt_share"]),
     "q125_tpch10": ("""SELECT c_custkey, c_name, SUM(l_extendedprice * (1 - l_discount)) AS revenue, c_acctbal, n_name
-FROM lineitem JOIN orders ON o_orderkey = l_orderkey JOIN customer ON c_custkey = o_custkey
-JOIN nation ON n_nationkey = c_nationkey
-WHERE o_orderdate >= DATE '1995-10-01' AND o_orderdate < DATE '1995-10-01' + INTERVAL '3' MONTH
-AND l_returnflag = 'R'
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+AND o_orderdate >= DATE '1995-10-01' AND o_orderdate < DATE '1995-10-01' + INTERVAL '3' MONTH
+AND l_returnflag = 'R' AND c_nationkey = n_nationkey
 GROUP BY c_custkey, c_name, c_acctbal, n_name
 ORDER BY revenue DESC, c_custkey LIMIT 20""", ["revenue"]),
     "q126_tpch12": ("""SELECT l_returnflag,
