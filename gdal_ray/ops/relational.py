@@ -643,11 +643,14 @@ def explode_list(ds, list_col: str, *, value_name: str, pos_name: str, keep: Seq
 
 
 def first_by(ds, group_keys: Sequence[str], order_cols: Sequence[str],
-             *, merge: str = "tree", num_parts: int | None = None):
+             *, merge: str = "tree", num_parts: int | None = None,
+             ascending: Sequence[bool] | None = None):
     """One row per group: the minimum row under (order_cols) ordering.
     order_cols must end with a unique tiebreaker for determinism.
-    Two-level: per-batch winner, then a winners-of-winners merge — the
-    shuffle only moves one row per (group, block).
+    ascending (one flag per order col, default all True) flips individual
+    order columns — the ARG_MAX direction. Two-level: per-batch winner,
+    then a winners-of-winners merge — the shuffle only moves one row per
+    (group, block).
 
     merge="tree": final merge in ONE task — lowest latency, valid while the
     winner set (== #distinct groups) fits one block. merge="hash": the
@@ -656,9 +659,12 @@ def first_by(ds, group_keys: Sequence[str], order_cols: Sequence[str],
     path for deduping 10^12 urls where #groups ~ #rows."""
     group_keys, order_cols = list(group_keys), list(order_cols)
     by = group_keys + order_cols
+    asc = [True] * len(group_keys) + (
+        list(ascending) if ascending is not None else [True] * len(order_cols))
 
     def winners(df):
-        return df.sort_values(by, kind="mergesort").drop_duplicates(
+        return df.sort_values(by, ascending=asc,
+                              kind="mergesort").drop_duplicates(
             group_keys, keep="first"
         )
 
@@ -670,6 +676,53 @@ def first_by(ds, group_keys: Sequence[str], order_cols: Sequence[str],
         return hash_partition_reduce(partial, group_keys, reduce_tbl, num_parts=num_parts)
     reduced = partial.repartition(1)
     return reduced.map_batches(winners, batch_format="pandas", batch_size=None)
+
+
+def groupby_arg_extreme(ds, keys: Sequence[str], val_col: str,
+                        order_col: str, *, desc: bool = False,
+                        out: str | None = None, merge: str = "tree"):
+    """SQL ARG_MAX / ARG_MIN (a.k.a. MAX_BY / MIN_BY): the val_col value
+    at the per-key extreme of order_col. Rides the first_by winners
+    machinery (per-batch winner, winners-of-winners merge — one row per
+    (key, block) ever shuffles). Ties on order_col break toward the
+    smaller val (deterministic — DuckDB's arg_max is engine-order
+    dependent on ties, so oracle queries should use a unique order
+    column or the ROW_NUMBER formulation). Null order values lose to any
+    non-null (pandas NaN-last sort); an all-null group still emits its
+    row, unlike SQL's NULL — keep order_col non-null for oracle parity."""
+    keys = list(keys)
+    out = out or val_col
+    cols = list(dict.fromkeys(keys + [val_col, order_col]))
+    sel = ds.map_batches(lambda t, c=cols: t.select(c),
+                         batch_format="pyarrow", batch_size=None)
+    ocols = [order_col] if val_col == order_col else [order_col, val_col]
+    asc = [not desc] + [True] * (len(ocols) - 1)
+    win = first_by(sel, keys, ocols, ascending=asc, merge=merge)
+
+    def fin(t: pa.Table) -> pa.Table:
+        return t.select(keys + [val_col]).rename_columns(keys + [out])
+
+    return win.map_batches(fin, batch_format="pyarrow", batch_size=None)
+
+
+def groupby_mode(ds, keys: Sequence[str], col: str, *, out: str = "mode",
+                 merge: str = "tree"):
+    """SQL MODE(col): the most frequent value per key; ties break toward
+    the smallest value (deterministic — express the identical rule in an
+    oracle as ROW_NUMBER() OVER (ORDER BY cnt DESC, value) = 1; DuckDB's
+    own mode() is nondeterministic on ties). Two shuffles, both narrow:
+    the (keys, col) count via the combiner groupby_agg, then first_by
+    winners over the counted rows."""
+    keys = list(keys)
+    cnt = groupby_agg(ds, keys + [col], [("__cnt", "count_star", None)],
+                      merge=merge)
+    win = first_by(cnt, keys, ["__cnt", col], ascending=[False, True],
+                   merge=merge)
+
+    def fin(t: pa.Table) -> pa.Table:
+        return t.select(keys + [col]).rename_columns(keys + [out])
+
+    return win.map_batches(fin, batch_format="pyarrow", batch_size=None)
 
 
 # ---------------------------------------------------------------------------

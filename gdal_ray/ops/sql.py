@@ -628,6 +628,86 @@ class Parser:
                         "QUANTILE_DISC supports plain columns only")
                 return Node("agg", ("quantile_disc", inner.value),
                             (Node("lit", float(_const_value(qn))),))
+            if lname == "median" and self.peek() == ("op", "("):
+                # MEDIAN(col) = QUANTILE_CONT(col, 0.5) (DuckDB's numeric
+                # median interpolates) — same exact groupby_quantiles path
+                self.next()
+                inner = self.expr()
+                self.expect("op", ")")
+                if inner.kind != "col":
+                    raise ValueError("MEDIAN supports plain columns only")
+                return Node("agg", ("quantile_cont", inner.value),
+                            (Node("lit", 0.5),))
+            if lname == "mode" and self.peek() == ("op", "("):
+                # MODE(col): most frequent value, ties -> smallest value
+                # (deterministic; ops.relational.groupby_mode)
+                self.next()
+                inner = self.expr()
+                self.expect("op", ")")
+                if inner.kind != "col":
+                    raise ValueError("MODE supports plain columns only")
+                return Node("agg", ("mode", inner.value))
+            if lname in ("arg_max", "arg_min", "max_by", "min_by") \
+                    and self.peek() == ("op", "("):
+                # ARG_MAX(val, by) / MAX_BY synonyms — the winners path
+                # (ops.relational.groupby_arg_extreme)
+                self.next()
+                v = self.expr()
+                self.expect("op", ",")
+                o = self.expr()
+                self.expect("op", ")")
+                if v.kind != "col" or o.kind != "col":
+                    raise ValueError(
+                        f"{lname.upper()} supports plain columns only")
+                kind = "arg_max" if lname in ("arg_max", "max_by") \
+                    else "arg_min"
+                return Node("agg", (kind, v.value), (Node("lit", o.value),))
+            if lname in ("bool_and", "bool_or") and self.peek() == ("op", "("):
+                # macro over MIN/MAX of the 0/1-cast predicate; aggregate
+                # null skipping gives SQL semantics (all-null -> NULL)
+                self.next()
+                inner = self.expr()
+                self.expect("op", ")")
+                agg = "min" if lname == "bool_and" else "max"
+                return Node("bin", "=",
+                            (Node("agg",
+                                  (agg, Node("cast", "BIGINT", (inner,)))),
+                             Node("lit", 1)))
+            if lname in ("covar_samp", "covar_pop", "corr") \
+                    and self.peek() == ("op", "("):
+                # co-moment macros on the shift-stable grouped-Welford
+                # variance machinery: Var(x+y) = Var(x)+Var(y)+2 Cov(x,y)
+                # (exact identity), so COVAR_SAMP(y,x) =
+                # (VAR_SAMP(x+y) - VAR_SAMP(y) - VAR_SAMP(x)) / 2 — no raw
+                # sum-of-products cancellation anywhere. Pairwise-null
+                # semantics require both columns non-null on the same rows
+                # (each VAR term skips its own nulls independently).
+                self.next()
+                ye = self.expr()
+                self.expect("op", ",")
+                xe = self.expr()
+                self.expect("op", ")")
+
+                def _var(e):
+                    s = Node("agg",
+                             ("std", e.value if e.kind == "col" else e))
+                    return Node("bin", "*", (s, s))
+
+                vsum = _var(Node("bin", "+", (ye, xe)))
+                cov2 = Node("bin", "-",
+                            (Node("bin", "-", (vsum, _var(ye))), _var(xe)))
+                half = Node("bin", "/", (cov2, Node("lit", 2)))
+                if lname == "covar_samp":
+                    return half
+                if lname == "corr":
+                    denom = Node("call", "sqrt",
+                                 (Node("bin", "*", (_var(ye), _var(xe))),))
+                    return Node("bin", "/", (half, denom))
+                # covar_pop = covar_samp * (n-1)/n over the pair count
+                n = Node("agg", ("count", Node("bin", "+", (ye, xe))))
+                num = Node("bin", "*",
+                           (half, Node("bin", "-", (n, Node("lit", 1)))))
+                return Node("bin", "/", (num, n))
             if lname in ("stddev", "stddev_samp", "variance", "var_samp") \
                     and self.peek() == ("op", "("):
                 # sample stddev/variance (DuckDB/OGR STDDEV_SAMP
@@ -3535,6 +3615,8 @@ def _all_col_refs(x, acc: set) -> bool:
                 ok &= _all_col_refs(c, acc)
             if k_ == "string_agg":  # ORDER BY column rides in args[1]
                 acc.add(x.args[1].value)
+            if k_ in ("arg_max", "arg_min"):  # order column rides in args[0]
+                acc.add(x.args[0].value)
             return ok
         if x.kind == "exists_sub":
             # EXISTS(SELECT * ...): the conventional star projects nothing
@@ -3918,13 +4000,41 @@ def _attach_quantiles(out, ds, q: Select, qt_specs):
     bycol: dict = {}
     bycol_cont: dict = {}
     sa_specs = []
+    mode_specs = []
+    arg_specs = []
     for name, col, qv in qt_specs:
         if isinstance(qv, tuple) and qv[0] == "string_agg":
             sa_specs.append((name, col, qv[1], qv[2]))
+        elif isinstance(qv, tuple) and qv[0] == "mode":
+            mode_specs.append((name, col))
+        elif isinstance(qv, tuple) and qv[0] in ("arg_max", "arg_min"):
+            arg_specs.append((name, col, qv[1], qv[0] == "arg_max"))
         elif isinstance(qv, tuple) and qv[0] == "cont":
             bycol_cont.setdefault(col, []).append((name, qv[1]))
         else:
             bycol.setdefault(col, []).append((name, qv))
+    for spec in mode_specs + arg_specs:
+        from gdal_ray.ops.relational import (groupby_arg_extreme,
+                                             groupby_mode)
+
+        if len(spec) == 2:
+            name, col = spec
+            qt = to_arrow(groupby_mode(dsq, keys, col, out=name))
+        else:
+            name, col, ocol, desc = spec
+            qt = to_arrow(groupby_arg_extreme(dsq, keys, col, ocol,
+                                              desc=desc, out=name))
+        if q.group_by:
+            out = broadcast_join(out, qt, keys=list(q.group_by), how="left")
+        else:
+            base = to_arrow(out)
+            if qt.num_rows == len(base) and name in qt.column_names:
+                v = qt[name]
+            else:
+                ty = (qt.schema.field(name).type
+                      if name in qt.column_names else pa.float64())
+                v = pa.nulls(len(base), ty)
+            out = rd.from_arrow(base.append_column(name, v))
     for name, col, sep, ocol in sa_specs:
         from gdal_ray.ops.relational import groupby_string_agg
 
@@ -4265,10 +4375,27 @@ def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
                 return node
             if node.kind == "agg":
                 kind, col = node.value
-                if kind in ("count_distinct", "quantile_disc",
-                            "quantile_cont", "string_agg"):
+                if kind in ("count_distinct", "string_agg"):
                     raise ValueError(
                         f"expressions over {kind.upper()} unsupported")
+                if kind in ("quantile_disc", "quantile_cont", "mode",
+                            "arg_max", "arg_min"):
+                    # hoist onto the non-algebraic attach path: the qt
+                    # columns are joined back BEFORE post-expression
+                    # evaluation, so ROUND(MEDIAN(x), 4) etc. just work
+                    nm = f"__qx{len(qt_specs)}"
+                    if kind == "quantile_disc":
+                        qt_specs.append(
+                            (nm, col, float(node.args[0].value)))
+                    elif kind == "quantile_cont":
+                        qt_specs.append(
+                            (nm, col, ("cont", float(node.args[0].value))))
+                    elif kind == "mode":
+                        qt_specs.append((nm, col, ("mode",)))
+                    else:
+                        qt_specs.append((nm, col,
+                                         (kind, node.args[0].value)))
+                    return Node("col", nm)
                 nm = f"__px{len(specs)}"
                 specs.append((nm, kind, col))
                 return Node("col", nm)
@@ -4297,6 +4424,11 @@ def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
                     qt_specs.append((name, col, ("string_agg",
                                                  item.args[0].value,
                                                  item.args[1].value)))
+                elif kind == "mode":
+                    qt_specs.append((name, col, ("mode",)))
+                elif kind in ("arg_max", "arg_min"):
+                    qt_specs.append((name, col,
+                                     (kind, item.args[0].value)))
                 else:
                     specs.append((name, kind, col))
             elif item.kind == "col":

@@ -3097,6 +3097,58 @@ def q146_sql_asof(sf_dir):
     return _sql_query(Q146_SQL)(sf_dir)
 
 
+Q147_SQL = """
+SELECT user_id % 7 AS ug,
+  ROUND(MEDIAN(value), 4) AS med,
+  ARG_MAX(event_type, event_id) AS last_type,
+  ARG_MIN(event_type, event_id) AS first_type,
+  BOOL_AND(value > 0.0) AS all_pos,
+  BOOL_OR(value > 900.0) AS any_big,
+  ROUND(COVAR_SAMP(value, user_id), 4) AS cvs,
+  ROUND(COVAR_POP(value, user_id), 4) AS cvp,
+  ROUND(CORR(value, user_id), 4) AS corr_vu
+FROM events GROUP BY user_id % 7 ORDER BY ug
+"""
+
+
+def q147_agg_extras(sf_dir):
+    """Round-5 aggregate wave: MEDIAN (exact interpolated, the
+    quantile_cont path), ARG_MAX/ARG_MIN (winners via
+    ops.relational.groupby_arg_extreme — the order column event_id is
+    unique, so DuckDB's arg_max is deterministic too), BOOL_AND/BOOL_OR
+    (MIN/MAX macros over the 0/1-cast predicate), COVAR_SAMP/COVAR_POP/
+    CORR (co-moment macros on the shift-stable grouped-Welford variance
+    identity Var(x+y)=Var(x)+Var(y)+2Cov). Same string runs verbatim in
+    DuckDB."""
+    return _sql_query(Q147_SQL)(sf_dir)
+
+
+Q148_ENGINE_SQL = """
+SELECT user_id % 5 AS ug, MODE(event_type) AS md, COUNT(*) AS n
+FROM events GROUP BY user_id % 5 ORDER BY ug
+"""
+
+# DuckDB's own mode() is engine-order nondeterministic on frequency ties;
+# the oracle states OUR deterministic rule (highest count, then smallest
+# value) explicitly via ROW_NUMBER.
+Q148_ORACLE_SQL = """
+SELECT ug, v AS md, n FROM (
+  SELECT ug, v, c, CAST(SUM(c) OVER (PARTITION BY ug) AS BIGINT) AS n,
+         ROW_NUMBER() OVER (PARTITION BY ug ORDER BY c DESC, v) AS rn
+  FROM (SELECT user_id % 5 AS ug, event_type AS v, COUNT(*) AS c
+        FROM events GROUP BY 1, 2) t
+) w WHERE rn = 1 ORDER BY ug
+"""
+
+
+def q148_sql_mode(sf_dir):
+    """SQL MODE(col) — most frequent value per key, ties to the smallest
+    value (ops.relational.groupby_mode: combiner count + winners merge,
+    both narrow shuffles). The oracle spells the identical deterministic
+    rule with a window function."""
+    return _sql_query(Q148_ENGINE_SQL)(sf_dir)
+
+
 Q145_SQL = """
 WITH counts AS (
   SELECT event_id % 8 AS a0, user_id % 6 AS a1, COUNT(*) AS c
@@ -3301,6 +3353,8 @@ def registry():
         "q144_recursive_cte": q144_recursive_cte,
         "q145_mdim_cube": q145_mdim_cube,
         "q146_sql_asof": q146_sql_asof,
+        "q147_agg_extras": q147_agg_extras,
+        "q148_sql_mode": q148_sql_mode,
         "q134_moving_windows": q134_moving_windows,
         "q135_json_props": q135_json_props,
         "q136_qualify_topk": q136_qualify_topk,
@@ -3399,6 +3453,8 @@ def registry():
         "q144_recursive_cte": Q144_SQL,
         "q145_mdim_cube": Q145_SQL,
         "q146_sql_asof": Q146_SQL,
+        "q147_agg_extras": Q147_SQL,
+        "q148_sql_mode": Q148_ORACLE_SQL,
         "q134_moving_windows": Q134_SQL,
         "q135_json_props": Q135_SQL,
         "q136_qualify_topk": Q136_SQL,

@@ -144,6 +144,12 @@ CASES = [
     # decorrelation) on a self-joined alias
     "SELECT o_orderpriority, COUNT(*) AS n FROM orders o1 WHERE EXISTS (SELECT * FROM orders o2 WHERE o2.o_custkey = o1.o_custkey AND o2.o_orderkey <> o1.o_orderkey) GROUP BY o_orderpriority ORDER BY o_orderpriority",
     "SELECT o_orderpriority, COUNT(*) AS n FROM orders o1 WHERE NOT EXISTS (SELECT * FROM orders o2 WHERE o2.o_custkey = o1.o_custkey AND o2.o_orderkey <> o1.o_orderkey AND o2.o_totalprice > 100000) GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    # round-5 aggregate wave: MEDIAN / ARG_MAX / ARG_MIN (unique order col
+    # keeps DuckDB deterministic) / BOOL_AND / BOOL_OR / COVAR / CORR
+    "SELECT o_orderpriority, MEDIAN(o_totalprice) AS med, ARG_MAX(o_totalprice, o_orderkey) AS last_price, ARG_MIN(o_totalprice, o_orderkey) AS first_price FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    "SELECT BOOL_AND(o_totalprice > 0) AS ball, BOOL_OR(o_totalprice > 400000) AS bany, MEDIAN(o_totalprice) AS med FROM orders",
+    "SELECT l_returnflag, ROUND(COVAR_SAMP(l_extendedprice, l_quantity), 4) AS cvs, ROUND(COVAR_POP(l_extendedprice, l_quantity), 4) AS cvp, ROUND(CORR(l_extendedprice, l_quantity), 6) AS cr FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    "SELECT user_id % 3 AS ug, BOOL_AND(value > 1.0) AS ball, BOOL_OR(value > 900.0) AS bany, ROUND(MEDIAN(value) + 1.0, 4) AS medp1 FROM events GROUP BY user_id % 3 ORDER BY ug",
 ]
 
 
@@ -642,6 +648,25 @@ def test_nth_value_window(sf_dir, con):
         g = got[c].astype("float64")
         e = exp[c].astype("float64")
         assert ((g.isna() == e.isna()) & ((g == e) | g.isna())).all(), c
+
+
+def test_mode_deterministic(sf_dir, con):
+    """MODE(col): engine rule is highest count then smallest value; the
+    DuckDB oracle states the same rule via ROW_NUMBER (DuckDB's own
+    mode() is nondeterministic on frequency ties)."""
+    got = to_arrow(execute(
+        "SELECT o_custkey % 5 AS ug, MODE(o_orderpriority) AS md "
+        "FROM orders GROUP BY o_custkey % 5 ORDER BY ug",
+        sf_dir)).to_pandas().reset_index(drop=True)
+    exp = con.execute("""
+        SELECT ug, v AS md FROM (
+          SELECT ug, v, ROW_NUMBER() OVER
+                 (PARTITION BY ug ORDER BY c DESC, v) AS rn
+          FROM (SELECT o_custkey % 5 AS ug, o_orderpriority AS v,
+                       COUNT(*) AS c FROM orders GROUP BY 1, 2) t
+        ) w WHERE rn = 1 ORDER BY ug""").df().reset_index(drop=True)
+    assert got["ug"].tolist() == exp["ug"].tolist()
+    assert got["md"].tolist() == exp["md"].tolist()
 
 
 def test_quantile_cont(sf_dir, con):
