@@ -56,6 +56,14 @@ def _builtin(scheme: str):
         from gdal_ray.sources.geotiff import read_geotiff_tiles
 
         return read_geotiff_tiles
+    if scheme == "gpx":
+        from gdal_ray.sources.gpx_kml import read_gpx
+
+        return read_gpx
+    if scheme == "kml":
+        from gdal_ray.sources.gpx_kml import read_kml
+
+        return read_kml
     if scheme == "jsonl":
         # newline-delimited JSON — the standard LLM-corpus interchange
         # format; Ray's native reader streams files in parallel
@@ -75,6 +83,8 @@ _EXTENSIONS = {
     ".tif": "geotiff",
     ".tiff": "geotiff",
     ".shp": "shapefile",
+    ".gpx": "gpx",
+    ".kml": "kml",
 }
 
 
