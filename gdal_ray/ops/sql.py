@@ -628,6 +628,17 @@ class Parser:
                         "QUANTILE_DISC supports plain columns only")
                 return Node("agg", ("quantile_disc", inner.value),
                             (Node("lit", float(_const_value(qn))),))
+            if lname == "unnest" and self.peek() == ("op", "("):
+                # UNNEST(list_col) as a top-level select item: one output
+                # row per list element (DuckDB semantics; null/empty lists
+                # emit nothing). Executes as a vectorized flat-map fan-out
+                # before projection (ops.relational.explode_list pattern).
+                self.next()
+                inner = self.expr()
+                self.expect("op", ")")
+                if inner.kind != "col":
+                    raise ValueError("UNNEST supports plain list columns")
+                return Node("unnest", inner.value)
             if lname == "median" and self.peek() == ("op", "("):
                 # MEDIAN(col) = QUANTILE_CONT(col, 0.5) (DuckDB's numeric
                 # median interpolates) — same exact groupby_quantiles path
@@ -3502,6 +3513,15 @@ def _expr_type(node: Node, E: pa.Table):
             nm = f"__ty{len(repl)}"
             repl[nm] = _agg_out_type(k_, c, E)
             return Node("col", nm)
+        if n.kind == "unnest":
+            nm = f"__ty{len(repl)}"
+            ty = (E[n.value].type if n.value in E.column_names
+                  else pa.float64())
+            repl[nm] = (ty.value_type
+                        if (pa.types.is_list(ty) or pa.types.is_large_list(ty)
+                            or pa.types.is_fixed_size_list(ty))
+                        else pa.float64())
+            return Node("col", nm)
         return Node(n.kind, n.value, tuple(
             strip(a) if isinstance(a, Node)
             else tuple(strip(x) if isinstance(x, Node) else x for x in a)
@@ -3607,6 +3627,9 @@ def _all_col_refs(x, acc: set) -> bool:
                 return False  # special fields read geometry/style columns
             acc.add(x.value)
             return True
+        if x.kind == "unnest":
+            acc.add(x.value)
+            return ok
         if x.kind == "agg":
             k_, c = x.value
             if isinstance(c, str):
@@ -4280,6 +4303,32 @@ def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
             return _filter_table(t, eval_expr(where, t))
 
         ds = ds.map_batches(filt, batch_format="pyarrow", batch_size=None)
+
+    unn_cols = {item.value for item, _ in q.items
+                if isinstance(item, Node) and item.kind == "unnest"}
+    if unn_cols:
+        # UNNEST fan-out: repeat every other column per list element
+        # (vectorized np.repeat + list_flatten — the explode_list shape);
+        # WHERE already ran, matching DuckDB's evaluation order
+        if len(unn_cols) > 1:
+            raise ValueError("multiple UNNEST columns unsupported")
+        ucol = next(iter(unn_cols))
+        newname = f"__un_{ucol}"
+
+        def unfan(t: pa.Table, c=ucol, nn=newname) -> pa.Table:
+            col = t[c].combine_chunks()
+            lens = pc.fill_null(pc.list_value_length(col), 0) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            parent = pa.array(
+                np.repeat(np.arange(len(t), dtype=np.int64), lens))
+            out = {k: t[k].take(parent) for k in t.column_names if k != c}
+            out[nn] = pc.list_flatten(col)
+            return pa.table(out)
+
+        ds = ds.map_batches(unfan, batch_format="pyarrow", batch_size=None)
+        q.items = [(Node("col", newname), alias)
+                   if isinstance(item, Node) and item.kind == "unnest"
+                   else (item, alias) for item, alias in q.items]
 
     ds, q = _apply_windows(ds, q)
 

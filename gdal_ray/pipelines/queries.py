@@ -3149,6 +3149,23 @@ def q148_sql_mode(sf_dir):
     return _sql_query(Q148_ENGINE_SQL)(sf_dir)
 
 
+Q149_SQL = """
+SELECT label, ROUND(SUM(CAST(e AS DOUBLE)), 4) AS s,
+       ROUND(AVG(CAST(e AS DOUBLE)) * 1000, 4) AS m, COUNT(*) AS n
+FROM (SELECT label, UNNEST(embedding) AS e FROM embeddings) t
+GROUP BY label ORDER BY label
+"""
+
+
+def q149_unnest_embeddings(sf_dir):
+    """SQL UNNEST over the list<float> embedding column: vectorized
+    flat-map fan-out (np.repeat parents + pc.list_flatten — no Python
+    loop) feeding a grouped aggregate through a derived table. DOUBLE
+    cast before SUM keeps float32 summation out of the comparison (see
+    the float-parity memory). Same string runs verbatim in DuckDB."""
+    return _sql_query(Q149_SQL)(sf_dir)
+
+
 Q145_SQL = """
 WITH counts AS (
   SELECT event_id % 8 AS a0, user_id % 6 AS a1, COUNT(*) AS c
@@ -3355,6 +3372,7 @@ def registry():
         "q146_sql_asof": q146_sql_asof,
         "q147_agg_extras": q147_agg_extras,
         "q148_sql_mode": q148_sql_mode,
+        "q149_unnest_embeddings": q149_unnest_embeddings,
         "q134_moving_windows": q134_moving_windows,
         "q135_json_props": q135_json_props,
         "q136_qualify_topk": q136_qualify_topk,
@@ -3455,6 +3473,7 @@ def registry():
         "q146_sql_asof": Q146_SQL,
         "q147_agg_extras": Q147_SQL,
         "q148_sql_mode": Q148_ORACLE_SQL,
+        "q149_unnest_embeddings": Q149_SQL,
         "q134_moving_windows": Q134_SQL,
         "q135_json_props": Q135_SQL,
         "q136_qualify_topk": Q136_SQL,

@@ -650,6 +650,29 @@ def test_nth_value_window(sf_dir, con):
         assert ((g.isna() == e.isna()) & ((g == e) | g.isna())).all(), c
 
 
+def test_unnest_list_column(sf_dir, con):
+    """UNNEST(list_col) fan-out vs DuckDB, plain and through a derived
+    table into a grouped aggregate (DOUBLE-cast before SUM — float32
+    summation would not hash-match)."""
+    con.execute(
+        "create view embeddings as select * from read_parquet('"
+        f"{sf_path(sf_dir, 'embeddings')}')")
+    sql = ("SELECT label, ROUND(SUM(CAST(e AS DOUBLE)), 4) AS s, "
+           "COUNT(*) AS n FROM (SELECT label, UNNEST(embedding) AS e "
+           "FROM embeddings) t GROUP BY label ORDER BY label")
+    got = to_arrow(execute(sql, sf_dir)).to_pandas().reset_index(drop=True)
+    exp = con.execute(sql).df().reset_index(drop=True)
+    assert got["label"].tolist() == exp["label"].tolist()
+    assert got["s"].tolist() == exp["s"].tolist()
+    assert got["n"].tolist() == exp["n"].tolist()
+    sql2 = ("SELECT vec_id, UNNEST(embedding) AS e FROM embeddings "
+            "WHERE vec_id < 3 ORDER BY vec_id")
+    g2 = to_arrow(execute(sql2, sf_dir)).to_pandas()
+    e2 = con.execute(sql2).df()
+    assert len(g2) == len(e2)
+    assert abs(g2["e"].sum() - e2["e"].sum()) < 1e-5
+
+
 def test_mode_deterministic(sf_dir, con):
     """MODE(col): engine rule is highest count then smallest value; the
     DuckDB oracle states the same rule via ROW_NUMBER (DuckDB's own
