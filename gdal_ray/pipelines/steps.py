@@ -365,6 +365,26 @@ def _make_point(x_col: str = "lon", y_col: str = "lat"):
     return run
 
 
+@step("lineref")
+def _lineref(line: str = "", x_col: str = "lon", y_col: str = "lat",
+             measure_col: str = "measure", offset_col: str = "offset"):
+    """Linear referencing (ogrlineref -get_pos; apps/ogrlineref.cpp):
+    measure along + offset from a reference LINESTRING (WKT) for every
+    point row. The line broadcasts once in the task closure."""
+    from gdal_ray.vector.lineref import locate_points_along_line
+
+    kind, body = W.wkt_to_geom(line)
+    if kind != "linestring":
+        raise ValueError("lineref needs a LINESTRING WKT `line=`")
+
+    def run(ds):
+        return locate_points_along_line(
+            ds, body, x_col=x_col, y_col=y_col,
+            measure_col=measure_col, offset_col=offset_col)
+
+    return run
+
+
 @step("reproject")
 def _reproject(dst: str = "webmercator", src: str = "lonlat"):
     """`gdal vector reproject`. dst/src: 'lonlat' (EPSG:4326),
