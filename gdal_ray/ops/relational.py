@@ -1250,6 +1250,38 @@ def groupby_string_agg(ds, by: Sequence[str], value: str, order_col: str,
                                  by, part, num_parts=num_parts)
 
 
+def groupby_array_agg(ds, by: Sequence[str], value: str, order_col: str,
+                      *, out: str = "list", num_parts: int | None = None):
+    """SQL `array_agg(value ORDER BY order_col)` per key (a.k.a. LIST):
+    same one-shuffle shape as groupby_string_agg, but the per-key runs
+    become a typed ListArray directly (value column taken by sorted
+    permutation from the ORIGINAL Arrow column — no pandas type
+    laundering)."""
+    by = list(by)
+
+    def part(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            cols = {c: pa.array([], t[c].type) for c in by}
+            cols[out] = pa.array([], pa.list_(t[value].type))
+            return pa.table(cols)
+        df = t.select(list(dict.fromkeys(by + [order_col]))).to_pandas()
+        perm = df.sort_values(by + [order_col],
+                              kind="mergesort").index.to_numpy()
+        keys = df[by].to_numpy()[perm]
+        change = np.flatnonzero((keys[1:] != keys[:-1]).any(axis=1)) + 1
+        starts = np.concatenate([[0], change, [len(df)]]).astype(np.int32)
+        vals = t[value].combine_chunks().take(pa.array(perm))
+        la = pa.ListArray.from_arrays(pa.array(starts, pa.int32()), vals)
+        cols = {c: t[c].combine_chunks().take(pa.array(perm[starts[:-1]]))
+                for c in by}
+        cols[out] = la
+        return pa.table(cols)
+
+    return hash_partition_reduce(
+        ds.select_columns(list(dict.fromkeys(by + [value, order_col]))),
+        by, part, num_parts=num_parts)
+
+
 def session_windows(ds, *, by: str, ts_col: str, gap,
                     order_cols: Sequence[str] = (),
                     sum_col: str | None = None,

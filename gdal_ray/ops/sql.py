@@ -428,6 +428,30 @@ class Parser:
             self.expect("op", ")")
             return e
         if t == ("op", "*"):
+            # DuckDB star modifiers: * EXCLUDE (a, b) / * REPLACE (e AS a)
+            excl: tuple = ()
+            repl: tuple = ()
+            while self.peek()[0] in ("id", "kw") and \
+                    str(self.peek()[1]).upper() in ("EXCLUDE", "REPLACE"):
+                word = self.next()[1].upper()
+                self.expect("op", "(")
+                if word == "EXCLUDE":
+                    names = [self.expect("id")[1]]
+                    while self.accept("op", ","):
+                        names.append(self.expect("id")[1])
+                    excl = tuple(names)
+                else:
+                    pairs = []
+                    while True:
+                        e = self.expr()
+                        self.expect("kw", "AS")
+                        pairs.append((e, self.expect("id")[1]))
+                        if not self.accept("op", ","):
+                            break
+                    repl = tuple(pairs)
+                self.expect("op", ")")
+            if excl or repl:
+                return Node("star", (excl, repl))
             return Node("star")
         if t == ("kw", "CAST"):
             self.expect("op", "(")
@@ -601,6 +625,23 @@ class Parser:
                 return Node("agg", ("string_agg", inner.value),
                             (Node("lit", str(sepn.value)),
                              Node("lit", ocol.value)))
+            if lname in ("array_agg", "list") and self.peek() == ("op", "("):
+                # ARRAY_AGG(col ORDER BY ocol) / LIST(...) — ordered per-key
+                # typed list (ops.relational.groupby_array_agg). ORDER BY is
+                # REQUIRED: unordered concatenation is engine-nondeterministic.
+                self.next()
+                inner = self.expr()
+                if not self.accept("kw", "ORDER"):
+                    raise ValueError("ARRAY_AGG requires ORDER BY "
+                                     "(deterministic element order)")
+                self.expect("kw", "BY")
+                ocol = self.expr()
+                self.expect("op", ")")
+                if inner.kind != "col" or ocol.kind != "col":
+                    raise ValueError("ARRAY_AGG(col ORDER BY col) "
+                                     "supports plain columns")
+                return Node("agg", ("array_agg", inner.value),
+                            (Node("lit", ocol.value),))
             if lname == "quantile_cont" and self.peek() == ("op", "("):
                 # exact interpolated quantile (DuckDB quantile_cont /
                 # percentile_cont) — ops.sketch.groupby_quantiles with
@@ -985,6 +1026,23 @@ def _parse_core(p: Parser) -> Select:
                 for c in s:
                     if c not in group_by:
                         group_by.append(c)
+        elif p.accept("kw", "ALL"):
+            # GROUP BY ALL (DuckDB): every select item containing no
+            # aggregate becomes a group key
+            def _hasagg(n):
+                if not isinstance(n, Node):
+                    return False
+                if n.kind == "agg":
+                    return True
+                return any(
+                    _hasagg(a) or (isinstance(a, tuple)
+                                   and any(_hasagg(b) for b in a))
+                    for a in n.args)
+
+            for it, _al in items:
+                if isinstance(it, Node) and it.kind != "star" \
+                        and not _hasagg(it):
+                    group_by.append(it.value if it.kind == "col" else it)
         else:
             # plain column name -> name; anything else -> the expression
             # Node (pre-computed as a hidden column before grouping)
@@ -3577,7 +3635,18 @@ def _typed_empty_select(q: Select, sf_dir: str) -> pa.Table:
     cols = {}
     for idx, (item, alias) in enumerate(q.items):
         if isinstance(item, Node) and item.kind == "star":
-            return E
+            if not item.value:
+                return E
+            excl, repl = item.value
+            rmap = {nm: e for e, nm in repl}
+            out = {}
+            for c in E.column_names:
+                if c in excl:
+                    continue
+                out[c] = (pa.chunked_array(
+                    [pa.array([], _expr_type(rmap[c], E))])
+                    if c in rmap else E[c])
+            return pa.table(out)
         name = _item_name(item, alias, idx)
         if item.kind == "col" and item.value in E.column_names:
             cols[name] = E[item.value]
@@ -3638,7 +3707,8 @@ def _all_col_refs(x, acc: set) -> bool:
                 ok &= _all_col_refs(c, acc)
             if k_ == "string_agg":  # ORDER BY column rides in args[1]
                 acc.add(x.args[1].value)
-            if k_ in ("arg_max", "arg_min"):  # order column rides in args[0]
+            if k_ in ("arg_max", "arg_min", "array_agg"):
+                # order column rides in args[0]
                 acc.add(x.args[0].value)
             return ok
         if x.kind == "exists_sub":
@@ -4025,29 +4095,57 @@ def _attach_quantiles(out, ds, q: Select, qt_specs):
     sa_specs = []
     mode_specs = []
     arg_specs = []
+    aa_specs = []
     for name, col, qv in qt_specs:
         if isinstance(qv, tuple) and qv[0] == "string_agg":
             sa_specs.append((name, col, qv[1], qv[2]))
         elif isinstance(qv, tuple) and qv[0] == "mode":
             mode_specs.append((name, col))
+        elif isinstance(qv, tuple) and qv[0] == "array_agg":
+            aa_specs.append((name, col, qv[1]))
         elif isinstance(qv, tuple) and qv[0] in ("arg_max", "arg_min"):
             arg_specs.append((name, col, qv[1], qv[0] == "arg_max"))
         elif isinstance(qv, tuple) and qv[0] == "cont":
             bycol_cont.setdefault(col, []).append((name, qv[1]))
         else:
             bycol.setdefault(col, []).append((name, qv))
-    for spec in mode_specs + arg_specs:
+    for spec in mode_specs + arg_specs + aa_specs:
         from gdal_ray.ops.relational import (groupby_arg_extreme,
+                                             groupby_array_agg,
                                              groupby_mode)
 
+        is_list = False
         if len(spec) == 2:
             name, col = spec
             qt = to_arrow(groupby_mode(dsq, keys, col, out=name))
+        elif len(spec) == 3:
+            name, col, ocol = spec
+            qt = to_arrow(groupby_array_agg(dsq, keys, col, ocol, out=name))
+            is_list = True
         else:
             name, col, ocol, desc = spec
             qt = to_arrow(groupby_arg_extreme(dsq, keys, col, ocol,
                                               desc=desc, out=name))
-        if q.group_by:
+        if is_list and q.group_by:
+            # Acero hash join rejects nested payload columns — attach the
+            # (small, grouped) list column via a broadcast dict lookup
+            qdf = qt.to_pandas()
+            lookup = dict(zip(
+                (tuple(r) for r in
+                 qdf[list(q.group_by)].itertuples(index=False, name=None)),
+                qdf[name]))
+            vtype = qt.schema.field(name).type
+
+            def attach(t: pa.Table, lk=lookup, kl=list(q.group_by),
+                       nm=name, ty=vtype) -> pa.Table:
+                kcols = [t[k].to_pylist() for k in kl]
+                vals = [lk.get(tuple(kv)) for kv in zip(*kcols)]
+                vals = [None if v is None else list(v) for v in vals]
+                return t.append_column(nm, pa.array(vals, ty))
+
+            out = out.map_batches(attach, batch_format="pyarrow",
+                                  batch_size=None)
+        elif q.group_by:
             out = broadcast_join(out, qt, keys=list(q.group_by), how="left")
         else:
             base = to_arrow(out)
@@ -4424,7 +4522,7 @@ def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
                 return node
             if node.kind == "agg":
                 kind, col = node.value
-                if kind in ("count_distinct", "string_agg"):
+                if kind in ("count_distinct", "string_agg", "array_agg"):
                     raise ValueError(
                         f"expressions over {kind.upper()} unsupported")
                 if kind in ("quantile_disc", "quantile_cont", "mode",
@@ -4475,7 +4573,7 @@ def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
                                                  item.args[1].value)))
                 elif kind == "mode":
                     qt_specs.append((name, col, ("mode",)))
-                elif kind in ("arg_max", "arg_min"):
+                elif kind in ("arg_max", "arg_min", "array_agg"):
                     qt_specs.append((name, col,
                                      (kind, item.args[0].value)))
                 else:
@@ -4547,8 +4645,18 @@ def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
             cols = {}
             for idx, (item, alias) in enumerate(items):
                 if item.kind == "star":
+                    excl, repl = item.value or ((), ())
+                    rmap = {nm: e for e, nm in repl}
                     for c in t.column_names:
-                        cols[c] = t[c]
+                        if c in excl:
+                            continue
+                        if c in rmap:
+                            v = eval_expr(rmap[c], t)
+                            if isinstance(v, pa.Scalar):
+                                v = pa.array([v.as_py()] * len(t))
+                            cols[c] = v
+                        else:
+                            cols[c] = t[c]
                     continue
                 v = eval_expr(item, t)
                 if isinstance(v, pa.Scalar):

@@ -150,6 +150,10 @@ CASES = [
     "SELECT BOOL_AND(o_totalprice > 0) AS ball, BOOL_OR(o_totalprice > 400000) AS bany, MEDIAN(o_totalprice) AS med FROM orders",
     "SELECT l_returnflag, ROUND(COVAR_SAMP(l_extendedprice, l_quantity), 4) AS cvs, ROUND(COVAR_POP(l_extendedprice, l_quantity), 4) AS cvp, ROUND(CORR(l_extendedprice, l_quantity), 6) AS cr FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
     "SELECT user_id % 3 AS ug, BOOL_AND(value > 1.0) AS ball, BOOL_OR(value > 900.0) AS bany, ROUND(MEDIAN(value) + 1.0, 4) AS medp1 FROM events GROUP BY user_id % 3 ORDER BY ug",
+    # round-5 ergonomics: GROUP BY ALL, star EXCLUDE / REPLACE
+    "SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n FROM orders GROUP BY ALL ORDER BY o_orderpriority, o_orderstatus",
+    "SELECT * EXCLUDE (n_regionkey) FROM nation ORDER BY n_nationkey",
+    "SELECT * REPLACE (n_nationkey * 10 AS n_nationkey) FROM nation ORDER BY n_name",
 ]
 
 
@@ -648,6 +652,23 @@ def test_nth_value_window(sf_dir, con):
         g = got[c].astype("float64")
         e = exp[c].astype("float64")
         assert ((g.isna() == e.isna()) & ((g == e) | g.isna())).all(), c
+
+
+def test_array_agg(sf_dir, con):
+    """ARRAY_AGG(col ORDER BY col) — ordered typed lists per key, grouped
+    and global (list columns need list-aware comparison, so not in CASES)."""
+    sql = ("SELECT n_regionkey AS rk, ARRAY_AGG(n_name ORDER BY n_name) "
+           "AS names FROM nation GROUP BY n_regionkey ORDER BY rk")
+    got = to_arrow(execute(sql, sf_dir)).to_pandas().reset_index(drop=True)
+    exp = con.execute(sql).df().reset_index(drop=True)
+    assert got["rk"].tolist() == exp["rk"].tolist()
+    assert [list(v) for v in got["names"]] == \
+           [list(v) for v in exp["names"]]
+    sql2 = ("SELECT LIST(n_nationkey ORDER BY n_nationkey) AS ks "
+            "FROM nation WHERE n_regionkey = 1")
+    g2 = to_arrow(execute(sql2, sf_dir)).to_pandas()
+    e2 = con.execute(sql2).df()
+    assert list(g2["ks"][0]) == list(e2["ks"][0])
 
 
 def test_unnest_list_column(sf_dir, con):
