@@ -616,3 +616,177 @@ def sssp_weighted(edges_ds, sources, *, src_col: str = "src",
     return out.map_batches(
         lambda t: t.rename_columns(["node", "dist"]),
         batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# PageRank — distributed power iteration (link-graph quality signal for
+# web-corpus curation; extension beyond the reference, which has no graph
+# ranking. Same execution shape as connected_components: edges
+# co-partitioned by hash(src) ONCE, ranks live hash-partitioned by node in
+# the object store, each iteration is one local expand + one contribution
+# shuffle; the driver holds only refs and two scalars per iteration
+# (dangling mass, L1 delta).
+# ---------------------------------------------------------------------------
+
+
+@ray.remote(num_returns=3)
+def _pr_nodes_outdeg(edges_p: pa.Table, *node_pieces: pa.Table):
+    """Partition-local node universe (unique) + out-degree aligned to it,
+    plus the node count (scalar)."""
+    parts = [p["node"].to_numpy(zero_copy_only=False)
+             for p in node_pieces if len(p)]
+    nodes = (np.unique(np.concatenate(parts)) if parts
+             else np.empty(0, np.int64))
+    src = np.sort(edges_p["src"].to_numpy(zero_copy_only=False)) \
+        if len(edges_p) else np.empty(0, np.int64)
+    lo = np.searchsorted(src, nodes, side="left")
+    hi = np.searchsorted(src, nodes, side="right")
+    outdeg = (hi - lo).astype(np.int64)
+    return (pa.table({"node": pa.array(nodes, pa.int64()),
+                      "outdeg": pa.array(outdeg)}),
+            int(nodes.size), None)
+
+
+@ray.remote(num_returns=2)
+def _pr_expand(edges_p: pa.Table, meta_p: pa.Table, ranks_p: pa.Table):
+    """Contributions (dst, r/outdeg per out-edge) + local dangling mass.
+    edges_p is sorted by src; ranks/meta share the node order."""
+    r = ranks_p["r"].to_numpy(zero_copy_only=False)
+    nodes = meta_p["node"].to_numpy(zero_copy_only=False)
+    outdeg = meta_p["outdeg"].to_numpy(zero_copy_only=False)
+    dangling = float(r[outdeg == 0].sum()) if len(r) else 0.0
+    if len(edges_p) == 0:
+        return pa.table({"dst": pa.array([], pa.int64()),
+                         "w": pa.array([], pa.float64())}), dangling
+    src = edges_p["src"].to_numpy(zero_copy_only=False)
+    dst = edges_p["dst"].to_numpy(zero_copy_only=False)
+    j = np.searchsorted(nodes, src)  # nodes unique-sorted; srcs all present
+    w = r[j] / outdeg[j]
+    return pa.table({"dst": pa.array(dst, pa.int64()),
+                     "w": pa.array(w, pa.float64())}), dangling
+
+
+@ray.remote(num_returns=2)
+def _pr_absorb(meta_p: pa.Table, ranks_p: pa.Table, base: float,
+               damping: float, *contrib_pieces: pa.Table):
+    """New rank per node: base + damping * (incoming sum). Returns the
+    ranks table and the partition's L1 delta (scalar)."""
+    nodes = meta_p["node"].to_numpy(zero_copy_only=False)
+    acc = np.zeros(nodes.size, np.float64)
+    for piece in contrib_pieces:
+        if len(piece) == 0:
+            continue
+        d = piece["dst"].to_numpy(zero_copy_only=False)
+        w = piece["w"].to_numpy(zero_copy_only=False)
+        np.add.at(acc, np.searchsorted(nodes, d), w)
+    new_r = base + damping * acc
+    prev = ranks_p["r"].to_numpy(zero_copy_only=False)
+    delta = float(np.abs(new_r - prev).sum()) if prev.size else 0.0
+    return pa.table({"node": meta_p["node"],
+                     "r": pa.array(new_r, pa.float64())}), delta
+
+
+def pagerank(edges_ds, *, src_col: str = "src", dst_col: str = "dst",
+             damping: float = 0.85, max_iters: int = 30, tol: float = 1e-9,
+             num_parts: int | None = None, stats_out: dict | None = None):
+    """Distributed PageRank over a DIRECTED edge Dataset -> Dataset
+    (node, rank); ranks sum to 1. Dangling nodes (no out-edges) spread
+    their mass uniformly, the standard formulation. Stops at max_iters or
+    when the L1 rank change < tol.
+
+    Scale shape: edges hash-partition by src once (loop invariant);
+    per-iteration traffic is ONE (dst, w) contribution shuffle of
+    |E| float64 rows; the driver sees only two scalars per iteration."""
+    import time as _time
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from gdal_ray.util import default_num_parts
+
+    if num_parts is None:
+        num_parts = min(default_num_parts(multiplier=1, floor=16), 256)
+
+    def norm(t: pa.Table) -> pa.Table:
+        return pa.table({"src": pc.cast(t[src_col], pa.int64()),
+                         "dst": pc.cast(t[dst_col], pa.int64())})
+
+    edge_refs = edges_ds.map_batches(norm, batch_format="pyarrow",
+                                     batch_size=None) \
+        .materialize().to_arrow_refs()
+    if not edge_refs:
+        return rd.from_arrow(pa.table({"node": pa.array([], pa.int64()),
+                                       "rank": pa.array([], pa.float64())}))
+    edge_pieces = _shuffle_refs(edge_refs, "src", num_parts)
+
+    @ray.remote
+    def _edges_cat(*pieces):
+        parts = [p for p in pieces if len(p)]
+        if not parts:
+            return pieces[0]
+        t = pa.concat_tables(parts)
+        order = np.argsort(t["src"].to_numpy(zero_copy_only=False),
+                           kind="stable")
+        return t.take(pa.array(order))
+
+    edges = [_edges_cat.remote(*edge_pieces[p]) for p in range(num_parts)]
+
+    # node universe: both endpoints, shuffled by hash(node)
+    @ray.remote
+    def _endpoints(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(
+            np.unique(np.concatenate([s, d])), pa.int64())})
+
+    ep_refs = [_endpoints.remote(r) for r in edge_refs]
+    node_pieces = _shuffle_refs(ep_refs, "node", num_parts)
+    meta, counts = [], []
+    for p in range(num_parts):
+        m, c, _ = _pr_nodes_outdeg.remote(edges[p], *node_pieces[p])
+        meta.append(m)
+        counts.append(c)
+    n_total = sum(ray.get(counts))
+    if n_total == 0:
+        return rd.from_arrow(pa.table({"node": pa.array([], pa.int64()),
+                                       "rank": pa.array([], pa.float64())}))
+
+    @ray.remote
+    def _init_ranks(meta_p: pa.Table, n: int) -> pa.Table:
+        return pa.table({
+            "node": meta_p["node"],
+            "r": pa.array(np.full(len(meta_p), 1.0 / n), pa.float64())})
+
+    ranks = [_init_ranks.remote(meta[p], n_total) for p in range(num_parts)]
+
+    iter_secs: list[float] = []
+    deltas: list[float] = []
+    for _i in range(max_iters):
+        t0 = _time.time()
+        contribs, dangls = [], []
+        for p in range(num_parts):
+            c, g = _pr_expand.remote(edges[p], meta[p], ranks[p])
+            contribs.append(c)
+            dangls.append(g)
+        dangling = sum(ray.get(dangls))
+        base = (1.0 - damping) / n_total + damping * dangling / n_total
+        contrib_pieces = _shuffle_refs(contribs, "dst", num_parts)
+        nxt, dls = [], []
+        for p in range(num_parts):
+            rp, dl = _pr_absorb.remote(meta[p], ranks[p], base, damping,
+                                       *contrib_pieces[p])
+            nxt.append(rp)
+            dls.append(dl)
+        delta = sum(ray.get(dls))
+        ranks = nxt
+        iter_secs.append(round(_time.time() - t0, 3))
+        deltas.append(delta)
+        if delta < tol:
+            break
+    if stats_out is not None:
+        stats_out.update(iters=len(iter_secs), iter_secs=iter_secs,
+                         deltas=deltas, n_nodes=n_total)
+    out = rd.from_arrow_refs(ranks)
+    return out.map_batches(
+        lambda t: t.rename_columns(["node", "rank"]),
+        batch_format="pyarrow", batch_size=None)

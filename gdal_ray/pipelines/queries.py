@@ -3166,6 +3166,37 @@ def q149_unnest_embeddings(sf_dir):
     return _sql_query(Q149_SQL)(sf_dir)
 
 
+def q150_pagerank(sf_dir):
+    """Distributed PageRank (ops/graph.pagerank — power iteration on the
+    raw-task co-partitioned exchange; dangling mass redistributed
+    uniformly) over a deterministic synthetic link graph derived from
+    events. No SQL oracle (iterative fixpoint is not RECURSIVE-CTE
+    expressible); the full result is value-hash golden-pinned against a
+    dense NumPy power iteration in tests (test_graph + test_query_goldens).
+    num_parts fixed so float accumulation order is machine-independent."""
+    from gdal_ray.ops.graph import pagerank
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        e = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = e % 997
+        dst = (e * 31 + u * 7 + 13) % 997
+        keep = src != dst
+        return pa.table({"src": pa.array(src[keep]),
+                         "dst": pa.array(dst[keep])})
+
+    eds = ev.map_batches(edges, batch_format="pyarrow", batch_size=None)
+    pr = pagerank(eds, max_iters=60, tol=1e-12, num_parts=16)
+    return pr.map_batches(
+        lambda t: pa.table({
+            "node": t["node"],
+            "rank": pc.round(t["rank"], ndigits=9,
+                             round_mode="half_towards_infinity")}),
+        batch_format="pyarrow", batch_size=None)
+
+
 Q145_SQL = """
 WITH counts AS (
   SELECT event_id % 8 AS a0, user_id % 6 AS a1, COUNT(*) AS c
@@ -3373,6 +3404,7 @@ def registry():
         "q147_agg_extras": q147_agg_extras,
         "q148_sql_mode": q148_sql_mode,
         "q149_unnest_embeddings": q149_unnest_embeddings,
+        "q150_pagerank": q150_pagerank,
         "q134_moving_windows": q134_moving_windows,
         "q135_json_props": q135_json_props,
         "q136_qualify_topk": q136_qualify_topk,

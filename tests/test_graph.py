@@ -181,3 +181,59 @@ def test_sssp_weighted_vs_dijkstra(ray_session):
                 heapq.heappush(pq, (nd, v))
     assert got == dist
     assert stats["round_new"][-1] == 0
+
+
+def test_pagerank_matches_dense_power_iteration(ray_session):
+    """pagerank vs a dense NumPy reference on a random directed graph
+    (dangling nodes included): same formulation, same damping — values
+    agree to 1e-10 and sum to 1."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.ops.graph import pagerank
+    from gdal_ray.util import to_arrow
+
+    rng = np.random.default_rng(11)
+    n = 60
+    m = 400
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    # ensure some dangling nodes: strip all out-edges of nodes 0-4
+    mask = src >= 5
+    src, dst = src[mask], dst[mask]
+    edges = pa.table({"src": pa.array(src, pa.int64()),
+                      "dst": pa.array(dst, pa.int64())})
+
+    stats = {}
+    got = to_arrow(pagerank(rd.from_arrow(edges), max_iters=200,
+                            tol=1e-14, num_parts=4, stats_out=stats))
+    gm = dict(zip(got["node"].to_pylist(), got["rank"].to_pylist()))
+
+    # dense reference over the same node universe
+    nodes = np.unique(np.concatenate([src, dst]))
+    idx = {v: i for i, v in enumerate(nodes)}
+    N = nodes.size
+    A = np.zeros((N, N))
+    for s, d in zip(src, dst):
+        A[idx[d], idx[s]] += 1.0
+    outdeg = A.sum(axis=0)
+    nz = outdeg > 0
+    A[:, nz] /= outdeg[nz]
+    r = np.full(N, 1.0 / N)
+    damp = 0.85
+    for _ in range(200):
+        dangling = r[~nz].sum()
+        r_new = (1 - damp) / N + damp * (A @ r + dangling / N)
+        if np.abs(r_new - r).sum() < 1e-14:
+            r = r_new
+            break
+        r = r_new
+
+    assert abs(sum(gm.values()) - 1.0) < 1e-9
+    assert set(gm) == set(nodes.tolist())
+    for v in nodes:
+        assert abs(gm[v] - r[idx[v]]) < 1e-10, v
+    assert stats["iters"] < 200  # converged, not exhausted

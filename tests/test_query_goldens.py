@@ -51,6 +51,8 @@ GOLDENS = {
     "q105_corpus_report": (1, "c1dcf23734167715"),
     # distributed Lloyd's k-means (k=8, 10 iters, smallest-id init)
     "q114_kmeans_clusters": (500, "71947e9f7eed7339"),
+    # distributed PageRank (power iteration, fixed num_parts=16, round(9))
+    "q150_pagerank": (997, "f0a289249b9c3cf1"),
 }
 
 
