@@ -122,7 +122,8 @@ _sql_geom.register_all(register_sql_function)
 
 _TOKEN_RE = re.compile(
     r"\s*(?:(?P<num>\d+\.\d*|\.\d+|\d+)|(?P<str>'(?:[^']|'')*')|"
-    r"(?P<id>[A-Za-z_][A-Za-z_0-9]*)|(?P<op>\|\||<>|!=|<=|>=|[(),*=<>+\-/%.]))"
+    r"(?P<id>[A-Za-z_][A-Za-z_0-9]*)|"
+    r"(?P<op>\|\||<>|!=|<=|>=|[(),*=<>+\-/%.\[\]]))"
 )
 
 _KEYWORDS = {
@@ -162,7 +163,18 @@ _BUILTIN_CALLS = {
     "split_part": "split_part", "least": "least", "greatest": "greatest",
     "repeat": "repeat", "reverse": "reverse", "mod": "mod",
     "regexp_replace": "regexp_replace", "regexp_matches": "regexp_matches",
+    "regexp_extract": "regexp_extract",
     "json_extract_string": "json_extract_string",
+    # list / split catalogue (round 5): DuckDB spellings -> canonical names
+    "string_split": "string_split", "str_split": "string_split",
+    "string_to_array": "string_split",
+    "string_split_regex": "string_split_regex",
+    "str_split_regex": "string_split_regex",
+    "len": "length",  # DuckDB len() = length() (strings AND lists)
+    "list_extract": "list_extract", "list_element": "list_extract",
+    "array_extract": "list_extract",
+    "list_contains": "list_contains", "array_contains": "list_contains",
+    "array_length": "length", "list_length": "length",
 }
 
 
@@ -396,7 +408,14 @@ class Parser:
     def unary(self):
         if self.accept("op", "-"):
             return Node("bin", "-", (Node("lit", 0), self.unary()))
-        return self.atom()
+        node = self.atom()
+        # postfix list indexing: expr[i] (DuckDB 1-based; negative from
+        # the end; out-of-bounds -> NULL) == LIST_EXTRACT(expr, i)
+        while self.accept("op", "["):
+            idx = self.expr()
+            self.expect("op", "]")
+            node = Node("call", "list_extract", (node, idx))
+        return node
 
     def atom(self):
         t = self.next()
@@ -414,6 +433,12 @@ class Parser:
             if t[1] == "DATE":
                 return Node("lit", _dt.date.fromisoformat(s))
             return Node("lit", _dt.datetime.fromisoformat(s))
+        if t == ("kw", "TEXT"):
+            # 'text' is both the TEXT type name and the documents table's
+            # text column (the north-star input schema). As an expression
+            # atom it can only mean the column; CAST consumes the type
+            # token explicitly so this never shadows CAST(x AS TEXT).
+            return Node("col", "text")
         if t == ("kw", "EXISTS"):
             self.expect("op", "(")
             sub = _parse_subselect(self)
@@ -678,7 +703,10 @@ class Parser:
                 inner = self.expr()
                 self.expect("op", ")")
                 if inner.kind != "col":
-                    raise ValueError("UNNEST supports plain list columns")
+                    # UNNEST over a computed list expression (e.g.
+                    # STRING_SPLIT(text, ' ')): the expression materializes
+                    # into a hidden column before the fan-out
+                    return Node("unnest", None, (inner,))
                 return Node("unnest", inner.value)
             if lname == "median" and self.peek() == ("op", "("):
                 # MEDIAN(col) = QUANTILE_CONT(col, 0.5) (DuckDB's numeric
@@ -1774,7 +1802,13 @@ def eval_expr(node: Node, t: pa.Table):
         if fn == "lower":
             return pc.utf8_lower(eval_expr(node.args[0], t))
         if fn == "length":
-            return pc.cast(pc.utf8_length(eval_expr(node.args[0], t)), pa.int64())
+            v = eval_expr(node.args[0], t)
+            ty = _type_of(v)
+            if (pa.types.is_list(ty) or pa.types.is_large_list(ty)
+                    or pa.types.is_fixed_size_list(ty)):
+                # DuckDB len()/length() over a LIST = element count
+                return pc.cast(pc.list_value_length(v), pa.int64())
+            return pc.cast(pc.utf8_length(v), pa.int64())
         if fn == "abs":
             return pc.abs(eval_expr(node.args[0], t))
         if fn == "round":
@@ -1930,6 +1964,40 @@ def eval_expr(node: Node, t: pa.Table):
             v = eval_expr(node.args[1], t)
             # ISO semantics match DuckDB: weeks start Monday
             return pc.floor_temporal(v, unit=part)
+        if fn == "string_split":
+            if node.args[1].kind != "lit":
+                raise ValueError("STRING_SPLIT: separator must be a literal")
+            return pc.split_pattern(eval_expr(node.args[0], t),
+                                    pattern=str(node.args[1].value))
+        if fn == "string_split_regex":
+            if node.args[1].kind != "lit":
+                raise ValueError(
+                    "STRING_SPLIT_REGEX: pattern must be a literal")
+            return pc.split_pattern_regex(eval_expr(node.args[0], t),
+                                          pattern=str(node.args[1].value))
+        if fn == "list_extract":
+            return _list_extract(eval_expr(node.args[0], t),
+                                 eval_expr(node.args[1], t))
+        if fn == "list_contains":
+            return _list_contains(eval_expr(node.args[0], t),
+                                  eval_expr(node.args[1], t))
+        if fn == "regexp_extract":
+            s = eval_expr(node.args[0], t)
+            if node.args[1].kind != "lit":
+                raise ValueError("REGEXP_EXTRACT: pattern must be a literal")
+            grp = 0
+            if len(node.args) > 2 and node.args[2] is not None:
+                grp = int(_const_value(node.args[2]))
+            named, ngroups = _name_regex_groups(str(node.args[1].value))
+            if grp > ngroups:
+                raise ValueError(
+                    f"REGEXP_EXTRACT: group {grp} > {ngroups} groups")
+            ext = pc.extract_regex(s, pattern=f"(?P<g0>{named})")
+            out = pc.struct_field(ext, f"g{grp}")
+            # DuckDB returns '' on no-match (and for a non-participating
+            # group) but NULL input stays NULL
+            return pc.if_else(pc.is_valid(s), pc.fill_null(out, ""),
+                              pa.scalar(None, pa.string()))
         raise ValueError(f"unknown function {fn}")
     if k == "case":
         # evaluate ELSE first, then fold WHENs in reverse with if_else
@@ -2121,6 +2189,104 @@ def _substr_dynamic(s, start, length):
         else:
             out.append(x[b0:b0 + int(l)])
     return pa.array(out, pa.string())
+
+
+def _list_segments(col):
+    """(lens, starts, flat) for a list column: per-row element count
+    (null lists -> 0) and each row's start offset into pc.list_flatten's
+    output (which skips null/empty rows' contributions)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lens = pc.fill_null(pc.list_value_length(col), 0) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    starts = np.zeros(len(lens), np.int64)
+    if len(lens) > 1:
+        np.cumsum(lens[:-1], out=starts[1:])
+    return lens, starts, pc.list_flatten(col)
+
+
+def _list_extract(col, idx):
+    """DuckDB LIST_EXTRACT / l[i]: 1-based; negative counts from the end;
+    0 / out-of-bounds / null list -> NULL. Vectorized: one flatten + one
+    take with a null mask (no per-row Python)."""
+    lens, starts, flat = _list_segments(col)
+    n = len(lens)
+    if isinstance(idx, pa.Scalar):
+        iv = idx.as_py()
+        if iv is None:
+            return pa.nulls(n, flat.type)
+        i = np.full(n, int(iv), np.int64)
+        inull = np.zeros(n, bool)
+    else:
+        if isinstance(idx, pa.ChunkedArray):
+            idx = idx.combine_chunks()
+        inull = pc.is_null(idx).to_numpy(zero_copy_only=False)
+        i = pc.fill_null(pc.cast(idx, pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False)
+    pos = np.where(i > 0, i - 1, lens + i)  # i==0 -> pos == lens+0 is OOB
+    pos = np.where(i == 0, -1, pos)
+    valid = (pos >= 0) & (pos < lens) & ~inull
+    take = pa.array(np.where(valid, starts + pos, 0), pa.int64(),
+                    mask=~valid)
+    if len(flat) == 0:
+        return pa.nulls(n, flat.type)
+    return flat.take(take)
+
+
+def _list_contains(col, val):
+    """DuckDB LIST_CONTAINS: true/false per row (null elements never
+    match); NULL list -> NULL. Segment-any via logical_or.reduceat."""
+    lens, starts, flat = _list_segments(col)
+    n = len(lens)
+    if isinstance(val, pa.Scalar) and val.as_py() is None:
+        return pa.nulls(n, pa.bool_())
+    m = pc.fill_null(pc.equal(flat, val), False) \
+        .to_numpy(zero_copy_only=False)
+    res = np.zeros(n, bool)
+    nz = lens > 0
+    if nz.any():
+        res[nz] = np.logical_or.reduceat(m, starts[nz])
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lnull = pc.is_null(col).to_numpy(zero_copy_only=False)
+    return pa.array(res, pa.bool_(), mask=lnull)
+
+
+# regex group naming for REGEXP_EXTRACT: RE2 (Arrow's engine) addresses
+# groups by NAME in extract_regex, so unnamed capture groups are rewritten
+# to (?P<g1>...) .. (?P<gk>...) with a scanner that honors escapes and
+# character classes (backreferences don't exist in RE2, so renumbering is
+# safe). Reference: ogr SQL has no regexp; DuckDB semantics followed.
+def _name_regex_groups(pat: str) -> tuple:
+    out = []
+    i = 0
+    k = 0
+    in_class = False
+    while i < len(pat):
+        c = pat[i]
+        if c == "\\" and i + 1 < len(pat):
+            out.append(pat[i:i + 2])
+            i += 2
+            continue
+        if in_class:
+            out.append(c)
+            if c == "]":
+                in_class = False
+            i += 1
+            continue
+        if c == "[":
+            in_class = True
+            out.append(c)
+            i += 1
+            continue
+        if c == "(" and not pat.startswith("(?", i):
+            k += 1
+            out.append(f"(?P<g{k}>")
+            i += 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out), k
 
 
 def _sql_mod(a, b):
@@ -3573,8 +3739,11 @@ def _expr_type(node: Node, E: pa.Table):
             return Node("col", nm)
         if n.kind == "unnest":
             nm = f"__ty{len(repl)}"
-            ty = (E[n.value].type if n.value in E.column_names
-                  else pa.float64())
+            if n.value is None:
+                ty = _expr_type(n.args[0], E)
+            else:
+                ty = (E[n.value].type if n.value in E.column_names
+                      else pa.float64())
             repl[nm] = (ty.value_type
                         if (pa.types.is_list(ty) or pa.types.is_large_list(ty)
                             or pa.types.is_fixed_size_list(ty))
@@ -3697,7 +3866,10 @@ def _all_col_refs(x, acc: set) -> bool:
             acc.add(x.value)
             return True
         if x.kind == "unnest":
-            acc.add(x.value)
+            if x.value is None:
+                ok &= _all_col_refs(x.args[0], acc)
+            else:
+                acc.add(x.value)
             return ok
         if x.kind == "agg":
             k_, c = x.value
@@ -4401,6 +4573,29 @@ def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
             return _filter_table(t, eval_expr(where, t))
 
         ds = ds.map_batches(filt, batch_format="pyarrow", batch_size=None)
+
+    expr_unns = [item for item, _ in q.items
+                 if isinstance(item, Node) and item.kind == "unnest"
+                 and item.value is None]
+    if expr_unns:
+        # UNNEST(list_expr): materialize the expression as a hidden list
+        # column, then the plain-column fan-out below takes over
+        if len(expr_unns) > 1:
+            raise ValueError("multiple UNNEST expressions unsupported")
+        e = expr_unns[0].args[0]
+        hidden = "__un_src"
+
+        def addsrc(t: pa.Table, e=e, nn=hidden) -> pa.Table:
+            v = eval_expr(e, t)
+            if isinstance(v, pa.Scalar):
+                v = pa.array([v.as_py()] * len(t), type=v.type)
+            return t.append_column(nn, v)
+
+        ds = ds.map_batches(addsrc, batch_format="pyarrow", batch_size=None)
+        q.items = [(Node("unnest", hidden), alias)
+                   if isinstance(item, Node) and item.kind == "unnest"
+                   and item.value is None else (item, alias)
+                   for item, alias in q.items]
 
     unn_cols = {item.value for item, _ in q.items
                 if isinstance(item, Node) and item.kind == "unnest"}

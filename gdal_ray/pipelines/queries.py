@@ -3197,6 +3197,60 @@ def q150_pagerank(sf_dir):
         batch_format="pyarrow", batch_size=None)
 
 
+Q151_SQL = """
+SELECT w AS word, COUNT(*) AS cnt
+FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents) t
+WHERE LENGTH(w) >= 5
+GROUP BY w
+ORDER BY cnt DESC, word
+LIMIT 100
+"""
+
+
+def q151_word_freq(sf_dir):
+    """Corpus word frequency as ONE SQL string: UNNEST over a computed
+    list expression (STRING_SPLIT — pc.split_pattern, zero-copy fan-out
+    via np.repeat + list_flatten) feeding a grouped count and a
+    deterministic top-k (ties broken by word). Same text runs verbatim
+    in DuckDB. Scale shape: the split fan-out is a per-batch map; only
+    (word, partial-count) pairs reach the shuffle."""
+    return _sql_query(Q151_SQL)(sf_dir)
+
+
+Q152_SQL = """
+SELECT label,
+       ROUND(SUM(CAST(embedding[1] AS DOUBLE)), 4) AS s_first,
+       ROUND(SUM(CAST(LIST_EXTRACT(embedding, -1) AS DOUBLE)), 4) AS s_last,
+       MIN(LEN(embedding)) AS dmin, MAX(LEN(embedding)) AS dmax
+FROM embeddings GROUP BY label ORDER BY label
+"""
+
+
+def q152_list_funcs(sf_dir):
+    """SQL list functions over the list<float> embedding column:
+    1-based bracket indexing, negative-index LIST_EXTRACT (one flatten +
+    one masked take, no per-row Python), LEN over lists. DOUBLE cast
+    before SUM keeps float32 accumulation out of the oracle hash."""
+    return _sql_query(Q152_SQL)(sf_dir)
+
+
+Q153_SQL = """
+SELECT lang, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN REGEXP_EXTRACT(text, '(w)(indow)', 2) = 'indow'
+                THEN 1 ELSE 0 END) AS BIGINT) AS win_docs,
+       CAST(SUM(CAST(REGEXP_EXTRACT(source, '[0-9]+') AS BIGINT))
+            AS BIGINT) AS src_sum
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def q153_regexp_extract(sf_dir):
+    """REGEXP_EXTRACT (group-indexed and whole-match) as vectorized RE2
+    Arrow kernels: unnamed capture groups are rewritten to named ones so
+    pc.extract_regex can address them (ops/sql._name_regex_groups)."""
+    return _sql_query(Q153_SQL)(sf_dir)
+
+
 Q145_SQL = """
 WITH counts AS (
   SELECT event_id % 8 AS a0, user_id % 6 AS a1, COUNT(*) AS c
@@ -3405,6 +3459,9 @@ def registry():
         "q148_sql_mode": q148_sql_mode,
         "q149_unnest_embeddings": q149_unnest_embeddings,
         "q150_pagerank": q150_pagerank,
+        "q151_word_freq": q151_word_freq,
+        "q152_list_funcs": q152_list_funcs,
+        "q153_regexp_extract": q153_regexp_extract,
         "q134_moving_windows": q134_moving_windows,
         "q135_json_props": q135_json_props,
         "q136_qualify_topk": q136_qualify_topk,
@@ -3506,6 +3563,9 @@ def registry():
         "q147_agg_extras": Q147_SQL,
         "q148_sql_mode": Q148_ORACLE_SQL,
         "q149_unnest_embeddings": Q149_SQL,
+        "q151_word_freq": Q151_SQL,
+        "q152_list_funcs": Q152_SQL,
+        "q153_regexp_extract": Q153_SQL,
         "q134_moving_windows": Q134_SQL,
         "q135_json_props": Q135_SQL,
         "q136_qualify_topk": Q136_SQL,

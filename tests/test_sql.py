@@ -154,13 +154,23 @@ CASES = [
     "SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n FROM orders GROUP BY ALL ORDER BY o_orderpriority, o_orderstatus",
     "SELECT * EXCLUDE (n_regionkey) FROM nation ORDER BY n_nationkey",
     "SELECT * REPLACE (n_nationkey * 10 AS n_nationkey) FROM nation ORDER BY n_name",
+    # round-5 list/split/regex wave: STRING_SPLIT, LEN over lists, bracket
+    # indexing (1-based, negative, OOB->NULL), LIST_CONTAINS over a computed
+    # list, UNNEST over an expression, REGEXP_EXTRACT group addressing
+    "SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS nw, LENGTH(text) AS nc FROM documents WHERE doc_id < 50 ORDER BY doc_id",
+    "SELECT w AS word, COUNT(*) AS cnt FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents WHERE doc_id < 200) WHERE LENGTH(w) > 4 GROUP BY w ORDER BY cnt DESC, word LIMIT 25",
+    "SELECT vec_id, LEN(embedding) AS dim, ROUND(CAST(embedding[1] AS DOUBLE), 6) AS e1, ROUND(CAST(LIST_EXTRACT(embedding, -1) AS DOUBLE), 6) AS el, CAST(embedding[99] AS DOUBLE) AS oob FROM embeddings WHERE vec_id < 25 ORDER BY vec_id",
+    "SELECT LIST_CONTAINS(STRING_SPLIT(text, ' '), 'window') AS h, COUNT(*) AS n FROM documents GROUP BY 1 ORDER BY 1",
+    "SELECT c_custkey, REGEXP_EXTRACT(c_name, '([a-z]+)#([0-9]+)', 2) AS g2, REGEXP_EXTRACT(c_name, '[0-9]+') AS whole, REGEXP_EXTRACT(c_name, 'zzz') AS miss FROM customer WHERE c_custkey < 30 ORDER BY c_custkey",
+    "SELECT c_custkey, STRING_SPLIT_REGEX(c_name, '[#]')[1] AS p1, STRING_SPLIT(c_name, '#')[2] AS p2 FROM customer WHERE c_custkey < 20 ORDER BY c_custkey",
 ]
 
 
 @pytest.fixture(scope="module")
 def con(sf_dir):
     con = duckdb.connect()
-    for t in ["lineitem", "orders", "customer", "part", "supplier", "events", "nation"]:
+    for t in ["lineitem", "orders", "customer", "part", "supplier", "events",
+              "nation", "documents", "embeddings"]:
         con.execute(f"create view {t} as select * from read_parquet('{sf_path(sf_dir, t)}')")
     return con
 
@@ -676,7 +686,7 @@ def test_unnest_list_column(sf_dir, con):
     table into a grouped aggregate (DOUBLE-cast before SUM — float32
     summation would not hash-match)."""
     con.execute(
-        "create view embeddings as select * from read_parquet('"
+        "create or replace view embeddings as select * from read_parquet('"
         f"{sf_path(sf_dir, 'embeddings')}')")
     sql = ("SELECT label, ROUND(SUM(CAST(e AS DOUBLE)), 4) AS s, "
            "COUNT(*) AS n FROM (SELECT label, UNNEST(embedding) AS e "
