@@ -3251,6 +3251,42 @@ def q153_regexp_extract(sf_dir):
     return _sql_query(Q153_SQL)(sf_dir)
 
 
+Q154_ORACLE_SQL = """
+SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+       array_to_string(words[ci*8+1:ci*8+8], ' ') AS chunk,
+       CAST(least(8, len(words) - ci*8) AS BIGINT) AS n_tokens
+FROM (SELECT doc_id, words,
+             UNNEST(range(0, CAST(ceil(len(words)/8.0) AS BIGINT))) AS ci
+      FROM (SELECT doc_id, string_split(text, ' ') AS words
+            FROM documents) s) t
+"""
+
+
+def q154_doc_chunks(sf_dir):
+    """Token-window document chunking (text/packing.chunk_documents):
+    8-token windows, no overlap — one tokenize + flat-index numpy
+    arithmetic + one pc.binary_join per batch, no shuffle. The DuckDB
+    oracle states the same windows with list slicing over a correlated
+    UNNEST(range(...))."""
+    from gdal_ray.text.packing import chunk_documents
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return chunk_documents(docs, chunk_tokens=8)
+
+
+def q155_seq_pack(sf_dir):
+    """Greedy next-fit sequence packing (text/packing.pack_sequences):
+    documents -> training sequences of <= 64 whitespace tokens, ONE
+    (id, count) shuffle, text never moves. num_parts fixed so seq_ids
+    are machine-independent; no SQL oracle (next-fit is an inherently
+    sequential fold) — the full result is golden-pinned and
+    brute-force-verified in tests/test_packing.py."""
+    from gdal_ray.text.packing import pack_sequences
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return pack_sequences(docs, max_tokens=64, num_parts=16)
+
+
 Q145_SQL = """
 WITH counts AS (
   SELECT event_id % 8 AS a0, user_id % 6 AS a1, COUNT(*) AS c
@@ -3462,6 +3498,8 @@ def registry():
         "q151_word_freq": q151_word_freq,
         "q152_list_funcs": q152_list_funcs,
         "q153_regexp_extract": q153_regexp_extract,
+        "q154_doc_chunks": q154_doc_chunks,
+        "q155_seq_pack": q155_seq_pack,
         "q134_moving_windows": q134_moving_windows,
         "q135_json_props": q135_json_props,
         "q136_qualify_topk": q136_qualify_topk,
@@ -3566,6 +3604,7 @@ def registry():
         "q151_word_freq": Q151_SQL,
         "q152_list_funcs": Q152_SQL,
         "q153_regexp_extract": Q153_SQL,
+        "q154_doc_chunks": Q154_ORACLE_SQL,
         "q134_moving_windows": Q134_SQL,
         "q135_json_props": Q135_SQL,
         "q136_qualify_topk": Q136_SQL,

@@ -53,6 +53,8 @@ GOLDENS = {
     "q114_kmeans_clusters": (500, "71947e9f7eed7339"),
     # distributed PageRank (power iteration, fixed num_parts=16, round(9))
     "q150_pagerank": (997, "f0a289249b9c3cf1"),
+    # next-fit sequence packing (max_tokens=64, num_parts=16)
+    "q155_seq_pack": (500, "d4640ed3b2b0a101"),
 }
 
 
