@@ -376,6 +376,58 @@ def run_bench() -> dict:
         timings["curate1m_docs_per_sec"] = round(n_cur / dt, 1)
         assert 0 < n_out <= n_cur
 
+        # PageRank over a 10^7-edge directed multiplicative-hash graph
+        # (10^6 nodes): 5 fixed power iterations — each is ONE (dst, w)
+        # contribution shuffle; rank mass must be conserved exactly
+        from gdal_ray.ops.graph import pagerank
+
+        n_pr_edges = int(os.environ.get("GRAFT_PR_N", "10000000"))
+        n_pr_nodes = max(n_pr_edges // 10, 1)
+
+        def synth_pr_edges(b: pa_.Table) -> pa_.Table:
+            e = b["id"].to_numpy()
+            src = e % n_pr_nodes
+            dst = ((e + 1) * 2654435761) % n_pr_nodes
+            keep = src != dst
+            return pa_.table({"src": pa_.array(src[keep], pa_.int64()),
+                              "dst": pa_.array(dst[keep], pa_.int64())})
+
+        pr_edges = rd.range(n_pr_edges, override_num_blocks=num_cpus * 4) \
+            .map_batches(synth_pr_edges, batch_format="pyarrow",
+                         batch_size=None)
+        pr_stats: dict = {}
+        s = time.time()
+        pr = pagerank(pr_edges, max_iters=5, tol=0.0, stats_out=pr_stats)
+        mass = sum(r["m"] for r in pr.map_batches(
+            lambda t: pa_.table(
+                {"m": pa_.array([float(
+                    pc_.sum(t["rank"]).as_py() or 0.0)])}),
+            batch_format="pyarrow", batch_size=None).take_all())
+        dt = time.time() - s
+        timings["pagerank10m"] = round(dt, 3)
+        timings["pagerank10m_edges_per_sec_iter"] = round(
+            n_pr_edges * pr_stats.get("iters", 5) / dt, 1)
+        timings["pagerank10m_iter_secs"] = pr_stats.get("iter_secs", [])
+        assert abs(mass - 1.0) < 1e-6, mass
+
+        # chunk + next-fit pack the 10^6 salted docs into 1024-token
+        # training sequences: one tokenize map + one (id, count) shuffle
+        from gdal_ray.text.packing import pack_sequences
+
+        s = time.time()
+        packed = pack_sequences(cur_docs, max_tokens=1024)
+        # a sequence is counted at its first doc (seq_pos==0) — exact and
+        # block-layout independent
+        n_seqs = packed.map_batches(
+            lambda t: pa_.table({"n": pa_.array([int(pc_.sum(
+                pc_.cast(pc_.equal(t["seq_pos"], 0), pa_.int64())
+            ).as_py() or 0)])}),
+            batch_format="pyarrow", batch_size=None).sum("n")
+        dt = time.time() - s
+        timings["pack1m"] = round(dt, 3)
+        timings["pack1m_docs_per_sec"] = round(n_cur / dt, 1)
+        assert 0 < n_seqs <= n_cur
+
     result = {
         "metric": "flagship pages pipeline end-to-end (synth+extract+cells+PIP+tile pyramid)",
         "value": round(headline, 3),

@@ -433,6 +433,19 @@ class Parser:
             if t[1] == "DATE":
                 return Node("lit", _dt.date.fromisoformat(s))
             return Node("lit", _dt.datetime.fromisoformat(s))
+        if t == ("kw", "GROUPING") and self.peek() == ("op", "("):
+            # GROUPING(a[, b...]): per-row bitmask of which arguments are
+            # rolled up in this grouping set (leftmost = most significant,
+            # DuckDB/standard semantics). Resolved to a literal per
+            # grouping set in _execute_group_sets; invalid elsewhere.
+            self.next()
+            args = [self.expr()]
+            while self.accept("op", ","):
+                args.append(self.expr())
+            self.expect("op", ")")
+            if any(a.kind != "col" for a in args):
+                raise ValueError("GROUPING takes plain column arguments")
+            return Node("call", "grouping", tuple(args))
         if t == ("kw", "TEXT"):
             # 'text' is both the TEXT type name and the documents table's
             # text column (the north-star input schema). As an expression
@@ -3587,16 +3600,48 @@ def _execute_group_sets(q: Select, sf_dir: str):
     for idx, (item, alias) in enumerate(q.items):
         if item.kind == "col" and item.value in q.group_by:
             col_items[_item_name(item, alias, idx)] = item.value
+    def _subst_grouping(x, S):
+        # GROUPING(a, b) -> literal bitmask for this set (leftmost arg =
+        # most significant bit; 1 = rolled up)
+        if not isinstance(x, Node):
+            return x
+        if x.kind == "call" and x.value == "grouping":
+            bits = 0
+            for a in x.args:
+                bits = bits * 2 + (0 if a.value in S else 1)
+            return Node("lit", bits)
+        val = (_subst_grouping(x.value, S)
+               if isinstance(x.value, Node) else x.value)
+        return Node(x.kind, val, tuple(
+            _subst_grouping(a, S) if isinstance(a, Node)
+            else (tuple(_subst_grouping(e, S) if isinstance(e, Node) else e
+                        for e in a) if isinstance(a, tuple) else a)
+            for a in x.args))
+
+    def _has_grouping(x):
+        if not isinstance(x, Node):
+            return False
+        if x.kind == "call" and x.value == "grouping":
+            return True
+        return any(_has_grouping(a) or (isinstance(a, tuple) and any(
+            _has_grouping(e) for e in a)) for a in x.args)
+
     for S in q.group_sets:
         keep, dropped = [], []
         for idx, (item, alias) in enumerate(q.items):
             nm = _item_name(item, alias, idx)
             if nm in col_items and col_items[nm] not in S:
                 dropped.append(nm)
+            elif _has_grouping(item):
+                # pin the output name: the substituted literal would
+                # otherwise render a different default name per set
+                keep.append((_subst_grouping(item, S), alias or nm))
             else:
                 keep.append((item, alias))
+        having_S = (_subst_grouping(q.having, S)
+                    if isinstance(q.having, Node) else q.having)
         qS = Select(keep, q.distinct, q.table, q.where, list(S), [], None,
-                    joins=q.joins, having=q.having)
+                    joins=q.joins, having=having_S)
         o = _execute_core(qS, sf_dir, [], None, None)
         per_set.append((o, [n for n in names if n not in dropped], dropped))
     # types for padded key columns, from any set that groups on them

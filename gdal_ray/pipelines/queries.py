@@ -3251,6 +3251,25 @@ def q153_regexp_extract(sf_dir):
     return _sql_query(Q153_SQL)(sf_dir)
 
 
+Q156_SQL = """
+SELECT lang, source,
+       GROUPING(lang) AS gl, GROUPING(source) AS gs,
+       GROUPING(lang, source) AS gmask,
+       COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+FROM documents
+GROUP BY ROLLUP (lang, source)
+ORDER BY gmask, lang, source
+"""
+
+
+def q156_grouping_rollup(sf_dir):
+    """GROUPING() bitmask over ROLLUP (single, and multi-arg mask):
+    resolved to a per-grouping-set literal before each set's one-shuffle
+    aggregate (ops/sql._execute_group_sets), so superaggregate rows are
+    distinguishable from genuine NULL keys. Runs verbatim in DuckDB."""
+    return _sql_query(Q156_SQL)(sf_dir)
+
+
 Q154_ORACLE_SQL = """
 SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
        array_to_string(words[ci*8+1:ci*8+8], ' ') AS chunk,
@@ -3500,6 +3519,7 @@ def registry():
         "q153_regexp_extract": q153_regexp_extract,
         "q154_doc_chunks": q154_doc_chunks,
         "q155_seq_pack": q155_seq_pack,
+        "q156_grouping_rollup": q156_grouping_rollup,
         "q134_moving_windows": q134_moving_windows,
         "q135_json_props": q135_json_props,
         "q136_qualify_topk": q136_qualify_topk,
@@ -3605,6 +3625,7 @@ def registry():
         "q152_list_funcs": Q152_SQL,
         "q153_regexp_extract": Q153_SQL,
         "q154_doc_chunks": Q154_ORACLE_SQL,
+        "q156_grouping_rollup": Q156_SQL,
         "q134_moving_windows": Q134_SQL,
         "q135_json_props": Q135_SQL,
         "q136_qualify_topk": Q136_SQL,

@@ -163,6 +163,11 @@ CASES = [
     "SELECT LIST_CONTAINS(STRING_SPLIT(text, ' '), 'window') AS h, COUNT(*) AS n FROM documents GROUP BY 1 ORDER BY 1",
     "SELECT c_custkey, REGEXP_EXTRACT(c_name, '([a-z]+)#([0-9]+)', 2) AS g2, REGEXP_EXTRACT(c_name, '[0-9]+') AS whole, REGEXP_EXTRACT(c_name, 'zzz') AS miss FROM customer WHERE c_custkey < 30 ORDER BY c_custkey",
     "SELECT c_custkey, STRING_SPLIT_REGEX(c_name, '[#]')[1] AS p1, STRING_SPLIT(c_name, '#')[2] AS p2 FROM customer WHERE c_custkey < 20 ORDER BY c_custkey",
+    # round-5: GROUPING() bitmask over ROLLUP/CUBE/GROUPING SETS (incl.
+    # multi-arg and HAVING references)
+    "SELECT o_orderpriority, o_orderstatus, GROUPING(o_orderpriority) AS gp, GROUPING(o_orderstatus) AS gs, COUNT(*) AS n FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus) ORDER BY gp, gs, o_orderpriority, o_orderstatus",
+    "SELECT o_orderpriority, o_orderstatus, GROUPING(o_orderpriority, o_orderstatus) AS g, SUM(o_totalprice) AS s FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus) ORDER BY g, o_orderpriority, o_orderstatus",
+    "SELECT o_orderstatus, GROUPING(o_orderstatus) AS g, COUNT(*) AS n FROM orders GROUP BY GROUPING SETS ((o_orderstatus), ()) HAVING GROUPING(o_orderstatus) = 1 OR COUNT(*) > 100 ORDER BY g, o_orderstatus",
 ]
 
 
