@@ -893,6 +893,10 @@ class Select:
     # ref; None for single-table FROM. _resolve_scopes converts the extra
     # refs into equi Joins extracted from WHERE.
     from_refs: list | None = None
+    # UNPIVOT (on_cols, name_col, value_col): wide->long rewrite applied
+    # right after the FROM source is read — ONE scan, one vectorized
+    # tile/concat kernel per batch (not a UNION ALL of k scans)
+    unpivot: tuple | None = None
     # alias of the (first) FROM table, for scope resolution
     table_alias: str | None = None
 
@@ -933,12 +937,113 @@ def _parse_subselect(p: Parser) -> Select:
     return core
 
 
+def _parse_unpivot(p: Parser) -> Select:
+    """(UNPIVOT tbl ON c1, c2 ... INTO NAME k VALUE v) — DuckDB syntax.
+    Null values are excluded from the output (DuckDB default)."""
+    p.next()  # UNPIVOT
+    if p.accept("op", "("):
+        base = _parse_subselect(p)
+        p.expect("op", ")")
+    else:
+        base = p.expect("id")[1]
+    if not (p.peek()[0] == "kw" and p.peek()[1] == "ON"):
+        raise ValueError("UNPIVOT: expected ON")
+    p.next()
+    cols = [p.expect("id")[1]]
+    while p.accept("op", ","):
+        cols.append(p.expect("id")[1])
+    if not (p.peek() == ("id", "INTO") or (p.peek()[0] == "id"
+                                           and p.peek()[1].upper() == "INTO")):
+        raise ValueError("UNPIVOT: expected INTO NAME <id> VALUE <id>")
+    p.next()
+    if p.peek()[0] != "id" or p.next()[1].upper() != "NAME":
+        raise ValueError("UNPIVOT: expected NAME")
+    name_col = p.expect("id")[1]
+    nxt = p.next()
+    if nxt[0] != "id" or nxt[1].upper() != "VALUE":
+        raise ValueError("UNPIVOT: expected VALUE")
+    val_col = p.expect("id")[1]
+    return Select([(Node("star"), None)], False, base, None, [], [], None,
+                  unpivot=(tuple(cols), name_col, val_col))
+
+
+def _parse_pivot(p: Parser) -> Select:
+    """(PIVOT tbl ON col IN (v1, v2 ...) USING AGG(expr) GROUP BY g ...)
+    — DuckDB's static-value PIVOT, rewritten at parse time into the
+    filtered-aggregate form the engine already distributes: one output
+    column per IN value, holding AGG(CASE WHEN col = v THEN expr END)
+    (COUNT(*) pivots to COUNT(CASE WHEN col = v THEN 1 END)). One scan,
+    one grouped aggregate — never one scan per value."""
+    p.next()  # PIVOT
+    if p.accept("op", "("):
+        base = _parse_subselect(p)
+        p.expect("op", ")")
+    else:
+        base = p.expect("id")[1]
+    p.expect("kw", "ON")
+    on_col = p.expect("id")[1]
+    p.expect("kw", "IN")
+    p.expect("op", "(")
+    vals = []
+    while True:
+        t = p.next()
+        if t[0] not in ("num", "str"):
+            raise ValueError("PIVOT: IN list takes literals")
+        vals.append(t[1])
+        if not p.accept("op", ","):
+            break
+    p.expect("op", ")")
+    if p.peek()[0] != "id" or p.next()[1].upper() != "USING":
+        raise ValueError("PIVOT: expected USING <aggregate>")
+    agg = p.expr()
+    group_by = []
+    if p.accept("kw", "GROUP"):
+        p.expect("kw", "BY")
+        group_by.append(p.expect("id")[1])
+        while p.accept("op", ","):
+            group_by.append(p.expect("id")[1])
+    if not group_by:
+        raise ValueError("PIVOT: GROUP BY is required "
+                         "(implicit all-remaining-columns grouping is "
+                         "unsupported)")
+
+    def guard(n, v):
+        if not isinstance(n, Node):
+            return n
+        if n.kind == "agg":
+            kind, target = n.value
+            cond = Node("bin", "=", (Node("col", on_col), Node("lit", v)))
+            if kind == "count_star":
+                return Node("agg", ("count",
+                                    Node("case", None,
+                                         ((cond, Node("lit", 1)),))), n.args)
+            tnode = Node("col", target) if isinstance(target, str) else target
+            return Node("agg", (kind, Node("case", None, ((cond, tnode),))),
+                        n.args)
+        return Node(n.kind, n.value, tuple(
+            guard(a, v) if isinstance(a, Node)
+            else (tuple(guard(e, v) if isinstance(e, Node) else e for e in a)
+                  if isinstance(a, tuple) else a) for a in n.args))
+
+    items = [(Node("col", g), None) for g in group_by]
+    items += [(guard(agg, v), str(v)) for v in vals]
+    return Select(items, False, base, None, list(group_by), [], None)
+
+
 def _parse_table_ref(p: Parser):
     if p.accept("op", "("):
-        # derived table: FROM/JOIN ( SELECT ... ) [AS] alias — the Select
-        # node itself stands in for the table name and executes recursively
-        name = _parse_subselect(p)
-        p.expect("op", ")")
+        if p.peek()[0] == "id" and p.peek()[1].lower() == "unpivot":
+            name = _parse_unpivot(p)
+            p.expect("op", ")")
+        elif p.peek()[0] == "id" and p.peek()[1].lower() == "pivot":
+            name = _parse_pivot(p)
+            p.expect("op", ")")
+        else:
+            # derived table: FROM/JOIN ( SELECT ... ) [AS] alias — the
+            # Select node itself stands in for the table name and
+            # executes recursively
+            name = _parse_subselect(p)
+            p.expect("op", ")")
     else:
         name = p.expect("id")[1]
     alias = None
@@ -2514,6 +2619,12 @@ def _registry_cols(src) -> list:
 
 def _table_cols(sf_dir: str, table) -> list:
     if isinstance(table, Select):
+        if table.unpivot is not None and any(
+                isinstance(it, Node) and it.kind == "star"
+                for it, _ in table.items):
+            on, nc, vc = table.unpivot
+            base = _table_cols(sf_dir, table.table)
+            return [c for c in base if c not in on] + [nc, vc]
         return list(_out_names(table))
     src = _registry_get(table)
     if src is not None:
@@ -4497,7 +4608,8 @@ def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
 
     q = Select(q.items, q.distinct, q.table, q.where, q.group_by,
                list(order_by), limit, joins=q.joins, having=q.having,
-               offset=offset, group_sets=q.group_sets, qualify=q.qualify)
+               offset=offset, group_sets=q.group_sets, qualify=q.qualify,
+               unpivot=q.unpivot)
     if q.group_sets is not None:
         return _execute_group_sets(q, sf_dir)
     wants_fid = _mentions_fid(
@@ -4528,6 +4640,32 @@ def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
         ds = read_table(sf_dir, q.table,
                         columns=_pruned_columns(q, order_by, sf_dir),
                         filter=_pushdown_filter(q, sf_dir))
+
+    if q.unpivot is not None:
+        on_cols, name_c, val_c = q.unpivot
+
+        def unpivot_fn(t: pa.Table, cols=on_cols, nc=name_c,
+                       vc=val_c) -> pa.Table:
+            others = [c for c in t.column_names if c not in cols]
+            n = len(t)
+            k = len(cols)
+            vals = _unify_numeric([t[c].combine_chunks()
+                                   if isinstance(t[c], pa.ChunkedArray)
+                                   else t[c] for c in cols])
+            value = pa.concat_arrays([
+                v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
+                for v in vals])
+            idx = pa.array(np.tile(np.arange(n, dtype=np.int64), k))
+            out = {c: t[c].take(idx) for c in others}
+            out[nc] = pa.array(np.repeat(np.array(cols, dtype=object), n),
+                               pa.string())
+            out[vc] = value
+            res = pa.table(out)
+            # DuckDB default: NULL cells are excluded from the long form
+            return res.filter(pc.is_valid(res[vc]))
+
+        ds = ds.map_batches(unpivot_fn, batch_format="pyarrow",
+                            batch_size=None)
 
     key_alias: dict = {}
     for j in (q.joins or []):

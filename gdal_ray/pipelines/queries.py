@@ -3270,6 +3270,38 @@ def q156_grouping_rollup(sf_dir):
     return _sql_query(Q156_SQL)(sf_dir)
 
 
+Q157_SQL = """
+SELECT k AS metric, ROUND(SUM(v), 4) AS s,
+       ROUND(MIN(v), 4) AS lo, ROUND(MAX(v), 4) AS hi, COUNT(*) AS n
+FROM (UNPIVOT lineitem ON l_quantity, l_extendedprice, l_discount, l_tax
+      INTO NAME k VALUE v)
+GROUP BY k ORDER BY metric
+"""
+
+
+def q157_unpivot(sf_dir):
+    """SQL UNPIVOT (wide->long): ONE scan + a vectorized tile/concat
+    kernel per batch (ops/sql `unpivot_fn`) — not a UNION ALL of k scans;
+    NULL cells excluded (DuckDB default). Runs verbatim in DuckDB.
+    SUM/MIN/MAX/COUNT only — an AVG of 2-decimal data over a round
+    divisor sits on 6th-digit rounding midpoints (float-parity memory)."""
+    return _sql_query(Q157_SQL)(sf_dir)
+
+
+Q158_SQL = """
+SELECT * FROM (PIVOT orders ON o_orderstatus IN ('F','O','P')
+               USING SUM(o_totalprice) GROUP BY o_orderpriority)
+ORDER BY o_orderpriority
+"""
+
+
+def q158_pivot(sf_dir):
+    """SQL PIVOT (static IN list): parse-time rewrite to filtered
+    aggregates — one scan, one grouped-aggregate shuffle, never a scan
+    per pivot value. Runs verbatim in DuckDB."""
+    return _sql_query(Q158_SQL)(sf_dir)
+
+
 Q154_ORACLE_SQL = """
 SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
        array_to_string(words[ci*8+1:ci*8+8], ' ') AS chunk,
@@ -3520,6 +3552,8 @@ def registry():
         "q154_doc_chunks": q154_doc_chunks,
         "q155_seq_pack": q155_seq_pack,
         "q156_grouping_rollup": q156_grouping_rollup,
+        "q157_unpivot": q157_unpivot,
+        "q158_pivot": q158_pivot,
         "q134_moving_windows": q134_moving_windows,
         "q135_json_props": q135_json_props,
         "q136_qualify_topk": q136_qualify_topk,
@@ -3626,6 +3660,8 @@ def registry():
         "q153_regexp_extract": Q153_SQL,
         "q154_doc_chunks": Q154_ORACLE_SQL,
         "q156_grouping_rollup": Q156_SQL,
+        "q157_unpivot": Q157_SQL,
+        "q158_pivot": Q158_SQL,
         "q134_moving_windows": Q134_SQL,
         "q135_json_props": Q135_SQL,
         "q136_qualify_topk": Q136_SQL,

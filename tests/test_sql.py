@@ -168,6 +168,12 @@ CASES = [
     "SELECT o_orderpriority, o_orderstatus, GROUPING(o_orderpriority) AS gp, GROUPING(o_orderstatus) AS gs, COUNT(*) AS n FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus) ORDER BY gp, gs, o_orderpriority, o_orderstatus",
     "SELECT o_orderpriority, o_orderstatus, GROUPING(o_orderpriority, o_orderstatus) AS g, SUM(o_totalprice) AS s FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus) ORDER BY g, o_orderpriority, o_orderstatus",
     "SELECT o_orderstatus, GROUPING(o_orderstatus) AS g, COUNT(*) AS n FROM orders GROUP BY GROUPING SETS ((o_orderstatus), ()) HAVING GROUPING(o_orderstatus) = 1 OR COUNT(*) > 100 ORDER BY g, o_orderstatus",
+    # round-5: UNPIVOT (wide->long, NULL cells dropped) and static PIVOT
+    "SELECT l_orderkey, k AS metric, v AS val FROM (UNPIVOT lineitem ON l_quantity, l_extendedprice, l_discount INTO NAME k VALUE v) WHERE l_orderkey < 10 ORDER BY l_orderkey, metric, val",
+    "SELECT k AS metric, ROUND(SUM(v), 4) AS s, COUNT(*) AS n FROM (UNPIVOT lineitem ON l_quantity, l_discount, l_tax INTO NAME k VALUE v) GROUP BY k ORDER BY metric",
+    "SELECT k, ROUND(AVG(v), 6) AS m FROM (UNPIVOT (SELECT l_quantity, l_discount FROM lineitem WHERE l_orderkey < 500) ON l_quantity, l_discount INTO NAME k VALUE v) GROUP BY k ORDER BY k",
+    "SELECT * FROM (PIVOT orders ON o_orderstatus IN ('F','O','P') USING SUM(o_totalprice) GROUP BY o_orderpriority) ORDER BY o_orderpriority",
+    "SELECT * FROM (PIVOT orders ON o_orderstatus IN ('F','O') USING COUNT(*) GROUP BY o_orderpriority) ORDER BY o_orderpriority",
 ]
 
 
