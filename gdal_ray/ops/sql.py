@@ -163,7 +163,7 @@ _BUILTIN_CALLS = {
     "split_part": "split_part", "least": "least", "greatest": "greatest",
     "repeat": "repeat", "reverse": "reverse", "mod": "mod",
     "regexp_replace": "regexp_replace", "regexp_matches": "regexp_matches",
-    "regexp_extract": "regexp_extract",
+    "regexp_extract": "regexp_extract", "strftime": "strftime",
     "json_extract_string": "json_extract_string",
     # list / split catalogue (round 5): DuckDB spellings -> canonical names
     "string_split": "string_split", "str_split": "string_split",
@@ -321,11 +321,49 @@ class Parser:
             return left
         return Node("un", "not", (node,)) if neg else node
 
+    def _accept_nulls_opt(self):
+        """Consume an optional IGNORE NULLS / RESPECT NULLS inside a
+        window-function call (DuckDB placement). Returns True for IGNORE."""
+        t = self.peek()
+        if (t[0] == "id" and t[1].upper() in ("IGNORE", "RESPECT")
+                and self.toks[self.i + 1][0] == "id"
+                and self.toks[self.i + 1][1].upper() == "NULLS"):
+            self.next()
+            self.next()
+            return t[1].upper() == "IGNORE"
+        return False
+
+    def _over_ahead(self) -> bool:
+        """True when an OVER clause follows, possibly after an
+        IGNORE/RESPECT NULLS option."""
+        t = self.peek()
+        if t == ("kw", "OVER"):
+            return True
+        return (t[0] == "id" and t[1].upper() in ("IGNORE", "RESPECT")
+                and self.toks[self.i + 1][0] == "id"
+                and self.toks[self.i + 1][1].upper() == "NULLS"
+                and self.toks[self.i + 2] == ("kw", "OVER"))
+
     def _maybe_over(self, fnode):
         """Parse a trailing OVER (PARTITION BY ... ORDER BY ...) window
         spec (ogr has no window functions; this follows standard SQL as
         DuckDB implements it — the oracle runs the same string). Returns
         the bare node when no OVER follows."""
+        t = self.peek()
+        if (t[0] == "id" and t[1].upper() in ("IGNORE", "RESPECT")
+                and self.toks[self.i + 1][0] == "id"
+                and self.toks[self.i + 1][1].upper() == "NULLS"):
+            # IGNORE NULLS option (LAG/LEAD/FIRST/LAST/NTH_VALUE): encoded
+            # in the dispatch name so tree rewrites preserve it
+            ignore = t[1].upper() == "IGNORE"
+            self.next()
+            self.next()
+            if ignore:
+                if fnode.kind != "call" or fnode.value not in (
+                        "lag", "lead", "first_value", "last_value",
+                        "nth_value"):
+                    raise ValueError("IGNORE NULLS: navigation fns only")
+                fnode = Node("call", fnode.value + "#in", fnode.args)
         if self.peek() != ("kw", "OVER"):
             return fnode
         self.next()
@@ -524,25 +562,29 @@ class Parser:
                                      "PERCENT_RANK", "CUME_DIST"):
             self.expect("op", "(")
             self.expect("op", ")")
-            if self.peek() != ("kw", "OVER"):
+            if not self._over_ahead():
                 raise ValueError(f"{t[1]}() requires an OVER clause")
             return self._maybe_over(Node("call", t[1].lower(), ()))
         if t[0] == "kw" and t[1] in ("NTILE", "FIRST_VALUE", "LAST_VALUE"):
             self.expect("op", "(")
             e = self.expr()
+            ign = self._accept_nulls_opt()
             self.expect("op", ")")
-            if self.peek() != ("kw", "OVER"):
+            if not self._over_ahead():
                 raise ValueError(f"{t[1]}() requires an OVER clause")
-            return self._maybe_over(Node("call", t[1].lower(), (e,)))
+            name = t[1].lower() + ("#in" if ign and t[1] != "NTILE" else "")
+            return self._maybe_over(Node("call", name, (e,)))
         if t == ("kw", "NTH_VALUE"):
             self.expect("op", "(")
             e = self.expr()
             self.expect("op", ",")
             nn = self.expr()
+            ign = self._accept_nulls_opt()
             self.expect("op", ")")
-            if self.peek() != ("kw", "OVER"):
+            if not self._over_ahead():
                 raise ValueError("NTH_VALUE() requires an OVER clause")
-            return self._maybe_over(Node("call", "nth_value", (e, nn)))
+            name = "nth_value" + ("#in" if ign else "")
+            return self._maybe_over(Node("call", name, (e, nn)))
         if t[0] == "kw" and t[1] in ("LAG", "LEAD"):
             self.expect("op", "(")
             e = self.expr()
@@ -551,10 +593,12 @@ class Parser:
                 off = self.expr()
                 if self.accept("op", ","):
                     dflt = self.expr()
+            ign = self._accept_nulls_opt()
             self.expect("op", ")")
-            if self.peek() != ("kw", "OVER"):
+            if not self._over_ahead():
                 raise ValueError(f"{t[1]}() requires an OVER clause")
-            return self._maybe_over(Node("call", t[1].lower(), (e, off, dflt)))
+            name = t[1].lower() + ("#in" if ign else "")
+            return self._maybe_over(Node("call", name, (e, off, dflt)))
         if t == ("kw", "CONCAT"):
             self.expect("op", "(")
             args = [self.expr()]
@@ -2082,6 +2126,13 @@ def eval_expr(node: Node, t: pa.Table):
             v = eval_expr(node.args[1], t)
             # ISO semantics match DuckDB: weeks start Monday
             return pc.floor_temporal(v, unit=part)
+        if fn == "strftime":
+            # DuckDB STRFTIME(ts, fmt) (either arg order accepted there;
+            # we take timestamp-first). C format spec == Arrow's.
+            v = eval_expr(node.args[0], t)
+            if node.args[1].kind != "lit":
+                raise ValueError("STRFTIME: format must be a literal")
+            return pc.strftime(v, format=str(node.args[1].value))
         if fn == "string_split":
             if node.args[1].kind != "lit":
                 raise ValueError("STRING_SPLIT: separator must be a literal")
@@ -3515,6 +3566,67 @@ def _eval_window_fn(fnode: Node, df, ctx: dict, frame=None):
             pos // np.maximum(quo + 1, 1),
             rem + np.where(quo > 0, (pos - boundary) // np.maximum(quo, 1), 0))
         return (bucket + 1).astype(np.int64)
+    if fnode.kind == "call" and fnode.value.endswith("#in"):
+        # IGNORE NULLS navigation: per-row pick of the j-th non-null value
+        # via one validity prefix-sum + one flatnonzero index table — no
+        # per-row scan. Default frame only (explicit frames raise above).
+        if frame is not None:
+            raise ValueError("IGNORE NULLS with an explicit frame "
+                             "is unsupported")
+        base = fnode.value[:-3]
+        colnode = fnode.args[0]
+        if colnode.kind != "col":
+            raise ValueError("IGNORE NULLS supports plain columns only")
+        if not has_order:
+            raise ValueError(f"{base.upper()} requires ORDER BY")
+        s = df[colnode.value]
+        arr = s.to_numpy()
+        valid = s.notna().to_numpy()
+        ccnt = np.concatenate([[0], np.cumsum(valid.astype(np.int64))])
+        validpos = np.flatnonzero(valid)
+        i = np.arange(n, dtype=np.int64)
+        end_rep = starts_rep + sizes_rep - 1
+        if base == "lag":
+            k = 1 if fnode.args[1] is None else int(_const_value(
+                fnode.args[1]))
+            ordv = ccnt[i] - k                      # k-th valid before row
+            ok = ordv >= ccnt[starts_rep]
+        elif base == "lead":
+            k = 1 if fnode.args[1] is None else int(_const_value(
+                fnode.args[1]))
+            ordv = ccnt[i + 1] + k - 1              # k-th valid after row
+            ok = ordv < ccnt[end_rep + 1]
+        elif base == "first_value":
+            ordv = ccnt[starts_rep]
+            ok = ordv < ccnt[peer_end + 1]
+        elif base == "last_value":
+            ordv = ccnt[peer_end + 1] - 1
+            ok = ordv >= ccnt[starts_rep]
+        else:  # nth_value
+            k = int(_const_value(fnode.args[1]))
+            ordv = ccnt[starts_rep] + (k - 1)
+            ok = ordv < ccnt[peer_end + 1]
+        if validpos.size == 0:
+            ok = np.zeros(n, bool)
+            idx = np.zeros(n, np.int64)
+        else:
+            idx = validpos[np.clip(ordv, 0, validpos.size - 1)]
+        out = arr[idx] if n else arr
+        fill = None
+        if base in ("lag", "lead") and len(fnode.args) > 2 \
+                and fnode.args[2] is not None:
+            fill = _const_value(fnode.args[2])
+        if n and (~ok).any():
+            if out.dtype.kind == "f":
+                out = out.copy()
+                out[~ok] = np.nan if fill is None else fill
+            elif out.dtype.kind in "iu" and fill is not None:
+                out = out.copy()
+                out[~ok] = fill
+            else:
+                out = out.astype(object)
+                out[~ok] = fill
+        return out
     if fnode.kind == "call" and fnode.value in ("first_value", "last_value"):
         (colnode,) = fnode.args
         if colnode.kind != "col":

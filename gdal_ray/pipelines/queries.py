@@ -3302,6 +3302,26 @@ def q158_pivot(sf_dir):
     return _sql_query(Q158_SQL)(sf_dir)
 
 
+Q159_SQL = """
+SELECT o_orderkey,
+       STRFTIME(o_orderdate, '%Y-%m') AS ym,
+       LAG(v IGNORE NULLS) OVER (ORDER BY o_orderkey) AS prev_hi,
+       FIRST_VALUE(v IGNORE NULLS) OVER (ORDER BY o_orderkey) AS first_hi
+FROM (SELECT o_orderkey, o_orderdate,
+             CASE WHEN o_totalprice > 200000 THEN o_totalprice END AS v
+      FROM orders) t
+WHERE o_orderkey < 3000
+ORDER BY o_orderkey
+"""
+
+
+def q159_ignore_nulls(sf_dir):
+    """IGNORE NULLS navigation windows (validity prefix-sum + index-table
+    pick, no per-row scan) + STRFTIME (pc.strftime). Runs verbatim in
+    DuckDB (in-paren IGNORE NULLS placement)."""
+    return _sql_query(Q159_SQL)(sf_dir)
+
+
 Q154_ORACLE_SQL = """
 SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
        array_to_string(words[ci*8+1:ci*8+8], ' ') AS chunk,
@@ -3554,6 +3574,7 @@ def registry():
         "q156_grouping_rollup": q156_grouping_rollup,
         "q157_unpivot": q157_unpivot,
         "q158_pivot": q158_pivot,
+        "q159_ignore_nulls": q159_ignore_nulls,
         "q134_moving_windows": q134_moving_windows,
         "q135_json_props": q135_json_props,
         "q136_qualify_topk": q136_qualify_topk,
@@ -3662,6 +3683,7 @@ def registry():
         "q156_grouping_rollup": Q156_SQL,
         "q157_unpivot": Q157_SQL,
         "q158_pivot": Q158_SQL,
+        "q159_ignore_nulls": Q159_SQL,
         "q134_moving_windows": Q134_SQL,
         "q135_json_props": Q135_SQL,
         "q136_qualify_topk": Q136_SQL,

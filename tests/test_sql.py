@@ -174,6 +174,12 @@ CASES = [
     "SELECT k, ROUND(AVG(v), 6) AS m FROM (UNPIVOT (SELECT l_quantity, l_discount FROM lineitem WHERE l_orderkey < 500) ON l_quantity, l_discount INTO NAME k VALUE v) GROUP BY k ORDER BY k",
     "SELECT * FROM (PIVOT orders ON o_orderstatus IN ('F','O','P') USING SUM(o_totalprice) GROUP BY o_orderpriority) ORDER BY o_orderpriority",
     "SELECT * FROM (PIVOT orders ON o_orderstatus IN ('F','O') USING COUNT(*) GROUP BY o_orderpriority) ORDER BY o_orderpriority",
+    # round-5: IGNORE NULLS navigation fns (DuckDB in-paren placement) +
+    # STRFTIME
+    "SELECT o_orderkey, LAG(v IGNORE NULLS) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey) AS pv, FIRST_VALUE(v IGNORE NULLS) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey) AS fv FROM (SELECT o_orderkey, o_orderpriority, CASE WHEN o_totalprice > 150000 THEN o_totalprice END AS v FROM orders WHERE o_orderkey < 2000) t ORDER BY o_orderkey",
+    "SELECT o_orderkey, LEAD(v, 2 IGNORE NULLS) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS nv, LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS lv, NTH_VALUE(v, 3 IGNORE NULLS) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS n3 FROM (SELECT o_orderkey, o_orderstatus, CASE WHEN o_totalprice > 250000 THEN o_totalprice END AS v FROM orders WHERE o_orderkey < 1500) t ORDER BY o_orderkey",
+    "SELECT o_orderkey, LAG(o_totalprice RESPECT NULLS) OVER (ORDER BY o_orderkey) AS pv FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey",
+    "SELECT o_orderkey, STRFTIME(o_orderdate, '%Y-%m') AS ym, STRFTIME(o_orderdate, '%d/%m/%Y') AS dmy, STRFTIME(o_orderdate, '%j') AS doy FROM orders WHERE o_orderkey < 50 ORDER BY o_orderkey",
 ]
 
 
