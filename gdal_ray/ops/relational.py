@@ -471,6 +471,19 @@ def broadcast_join(
 
     def join_batch(batch: pa.Table) -> pa.Table:
         r = ray.get(ref)
+        # Acero rejects joins on differing key types (e.g. an int32
+        # parquet key vs an int64 VALUES/derived key): widen the NARROWER
+        # side's key to the other's type when both are integers
+        for lk, rk in zip(keys, right_keys):
+            lt = batch.schema.field(lk).type
+            rt = r.schema.field(rk).type
+            if lt != rt and pa.types.is_integer(lt) and pa.types.is_integer(rt):
+                if lt.bit_width < rt.bit_width:
+                    i = batch.column_names.index(lk)
+                    batch = batch.set_column(i, lk, pc.cast(batch[lk], rt))
+                else:
+                    i = r.column_names.index(rk)
+                    r = r.set_column(i, rk, pc.cast(r[rk], lt))
         return batch.join(r, keys=keys, right_keys=right_keys, join_type=join_type)
 
     return ds.map_batches(join_batch, batch_format="pyarrow", batch_size=None)

@@ -1074,9 +1074,36 @@ def _parse_pivot(p: Parser) -> Select:
     return Select(items, False, base, None, list(group_by), [], None)
 
 
+def _parse_values(p: Parser) -> Select:
+    """(VALUES (1, 'a'), (2, 'b')) [AS t(x, y)] — inline constant table.
+    Columns default to col0..colN (DuckDB naming); an alias column list
+    renames them. Materializes to ONE Arrow table on the driver (VALUES
+    lists are small by construction)."""
+    p.next()  # VALUES
+    rows = []
+    while True:
+        p.expect("op", "(")
+        row = [_const_value(p.expr())]
+        while p.accept("op", ","):
+            row.append(_const_value(p.expr()))
+        p.expect("op", ")")
+        rows.append(row)
+        if not p.accept("op", ","):
+            break
+    ncol = len(rows[0])
+    if any(len(r) != ncol for r in rows):
+        raise ValueError("VALUES: rows have differing arity")
+    tbl = pa.table({f"col{i}": pa.array([r[i] for r in rows])
+                    for i in range(ncol)})
+    return Select([(Node("star"), None)], False, tbl, None, [], [], None)
+
+
 def _parse_table_ref(p: Parser):
     if p.accept("op", "("):
-        if p.peek()[0] == "id" and p.peek()[1].lower() == "unpivot":
+        if p.peek()[0] == "id" and p.peek()[1].lower() == "values":
+            name = _parse_values(p)
+            p.expect("op", ")")
+        elif p.peek()[0] == "id" and p.peek()[1].lower() == "unpivot":
             name = _parse_unpivot(p)
             p.expect("op", ")")
         elif p.peek()[0] == "id" and p.peek()[1].lower() == "pivot":
@@ -1095,6 +1122,18 @@ def _parse_table_ref(p: Parser):
         alias = p.expect("id")[1]
     elif p.peek()[0] == "id":
         alias = p.next()[1]
+    if alias is not None and p.peek() == ("op", "("):
+        # alias column list `AS t(x, y)` — supported for VALUES tables
+        p.next()
+        newcols = [p.expect("id")[1]]
+        while p.accept("op", ","):
+            newcols.append(p.expect("id")[1])
+        p.expect("op", ")")
+        if not (isinstance(name, Select) and isinstance(name.table, pa.Table)):
+            raise ValueError("alias column lists support VALUES tables only")
+        if len(newcols) != name.table.num_columns:
+            raise ValueError("alias column list arity mismatch")
+        name.table = name.table.rename_columns(newcols)
     return name, alias
 
 
@@ -2669,7 +2708,13 @@ def _registry_cols(src) -> list:
 
 
 def _table_cols(sf_dir: str, table) -> list:
+    if isinstance(table, pa.Table):
+        return list(table.column_names)
     if isinstance(table, Select):
+        if isinstance(table.table, pa.Table) and any(
+                isinstance(it, Node) and it.kind == "star"
+                for it, _ in table.items) and table.unpivot is None:
+            return list(table.table.column_names)
         if table.unpivot is not None and any(
                 isinstance(it, Node) and it.kind == "star"
                 for it, _ in table.items):
@@ -4727,8 +4772,13 @@ def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
     wants_fid = _mentions_fid(
         (q.items, q.where, q.group_by, q.having, q.order_by))
     from_src = (_registry_get(q.table)
-                if not isinstance(q.table, Select) else None)
-    if isinstance(q.table, Select):
+                if not isinstance(q.table, (Select, pa.Table)) else None)
+    if isinstance(q.table, pa.Table):
+        # inline VALUES table
+        import ray.data as _rd
+
+        ds = _rd.from_arrow(q.table)
+    elif isinstance(q.table, Select):
         # derived table: FROM (SELECT ...) alias — executes recursively
         # as its own streaming pipeline
         ds = _execute_core(q.table, sf_dir, q.table.order_by,

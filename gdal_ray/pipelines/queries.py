@@ -3322,6 +3322,25 @@ def q159_ignore_nulls(sf_dir):
     return _sql_query(Q159_SQL)(sf_dir)
 
 
+Q160_SQL = """
+SELECT seg, pri, COUNT(*) AS n
+FROM (SELECT c_mktsegment, c_nationkey % 2 AS par FROM customer) c
+LEFT JOIN (VALUES ('BUILDING', 1), ('MACHINERY', 2), ('AUTOMOBILE', 3))
+     AS m(seg_name, pri) ON c_mktsegment = seg_name
+LEFT JOIN (VALUES (0, 'low'), (1, 'mid')) AS b(k, seg) ON par = k
+GROUP BY seg, pri ORDER BY seg, pri
+"""
+
+
+def q160_values_join(sf_dir):
+    """Inline VALUES tables as broadcast join sides (dimension
+    enrichment without a file): parsed to a driver-side Arrow table,
+    ray.put once, joined per batch; integer key widths align
+    automatically (int32 parquet key vs int64 literal). Runs verbatim
+    in DuckDB."""
+    return _sql_query(Q160_SQL)(sf_dir)
+
+
 Q154_ORACLE_SQL = """
 SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
        array_to_string(words[ci*8+1:ci*8+8], ' ') AS chunk,
@@ -3575,6 +3594,7 @@ def registry():
         "q157_unpivot": q157_unpivot,
         "q158_pivot": q158_pivot,
         "q159_ignore_nulls": q159_ignore_nulls,
+        "q160_values_join": q160_values_join,
         "q134_moving_windows": q134_moving_windows,
         "q135_json_props": q135_json_props,
         "q136_qualify_topk": q136_qualify_topk,
@@ -3684,6 +3704,7 @@ def registry():
         "q157_unpivot": Q157_SQL,
         "q158_pivot": Q158_SQL,
         "q159_ignore_nulls": Q159_SQL,
+        "q160_values_join": Q160_SQL,
         "q134_moving_windows": Q134_SQL,
         "q135_json_props": Q135_SQL,
         "q136_qualify_topk": Q136_SQL,

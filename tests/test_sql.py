@@ -180,6 +180,11 @@ CASES = [
     "SELECT o_orderkey, LEAD(v, 2 IGNORE NULLS) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS nv, LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS lv, NTH_VALUE(v, 3 IGNORE NULLS) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS n3 FROM (SELECT o_orderkey, o_orderstatus, CASE WHEN o_totalprice > 250000 THEN o_totalprice END AS v FROM orders WHERE o_orderkey < 1500) t ORDER BY o_orderkey",
     "SELECT o_orderkey, LAG(o_totalprice RESPECT NULLS) OVER (ORDER BY o_orderkey) AS pv FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey",
     "SELECT o_orderkey, STRFTIME(o_orderdate, '%Y-%m') AS ym, STRFTIME(o_orderdate, '%d/%m/%Y') AS dmy, STRFTIME(o_orderdate, '%j') AS doy FROM orders WHERE o_orderkey < 50 ORDER BY o_orderkey",
+    # round-5: VALUES inline tables (standalone, joined, default col names)
+    "SELECT * FROM (VALUES (1, 'a'), (2, 'b'), (3, NULL)) AS t(id, label) ORDER BY id",
+    "SELECT n_name, label FROM nation JOIN (VALUES (0, 'zero'), (1, 'one')) AS m(rk, label) ON n_regionkey = rk ORDER BY n_name",
+    "SELECT n_name, label FROM nation LEFT JOIN (VALUES (0, 'zero'), (1, 'one')) AS m(rk, label) ON n_regionkey = rk ORDER BY n_name",
+    "SELECT col0 + col1 AS s FROM (VALUES (1, 10), (2, 20)) t ORDER BY s",
 ]
 
 
