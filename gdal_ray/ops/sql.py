@@ -175,6 +175,8 @@ _BUILTIN_CALLS = {
     "array_extract": "list_extract",
     "list_contains": "list_contains", "array_contains": "list_contains",
     "array_length": "length", "list_length": "length",
+    "list_sum": "list_sum", "list_avg": "list_avg",
+    "list_min": "list_min", "list_max": "list_max",
 }
 
 
@@ -1098,7 +1100,50 @@ def _parse_values(p: Parser) -> Select:
     return Select([(Node("star"), None)], False, tbl, None, [], [], None)
 
 
+def _parse_series(p: Parser) -> Select:
+    """FROM generate_series(a, b[, step]) / range(a, b[, step]) — integer
+    series as a TABLE function. generate_series is INCLUSIVE of b, range
+    EXCLUSIVE (DuckDB semantics); the column carries the function's name.
+    Executes as a DISTRIBUTED ray.data.range (no driver materialization),
+    so a 10^9-row spine is as cheap as a parquet scan."""
+    fname = p.next()[1].lower()
+    p.expect("op", "(")
+    a = int(_const_value(p.expr()))
+    p.expect("op", ",")
+    b = int(_const_value(p.expr()))
+    step = 1
+    if p.accept("op", ","):
+        step = int(_const_value(p.expr()))
+    p.expect("op", ")")
+    if step == 0:
+        raise ValueError("series step must be nonzero")
+    stop = b + (1 if step > 0 else -1) if fname == "generate_series" else b
+    return Select([(Node("star"), None)], False,
+                  ("__series__", a, stop, step, fname), None, [], [], None)
+
+
+def _series_table(spec) -> tuple:
+    _tag, a, stop, step, fname = spec
+    n = max(0, -(-(stop - a) // step))
+    return n, a, step, fname
+
+
 def _parse_table_ref(p: Parser):
+    if (p.peek()[0] == "id"
+            and p.peek()[1].lower() in ("generate_series", "range")
+            and p.toks[p.i + 1] == ("op", "(")):
+        name = _parse_series(p)
+        alias = None
+        if p.accept("kw", "AS"):
+            alias = p.expect("id")[1]
+        elif p.peek()[0] == "id":
+            alias = p.next()[1]
+        if alias is not None and p.peek() == ("op", "("):
+            p.next()
+            newcol = p.expect("id")[1]
+            p.expect("op", ")")
+            name.table = name.table[:4] + (newcol,)
+        return name, alias
     if p.accept("op", "("):
         if p.peek()[0] == "id" and p.peek()[1].lower() == "values":
             name = _parse_values(p)
@@ -2189,6 +2234,36 @@ def eval_expr(node: Node, t: pa.Table):
         if fn == "list_contains":
             return _list_contains(eval_expr(node.args[0], t),
                                   eval_expr(node.args[1], t))
+        if fn in ("list_sum", "list_avg", "list_min", "list_max"):
+            # per-row list aggregation: one flatten + ufunc.reduceat per
+            # batch (null elements skipped; empty/all-null -> NULL, DuckDB
+            # semantics). Always float64 out — state the same cast in
+            # oracle SQL (DuckDB widens int lists to HUGEINT otherwise).
+            col = eval_expr(node.args[0], t)
+            lens, starts, flat = _list_segments(col)
+            v = pc.cast(flat, pa.float64()).to_numpy(zero_copy_only=False)
+            valid = ~np.isnan(v)
+            nrow = len(lens)
+            nz = lens > 0
+            cnt = np.zeros(nrow, np.int64)
+            if nz.any():
+                cnt[nz] = np.add.reduceat(valid.astype(np.int64),
+                                          starts[nz])
+            out = np.full(nrow, np.nan)
+            if fn in ("list_sum", "list_avg"):
+                if nz.any():
+                    out[nz] = np.add.reduceat(np.where(valid, v, 0.0),
+                                              starts[nz])
+                if fn == "list_avg":
+                    out = out / np.maximum(cnt, 1)
+            else:
+                fill = np.inf if fn == "list_min" else -np.inf
+                red = np.minimum if fn == "list_min" else np.maximum
+                if nz.any():
+                    out[nz] = red.reduceat(np.where(valid, v, fill),
+                                           starts[nz])
+            out[cnt == 0] = np.nan
+            return pa.array(out, pa.float64(), from_pandas=True)
         if fn == "regexp_extract":
             s = eval_expr(node.args[0], t)
             if node.args[1].kind != "lit":
@@ -2710,7 +2785,14 @@ def _registry_cols(src) -> list:
 def _table_cols(sf_dir: str, table) -> list:
     if isinstance(table, pa.Table):
         return list(table.column_names)
+    if isinstance(table, tuple) and table and table[0] == "__series__":
+        return [table[4]]
     if isinstance(table, Select):
+        if isinstance(table.table, tuple) and table.table \
+                and table.table[0] == "__series__" and any(
+                isinstance(it, Node) and it.kind == "star"
+                for it, _ in table.items):
+            return [table.table[4]]
         if isinstance(table.table, pa.Table) and any(
                 isinstance(it, Node) and it.kind == "star"
                 for it, _ in table.items) and table.unpivot is None:
@@ -4772,12 +4854,23 @@ def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
     wants_fid = _mentions_fid(
         (q.items, q.where, q.group_by, q.having, q.order_by))
     from_src = (_registry_get(q.table)
-                if not isinstance(q.table, (Select, pa.Table)) else None)
+                if not isinstance(q.table, (Select, pa.Table, tuple))
+                else None)
     if isinstance(q.table, pa.Table):
         # inline VALUES table
         import ray.data as _rd
 
         ds = _rd.from_arrow(q.table)
+    elif isinstance(q.table, tuple) and q.table and q.table[0] == "__series__":
+        # generate_series / range table function: distributed ray.data
+        # integer range, affine-mapped per batch (zero driver rows)
+        import ray.data as _rd
+
+        n, a, step, colname = _series_table(q.table)
+        ds = _rd.range(n).map_batches(
+            lambda t, a=a, s=step, c=colname: pa.table(
+                {c: pc.add(pc.multiply(pc.cast(t["id"], pa.int64()), s), a)}),
+            batch_format="pyarrow", batch_size=None)
     elif isinstance(q.table, Select):
         # derived table: FROM (SELECT ...) alias — executes recursively
         # as its own streaming pipeline

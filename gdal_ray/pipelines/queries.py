@@ -3341,6 +3341,39 @@ def q160_values_join(sf_dir):
     return _sql_query(Q160_SQL)(sf_dir)
 
 
+Q161_SQL = """
+SELECT g AS bucket, COUNT(event_id) AS n
+FROM generate_series(0, 99) AS s(g)
+LEFT JOIN (SELECT event_id, event_id % 100 AS b FROM events) e ON g = b
+GROUP BY g ORDER BY bucket
+"""
+
+
+def q161_series_spine(sf_dir):
+    """generate_series as a TABLE function (distributed ray.data.range —
+    no driver rows) used as a gap-free spine LEFT JOINed to events: every
+    bucket appears even when empty, the classic densification idiom.
+    Runs verbatim in DuckDB."""
+    return _sql_query(Q161_SQL)(sf_dir)
+
+
+Q162_SQL = """
+SELECT label, ROUND(SUM(list_sum(embedding)), 4) AS s,
+       ROUND(CAST(MIN(list_min(embedding)) AS DOUBLE), 4) AS lo,
+       ROUND(CAST(MAX(list_max(embedding)) AS DOUBLE), 4) AS hi,
+       CAST(SUM(CASE WHEN list_avg(embedding) > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS pos_docs
+FROM embeddings GROUP BY label ORDER BY label
+"""
+
+
+def q162_list_aggs(sf_dir):
+    """Per-row list aggregates (list_sum/avg/min/max: one flatten +
+    ufunc.reduceat per batch) feeding grouped aggregates. Runs verbatim
+    in DuckDB."""
+    return _sql_query(Q162_SQL)(sf_dir)
+
+
 Q154_ORACLE_SQL = """
 SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
        array_to_string(words[ci*8+1:ci*8+8], ' ') AS chunk,
@@ -3595,6 +3628,8 @@ def registry():
         "q158_pivot": q158_pivot,
         "q159_ignore_nulls": q159_ignore_nulls,
         "q160_values_join": q160_values_join,
+        "q161_series_spine": q161_series_spine,
+        "q162_list_aggs": q162_list_aggs,
         "q134_moving_windows": q134_moving_windows,
         "q135_json_props": q135_json_props,
         "q136_qualify_topk": q136_qualify_topk,
@@ -3705,6 +3740,8 @@ def registry():
         "q158_pivot": Q158_SQL,
         "q159_ignore_nulls": Q159_SQL,
         "q160_values_join": Q160_SQL,
+        "q161_series_spine": Q161_SQL,
+        "q162_list_aggs": Q162_SQL,
         "q134_moving_windows": Q134_SQL,
         "q135_json_props": Q135_SQL,
         "q136_qualify_topk": Q136_SQL,

@@ -185,6 +185,14 @@ CASES = [
     "SELECT n_name, label FROM nation JOIN (VALUES (0, 'zero'), (1, 'one')) AS m(rk, label) ON n_regionkey = rk ORDER BY n_name",
     "SELECT n_name, label FROM nation LEFT JOIN (VALUES (0, 'zero'), (1, 'one')) AS m(rk, label) ON n_regionkey = rk ORDER BY n_name",
     "SELECT col0 + col1 AS s FROM (VALUES (1, 10), (2, 20)) t ORDER BY s",
+    # round-5: series table functions + per-row list aggregates
+    "SELECT * FROM generate_series(1, 10) ORDER BY generate_series",
+    "SELECT i, i * i AS sq FROM range(0, 20, 3) AS r(i) ORDER BY i",
+    "SELECT COUNT(*) AS n, CAST(SUM(generate_series) AS BIGINT) AS s FROM generate_series(1, 100000)",
+    # list_min/max: CAST to DOUBLE before ROUND — DuckDB keeps float32
+    # through the list aggregate and its float32 round lands off the
+    # double rounding grid (the float-parity memory's float32 trap)
+    "SELECT vec_id, ROUND(list_sum(embedding), 4) AS ls, ROUND(list_avg(embedding), 6) AS la, ROUND(CAST(list_min(embedding) AS DOUBLE), 6) AS lmin, ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS lmax FROM embeddings WHERE vec_id < 20 ORDER BY vec_id",
 ]
 
 
