@@ -323,6 +323,34 @@ class Parser:
             return left
         return Node("un", "not", (node,)) if neg else node
 
+    def _maybe_filter(self, aggnode):
+        """Parse a trailing FILTER (WHERE cond) on an aggregate (standard
+        SQL / DuckDB) — rewritten at parse time to the CASE form the
+        engine already distributes: AGG(CASE WHEN cond THEN target END);
+        COUNT(*) FILTER -> COUNT(CASE WHEN cond THEN 1 END)."""
+        t = self.peek()
+        if not (t[0] == "id" and t[1].upper() == "FILTER"
+                and self.toks[self.i + 1] == ("op", "(")):
+            return aggnode
+        self.next()
+        self.expect("op", "(")
+        self.expect("kw", "WHERE")
+        cond = self.expr()
+        self.expect("op", ")")
+        kind, target = aggnode.value
+        if kind == "count_star":
+            return Node("agg", ("count",
+                                Node("case", None,
+                                     ((cond, Node("lit", 1)),))),
+                        aggnode.args)
+        if kind in ("count_distinct", "string_agg", "array_agg",
+                    "quantile_disc", "quantile_cont", "mode",
+                    "arg_max", "arg_min"):
+            raise ValueError(f"FILTER over {kind.upper()} unsupported")
+        tnode = Node("col", target) if isinstance(target, str) else target
+        return Node("agg", (kind, Node("case", None, ((cond, tnode),))),
+                    aggnode.args)
+
     def _accept_nulls_opt(self):
         """Consume an optional IGNORE NULLS / RESPECT NULLS inside a
         window-function call (DuckDB placement). Returns True for IGNORE."""
@@ -542,7 +570,8 @@ class Parser:
             self.expect("op", "(")
             if t[1] == "COUNT" and self.accept("op", "*"):
                 self.expect("op", ")")
-                return self._maybe_over(Node("agg", ("count_star", None)))
+                return self._maybe_over(self._maybe_filter(
+                    Node("agg", ("count_star", None))))
             if t[1] == "COUNT" and self.accept("kw", "DISTINCT"):
                 inner = self.expr()
                 self.expect("op", ")")
@@ -557,9 +586,9 @@ class Parser:
                      "MAX": "max", "AVG": "mean"}
             # plain column -> name; expression -> the Node itself (the
             # executor pre-computes it as a hidden column before grouping)
-            return self._maybe_over(
+            return self._maybe_over(self._maybe_filter(
                 Node("agg", (kinds[t[1]],
-                             inner.value if inner.kind == "col" else inner)))
+                             inner.value if inner.kind == "col" else inner))))
         if t[0] == "kw" and t[1] in ("ROW_NUMBER", "RANK", "DENSE_RANK",
                                      "PERCENT_RANK", "CUME_DIST"):
             self.expect("op", "(")
@@ -943,6 +972,10 @@ class Select:
     # right after the FROM source is read — ONE scan, one vectorized
     # tile/concat kernel per batch (not a UNION ALL of k scans)
     unpivot: tuple | None = None
+    # DISTINCT ON (cols): first output row per key under the query's
+    # ORDER BY — executes on the first_by winners machinery (one shuffle
+    # of one row per (group, block))
+    distinct_on: list | None = None
     # alias of the (first) FROM table, for scope resolution
     table_alias: str | None = None
 
@@ -1185,6 +1218,14 @@ def _parse_table_ref(p: Parser):
 def _parse_core(p: Parser) -> Select:
     p.expect("kw", "SELECT")
     distinct = p.accept("kw", "DISTINCT")
+    distinct_on = None
+    if distinct and p.accept("kw", "ON"):
+        p.expect("op", "(")
+        distinct_on = [p.expect("id")[1]]
+        while p.accept("op", ","):
+            distinct_on.append(p.expect("id")[1])
+        p.expect("op", ")")
+        distinct = False
     items = []
     while True:
         e = p.expr()
@@ -1344,7 +1385,7 @@ def _parse_core(p: Parser) -> Select:
                   joins=joins, having=having, group_sets=group_sets,
                   qualify=qualify,
                   from_refs=from_refs if len(from_refs) > 1 else None,
-                  table_alias=_table_alias)
+                  table_alias=_table_alias, distinct_on=distinct_on)
 
 
 def _subst_ctes(x, ctes: dict):
@@ -4848,7 +4889,7 @@ def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
     q = Select(q.items, q.distinct, q.table, q.where, q.group_by,
                list(order_by), limit, joins=q.joins, having=q.having,
                offset=offset, group_sets=q.group_sets, qualify=q.qualify,
-               unpivot=q.unpivot)
+               unpivot=q.unpivot, distinct_on=q.distinct_on)
     if q.group_sets is not None:
         return _execute_group_sets(q, sf_dir)
     wants_fid = _mentions_fid(
@@ -5308,6 +5349,9 @@ def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
         order_pre = bool(q.order_by) and not all(
             (not isinstance(c, Node)) and c in out_cols for c, _ in q.order_by)
         if order_pre:
+            if q.distinct_on:
+                raise ValueError("DISTINCT ON requires plain output-column "
+                                 "ORDER BY")
             ds, keys_, drop_ = _order_keys(ds, q.order_by)
             if want is not None:
                 ds = topk(ds, keys_, want)
@@ -5325,6 +5369,28 @@ def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
 
     if q.distinct:
         out = op_distinct(out, [c for c in _out_names(q)])
+    if q.distinct_on:
+        # DISTINCT ON (k): first row per key under the query's ORDER BY
+        # (first_by winners: the shuffle moves one row per (key, block))
+        from gdal_ray.ops.relational import first_by
+
+        names_ = _out_names(q)
+        for c in q.distinct_on:
+            if c not in names_:
+                raise ValueError(f"DISTINCT ON column {c!r} must be "
+                                 "in the SELECT list")
+        oc, asc = [], []
+        for c, d in (q.order_by or []):
+            if not isinstance(c, str) or c not in names_:
+                raise ValueError("DISTINCT ON requires plain output-column "
+                                 "ORDER BY")
+            if c not in q.distinct_on:
+                oc.append(c)
+                asc.append(not d)
+        if not oc:
+            raise ValueError("DISTINCT ON needs an ORDER BY tiebreaker "
+                             "beyond the ON keys (determinism)")
+        out = first_by(out, list(q.distinct_on), oc, ascending=asc)
     want = q.limit + (q.offset or 0) if q.limit is not None else None
     if q.order_by:
         out, keys_, drop_ = _order_keys(out, q.order_by)

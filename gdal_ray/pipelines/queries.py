@@ -3374,6 +3374,40 @@ def q162_list_aggs(sf_dir):
     return _sql_query(Q162_SQL)(sf_dir)
 
 
+Q163_SQL = """
+SELECT lang,
+       COUNT(*) AS n,
+       COUNT(*) FILTER (WHERE n_chars > 400) AS long_docs,
+       CAST(SUM(n_chars) FILTER (WHERE source = 'src0') AS BIGINT)
+           AS src0_chars,
+       MIN(n_chars) FILTER (WHERE n_chars > 200) AS min_mid
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def q163_agg_filter(sf_dir):
+    """Aggregate FILTER (WHERE ...) clauses: parse-time rewrite to the
+    CASE form (`Parser._maybe_filter`) so filtered aggregates ride the
+    same one-shuffle combiner as everything else. Runs verbatim in
+    DuckDB."""
+    return _sql_query(Q163_SQL)(sf_dir)
+
+
+Q164_SQL = """
+SELECT DISTINCT ON (lang) lang, doc_id, n_chars
+FROM documents
+ORDER BY lang, n_chars DESC, doc_id
+"""
+
+
+def q164_distinct_on(sf_dir):
+    """DISTINCT ON (k): first row per key under the query's ORDER BY —
+    executes on the first_by winners machinery (per-batch winner, then a
+    winners-of-winners merge; the shuffle moves one row per (key,
+    block)). Runs verbatim in DuckDB."""
+    return _sql_query(Q164_SQL)(sf_dir)
+
+
 Q154_ORACLE_SQL = """
 SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
        array_to_string(words[ci*8+1:ci*8+8], ' ') AS chunk,
@@ -3630,6 +3664,8 @@ def registry():
         "q160_values_join": q160_values_join,
         "q161_series_spine": q161_series_spine,
         "q162_list_aggs": q162_list_aggs,
+        "q163_agg_filter": q163_agg_filter,
+        "q164_distinct_on": q164_distinct_on,
         "q134_moving_windows": q134_moving_windows,
         "q135_json_props": q135_json_props,
         "q136_qualify_topk": q136_qualify_topk,
@@ -3742,6 +3778,8 @@ def registry():
         "q160_values_join": Q160_SQL,
         "q161_series_spine": Q161_SQL,
         "q162_list_aggs": Q162_SQL,
+        "q163_agg_filter": Q163_SQL,
+        "q164_distinct_on": Q164_SQL,
         "q134_moving_windows": Q134_SQL,
         "q135_json_props": Q135_SQL,
         "q136_qualify_topk": Q136_SQL,

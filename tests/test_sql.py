@@ -193,6 +193,11 @@ CASES = [
     # through the list aggregate and its float32 round lands off the
     # double rounding grid (the float-parity memory's float32 trap)
     "SELECT vec_id, ROUND(list_sum(embedding), 4) AS ls, ROUND(list_avg(embedding), 6) AS la, ROUND(CAST(list_min(embedding) AS DOUBLE), 6) AS lmin, ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS lmax FROM embeddings WHERE vec_id < 20 ORDER BY vec_id",
+    # round-5: aggregate FILTER clause + DISTINCT ON
+    "SELECT o_orderpriority, COUNT(*) AS n, COUNT(*) FILTER (WHERE o_totalprice > 150000) AS big, ROUND(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 4) AS f_rev, MAX(o_totalprice) FILTER (WHERE o_orderstatus = 'O') AS o_max FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    "SELECT AVG(o_totalprice) FILTER (WHERE o_orderkey % 2 = 0) AS a0 FROM orders",
+    "SELECT DISTINCT ON (o_orderpriority) o_orderpriority, o_orderkey, o_totalprice FROM orders ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey",
+    "SELECT DISTINCT ON (o_orderpriority, o_orderstatus) o_orderpriority, o_orderstatus, o_orderkey FROM orders ORDER BY o_orderpriority, o_orderstatus, o_orderkey",
 ]
 
 
