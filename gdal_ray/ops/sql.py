@@ -1404,6 +1404,12 @@ def _subst_ctes(x, ctes: dict):
                 j.table = copy.deepcopy(ctes[j.table.lower()])
             else:
                 _subst_ctes(j.table, ctes)
+        if x.from_refs:
+            x.from_refs = [
+                (copy.deepcopy(ctes[t.lower()])
+                 if isinstance(t, str) and t.lower() in ctes else t, a)
+                for t, a in x.from_refs]
+            x.table = x.from_refs[0][0]
         _subst_ctes(x.items, ctes)
         _subst_ctes(x.where, ctes)
         _subst_ctes(x.having, ctes)
@@ -1670,12 +1676,24 @@ def _resolve_scopes(q: Query, sf_dir: str) -> Query:
         renamed = _resolve_core_scopes(core, sf_dir, set(), dup)
         if ci == 0:
             first_renamed = renamed
-    # top-level ORDER BY: same rewrite as inside the first core's scope
+    # top-level ORDER BY: same rewrite as inside the first core's scope.
+    # A dotted name of a renamed alias usually stays dotted (it IS the
+    # wrapper's physical column) — but when the first core's projection
+    # outputs that very item under its UNQUALIFIED name (the unaliased
+    # `SELECT e1.a` -> output `a` rule), the post-projection sort must use
+    # the output name.
+    try:
+        out_names = set(_out_names(q.cores[0]))
+    except ValueError:
+        out_names = set()
     fixed = []
     for c, d in q.order_by:
         if isinstance(c, str) and "." in c:
             a, cc = c.split(".", 1)
-            c = c if a.lower() in first_renamed else cc
+            if a.lower() in first_renamed:
+                c = c if c in out_names or cc not in out_names else cc
+            else:
+                c = cc
         elif isinstance(c, Node):
             c = _rewrite_qualified(c, first_renamed, {}, {})
         fixed.append((c, d))
@@ -1729,10 +1747,30 @@ def _resolve_core_scopes(core: Select, sf_dir: str, outer_renamed: set,
 
     # which local refs need renaming: aliased + base table duplicated
     # anywhere in the query
-    local_renames: dict = {}   # alias(lower) -> base table name
+    local_renames: dict = {}   # alias(lower) -> base table name | Select
     for t, a in refs + join_refs:
         if isinstance(t, str) and a and t.lower() in dup:
             local_renames[a.lower()] = t
+    # duplicated DERIVED/CTE refs (FROM edges e1, edges e2 where `edges`
+    # is a CTE — substitution already copied the Select per ref): aliased
+    # Select refs in the COMMA-FROM list whose output columns collide
+    # with another such ref rename exactly like duplicated base tables.
+    # Explicit JOIN ... ON derived refs are excluded (their ON/ASOF specs
+    # resolve positionally and predate this rule).
+    sel_refs = [(t, a) for t, a in refs
+                if isinstance(t, Select) and a]
+    if len(sel_refs) > 1:
+        from collections import Counter
+
+        colcount: Counter = Counter()
+        per_alias: dict = {}
+        for t, a in sel_refs:
+            cs = set(_table_cols(sf_dir, t))
+            per_alias[a.lower()] = cs
+            colcount.update(cs)
+        for t, a in sel_refs:
+            if any(colcount[c] > 1 for c in per_alias[a.lower()]):
+                local_renames[a.lower()] = t
 
     usage: dict = {}
     _collect_dotted(_core_expr_roots(core), usage)
@@ -1744,7 +1782,7 @@ def _resolve_core_scopes(core: Select, sf_dir: str, outer_renamed: set,
     unren_cols: set = set(_SPECIAL_FIELDS)
     base_cols: dict = {}
     for t, a in refs + join_refs:
-        if isinstance(t, str) and a and a.lower() in local_renames:
+        if a and a.lower() in local_renames and isinstance(t, (str, Select)):
             base_cols[a.lower()] = list(_table_cols(sf_dir, t))
         else:
             unren_cols.update(_table_cols(sf_dir, t))
@@ -1857,22 +1895,31 @@ def _resolve_core_scopes(core: Select, sf_dir: str, outer_renamed: set,
         return w
 
     refs = [(wrapper(a.lower(), t), a)
-            if isinstance(t, str) and a and a.lower() in local_renames
+            if isinstance(t, (str, Select)) and a
+            and a.lower() in local_renames
             else (t, a) for t, a in refs]
     for j in (core.joins or []):
-        if (isinstance(j.table, str) and j.alias
-                and j.alias.lower() in local_renames):
+        if (isinstance(j.table, (str, Select)) and j.alias
+                and j.alias.lower() in local_renames
+                and getattr(j.table, "_rename_of", None) is None):
             j.table = wrapper(j.alias.lower(), j.table)
 
     # recurse: derived tables and subquery Selects (enclosing renames
-    # visible for correlation)
-    for t, _a in refs:
-        if isinstance(t, Select) and getattr(t, "_rename_of", None) is None:
+    # visible for correlation); a rename wrapper over a DERIVED base
+    # still needs its inner Select resolved
+    def _recurse_ref(t):
+        if not isinstance(t, Select):
+            return
+        inner = getattr(t, "_rename_of", None)
+        if inner is None:
             _resolve_core_scopes(t, sf_dir, renamed, dup)
+        elif isinstance(inner, Select):
+            _resolve_core_scopes(inner, sf_dir, renamed, dup)
+
+    for t, _a in refs:
+        _recurse_ref(t)
     for j in (core.joins or []):
-        if (isinstance(j.table, Select)
-                and getattr(j.table, "_rename_of", None) is None):
-            _resolve_core_scopes(j.table, sf_dir, renamed, dup)
+        _recurse_ref(j.table)
     for sub in _iter_sub_selects(_core_expr_roots(core)):
         _resolve_core_scopes(sub, sf_dir, renamed, dup)
 

@@ -3408,6 +3408,28 @@ def q164_distinct_on(sf_dir):
     return _sql_query(Q164_SQL)(sf_dir)
 
 
+Q165_SQL = """
+WITH edges AS (
+  SELECT DISTINCT event_id % 97 AS a,
+         (event_id * 31 + user_id * 7 + 13) % 97 AS b
+  FROM events
+  WHERE event_id % 97 < (event_id * 31 + user_id * 7 + 13) % 97
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS triangles
+FROM edges e1, edges e2, edges e3
+WHERE e1.b = e2.a AND e2.b = e3.b AND e1.a = e3.a
+"""
+
+
+def q165_triangles(sf_dir):
+    """Triangle counting as pure SQL: a CTE edge list self-joined three
+    ways (oriented a<b, so each triangle counts once). Exercises
+    duplicated-CTE alias scope resolution (each aliased copy wraps in a
+    rename projection) + the comma-join planner chaining two hash joins.
+    Runs verbatim in DuckDB."""
+    return _sql_query(Q165_SQL)(sf_dir)
+
+
 Q154_ORACLE_SQL = """
 SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
        array_to_string(words[ci*8+1:ci*8+8], ' ') AS chunk,
@@ -3666,6 +3688,7 @@ def registry():
         "q162_list_aggs": q162_list_aggs,
         "q163_agg_filter": q163_agg_filter,
         "q164_distinct_on": q164_distinct_on,
+        "q165_triangles": q165_triangles,
         "q134_moving_windows": q134_moving_windows,
         "q135_json_props": q135_json_props,
         "q136_qualify_topk": q136_qualify_topk,
@@ -3780,6 +3803,7 @@ def registry():
         "q162_list_aggs": Q162_SQL,
         "q163_agg_filter": Q163_SQL,
         "q164_distinct_on": Q164_SQL,
+        "q165_triangles": Q165_SQL,
         "q134_moving_windows": Q134_SQL,
         "q135_json_props": Q135_SQL,
         "q136_qualify_topk": Q136_SQL,

@@ -198,6 +198,8 @@ CASES = [
     "SELECT AVG(o_totalprice) FILTER (WHERE o_orderkey % 2 = 0) AS a0 FROM orders",
     "SELECT DISTINCT ON (o_orderpriority) o_orderpriority, o_orderkey, o_totalprice FROM orders ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey",
     "SELECT DISTINCT ON (o_orderpriority, o_orderstatus) o_orderpriority, o_orderstatus, o_orderkey FROM orders ORDER BY o_orderpriority, o_orderstatus, o_orderkey",
+    # round-5: duplicated-CTE alias self-joins (triangle counting shape)
+    "WITH e AS (SELECT c_custkey % 11 AS a, c_nationkey % 7 AS b FROM customer) SELECT e1.a, COUNT(*) AS n FROM e e1, e e2 WHERE e1.b = e2.b AND e1.a < e2.a GROUP BY e1.a ORDER BY 1",
 ]
 
 
