@@ -157,6 +157,9 @@ _BUILTIN_CALLS = {
     "minute": "minute", "second": "second", "dayofweek": "dow",
     "dayofyear": "doy", "quarter": "quarter", "week": "week",
     "date_trunc": "date_trunc", "date_part": "date_part",
+    "date_diff": "date_diff", "datediff": "date_diff",
+    "make_date": "make_date", "last_day": "last_day",
+    "concat_ws": "concat_ws",
     "strpos": "strpos", "instr": "strpos", "contains": "contains",
     "starts_with": "starts_with", "ends_with": "ends_with",
     "left": "left", "right": "right", "lpad": "lpad", "rpad": "rpad",
@@ -2298,6 +2301,81 @@ def eval_expr(node: Node, t: pa.Table):
             v = eval_expr(node.args[1], t)
             # ISO semantics match DuckDB: weeks start Monday
             return pc.floor_temporal(v, unit=part)
+        if fn == "date_diff":
+            # DuckDB DATE_DIFF(part, a, b): COMPLETED part-boundary
+            # crossings, i.e. part-index difference (not elapsed time)
+            if node.args[0].kind != "lit":
+                raise ValueError("DATE_DIFF: part must be a literal")
+            part = str(node.args[0].value).lower().rstrip("s")
+            a = eval_expr(node.args[1], t)
+            b = eval_expr(node.args[2], t)
+            if part == "year":
+                return pc.subtract(pc.year(b), pc.year(a))
+            if part == "quarter":
+                ia = pc.add(pc.multiply(pc.year(a), 4), pc.quarter(a))
+                ib = pc.add(pc.multiply(pc.year(b), 4), pc.quarter(b))
+                return pc.cast(pc.subtract(ib, ia), pa.int64())
+            if part == "month":
+                ia = pc.add(pc.multiply(pc.year(a), 12), pc.month(a))
+                ib = pc.add(pc.multiply(pc.year(b), 12), pc.month(b))
+                return pc.cast(pc.subtract(ib, ia), pa.int64())
+            if part in ("day", "week"):
+                unit = "day" if part == "day" else "week"
+                fa = pc.floor_temporal(pc.cast(a, pa.timestamp("us")),
+                                       unit=unit)
+                fb = pc.floor_temporal(pc.cast(b, pa.timestamp("us")),
+                                       unit=unit)
+                us = 86400_000_000 * (1 if part == "day" else 7)
+                return pc.divide(pc.cast(pc.subtract(
+                    pc.cast(fb, pa.int64()), pc.cast(fa, pa.int64())),
+                    pa.int64()), us)
+            if part in ("hour", "minute", "second"):
+                sec = {"hour": 3600, "minute": 60, "second": 1}[part]
+                fa = pc.floor_temporal(pc.cast(a, pa.timestamp("us")),
+                                       unit=part)
+                fb = pc.floor_temporal(pc.cast(b, pa.timestamp("us")),
+                                       unit=part)
+                return pc.divide(pc.cast(pc.subtract(
+                    pc.cast(fb, pa.int64()), pc.cast(fa, pa.int64())),
+                    pa.int64()), sec * 1_000_000)
+            raise ValueError(f"DATE_DIFF: unsupported part {part!r}")
+        if fn == "make_date":
+            import pandas as pd
+
+            y = pc.cast(eval_expr(node.args[0], t), pa.int64())
+            m = pc.cast(eval_expr(node.args[1], t), pa.int64())
+            d = pc.cast(eval_expr(node.args[2], t), pa.int64())
+
+            def _np(v):
+                if isinstance(v, pa.Scalar):
+                    return np.full(len(t), v.as_py())
+                return v.to_numpy(zero_copy_only=False)
+
+            ts = pd.to_datetime({"year": _np(y), "month": _np(m),
+                                 "day": _np(d)})
+            return pc.cast(pa.Array.from_pandas(ts), pa.date32())
+        if fn == "last_day":
+            v = pc.cast(eval_expr(node.args[0], t), pa.timestamp("us"))
+            nxt = pc.ceil_temporal(v, unit="month",
+                                   ceil_is_strictly_greater=True)
+            d32 = pc.cast(pc.cast(nxt, pa.date32()), pa.int32())
+            return pc.cast(pc.cast(pc.subtract(
+                d32, pa.scalar(1, pa.int32())), pa.int32()), pa.date32())
+        if fn == "concat_ws":
+            if node.args[0].kind != "lit":
+                raise ValueError("CONCAT_WS: separator must be a literal")
+            sep = str(node.args[0].value)
+            vals = []
+            for a in node.args[1:]:
+                v = eval_expr(a, t)
+                if not pa.types.is_string(_type_of(v)):
+                    v = pc.cast(v, pa.string())
+                if isinstance(v, pa.Scalar):
+                    v = pa.array([v.as_py()] * len(t), pa.string())
+                vals.append(v)  # nulls KEPT: skip drops them per row
+            # DuckDB skips NULL arguments (unlike || which nulls out)
+            return pc.binary_join_element_wise(
+                *vals, sep, null_handling="skip")
         if fn == "strftime":
             # DuckDB STRFTIME(ts, fmt) (either arg order accepted there;
             # we take timestamp-first). C format spec == Arrow's.

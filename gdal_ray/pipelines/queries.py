@@ -3430,6 +3430,24 @@ def q165_triangles(sf_dir):
     return _sql_query(Q165_SQL)(sf_dir)
 
 
+Q166_SQL = """
+SELECT CAST(DATE_DIFF('month', DATE '1995-01-01', o_orderdate) AS BIGINT)
+           AS m_idx,
+       STRFTIME(MIN(LAST_DAY(o_orderdate)), '%Y-%m-%d') AS month_end,
+       COUNT(*) AS n,
+       CONCAT_WS('/', MIN(o_orderstatus), MAX(o_orderstatus)) AS statuses
+FROM orders GROUP BY 1 ORDER BY m_idx
+"""
+
+
+def q166_date_buckets(sf_dir):
+    """Date-utility wave as one monthly-bucket query: DATE_DIFF
+    (boundary-crossing part-index semantics), LAST_DAY (strict month
+    ceil - 1 day), CONCAT_WS (null-skipping join), STRFTIME over an
+    aggregate — all vectorized Arrow kernels. Runs verbatim in DuckDB."""
+    return _sql_query(Q166_SQL)(sf_dir)
+
+
 Q154_ORACLE_SQL = """
 SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
        array_to_string(words[ci*8+1:ci*8+8], ' ') AS chunk,
@@ -3689,6 +3707,7 @@ def registry():
         "q163_agg_filter": q163_agg_filter,
         "q164_distinct_on": q164_distinct_on,
         "q165_triangles": q165_triangles,
+        "q166_date_buckets": q166_date_buckets,
         "q134_moving_windows": q134_moving_windows,
         "q135_json_props": q135_json_props,
         "q136_qualify_topk": q136_qualify_topk,
@@ -3804,6 +3823,7 @@ def registry():
         "q163_agg_filter": Q163_SQL,
         "q164_distinct_on": Q164_SQL,
         "q165_triangles": Q165_SQL,
+        "q166_date_buckets": Q166_SQL,
         "q134_moving_windows": Q134_SQL,
         "q135_json_props": Q135_SQL,
         "q136_qualify_topk": Q136_SQL,

@@ -198,6 +198,11 @@ CASES = [
     "SELECT AVG(o_totalprice) FILTER (WHERE o_orderkey % 2 = 0) AS a0 FROM orders",
     "SELECT DISTINCT ON (o_orderpriority) o_orderpriority, o_orderkey, o_totalprice FROM orders ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey",
     "SELECT DISTINCT ON (o_orderpriority, o_orderstatus) o_orderpriority, o_orderstatus, o_orderkey FROM orders ORDER BY o_orderpriority, o_orderstatus, o_orderkey",
+    # round-5: date/string utility wave
+    "SELECT o_orderkey, DATE_DIFF('day', DATE '1995-01-01', o_orderdate) AS dd, DATE_DIFF('month', DATE '1995-01-15', o_orderdate) AS dm, DATE_DIFF('year', DATE '1995-06-01', o_orderdate) AS dy, DATE_DIFF('quarter', DATE '1995-06-01', o_orderdate) AS dq, DATE_DIFF('week', DATE '1995-01-01', o_orderdate) AS dw FROM orders WHERE o_orderkey < 40 ORDER BY o_orderkey",
+    "SELECT o_orderkey, LAST_DAY(o_orderdate) AS ld, MAKE_DATE(1995 + o_orderkey % 3, 1 + o_orderkey % 12, 1 + o_orderkey % 28) AS md FROM orders WHERE o_orderkey < 40 ORDER BY o_orderkey",
+    "SELECT CONCAT_WS('-', lang, source, CASE WHEN n_chars > 400 THEN 'long' END) AS tag, COUNT(*) AS n FROM documents GROUP BY 1 ORDER BY 1",
+    "SELECT DATE_DIFF('hour', TIMESTAMP '2020-01-01 10:30:00', ts) AS dh FROM events WHERE event_id < 10 ORDER BY dh",
     # round-5: duplicated-CTE alias self-joins (triangle counting shape)
     "WITH e AS (SELECT c_custkey % 11 AS a, c_nationkey % 7 AS b FROM customer) SELECT e1.a, COUNT(*) AS n FROM e e1, e e2 WHERE e1.b = e2.b AND e1.a < e2.a GROUP BY e1.a ORDER BY 1",
 ]
