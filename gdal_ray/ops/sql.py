@@ -400,7 +400,18 @@ class Parser:
         if self.peek() != ("kw", "OVER"):
             return fnode
         self.next()
+        if self.peek()[0] == "id":
+            # OVER w — named window; the WINDOW clause parses later in
+            # the statement, so leave a placeholder to substitute then
+            return Node("win", ("__named__", self.next()[1].lower()),
+                        (fnode,))
         self.expect("op", "(")
+        parts, order, frame = self._window_spec_body()
+        return Node("win", frame, (fnode, tuple(parts), tuple(order)))
+
+    def _window_spec_body(self):
+        """PARTITION BY / ORDER BY / frame inside 'OVER (' ... ')' or a
+        'WINDOW w AS (' ... ')' definition — consumes the closing paren."""
         parts = []
         if self.accept("kw", "PARTITION"):
             self.expect("kw", "BY")
@@ -454,7 +465,7 @@ class Parser:
             else:
                 frame = ("rows", (lo[0], int(lo[1])), (hi[0], int(hi[1])))
         self.expect("op", ")")
-        return Node("win", frame, (fnode, tuple(parts), tuple(order)))
+        return parts, order, frame
 
     def add_expr(self):
         left = self.mul_expr()
@@ -1373,9 +1384,44 @@ def _parse_core(p: Parser) -> Select:
     having = None
     if p.accept("kw", "HAVING"):
         having = p.expr()
+    # WINDOW w AS (spec) [, w2 AS (spec)]: named window definitions;
+    # OVER w placeholders in the items substitute here
+    win_defs: dict = {}
+    if p.peek() == ("id", "WINDOW") or (p.peek()[0] == "id"
+                                        and p.peek()[1].upper() == "WINDOW"):
+        p.next()
+        while True:
+            wname = p.expect("id")[1].lower()
+            p.expect("kw", "AS")
+            p.expect("op", "(")
+            parts_, order_, frame_ = p._window_spec_body()
+            win_defs[wname] = (tuple(parts_), tuple(order_), frame_)
+            if not p.accept("op", ","):
+                break
+
+    def _subst_named(n):
+        if not isinstance(n, Node):
+            return n
+        if n.kind == "win" and isinstance(n.value, tuple) \
+                and n.value and n.value[0] == "__named__":
+            wname = n.value[1]
+            if wname not in win_defs:
+                raise ValueError(f"unknown window {wname!r}")
+            parts_, order_, frame_ = win_defs[wname]
+            return Node("win", frame_, (n.args[0], parts_, order_))
+        return Node(n.kind, n.value, tuple(
+            _subst_named(a) if isinstance(a, Node)
+            else tuple(_subst_named(x) if isinstance(x, Node) else x
+                       for x in a) if isinstance(a, tuple) else a
+            for a in n.args))
+
+    if win_defs:
+        items = [(_subst_named(e), a) for e, a in items]
     qualify = None
     if p.accept("kw", "QUALIFY"):
         qualify = p.expr()
+    if win_defs and qualify is not None:
+        qualify = _subst_named(qualify)
     # GROUP BY ordinals (GROUP BY 1, 2): positional references into the
     # select list, standard DuckDB/Postgres shorthand
     for gi, g in enumerate(group_by):

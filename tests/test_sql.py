@@ -203,6 +203,10 @@ CASES = [
     "SELECT o_orderkey, LAST_DAY(o_orderdate) AS ld, MAKE_DATE(1995 + o_orderkey % 3, 1 + o_orderkey % 12, 1 + o_orderkey % 28) AS md FROM orders WHERE o_orderkey < 40 ORDER BY o_orderkey",
     "SELECT CONCAT_WS('-', lang, source, CASE WHEN n_chars > 400 THEN 'long' END) AS tag, COUNT(*) AS n FROM documents GROUP BY 1 ORDER BY 1",
     "SELECT DATE_DIFF('hour', TIMESTAMP '2020-01-01 10:30:00', ts) AS dh FROM events WHERE event_id < 10 ORDER BY dh",
+    # round-5: named WINDOW clauses (shared specs, QUALIFY interop)
+    "SELECT o_orderkey, ROW_NUMBER() OVER w AS rn, ROUND(SUM(o_totalprice) OVER w, 4) AS running FROM orders WHERE o_orderkey < 500 WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey) ORDER BY o_orderkey",
+    "SELECT o_orderkey, RANK() OVER w1 AS r, AVG(o_totalprice) OVER w2 AS ma FROM orders WHERE o_orderkey < 300 WINDOW w1 AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC), w2 AS (ORDER BY o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) ORDER BY o_orderkey",
+    "SELECT o_orderkey, ROW_NUMBER() OVER w AS rn FROM orders WHERE o_orderkey < 200 WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey) QUALIFY rn <= 2 ORDER BY o_orderkey",
     # round-5: duplicated-CTE alias self-joins (triangle counting shape)
     "WITH e AS (SELECT c_custkey % 11 AS a, c_nationkey % 7 AS b FROM customer) SELECT e1.a, COUNT(*) AS n FROM e e1, e e2 WHERE e1.b = e2.b AND e1.a < e2.a GROUP BY e1.a ORDER BY 1",
 ]
