@@ -573,13 +573,15 @@ class Parser:
             if excl or repl:
                 return Node("star", (excl, repl))
             return Node("star")
-        if t == ("kw", "CAST"):
+        if t == ("kw", "CAST") or (t[0] == "id"
+                                   and t[1].upper() == "TRY_CAST"):
             self.expect("op", "(")
             e = self.expr()
             self.expect("kw", "AS")
             ty = self.next()
             self.expect("op", ")")
-            return Node("cast", ty[1], (e,))
+            kind = "cast" if t == ("kw", "CAST") else "trycast"
+            return Node(kind, ty[1], (e,))
         if t[0] == "kw" and t[1] in ("COUNT", "SUM", "MIN", "MAX", "AVG"):
             self.expect("op", "(")
             if t[1] == "COUNT" and self.accept("op", "*"):
@@ -2525,6 +2527,38 @@ def eval_expr(node: Node, t: pa.Table):
         if pa.types.is_integer(ty) and pa.types.is_floating(_type_of(v)):
             # DuckDB CAST(double AS INT) rounds half to EVEN (measured:
             # 900.5 -> 900), unlike its round() which is half-away
+            v = pc.round(v, ndigits=0, round_mode="half_to_even")
+        return pc.cast(v, ty)
+    if k == "trycast":
+        # TRY_CAST: per-row NULL on conversion failure (DuckDB). String ->
+        # numeric/temporal coerces via vectorized pandas; other casts that
+        # cannot fail per-row fall through to plain CAST semantics.
+        import pandas as pd
+
+        ty = {"INTEGER": pa.int32(), "BIGINT": pa.int64(),
+              "FLOAT": pa.float64(), "DOUBLE": pa.float64(),
+              "TEXT": pa.string(), "VARCHAR": pa.string(),
+              "DATE": pa.date32(), "TIMESTAMP": pa.timestamp("us"),
+              "BOOLEAN": pa.bool_()}[node.value]
+        v = eval_expr(node.args[0], t)
+        if isinstance(v, pa.Scalar):
+            v = pa.array([v.as_py()] * len(t), _type_of(v))
+        src = _type_of(v)
+        if pa.types.is_string(src) and (pa.types.is_integer(ty)
+                                        or pa.types.is_floating(ty)):
+            num = pd.to_numeric(v.to_pandas(), errors="coerce")
+            arr = pa.Array.from_pandas(num)
+            if pa.types.is_integer(ty) and pa.types.is_floating(
+                    _type_of(arr)):
+                # DuckDB TRY_CAST('3.5' AS BIGINT) rounds half-to-even
+                arr = pc.round(arr, ndigits=0, round_mode="half_to_even")
+            return pc.cast(arr, ty, safe=False)
+        if pa.types.is_string(src) and (pa.types.is_date(ty)
+                                        or pa.types.is_timestamp(ty)):
+            ts = pd.to_datetime(v.to_pandas(), errors="coerce",
+                                format="ISO8601")
+            return pc.cast(pa.Array.from_pandas(ts), ty, safe=False)
+        if pa.types.is_integer(ty) and pa.types.is_floating(src):
             v = pc.round(v, ndigits=0, round_mode="half_to_even")
         return pc.cast(v, ty)
     raise ValueError(f"cannot evaluate {k} here")

@@ -3448,6 +3448,22 @@ def q166_date_buckets(sf_dir):
     return _sql_query(Q166_SQL)(sf_dir)
 
 
+Q167_SQL = """
+SELECT lang,
+       CAST(SUM(TRY_CAST(REGEXP_EXTRACT(source, '[0-9]+') AS BIGINT))
+            AS BIGINT) AS src_sum,
+       COUNT(*) FILTER (WHERE TRY_CAST(lang AS DOUBLE) IS NULL) AS nonnum
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def q167_try_cast(sf_dir):
+    """TRY_CAST over messy extracted strings (per-row NULL on failure —
+    the web-data cleaning idiom), composed with REGEXP_EXTRACT and a
+    FILTERed count. Runs verbatim in DuckDB."""
+    return _sql_query(Q167_SQL)(sf_dir)
+
+
 Q154_ORACLE_SQL = """
 SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
        array_to_string(words[ci*8+1:ci*8+8], ' ') AS chunk,
@@ -3708,6 +3724,7 @@ def registry():
         "q164_distinct_on": q164_distinct_on,
         "q165_triangles": q165_triangles,
         "q166_date_buckets": q166_date_buckets,
+        "q167_try_cast": q167_try_cast,
         "q134_moving_windows": q134_moving_windows,
         "q135_json_props": q135_json_props,
         "q136_qualify_topk": q136_qualify_topk,
@@ -3824,6 +3841,7 @@ def registry():
         "q164_distinct_on": Q164_SQL,
         "q165_triangles": Q165_SQL,
         "q166_date_buckets": Q166_SQL,
+        "q167_try_cast": Q167_SQL,
         "q134_moving_windows": Q134_SQL,
         "q135_json_props": Q135_SQL,
         "q136_qualify_topk": Q136_SQL,

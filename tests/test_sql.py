@@ -727,6 +727,30 @@ def test_array_agg(sf_dir, con):
     assert list(g2["ks"][0]) == list(e2["ks"][0])
 
 
+def test_try_cast_matches_duckdb(sf_dir, con):
+    """TRY_CAST: per-row NULL on conversion failure; numeric strings
+    round half-to-even for integer targets (DuckDB measured behavior)."""
+    import pyarrow as pa
+
+    from gdal_ray.ops.sql import register_table, unregister_table
+
+    tb = pa.table({"i": pa.array(range(8), pa.int64()),
+                   "s": pa.array(["12", "x", "3.5", "", None,
+                                  "-7", "1e3", "08"])})
+    register_table("tc_try", tb)
+    con.register("tc_try", tb)
+    try:
+        sql = ("SELECT i, TRY_CAST(s AS BIGINT) AS bi, "
+               "TRY_CAST(s AS DOUBLE) AS dd FROM tc_try ORDER BY i")
+        got = to_arrow(execute(sql, sf_dir)).to_pandas()
+        exp = con.execute(sql).df()
+        for c in ("bi", "dd"):
+            assert (got[c].isna() == exp[c].isna()).all(), c
+            assert got[c].dropna().tolist() == exp[c].dropna().tolist(), c
+    finally:
+        unregister_table("tc_try")
+
+
 def test_unnest_list_column(sf_dir, con):
     """UNNEST(list_col) fan-out vs DuckDB, plain and through a derived
     table into a grouped aggregate (DOUBLE-cast before SUM — float32
