@@ -3464,6 +3464,39 @@ def q167_try_cast(sf_dir):
     return _sql_query(Q167_SQL)(sf_dir)
 
 
+_MIX_WEIGHTS = {"en": 0.4, "de": 0.2, "fr": 0.2, "es": 0.1, "zh": 0.1}
+
+Q168_ORACLE_SQL = """
+WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+w(wlang, wt) AS (VALUES ('en', 0.4), ('de', 0.2), ('fr', 0.2),
+                        ('es', 0.1), ('zh', 0.1)),
+p AS (SELECT lang,
+             LEAST(1.0, wt * (SELECT MIN(n / wt)
+                              FROM counts JOIN w ON lang = wlang) / n) AS pr
+      FROM counts JOIN w ON lang = wlang)
+SELECT d.lang, COUNT(*) AS kept
+FROM documents d JOIN p ON d.lang = p.lang
+WHERE ((d.doc_id * 2654435761) % 4294967296) / 4294967296.0 < p.pr
+GROUP BY d.lang ORDER BY d.lang
+"""
+
+
+def q168_mixture_resample(sf_dir):
+    """Deterministic importance resampling to a target language mixture
+    (text/mixing.resample_to_mixture — DoReMi/Pile-style domain
+    reweighting): one tiny count aggregate, broadcast probabilities,
+    shuffle-free hash-acceptance filter. The oracle restates the exact
+    keep rule (Knuth multiplicative hash) in SQL over the same table."""
+    from gdal_ray.ops.relational import groupby_agg
+    from gdal_ray.text.mixing import resample_to_mixture
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+    kept = resample_to_mixture(docs, key_col="lang", id_col="doc_id",
+                               weights=_MIX_WEIGHTS)
+    out = groupby_agg(kept, ["lang"], [("kept", "count_star", None)])
+    return out.sort("lang")
+
+
 Q154_ORACLE_SQL = """
 SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
        array_to_string(words[ci*8+1:ci*8+8], ' ') AS chunk,
@@ -3725,6 +3758,7 @@ def registry():
         "q165_triangles": q165_triangles,
         "q166_date_buckets": q166_date_buckets,
         "q167_try_cast": q167_try_cast,
+        "q168_mixture_resample": q168_mixture_resample,
         "q134_moving_windows": q134_moving_windows,
         "q135_json_props": q135_json_props,
         "q136_qualify_topk": q136_qualify_topk,
@@ -3842,6 +3876,7 @@ def registry():
         "q165_triangles": Q165_SQL,
         "q166_date_buckets": Q166_SQL,
         "q167_try_cast": Q167_SQL,
+        "q168_mixture_resample": Q168_ORACLE_SQL,
         "q134_moving_windows": Q134_SQL,
         "q135_json_props": Q135_SQL,
         "q136_qualify_topk": Q136_SQL,
