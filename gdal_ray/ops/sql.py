@@ -160,6 +160,7 @@ _BUILTIN_CALLS = {
     "date_diff": "date_diff", "datediff": "date_diff",
     "make_date": "make_date", "last_day": "last_day",
     "concat_ws": "concat_ws",
+    "ifnull": "coalesce", "nvl": "coalesce",
     "strpos": "strpos", "instr": "strpos", "contains": "contains",
     "starts_with": "starts_with", "ends_with": "ends_with",
     "left": "left", "right": "right", "lpad": "lpad", "rpad": "rpad",
@@ -318,8 +319,15 @@ class Parser:
         elif t == ("kw", "IS"):
             self.next()
             isnot = self.accept("kw", "NOT")
-            self.expect("kw", "NULL")
-            node = Node("isnull", not isnot, (left,))
+            if self.accept("kw", "DISTINCT"):
+                # IS [NOT] DISTINCT FROM: null-safe (in)equality
+                if self.next() != ("kw", "FROM"):
+                    raise ValueError("expected FROM after IS DISTINCT")
+                node = Node("isdist", not isnot,
+                            (left, self.add_expr()))
+            else:
+                self.expect("kw", "NULL")
+                node = Node("isnull", not isnot, (left,))
         else:
             if neg:
                 raise ValueError("dangling NOT")
@@ -2517,6 +2525,23 @@ def eval_expr(node: Node, t: pa.Table):
     if k == "isnull":
         v = pc.is_null(eval_expr(node.args[0], t))
         return v if node.value else pc.invert(v)
+    if k == "isdist":
+        # IS [NOT] DISTINCT FROM: never NULL — NULLs compare equal to
+        # each other and distinct from every value
+        a = eval_expr(node.args[0], t)
+        b = eval_expr(node.args[1], t)
+        a, b = _unify_numeric([a, b])
+        an, bn = pc.is_null(a), pc.is_null(b)
+        if isinstance(an, pa.Scalar):
+            an = pa.array([an.as_py()] * len(t), pa.bool_())
+        if isinstance(bn, pa.Scalar):
+            bn = pa.array([bn.as_py()] * len(t), pa.bool_())
+        neq = pc.fill_null(pc.not_equal(a, b), False)
+        if isinstance(neq, pa.Scalar):
+            neq = pa.array([bool(neq.as_py())] * len(t), pa.bool_())
+        dist = pc.or_(pc.xor(an, bn),
+                      pc.and_(pc.and_(pc.invert(an), pc.invert(bn)), neq))
+        return dist if node.value else pc.invert(dist)
     if k == "cast":
         ty = {"INTEGER": pa.int32(), "BIGINT": pa.int64(),
               "FLOAT": pa.float64(), "DOUBLE": pa.float64(),

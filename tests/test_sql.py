@@ -751,6 +751,32 @@ def test_try_cast_matches_duckdb(sf_dir, con):
         unregister_table("tc_try")
 
 
+def test_is_distinct_from_matches_duckdb(sf_dir, con):
+    """IS [NOT] DISTINCT FROM: null-safe comparison, never NULL (NULLs
+    equal each other, distinct from every value). IFNULL = 2-arg
+    COALESCE (NVL accepted as an alias engine-side)."""
+    import pyarrow as pa
+
+    from gdal_ray.ops.sql import register_table, unregister_table
+
+    tb = pa.table({"i": pa.array(range(6), pa.int64()),
+                   "a": pa.array([1, None, 3, None, 5, 1], pa.int64()),
+                   "b": pa.array([1, None, 4, 9, None, None], pa.int64())})
+    register_table("nd_dist", tb)
+    con.register("nd_dist", tb)
+    try:
+        sql = ("SELECT i, a IS DISTINCT FROM b AS d, "
+               "a IS NOT DISTINCT FROM b AS ndq, IFNULL(a, -1) AS ia "
+               "FROM nd_dist ORDER BY i")
+        got = to_arrow(execute(sql, sf_dir)).to_pandas()
+        exp = con.execute(sql).df()
+        for c in ("d", "ndq", "ia"):
+            assert got[c].astype(str).tolist() == \
+                exp[c].astype(str).tolist(), c
+    finally:
+        unregister_table("nd_dist")
+
+
 def test_unnest_list_column(sf_dir, con):
     """UNNEST(list_col) fan-out vs DuckDB, plain and through a derived
     table into a grouped aggregate (DOUBLE-cast before SUM — float32
