@@ -3497,6 +3497,50 @@ def q168_mixture_resample(sf_dir):
     return out.sort("lang")
 
 
+Q169_ORACLE_SQL = """
+WITH dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dlen
+            FROM documents),
+c AS (SELECT COUNT(*) AS n, AVG(dlen) AS avgdl FROM dl),
+q(term) AS (VALUES ('data'), ('query'), ('window')),
+tf AS (SELECT doc_id, w AS term, COUNT(*) AS f
+       FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+             FROM documents) t
+       JOIN q ON w = term GROUP BY doc_id, w),
+df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS d FROM tf GROUP BY term),
+s AS (SELECT tf.doc_id,
+             SUM((c.n - df.d + 0.5) / (df.d + 0.5) * tf.f * (1.2 + 1.0)
+                 / (tf.f + 1.2 * (1.0 - 0.75 + 0.75 * dl.dlen / c.avgdl)))
+                 AS score
+      FROM tf, df, dl, c
+      WHERE tf.term = df.term AND tf.doc_id = dl.doc_id
+      GROUP BY tf.doc_id)
+SELECT doc_id, ROUND(score, 4) AS score_r
+FROM s ORDER BY score DESC, doc_id LIMIT 50
+"""
+
+
+def q169_bm25(sf_dir):
+    """BM25 top-50 for a fixed query (text/tfidf.bm25_scores): one
+    bounded-partial stats pass + one shuffle-free score map + two-level
+    top-k. idf='ratio' (log-free Robertson variant) keeps the score
+    rational-arithmetic-only, so it is bit-identical to the DuckDB
+    restatement (ln differs by ulps across libm builds — float-parity
+    memory); the ln variant is brute-force-tested in tests instead.
+    Selection orders by the RAW score (ties: doc_id) on both sides;
+    rounding is display-only."""
+    from gdal_ray.text.tfidf import bm25_scores
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = bm25_scores(docs, ["data", "query", "window"], idf="ratio",
+                      top_k=50)
+    return out.map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "score_r": pc.round(t["score"], ndigits=4,
+                                round_mode="half_towards_infinity")}),
+        batch_format="pyarrow", batch_size=None)
+
+
 Q154_ORACLE_SQL = """
 SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
        array_to_string(words[ci*8+1:ci*8+8], ' ') AS chunk,
@@ -3759,6 +3803,7 @@ def registry():
         "q166_date_buckets": q166_date_buckets,
         "q167_try_cast": q167_try_cast,
         "q168_mixture_resample": q168_mixture_resample,
+        "q169_bm25": q169_bm25,
         "q134_moving_windows": q134_moving_windows,
         "q135_json_props": q135_json_props,
         "q136_qualify_topk": q136_qualify_topk,
@@ -3877,6 +3922,7 @@ def registry():
         "q166_date_buckets": Q166_SQL,
         "q167_try_cast": Q167_SQL,
         "q168_mixture_resample": Q168_ORACLE_SQL,
+        "q169_bm25": Q169_ORACLE_SQL,
         "q134_moving_windows": Q134_SQL,
         "q135_json_props": Q135_SQL,
         "q136_qualify_topk": Q136_SQL,

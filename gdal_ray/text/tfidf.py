@@ -167,3 +167,75 @@ def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id",
                          "tfidf": pa.array(rnd(sc[keep]))})
 
     return ds.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
+def bm25_scores(ds, query_terms, *, text_col: str = "text",
+                id_col: str = "doc_id", k1: float = 1.2, b: float = 0.75,
+                idf: str = "lucene", top_k: int | None = None):
+    """BM25 retrieval scores for a fixed query term set (Robertson/
+    Sparck Jones; the Lucene `ln((N - df + .5)/(df + .5) + 1)` idf by
+    default). Columns (id_col, score); only docs with a positive score
+    emit; top_k applies the standard two-level distributed top-k
+    (score desc, id asc).
+
+    idf="ratio" uses the log-free variant (N - df + .5)/(df + .5): same
+    ranking for a single term and rational arithmetic only, so the score
+    is bit-identical across engines — the ORACLE-facing mode (ln differs
+    by ulps between libm builds; see the float-parity memory).
+
+    Ray shape: pass 1 streams ONE bounded partial row per batch (doc
+    count, token count, per-query-term dfs — never vocabulary-sized);
+    pass 2 is a shuffle-free score map with the tiny stats broadcast in
+    the closure. The query term set is assumed small (it is a query)."""
+    from gdal_ray.ops.relational import topk
+    from gdal_ray.util import to_arrow
+
+    terms = sorted(set(query_terms))
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals, doc_of = _batch_tokens(pc.cast(t[text_col], pa.string()))
+        nd = len(t)
+        dfs = []
+        for term in terms:
+            m = pc.equal(vals, term).to_numpy(zero_copy_only=False)
+            cnt = np.bincount(doc_of[m], minlength=nd) if m.any() else \
+                np.zeros(nd, np.int64)
+            dfs.append(int((cnt > 0).sum()))
+        return pa.table({"n": pa.array([nd], pa.int64()),
+                         "tl": pa.array([len(vals)], pa.int64()),
+                         **{f"df{i}": pa.array([d], pa.int64())
+                            for i, d in enumerate(dfs)}})
+
+    stats = to_arrow(ds.map_batches(partial, batch_format="pyarrow",
+                                    batch_size=None))
+    n_docs = int(pc.sum(stats["n"]).as_py() or 0)
+    total_tok = int(pc.sum(stats["tl"]).as_py() or 0)
+    dfv = np.array([int(pc.sum(stats[f"df{i}"]).as_py() or 0)
+                    for i in range(len(terms))], np.float64)
+    avgdl = (total_tok / n_docs) if n_docs else 1.0
+    ratio = (n_docs - dfv + 0.5) / (dfv + 0.5)
+    idfv = np.log(ratio + 1.0) if idf == "lucene" else ratio
+    idfv = np.where(dfv > 0, idfv, 0.0)  # absent terms contribute nothing
+
+    def score(t: pa.Table) -> pa.Table:
+        vals, doc_of = _batch_tokens(pc.cast(t[text_col], pa.string()))
+        nd = len(t)
+        dlen = np.bincount(doc_of, minlength=nd).astype(np.float64)
+        s = np.zeros(nd, np.float64)
+        for i, term in enumerate(terms):
+            if idfv[i] == 0.0:
+                continue
+            m = pc.equal(vals, term).to_numpy(zero_copy_only=False)
+            tf = (np.bincount(doc_of[m], minlength=nd).astype(np.float64)
+                  if m.any() else np.zeros(nd))
+            denom = tf + k1 * (1.0 - b + b * dlen / avgdl)
+            s += np.where(tf > 0, idfv[i] * tf * (k1 + 1.0)
+                          / np.where(denom > 0, denom, 1.0), 0.0)
+        keep = s > 0
+        return pa.table({id_col: t[id_col].filter(pa.array(keep)),
+                         "score": pa.array(s[keep])})
+
+    out = ds.map_batches(score, batch_format="pyarrow", batch_size=None)
+    if top_k is not None:
+        out = topk(out, [("score", True), (id_col, False)], top_k)
+    return out

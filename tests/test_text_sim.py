@@ -588,3 +588,53 @@ def test_top_ngrams_matches_duckdb(sf_dir, con):
             GROUP BY gram ORDER BY n DESC, gram LIMIT 25""").df()
         assert got["gram"].tolist() == exp["gram"].tolist()
         assert got["n"].tolist() == exp["n"].tolist()
+
+
+def test_bm25_scores_vs_bruteforce(ray_session):
+    """bm25_scores (lucene idf) vs a direct per-doc computation; the
+    ratio-idf mode must rank identically for a single term."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.text.tfidf import bm25_scores
+    from gdal_ray.util import to_arrow
+
+    rng = np.random.default_rng(5)
+    vocab = ["data", "query", "window", "join", "scan", "x"]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(3, 25)))
+             for _ in range(120)]
+    t = pa.table({"doc_id": pa.array(range(120), pa.int64()),
+                  "text": pa.array(texts)})
+    terms = ["data", "window", "absent_term"]
+    got = to_arrow(bm25_scores(rd.from_arrow(t), terms)) \
+        .to_pandas().set_index("doc_id")["score"].to_dict()
+
+    n = 120
+    k1, b = 1.2, 0.75
+    dls = [len(s.split(" ")) for s in texts]
+    avgdl = sum(dls) / n
+    dfv = {w: sum(1 for s in texts if w in s.split(" ")) for w in terms}
+    want = {}
+    for i, s in enumerate(texts):
+        toks = s.split(" ")
+        sc = 0.0
+        for w in terms:
+            f = toks.count(w)
+            if f == 0 or dfv[w] == 0:
+                continue
+            idf = math.log((n - dfv[w] + 0.5) / (dfv[w] + 0.5) + 1.0)
+            sc += idf * f * (k1 + 1.0) / (
+                f + k1 * (1.0 - b + b * dls[i] / avgdl))
+        if sc > 0:
+            want[i] = sc
+    assert set(got) == set(want)
+    for i, v in want.items():
+        assert abs(got[i] - v) < 1e-12, i
+    # top_k path: ranked prefix of the full result
+    top = to_arrow(bm25_scores(rd.from_arrow(t), terms, top_k=7)) \
+        .to_pandas()
+    full = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:7]
+    assert list(zip(top["doc_id"], top["score"])) == full
