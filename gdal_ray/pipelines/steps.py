@@ -684,3 +684,87 @@ def _dissolve(by: str | None = None):
         return ds.groupby(by).map_groups(union_group, batch_format="pandas")
 
     return run
+
+
+# ---- LLM text / graph steps (round 5) --------------------------------------
+# the reference's pipeline surface extended with the training-data ops:
+# every operator a curation user runs is reachable from the CLI string.
+
+
+@step("chunk")
+def _chunk_step(chunk_tokens, overlap=0, id_col: str = "doc_id",
+                text_col: str = "text"):
+    """Token-window document chunking (text/packing.chunk_documents)."""
+    from gdal_ray.text.packing import chunk_documents
+
+    def run(ds):
+        return chunk_documents(ds, id_col=id_col, text_col=text_col,
+                               chunk_tokens=int(chunk_tokens),
+                               overlap=int(overlap))
+
+    return run
+
+
+@step("pack")
+def _pack_step(max_tokens, id_col: str = "doc_id", text_col: str = "text",
+               token_col=None, num_parts=None):
+    """Next-fit sequence packing (text/packing.pack_sequences)."""
+    from gdal_ray.text.packing import pack_sequences
+
+    def run(ds):
+        return pack_sequences(
+            ds, id_col=id_col, text_col=text_col, token_col=token_col,
+            max_tokens=int(max_tokens),
+            num_parts=int(num_parts) if num_parts is not None else None)
+
+    return run
+
+
+@step("mix")
+def _mix_step(weights, key_col: str = "lang", id_col: str = "doc_id",
+              seed=0):
+    """Importance resampling to a target mixture. weights: 'en:0.4,de:0.6'
+    (or a dict when called from Python)."""
+    from gdal_ray.text.mixing import resample_to_mixture
+
+    if isinstance(weights, str):
+        weights = {k.strip(): float(v) for k, v in
+                   (pair.split(":") for pair in weights.split(","))}
+
+    def run(ds):
+        return resample_to_mixture(ds, key_col=key_col, id_col=id_col,
+                                   weights=weights, seed=int(seed))
+
+    return run
+
+
+@step("bm25")
+def _bm25_step(terms, text_col: str = "text", id_col: str = "doc_id",
+               top_k=None, idf: str = "lucene"):
+    """BM25 scores for a fixed query. terms: 'data,query,window'."""
+    from gdal_ray.text.tfidf import bm25_scores
+
+    if isinstance(terms, str):
+        terms = [w.strip() for w in terms.split(",") if w.strip()]
+
+    def run(ds):
+        return bm25_scores(ds, terms, text_col=text_col, id_col=id_col,
+                           idf=idf,
+                           top_k=int(top_k) if top_k is not None else None)
+
+    return run
+
+
+@step("pagerank")
+def _pagerank_step(src_col: str = "src", dst_col: str = "dst",
+                   damping=0.85, max_iters=30, tol=1e-9, num_parts=None):
+    """Distributed PageRank over an edge table (ops/graph.pagerank)."""
+    from gdal_ray.ops.graph import pagerank
+
+    def run(ds):
+        return pagerank(
+            ds, src_col=src_col, dst_col=dst_col, damping=float(damping),
+            max_iters=int(max_iters), tol=float(tol),
+            num_parts=int(num_parts) if num_parts is not None else None)
+
+    return run

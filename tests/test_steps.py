@@ -314,3 +314,47 @@ def test_wrap_dateline_and_set_precision_steps_run(ray_session):
                        ds).take_all()
     g = W.parse_wkb(out[0]["geometry"])
     assert g[0] == "multipolygon" and len(g[1]) == 2
+
+
+def test_llm_text_steps_from_cli_strings(sf_dir):
+    """The round-5 text/graph ops are reachable from the pipeline step
+    surface with CLI-style string arguments."""
+    import ray.data as rd
+
+    from gdal_ray.util import to_arrow
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "lang"])
+    chunks = to_arrow(run_pipeline([("chunk", {"chunk_tokens": "8"})], docs))
+    assert set(chunks.column_names) == {"doc_id", "chunk_idx", "chunk",
+                                        "n_tokens"}
+    assert chunks.num_rows > docs.count()
+
+    packed = to_arrow(run_pipeline(
+        [("pack", {"max_tokens": "64", "num_parts": "4"})], docs))
+    assert packed.num_rows == docs.count()
+
+    mixed = to_arrow(run_pipeline(
+        [("mix", {"weights": "en:0.5,de:0.5"})], docs))
+    assert 0 < mixed.num_rows < docs.count()
+    assert set(mixed["lang"].to_pylist()) <= {"en", "de"}
+
+    scored = to_arrow(run_pipeline(
+        [("bm25", {"terms": "data,query", "top_k": "5"})], docs))
+    assert scored.num_rows == 5
+    assert scored["score"].to_pylist() == sorted(
+        scored["score"].to_pylist(), reverse=True)
+
+    import numpy as np
+    import pyarrow as pa
+
+    def mkedges(t):
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"src": pa.array(ids),
+                         "dst": pa.array((ids + 7) % 43)})
+
+    edges = docs.map_batches(mkedges, batch_format="pyarrow",
+                             batch_size=None)
+    pr = to_arrow(run_pipeline(
+        [("pagerank", {"max_iters": "10", "num_parts": "4"})], edges))
+    assert abs(sum(pr["rank"].to_pylist()) - 1.0) < 1e-9
