@@ -315,7 +315,23 @@ class Parser:
             node = Node("between", None, (left, lo, hi))
         elif t == ("kw", "LIKE"):
             self.next()
-            node = Node("like", None, (left, self.add_expr()))
+            pat = self.add_expr()
+            if (self.peek()[0] == "id"
+                    and self.peek()[1].upper() == "ESCAPE"):
+                self.next()
+                esc = self.next()
+                if esc[0] != "str" or len(esc[1]) != 1:
+                    raise ValueError("ESCAPE takes a 1-char string literal")
+                node = Node("like", ("esc", esc[1]), (left, pat))
+            else:
+                node = Node("like", None, (left, pat))
+        elif (t[0] == "id" and t[1].upper() == "SIMILAR"
+              and self.toks[self.i + 1][0] == "id"
+              and str(self.toks[self.i + 1][1]).upper() == "TO"):
+            # expr SIMILAR TO 'regex': full-match regex (DuckDB semantics)
+            self.next()
+            self.next()
+            node = Node("like", "s", (left, self.add_expr()))
         elif t == ("kw", "IS"):
             self.next()
             isnot = self.accept("kw", "NOT")
@@ -2164,6 +2180,30 @@ def eval_expr(node: Node, t: pa.Table):
         xhi, hi = _coerce_temporal(x, eval_expr(node.args[2], t))
         return pc.and_(pc.greater_equal(xlo, lo), pc.less_equal(xhi, hi))
     if k == "like":
+        if node.value == "s":
+            # SIMILAR TO: full-match regex
+            return pc.match_substring_regex(
+                eval_expr(node.args[0], t),
+                pattern=f"^(?:{node.args[1].value})$")
+        if isinstance(node.value, tuple) and node.value[0] == "esc":
+            # LIKE ... ESCAPE 'c': translate to an anchored regex with the
+            # escape character honored (match_like has no escape support)
+            esc = node.value[1]
+            pat = str(node.args[1].value)
+            out = []
+            i = 0
+            while i < len(pat):
+                ch = pat[i]
+                if ch == esc and i + 1 < len(pat):
+                    out.append(re.escape(pat[i + 1]))
+                    i += 2
+                    continue
+                out.append(".*" if ch == "%" else "." if ch == "_"
+                           else re.escape(ch))
+                i += 1
+            return pc.match_substring_regex(
+                eval_expr(node.args[0], t),
+                pattern="^" + "".join(out) + "$")
         return pc.match_like(eval_expr(node.args[0], t), node.args[1].value,
                              ignore_case=(node.value == "i"))
     if k == "udf":

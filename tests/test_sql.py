@@ -751,6 +751,31 @@ def test_try_cast_matches_duckdb(sf_dir, con):
         unregister_table("tc_try")
 
 
+def test_like_escape_similar_to(sf_dir, con):
+    """LIKE ... ESCAPE (regex translation honoring the escape char) and
+    SIMILAR TO (full-match regex), incl. NOT SIMILAR TO."""
+    import pyarrow as pa
+
+    from gdal_ray.ops.sql import register_table, unregister_table
+
+    tb = pa.table({"i": pa.array(range(5), pa.int64()),
+                   "s": pa.array(["100%", "10_0", "abc", "a%c", "x_y"])})
+    register_table("lk_esc", tb)
+    con.register("lk_esc", tb)
+    try:
+        for sql in [
+            "SELECT i, s FROM lk_esc WHERE s LIKE '%!%%' ESCAPE '!' ORDER BY i",
+            "SELECT i, s FROM lk_esc WHERE s LIKE '%!_%' ESCAPE '!' ORDER BY i",
+            "SELECT i, s FROM lk_esc WHERE s SIMILAR TO '[a-z]+' ORDER BY i",
+            "SELECT i, s FROM lk_esc WHERE s NOT SIMILAR TO '[a-z%_0-9]+' ORDER BY i",
+        ]:
+            got = to_arrow(execute(sql, sf_dir)).to_pandas()
+            exp = con.execute(sql).df()
+            assert got["i"].tolist() == exp["i"].tolist(), sql
+    finally:
+        unregister_table("lk_esc")
+
+
 def test_is_distinct_from_matches_duckdb(sf_dir, con):
     """IS [NOT] DISTINCT FROM: null-safe comparison, never NULL (NULLs
     equal each other, distinct from every value). IFNULL = 2-arg
