@@ -75,3 +75,45 @@ def curate(ds, *, id_col: str = "doc_id", text_col: str = "text",
         d = budget_take(d, by=[budget_by], order_col=id_col,
                         weight_col="n_chars_calc", budget=char_budget)
     return d
+
+
+def prepare_training_data(ds, *, weights: dict, chunk_tokens: int = 256,
+                          overlap: int = 0, max_tokens: int = 1024,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          mix_key: str = "lang_pred",
+                          num_parts: int | None = None,
+                          seed: int = 0, **curate_kw):
+    """The full training-data prep chain, composed end-to-end:
+
+        curate (quality + langid + repetition + PII + exact dedup)
+          -> resample_to_mixture (target language mixture, hash-accept)
+          -> chunk_documents (token windows)
+          -> pack_sequences (next-fit into <= max_tokens sequences)
+
+    Returns the sequence-assignment Dataset (chunk_id, n_tokens, seq_id,
+    seq_pos) with chunk_id = doc_id * 2^20 + chunk_idx (collision-free
+    while chunk_idx < 2^20 and doc_id < 2^43 — a 100-TB corpus at
+    256-token chunks stays far inside both). Shuffle ledger: curate's one
+    full-row dedup shuffle, mixing's tiny count aggregate, chunking is
+    shuffle-free, packing ships only (chunk_id, token-count) pairs."""
+    from gdal_ray.text.mixing import resample_to_mixture
+    from gdal_ray.text.packing import chunk_documents, pack_sequences
+
+    d = curate(ds, id_col=id_col, text_col=text_col, **curate_kw)
+    d = resample_to_mixture(d, key_col=mix_key, id_col=id_col,
+                            weights=weights, seed=seed)
+    ch = chunk_documents(d, id_col=id_col, text_col=text_col,
+                         chunk_tokens=chunk_tokens, overlap=overlap)
+
+    def add_cid(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        did = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cix = t["chunk_idx"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "chunk_id", pa.array(did * (1 << 20) + cix, pa.int64()))
+
+    ch = ch.map_batches(add_cid, batch_format="pyarrow", batch_size=None)
+    return pack_sequences(ch, id_col="chunk_id", text_col="chunk",
+                          token_col="n_tokens", max_tokens=max_tokens,
+                          num_parts=num_parts)

@@ -3541,6 +3541,21 @@ def q169_bm25(sf_dir):
         batch_format="pyarrow", batch_size=None)
 
 
+def q170_training_prep(sf_dir):
+    """The COMPOSED training-data prep chain (curate -> mixture resample
+    -> 64-token chunking -> next-fit packing into 256-token sequences);
+    pipelines/curation.prepare_training_data. Deterministic (fixed seeds
+    + num_parts) — golden-pinned; no single SQL restates the chain."""
+    from gdal_ray.pipelines.curation import prepare_training_data
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "text", "source"])
+    return prepare_training_data(
+        docs, weights={"en": 0.4, "de": 0.2, "fr": 0.2, "es": 0.1,
+                       "zh": 0.1},
+        chunk_tokens=64, max_tokens=256, num_parts=16)
+
+
 Q154_ORACLE_SQL = """
 SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
        array_to_string(words[ci*8+1:ci*8+8], ' ') AS chunk,
@@ -3804,6 +3819,7 @@ def registry():
         "q167_try_cast": q167_try_cast,
         "q168_mixture_resample": q168_mixture_resample,
         "q169_bm25": q169_bm25,
+        "q170_training_prep": q170_training_prep,
         "q134_moving_windows": q134_moving_windows,
         "q135_json_props": q135_json_props,
         "q136_qualify_topk": q136_qualify_topk,

@@ -112,3 +112,24 @@ def test_pack_token_col_shortcut(ray_session):
                                   max_tokens=10, num_parts=2)).to_pandas()
     assert got.set_index("doc_id")["n_tokens"].to_dict() == {
         i: i + 1 for i in range(20)}
+
+
+def test_prepare_training_data_end_to_end(ray_session, sf_dir):
+    """The composed prep chain: every sequence respects the token budget
+    (or is an oversized singleton), chunk ids decode to (doc, chunk)."""
+    import ray.data as rd
+
+    from gdal_ray.pipelines.curation import prepare_training_data
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "source"])
+    out = to_arrow(prepare_training_data(
+        docs, weights={"en": 0.6, "de": 0.4}, chunk_tokens=32,
+        max_tokens=128, num_parts=8)).to_pandas()
+    assert len(out) > 0
+    assert set(out.columns) == {"chunk_id", "n_tokens", "seq_id", "seq_pos"}
+    assert (out["n_tokens"] <= 32).all()  # chunking caps every piece
+    per_seq = out.groupby("seq_id")["n_tokens"].sum()
+    assert (per_seq <= 128).all()  # chunks <= 32 can never need a singleton
+    # chunk ids decode: chunk_idx component bounded by the doc's chunks
+    assert ((out["chunk_id"] % (1 << 20)) < 1000).all()

@@ -55,6 +55,8 @@ GOLDENS = {
     "q150_pagerank": (997, "f0a289249b9c3cf1"),
     # next-fit sequence packing (max_tokens=64, num_parts=16)
     "q155_seq_pack": (500, "d4640ed3b2b0a101"),
+    # composed training prep: curate -> mixture -> chunk(64) -> pack(256)
+    "q170_training_prep": (669, "9e8991fc5a4bbae0"),
 }
 
 
