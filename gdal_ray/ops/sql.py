@@ -4916,6 +4916,50 @@ def _decorrelate_where(ds, q: Select, sf_dir: str, key_alias: dict):
     kept = [rw(c) for c in kept]
     q.where = _and_fold(kept)
 
+    # correlated scalar subqueries in SELECT items: same grouped
+    # decorrelation; a COUNT subquery additionally coalesces to 0 for
+    # outer rows with no matching group (DuckDB/standard semantics —
+    # in WHERE the NULL comparison already filters correctly)
+    def rw_item(n):
+        if not isinstance(n, Node):
+            return n
+        if n.kind == "scalar_sub" and _is_correlated(n.args[0], sf_dir):
+            sub = copy.deepcopy(n.args[0])
+            if len(sub.items) != 1:
+                raise ValueError("scalar subquery must have one item")
+            item0, _a0 = sub.items[0]
+            pairs, local = _extract_correlation(sub, outer_cols, sf_dir)
+            if not pairs:
+                raise ValueError("scalar-subquery correlation has no "
+                                 "equality key")
+            i = len(scalar_specs)
+            hid = f"__scs{i}"
+            key_names = [f"__sck{i}_{j}" for j in range(len(pairs))]
+            sub2 = Select([(Node("col", ik), kn)
+                           for (ok, ik), kn in zip(pairs, key_names)]
+                          + [(item0, hid)],
+                          False, sub.table, local,
+                          [ik for _, ik in pairs], [], None,
+                          joins=sub.joins)
+            scalar_specs.append((hid, sub2, [canon(ok) for ok, _ in pairs],
+                                 key_names))
+            ref = Node("col", hid)
+            if (isinstance(item0, Node) and item0.kind == "agg"
+                    and item0.value[0] in ("count_star", "count",
+                                           "count_distinct")):
+                ref = Node("call", "coalesce", (ref, Node("lit", 0)))
+            return ref
+        new_args = tuple(
+            rw_item(a) if isinstance(a, Node)
+            else tuple(rw_item(x) for x in a) if isinstance(a, tuple)
+            else a
+            for a in n.args)
+        val = rw_item(n.value) if isinstance(n.value, Node) else n.value
+        return Node(n.kind, val, new_args)
+
+    q.items = [(rw_item(it) if isinstance(it, Node) else it, al)
+               for it, al in q.items]
+
     def _left_join_inner(ds, inner: pa.Table, okeys, ikeys):
         """Grouped decorrelation results join back LEFT onto the outer
         stream: broadcast when dimension-sized, co-partitioned hash join
@@ -5312,7 +5356,9 @@ def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
     if key_alias:
         order_by = _canon_cols(q, key_alias, order_by)
 
-    if q.where is not None and _has_sub_nodes(q.where):
+    if (q.where is not None and _has_sub_nodes(q.where)) or any(
+            isinstance(it, Node) and _has_sub_nodes(it)
+            for it, _ in q.items):
         ds, q = _decorrelate_where(ds, q, sf_dir, key_alias)
 
     if q.where is not None:

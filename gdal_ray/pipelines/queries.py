@@ -3541,6 +3541,25 @@ def q169_bm25(sf_dir):
         batch_format="pyarrow", batch_size=None)
 
 
+Q171_SQL = """
+SELECT n_name,
+       (SELECT COUNT(*) FROM customer
+        WHERE c_nationkey = n_nationkey AND c_acctbal > 0) AS rich,
+       (SELECT COUNT(*) FROM supplier
+        WHERE s_nationkey = n_nationkey) AS suppliers
+FROM nation ORDER BY n_name
+"""
+
+
+def q171_item_subqueries(sf_dir):
+    """Correlated scalar subqueries in SELECT items: each decorrelates
+    to a grouped aggregate of the inner table LEFT-joined back
+    (broadcast when dimension-sized, co-partitioned beyond 4M groups);
+    COUNT coalesces to 0 for unmatched outer rows. Runs verbatim in
+    DuckDB."""
+    return _sql_query(Q171_SQL)(sf_dir)
+
+
 def q170_training_prep(sf_dir):
     """The COMPOSED training-data prep chain (curate -> mixture resample
     -> 64-token chunking -> next-fit packing into 256-token sequences);
@@ -3820,6 +3839,7 @@ def registry():
         "q168_mixture_resample": q168_mixture_resample,
         "q169_bm25": q169_bm25,
         "q170_training_prep": q170_training_prep,
+        "q171_item_subqueries": q171_item_subqueries,
         "q134_moving_windows": q134_moving_windows,
         "q135_json_props": q135_json_props,
         "q136_qualify_topk": q136_qualify_topk,
@@ -3939,6 +3959,7 @@ def registry():
         "q167_try_cast": Q167_SQL,
         "q168_mixture_resample": Q168_ORACLE_SQL,
         "q169_bm25": Q169_ORACLE_SQL,
+        "q171_item_subqueries": Q171_SQL,
         "q134_moving_windows": Q134_SQL,
         "q135_json_props": Q135_SQL,
         "q136_qualify_topk": Q136_SQL,

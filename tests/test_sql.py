@@ -207,6 +207,11 @@ CASES = [
     "SELECT o_orderkey, ROW_NUMBER() OVER w AS rn, ROUND(SUM(o_totalprice) OVER w, 4) AS running FROM orders WHERE o_orderkey < 500 WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey) ORDER BY o_orderkey",
     "SELECT o_orderkey, RANK() OVER w1 AS r, AVG(o_totalprice) OVER w2 AS ma FROM orders WHERE o_orderkey < 300 WINDOW w1 AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC), w2 AS (ORDER BY o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) ORDER BY o_orderkey",
     "SELECT o_orderkey, ROW_NUMBER() OVER w AS rn FROM orders WHERE o_orderkey < 200 WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey) QUALIFY rn <= 2 ORDER BY o_orderkey",
+    # round-5: correlated scalar subqueries in SELECT items (COUNT
+    # coalesces to 0 for unmatched outer rows; expressions compose)
+    "SELECT c_custkey, (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n FROM customer WHERE c_custkey < 30 ORDER BY c_custkey",
+    "SELECT c_custkey, (SELECT MAX(o_totalprice) FROM orders WHERE o_custkey = c_custkey) AS mx FROM customer WHERE c_custkey < 30 ORDER BY c_custkey",
+    "SELECT c_custkey, (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) + c_custkey AS npl FROM customer WHERE c_custkey < 20 ORDER BY c_custkey",
     # round-5: duplicated-CTE alias self-joins (triangle counting shape)
     "WITH e AS (SELECT c_custkey % 11 AS a, c_nationkey % 7 AS b FROM customer) SELECT e1.a, COUNT(*) AS n FROM e e1, e e2 WHERE e1.b = e2.b AND e1.a < e2.a GROUP BY e1.a ORDER BY 1",
 ]
