@@ -4923,6 +4923,13 @@ def _decorrelate_where(ds, q: Select, sf_dir: str, key_alias: dict):
     def rw_item(n):
         if not isinstance(n, Node):
             return n
+        if n.kind == "exists_sub" and _is_correlated(n.args[0], sf_dir):
+            # [NOT] EXISTS as a SELECT-item boolean: rewrite to a grouped
+            # COUNT(*) scalar subquery compared against 0
+            sub = copy.deepcopy(n.args[0])
+            sub.items = [(Node("agg", ("count_star", None)), None)]
+            cnt = rw_item(Node("scalar_sub", None, (sub,)))
+            return Node("bin", ">", (cnt, Node("lit", 0)))
         if n.kind == "scalar_sub" and _is_correlated(n.args[0], sf_dir):
             sub = copy.deepcopy(n.args[0])
             if len(sub.items) != 1:
@@ -4949,13 +4956,19 @@ def _decorrelate_where(ds, q: Select, sf_dir: str, key_alias: dict):
                                            "count_distinct")):
                 ref = Node("call", "coalesce", (ref, Node("lit", 0)))
             return ref
-        new_args = tuple(
-            rw_item(a) if isinstance(a, Node)
-            else tuple(rw_item(x) for x in a) if isinstance(a, tuple)
-            else a
-            for a in n.args)
-        val = rw_item(n.value) if isinstance(n.value, Node) else n.value
-        return Node(n.kind, val, new_args)
+        def rec(a):
+            if isinstance(a, Node):
+                return rw_item(a)
+            if isinstance(a, tuple):
+                return tuple(rec(x) for x in a)
+            return a
+
+        val = n.value
+        if isinstance(val, Node):
+            val = rw_item(val)
+        elif isinstance(val, tuple):
+            val = tuple(rec(x) for x in val)
+        return Node(n.kind, val, tuple(rec(a) for a in n.args))
 
     q.items = [(rw_item(it) if isinstance(it, Node) else it, al)
                for it, al in q.items]

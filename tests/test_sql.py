@@ -212,6 +212,10 @@ CASES = [
     "SELECT c_custkey, (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n FROM customer WHERE c_custkey < 30 ORDER BY c_custkey",
     "SELECT c_custkey, (SELECT MAX(o_totalprice) FROM orders WHERE o_custkey = c_custkey) AS mx FROM customer WHERE c_custkey < 30 ORDER BY c_custkey",
     "SELECT c_custkey, (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) + c_custkey AS npl FROM customer WHERE c_custkey < 20 ORDER BY c_custkey",
+    # round-5: [NOT] EXISTS as SELECT-item booleans (incl. inside FILTER)
+    "SELECT c_custkey, EXISTS (SELECT * FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000) AS has_big FROM customer WHERE c_custkey < 40 ORDER BY c_custkey",
+    "SELECT c_custkey, NOT EXISTS (SELECT * FROM orders WHERE o_custkey = c_custkey) AS no_orders FROM customer WHERE c_custkey < 40 ORDER BY c_custkey",
+    "SELECT c_mktsegment, COUNT(*) FILTER (WHERE EXISTS (SELECT * FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')) AS with_f FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment",
     # round-5: duplicated-CTE alias self-joins (triangle counting shape)
     "WITH e AS (SELECT c_custkey % 11 AS a, c_nationkey % 7 AS b FROM customer) SELECT e1.a, COUNT(*) AS n FROM e e1, e e2 WHERE e1.b = e2.b AND e1.a < e2.a GROUP BY e1.a ORDER BY 1",
 ]
