@@ -181,6 +181,8 @@ _BUILTIN_CALLS = {
     "array_length": "length", "list_length": "length",
     "list_sum": "list_sum", "list_avg": "list_avg",
     "list_min": "list_min", "list_max": "list_max",
+    "array_to_string": "array_to_string",
+    "list_aggr": "array_to_string",  # only the 'string_agg' kind
 }
 
 
@@ -2496,6 +2498,36 @@ def eval_expr(node: Node, t: pa.Table):
         if fn == "list_contains":
             return _list_contains(eval_expr(node.args[0], t),
                                   eval_expr(node.args[1], t))
+        if fn == "array_to_string":
+            # ARRAY_TO_STRING(list, sep): join list elements — null
+            # ELEMENTS are skipped and an empty (or all-null) list yields
+            # NULL (measured DuckDB behavior); one pc.binary_join per batch
+            col = eval_expr(node.args[0], t)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            if node.args[1].kind != "lit":
+                raise ValueError("ARRAY_TO_STRING: sep must be a literal")
+            ty = _type_of(col)
+            if not pa.types.is_string(ty.value_type):
+                col = pc.cast(col, pa.list_(pa.string()))
+            flat = pc.list_flatten(col)  # drops nothing; nulls stay
+            lens = pc.fill_null(pc.list_value_length(col), 0) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            valid = pc.is_valid(flat).to_numpy(zero_copy_only=False)
+            starts = np.zeros(len(lens), np.int64)
+            if len(lens) > 1:
+                np.cumsum(lens[:-1], out=starts[1:])
+            ccnt = np.concatenate([[0], np.cumsum(valid.astype(np.int64))])
+            newlens = ccnt[starts + lens] - ccnt[starts]
+            offs = np.zeros(len(lens) + 1, np.int64)
+            np.cumsum(newlens, out=offs[1:])
+            col = pa.ListArray.from_arrays(
+                pa.array(offs, pa.int32()),
+                flat.filter(pc.is_valid(flat)) if len(flat)
+                else flat)
+            joined = pc.binary_join(col, str(node.args[1].value))
+            return pc.if_else(pa.array(newlens > 0), joined,
+                              pa.scalar(None, pa.string()))
         if fn in ("list_sum", "list_avg", "list_min", "list_max"):
             # per-row list aggregation: one flatten + ufunc.reduceat per
             # batch (null elements skipped; empty/all-null -> NULL, DuckDB

@@ -878,3 +878,30 @@ def test_quantile_cont(sf_dir, con):
                                    exp[c].astype(float), rtol=1e-9), (sql, c)
             else:
                 assert (got[c].astype(str) == exp[c].astype(str)).all(), (sql, c)
+
+
+def test_array_to_string_matches_duckdb(sf_dir, con):
+    """ARRAY_TO_STRING: null elements skipped; empty/all-null lists and
+    NULL lists yield NULL (measured DuckDB behavior)."""
+    import pyarrow as pa
+
+    from gdal_ray.ops.sql import register_table, unregister_table
+
+    tb = pa.table({"i": pa.array(range(4), pa.int64()),
+                   "l": pa.array([["a", None, "b"], [], ["x"], None],
+                                 pa.list_(pa.string()))})
+    register_table("ats_t", tb)
+    con.register("ats_t", tb)
+    try:
+        for sql in [
+            "SELECT i, ARRAY_TO_STRING(l, '-') AS j FROM ats_t ORDER BY i",
+            "SELECT doc_id, ARRAY_TO_STRING(STRING_SPLIT(text, ' '), '|')"
+            " AS joined FROM documents WHERE doc_id < 10 ORDER BY doc_id",
+        ]:
+            got = to_arrow(execute(sql, sf_dir)).to_pandas()
+            exp = con.execute(sql).df()
+            for c in got.columns:
+                assert got[c].astype(str).tolist() == \
+                    exp[c].astype(str).tolist(), (sql, c)
+    finally:
+        unregister_table("ats_t")
