@@ -82,12 +82,20 @@ def hash_partition_reduce(ds, keys: Sequence[str], reduce_tbl, *, num_parts: int
 # ---------------------------------------------------------------------------
 
 # spec = (out_name, kind, col); kinds:
-_KINDS = {"sum", "count", "count_star", "min", "max", "mean", "std"}
+_KINDS = {"sum", "count", "count_star", "min", "max", "mean", "std",
+          "product", "any", "skew", "kurt", "kurt_pop"}
+
+# central-moment order each moment kind needs (std -> M2, skewness -> M3,
+# kurtosis -> M4); a column shared by several kinds keeps the max order.
+# kurt's MERGE needs M3 too (the pairwise M4 identity consumes P3), so
+# kurt implies order 4 which implies tracking M3.
+_MOMENT_ORDER = {"std": 2, "skew": 3, "kurt": 4, "kurt_pop": 4}
 
 
 def _partial_plan(specs):
     """Which (col, fn) partials each spec needs. Returns ordered unique list
-    of (col, fn) plus per-spec references."""
+    of (col, fn), per-spec references, and the per-column max central-moment
+    order ({col: 2|3|4}) for std/skew/kurt specs."""
     partials: list[tuple[str, str]] = []
 
     def need(col, fn):
@@ -95,6 +103,11 @@ def _partial_plan(specs):
         if key not in partials:
             partials.append(key)
         return f"{col}__{fn}"
+
+    moment_orders: dict[str, int] = {}
+    for _, kind, col in specs:
+        if kind in _MOMENT_ORDER:
+            moment_orders[col] = max(moment_orders.get(col, 0), _MOMENT_ORDER[kind])
 
     plan = {}
     for out, kind, col in specs:
@@ -110,23 +123,41 @@ def _partial_plan(specs):
             plan[out] = ("max", need(col, "max"))
         elif kind == "mean":
             plan[out] = ("mean", need(col, "sum"), need(col, "count"))
-        elif kind == "std":
-            # Welford-style partials (ogr_swq.h:374-394): per-batch per-key
-            # (count, mean, M2) computed from batch-shifted sums (the shift
-            # kills the E[x^2]-E[x]^2 cancellation for mean>>std data);
-            # __d_/__d2_ are the shifted row columns, folded into
-            # {col}__wmean / {col}__wm2 right after the combine group_by
+        elif kind == "product":
+            # DuckDB PRODUCT returns DOUBLE; the combiner aggregates a
+            # float64-cast shadow column (__f_) so int inputs don't overflow
+            # in the int64 partial
+            plan[out] = ("product", need(f"__f_{col}", "product"))
+        elif kind == "any":
+            # ANY_VALUE: some non-null value from the group (pyarrow hash
+            # "first"; deterministic per merge order, not across cluster
+            # layouts — SQL permits any member, so correct but unpinned)
+            plan[out] = ("any", need(col, "first"))
+        elif kind in _MOMENT_ORDER:
+            # Welford-style partials (ogr_swq.h:374-394) generalized to
+            # higher central moments: per-batch shifted power sums
+            # (__d_..__d4_, shift = batch mean, which kills the
+            # E[x^k]-cancellation for mean>>std data) fold into per-key
+            # (count, mean, M2[, M3[, M4]]) right after the combine
+            # group_by; the grouped merge translates each partial's moments
+            # to the combined mean with exact identities.
+            order = moment_orders[col]
             need(f"__d_{col}", "sum")
             need(f"__d2_{col}", "sum")
-            plan[out] = (
-                "std",
-                need(col, "count"),
-                f"{col}__wmean",
-                f"{col}__wm2",
-            )
+            if order >= 3:
+                need(f"__d3_{col}", "sum")
+            if order >= 4:
+                need(f"__d4_{col}", "sum")
+            cnt = need(col, "count")
+            if kind == "std":
+                plan[out] = ("std", cnt, f"{col}__wmean", f"{col}__wm2")
+            elif kind == "skew":
+                plan[out] = ("skew", cnt, f"{col}__wm2", f"{col}__wm3")
+            else:  # kurt / kurt_pop
+                plan[out] = (kind, cnt, f"{col}__wm2", f"{col}__wm4")
         else:
             raise ValueError(f"unknown agg kind {kind}")
-    return partials, plan
+    return partials, plan, moment_orders
 
 
 def groupby_agg(
@@ -165,8 +196,8 @@ def groupby_agg(
 
     keys = list(keys)
     round_to = round_to or {}
-    partials, plan = _partial_plan(specs)
-    std_cols = sorted({c for _, k, c in specs if k == "std"})
+    partials, plan, moment_orders = _partial_plan(specs)
+    product_cols = sorted({c for _, k, c in specs if k == "product"})
     need_ones = any(c == "__ones" for c, _ in partials)
 
     global_key = keys
@@ -182,14 +213,23 @@ def groupby_agg(
             batch = batch.append_column(
                 "__ones", pa.array(np.ones(len(batch), dtype=np.int64))
             )
+        for col in product_cols:
+            batch = batch.append_column(
+                f"__f_{col}", pc.cast(batch[col], pa.float64())
+            )
         m0s = {}
-        for col in std_cols:
+        for col, order in moment_orders.items():
             v = pc.cast(batch[col], pa.float64())
             m0 = pc.mean(v)
             m0s[col] = m0.as_py() if m0.is_valid else 0.0
             d = pc.subtract(v, m0s[col])
+            d2 = pc.multiply(d, d)
             batch = batch.append_column(f"__d_{col}", d)
-            batch = batch.append_column(f"__d2_{col}", pc.multiply(d, d))
+            batch = batch.append_column(f"__d2_{col}", d2)
+            if order >= 3:
+                batch = batch.append_column(f"__d3_{col}", pc.multiply(d2, d))
+            if order >= 4:
+                batch = batch.append_column(f"__d4_{col}", pc.multiply(d2, d2))
         out = batch.group_by(global_key, use_threads=False).aggregate(list(partials))
         names = []
         for name in out.column_names:
@@ -200,22 +240,45 @@ def groupby_agg(
                     break
             names.append(renamed)
         out = out.rename_columns(names)
-        # fold the shifted sums into per-key (mean, M2): both are
-        # shift-invariant, so partials from batches with different shifts
-        # merge exactly (the merge uses the grouped-Welford formula below)
-        for col in std_cols:
+        # fold the shifted sums into per-key central moments: all central
+        # moments are shift-invariant, so partials from batches with
+        # different shifts merge exactly (grouped-Welford formula below).
+        # With e = sum(d)/n (the key mean's offset from the batch shift):
+        #   M2 = sd2 - n e^2
+        #   M3 = sd3 - 3 e sd2 + 2 n e^3
+        #   M4 = sd4 - 4 e sd3 + 6 e^2 sd2 - 3 n e^4
+        for col, order in moment_orders.items():
+            def np_sum(name):
+                return np.nan_to_num(pc.cast(out[name], pa.float64())
+                                     .to_numpy(zero_copy_only=False))
             n = pc.cast(out[f"{col}__count"], pa.float64()).to_numpy(
                 zero_copy_only=False)
-            dsum = np.nan_to_num(pc.cast(out[f"__d_{col}__sum"], pa.float64())
-                                 .to_numpy(zero_copy_only=False))
-            d2sum = np.nan_to_num(pc.cast(out[f"__d2_{col}__sum"], pa.float64())
-                                  .to_numpy(zero_copy_only=False))
+            drop = [f"__d_{col}__sum", f"__d2_{col}__sum"]
+            sd = np_sum(f"__d_{col}__sum")
+            sd2 = np_sum(f"__d2_{col}__sum")
             with np.errstate(invalid="ignore", divide="ignore"):
-                mean = np.where(n > 0, m0s[col] + dsum / n, 0.0)
-                m2 = np.where(n > 0, d2sum - dsum * dsum / np.maximum(n, 1), 0.0)
-            out = out.drop_columns([f"__d_{col}__sum", f"__d2_{col}__sum"])
-            out = out.append_column(f"{col}__wmean", pa.array(mean))
-            out = out.append_column(f"{col}__wm2", pa.array(np.maximum(m2, 0.0)))
+                e = np.where(n > 0, sd / np.maximum(n, 1), 0.0)
+                mean = np.where(n > 0, m0s[col] + e, 0.0)
+                m2 = np.where(n > 0, sd2 - n * e * e, 0.0)
+            cols = {f"{col}__wmean": pa.array(mean),
+                    f"{col}__wm2": pa.array(np.maximum(m2, 0.0))}
+            if order >= 3:
+                sd3 = np_sum(f"__d3_{col}__sum")
+                drop.append(f"__d3_{col}__sum")
+                m3 = np.where(n > 0, sd3 - 3 * e * sd2 + 2 * n * e ** 3, 0.0)
+                cols[f"{col}__wm3"] = pa.array(m3)
+            if order >= 4:
+                sd4 = np_sum(f"__d4_{col}__sum")
+                drop.append(f"__d4_{col}__sum")
+                m4 = np.where(
+                    n > 0,
+                    sd4 - 4 * e * sd3 + 6 * e * e * sd2 - 3 * n * e ** 4,
+                    0.0,
+                )
+                cols[f"{col}__wm4"] = pa.array(np.maximum(m4, 0.0))
+            out = out.drop_columns(drop)
+            for name, arr in cols.items():
+                out = out.append_column(name, arr)
         return out
 
     partial_ds = ds.map_batches(combine, batch_format="pyarrow", batch_size=batch_size)
@@ -226,22 +289,20 @@ def groupby_agg(
     # grouped-Welford formula, not a plain column sum.
     merge_plan = []
     for col, fn in partials:
-        if col.startswith("__d_") or col.startswith("__d2_"):
+        if col.startswith("__d"):  # __d_/__d2_/__d3_/__d4_ shifted sums
             continue
         pname = f"{col}__{fn}"
         merge_plan.append((pname, "sum" if fn in ("sum", "count") else fn))
-    welford_triples = [
-        (f"{col}__count", f"{col}__wmean", f"{col}__wm2") for col in std_cols
-    ]
 
     def merge_welford(t: pa.Table) -> pa.Table:
-        """Merge partial rows per key when std specs are present. The
-        Welford pairwise merge generalized to groups: shift every partial
-        mean by the group's first mean (all partial means of a key are
-        near each other, so the shifted squares stay small — no
-        catastrophic cancellation, unlike sum-of-squares), then
-        M2 = sum(M2_i + n_i*dm_i^2) - (sum n_i*dm_i)^2 / N. Vectorized
-        over ALL groups with np reduceat on the key-sorted frame."""
+        """Merge partial rows per key when central-moment specs are present.
+        The Welford pairwise merge generalized to groups AND to higher
+        moments: shift every partial mean by the group's first mean (all
+        partial means of a key are near each other, so the shifted powers
+        stay small — no catastrophic cancellation, unlike raw power sums),
+        accumulate power sums P1..P4 about that reference, then translate
+        to the combined mean. Vectorized over ALL groups with np reduceat
+        on the key-sorted frame."""
         if len(t) == 0:
             return t
         df = t.to_pandas()
@@ -251,11 +312,18 @@ def groupby_agg(
         out = {k: pa.array(df[k].to_numpy()[starts]) for k in global_key}
         for pname, mfn in merge_plan:
             a = df[pname].to_numpy()
-            if a.dtype.kind == "f":
-                if mfn == "sum":
-                    # Arrow sum skips nulls: all-NaN group of partials -> NaN
+            if mfn == "first":
+                # first non-null partial (pandas first skips NaN/None)
+                gb = df.groupby(global_key, sort=False, dropna=False)[pname]
+                out[pname] = pa.array(gb.first().to_numpy())
+            elif a.dtype.kind == "f":
+                if mfn in ("sum", "product"):
+                    # Arrow sum/product skip nulls: all-NaN group -> NaN
                     valid = ~np.isnan(a)
-                    s = np.add.reduceat(np.nan_to_num(a), starts)
+                    if mfn == "sum":
+                        s = np.add.reduceat(np.nan_to_num(a), starts)
+                    else:
+                        s = np.multiply.reduceat(np.where(valid, a, 1.0), starts)
                     nv = np.add.reduceat(valid.astype(np.int64), starts)
                     r = np.where(nv > 0, s, np.nan)
                 elif mfn == "min":
@@ -264,7 +332,8 @@ def groupby_agg(
                     r = np.fmax.reduceat(a, starts)
                 out[pname] = pa.array(r)
             elif a.dtype.kind in "iu":
-                fn = {"sum": np.add, "min": np.minimum, "max": np.maximum}[mfn]
+                fn = {"sum": np.add, "min": np.minimum, "max": np.maximum,
+                      "product": np.multiply}[mfn]
                 out[pname] = pa.array(fn.reduceat(a, starts))
             else:
                 # non-numeric min/max partial (e.g. string): pandas groupby
@@ -272,24 +341,38 @@ def groupby_agg(
                 out[pname] = pa.array(
                     (gb.min() if mfn == "min" else
                      gb.max() if mfn == "max" else gb.sum()).to_numpy())
-        for cnt_c, mean_c, m2_c in welford_triples:
-            n = df[cnt_c].to_numpy().astype(np.float64)
-            mean = np.nan_to_num(df[mean_c].to_numpy().astype(np.float64))
-            m2 = np.nan_to_num(df[m2_c].to_numpy().astype(np.float64))
+        for col, order in moment_orders.items():
+            n = df[f"{col}__count"].to_numpy().astype(np.float64)
+            mean = np.nan_to_num(df[f"{col}__wmean"].to_numpy().astype(np.float64))
+            m2 = np.nan_to_num(df[f"{col}__wm2"].to_numpy().astype(np.float64))
             dm = mean - np.repeat(mean[starts], sizes)
             N = np.add.reduceat(n, starts)
-            A = np.add.reduceat(n * dm, starts)
-            M2 = np.add.reduceat(m2 + n * dm * dm, starts)
+            P1 = np.add.reduceat(n * dm, starts)
+            P2 = np.add.reduceat(m2 + n * dm * dm, starts)
             with np.errstate(invalid="ignore", divide="ignore"):
-                M2 = M2 - np.where(N > 0, A * A / N, 0.0)
-                MEAN = mean[starts] + np.where(N > 0, A / N, 0.0)
-            out[mean_c] = pa.array(MEAN)
-            out[m2_c] = pa.array(np.maximum(M2, 0.0))
+                D = np.where(N > 0, P1 / N, 0.0)
+                MEAN = mean[starts] + D
+                M2 = P2 - N * D * D
+            out[f"{col}__wmean"] = pa.array(MEAN)
+            out[f"{col}__wm2"] = pa.array(np.maximum(M2, 0.0))
+            if order >= 3:
+                m3 = np.nan_to_num(df[f"{col}__wm3"].to_numpy().astype(np.float64))
+                P3 = np.add.reduceat(m3 + 3 * dm * m2 + n * dm ** 3, starts)
+                M3 = P3 - 3 * D * P2 + 2 * N * D ** 3
+                out[f"{col}__wm3"] = pa.array(M3)
+            if order >= 4:
+                m4 = np.nan_to_num(df[f"{col}__wm4"].to_numpy().astype(np.float64))
+                P4 = np.add.reduceat(
+                    m4 + 4 * dm * m3 + 6 * dm * dm * m2 + n * dm ** 4, starts)
+                M4 = P4 - 4 * D * P3 + 6 * D * D * P2 - 3 * N * D ** 4
+                out[f"{col}__wm4"] = pa.array(np.maximum(M4, 0.0))
         return pa.table(out)
 
-    if std_cols and merge == "shuffle":
+    if merge == "shuffle" and (
+        moment_orders or any(m not in ("sum", "min", "max") for _, m in merge_plan)
+    ):
         merge = "tree"  # Ray-native sum aggregate can't express the
-        #                 Welford triple merge; the tree path can
+        #                 moment / product / first merges; the tree path can
 
     if merge == "tree":
         def merge_batch(t: pa.Table) -> pa.Table:
@@ -305,7 +388,7 @@ def groupby_agg(
                 names.append(name)
             return out.rename_columns(names)
 
-        mb = merge_welford if std_cols else merge_batch
+        mb = merge_welford if moment_orders else merge_batch
         merged = (
             partial_ds.repartition(shuffle_partitions)
             .map_batches(mb, batch_format="pyarrow", batch_size=None)
@@ -328,7 +411,7 @@ def groupby_agg(
 
         merged = hash_partition_reduce(
             partial_ds, global_key,
-            merge_welford if std_cols else merge_part,
+            merge_welford if moment_orders else merge_part,
             num_parts=shuffle_partitions * 32,
         )
     else:
@@ -362,6 +445,35 @@ def groupby_agg(
                 with np.errstate(invalid="ignore", divide="ignore"):
                     var = np.where(n > 1, m2 / np.maximum(n - 1.0, 1e-300), np.nan)
                 v = pa.array(np.sqrt(np.maximum(var, 0.0)))
+            elif p[0] == "product":
+                v = pc.cast(t[p[1]], pa.float64())
+            elif p[0] == "any":
+                v = t[p[1]]
+            elif p[0] in ("skew", "kurt", "kurt_pop"):
+                # DuckDB parity (aggregate/distributive/skew.cpp,kurtosis.cpp):
+                # skewness = g1*sqrt(n(n-1))/(n-2), NULL if n<3 or var=0;
+                # kurtosis = sample excess G2, NULL if n<4 or var=0;
+                # kurtosis_pop = population excess g2, NULL if n<2 or var=0.
+                n = pc.cast(t[p[1]], pa.float64()).to_numpy(zero_copy_only=False)
+                m2 = pc.cast(t[p[2]], pa.float64()).to_numpy(zero_copy_only=False)
+                mk = pc.cast(t[p[3]], pa.float64()).to_numpy(zero_copy_only=False)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    var0 = m2 / np.maximum(n, 1)  # population variance
+                    if p[0] == "skew":
+                        ok = (n >= 3) & (m2 > 0)
+                        g1 = (mk / np.maximum(n, 1)) / np.maximum(var0, 1e-300) ** 1.5
+                        r = g1 * np.sqrt(np.maximum(n * (n - 1), 0.0)) / np.maximum(n - 2, 1e-300)
+                    else:
+                        g2 = (mk / np.maximum(n, 1)) / np.maximum(var0, 1e-300) ** 2 - 3.0
+                        if p[0] == "kurt":
+                            ok = (n >= 4) & (m2 > 0)
+                            r = ((n + 1) * g2 + 6) * (n - 1) / np.maximum(
+                                (n - 2) * (n - 3), 1e-300)
+                        else:
+                            ok = (n >= 2) & (m2 > 0)
+                            r = g2
+                v = pc.if_else(pa.array(ok), pa.array(r),
+                               pa.scalar(None, pa.float64()))
             if out in round_to:
                 v = pc.round(v, ndigits=round_to[out], round_mode="half_towards_infinity")
             cols[out] = v

@@ -930,6 +930,20 @@ class Parser:
                 if lname in ("stddev", "stddev_samp"):
                     return std
                 return Node("bin", "*", (std, std))
+            if lname in ("skewness", "kurtosis", "kurtosis_pop", "product",
+                         "any_value") and self.peek() == ("op", "("):
+                # DuckDB-parity moment/product aggregates on groupby_agg's
+                # shift-stable central-moment machinery (skewness NULL for
+                # n<3 or zero variance; kurtosis = sample excess, NULL for
+                # n<4; kurtosis_pop = population excess; PRODUCT -> DOUBLE)
+                self.next()
+                inner = self.expr()
+                self.expect("op", ")")
+                tgt = inner.value if inner.kind == "col" else inner
+                kind = {"skewness": "skew", "kurtosis": "kurt",
+                        "kurtosis_pop": "kurt_pop", "product": "product",
+                        "any_value": "any"}[lname]
+                return self._maybe_filter(Node("agg", (kind, tgt)))
             if lname == "extract" and self.peek() == ("op", "("):
                 # EXTRACT(part FROM expr) — part is a bare word
                 self.next()
@@ -4448,7 +4462,7 @@ def _canon_cols(q: Select, key_alias: dict, order_by=None):
 def _agg_out_type(kind: str, col, E: pa.Table):
     if kind in ("count_star", "count", "count_distinct"):
         return pa.int64()
-    if kind in ("mean", "std"):
+    if kind in ("mean", "std", "skew", "kurt", "kurt_pop", "product"):
         return pa.float64()
     if isinstance(col, Node):
         t = _expr_type(col, E)

@@ -3560,6 +3560,31 @@ def q171_item_subqueries(sf_dir):
     return _sql_query(Q171_SQL)(sf_dir)
 
 
+Q172_SQL = """
+SELECT l_returnflag,
+       ROUND(SKEWNESS(l_quantity), 4) AS skew_qty,
+       ROUND(KURTOSIS(l_quantity), 4) AS kurt_qty,
+       ROUND(KURTOSIS_POP(l_extendedprice / 10000), 4) AS kp_price,
+       ROUND(PRODUCT(1 + l_discount / 100), 4) AS prod_disc,
+       ROUND(SKEWNESS(l_extendedprice) FILTER (WHERE l_tax > 0.02), 4)
+           AS skew_hi,
+       ANY_VALUE(l_returnflag) AS av
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q172_moment_aggs(sf_dir):
+    """Higher-moment + product aggregates (ops/relational.groupby_agg
+    kinds skew/kurt/kurt_pop/product/any): per-batch shift-stable power
+    sums fold into per-key (count, mean, M2, M3, M4) partials; the
+    grouped merge translates moments between reference means with exact
+    identities, so the result matches a single-pass computation to the
+    ulp (verified against exact rational arithmetic — DuckDB's own raw
+    power sums drift ~1e-4 on mean>>std data, so oracle columns keep
+    modest mean/std ratios). Runs verbatim in DuckDB."""
+    return _sql_query(Q172_SQL)(sf_dir)
+
+
 def q170_training_prep(sf_dir):
     """The COMPOSED training-data prep chain (curate -> mixture resample
     -> 64-token chunking -> next-fit packing into 256-token sequences);
@@ -3840,6 +3865,7 @@ def registry():
         "q169_bm25": q169_bm25,
         "q170_training_prep": q170_training_prep,
         "q171_item_subqueries": q171_item_subqueries,
+        "q172_moment_aggs": q172_moment_aggs,
         "q134_moving_windows": q134_moving_windows,
         "q135_json_props": q135_json_props,
         "q136_qualify_topk": q136_qualify_topk,
@@ -3960,6 +3986,7 @@ def registry():
         "q168_mixture_resample": Q168_ORACLE_SQL,
         "q169_bm25": Q169_ORACLE_SQL,
         "q171_item_subqueries": Q171_SQL,
+        "q172_moment_aggs": Q172_SQL,
         "q134_moving_windows": Q134_SQL,
         "q135_json_props": Q135_SQL,
         "q136_qualify_topk": Q136_SQL,

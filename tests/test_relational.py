@@ -720,3 +720,73 @@ def test_asof_join_keyless_range_partitioned():
         emiss = pd.isna(exp["v"]).to_numpy()
         assert (miss == emiss).all()
         assert (gv[~miss].astype(np.int64) == ev[~emiss].astype(np.int64)).all()
+
+
+def test_moment_product_any_aggs_vs_duckdb(sf_dir, con):
+    """skew/kurt/kurt_pop/product/any on the shift-stable central-moment
+    partials: exact 4-digit parity with DuckDB on both merge modes (our
+    grouped merge is ulp-accurate; DuckDB's raw power sums only drift on
+    mean>>std data, which these columns avoid)."""
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_quantity", "l_discount"])
+    exp = con.execute(
+        """select l_returnflag, round(skewness(l_quantity),4) sk,
+                  round(kurtosis(l_quantity),4) ku,
+                  round(kurtosis_pop(l_quantity),4) kp,
+                  round(product(1 + l_discount / 100),4) pr,
+                  any_value(l_returnflag) av
+           from lineitem group by 1 order by 1"""
+    ).df()
+    for merge in ("tree", "hash"):
+        import pyarrow as pa
+
+        def add_disc(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "__disc1", pc.add(pc.divide(pc.cast(
+                    t["l_discount"], pa.float64()), 100.0), 1.0))
+
+        out = R.groupby_agg(
+            ds.map_batches(add_disc, batch_format="pyarrow",
+                           batch_size=None),
+            ["l_returnflag"],
+            [("sk", "skew", "l_quantity"),
+             ("ku", "kurt", "l_quantity"),
+             ("kp", "kurt_pop", "l_quantity"),
+             ("pr", "product", "__disc1"),
+             ("av", "any", "l_returnflag")],
+            round_to={"sk": 4, "ku": 4, "kp": 4, "pr": 4},
+            merge=merge,
+        )
+        got = _sorted_df(to_arrow(out), "l_returnflag")
+        for c in ("sk", "ku", "kp", "pr"):
+            assert got[c].tolist() == exp[c].tolist(), (merge, c)
+        assert got["av"].notna().all()
+
+
+def test_moment_aggs_small_group_nulls():
+    """DuckDB NULL rules: skew NULL for n<3 or var=0; kurt NULL for n<4;
+    kurt_pop NULL for n<2; product skips NULLs (all-null -> NULL)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    df = pd.DataFrame({
+        "k": [1, 2, 2, 3, 3, 3, 4, 4, 4, 4, 5, 5, 5, 5, 6],
+        "v": [5.0, 1.0, 2.0, 1.0, 2.0, 3.0, 1.0, 2.0, 3.0, 4.0,
+              2.0, 2.0, 2.0, 2.0, np.nan],
+    })
+    out = R.groupby_agg(
+        rd.from_pandas(df).repartition(4), ["k"],
+        [("sk", "skew", "v"), ("ku", "kurt", "v"),
+         ("kp", "kurt_pop", "v"), ("pr", "product", "v")],
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    import duckdb
+
+    exp = duckdb.connect().execute(
+        """select k, skewness(v) sk, kurtosis(v) ku, kurtosis_pop(v) kp,
+                  product(v) pr from df group by k order by k"""
+    ).df()
+    for c in ("sk", "ku", "kp", "pr"):
+        a, b = out[c].to_numpy(), exp[c].to_numpy()
+        both_null = np.isnan(a) & np.isnan(b)
+        assert (both_null | np.isclose(a, b, rtol=1e-12, equal_nan=False)).all(), c
