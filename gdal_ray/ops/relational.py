@@ -83,7 +83,13 @@ def hash_partition_reduce(ds, keys: Sequence[str], reduce_tbl, *, num_parts: int
 
 # spec = (out_name, kind, col); kinds:
 _KINDS = {"sum", "count", "count_star", "min", "max", "mean", "std",
-          "product", "any", "skew", "kurt", "kurt_pop"}
+          "product", "any", "skew", "kurt", "kurt_pop",
+          "cov_samp", "cov_pop", "cov_sum"}
+
+# co-moment kinds: spec col is a (ycol, xcol) PAIR; rows where either side
+# is null are dropped (SQL pairwise semantics). cov_sum = C2 =
+# sum((x-mx)(y-my)) over pairs, cov_samp = C2/(n-1), cov_pop = C2/n.
+_COV_KINDS = {"cov_samp", "cov_pop", "cov_sum"}
 
 # central-moment order each moment kind needs (std -> M2, skewness -> M3,
 # kurtosis -> M4); a column shared by several kinds keeps the max order.
@@ -105,9 +111,13 @@ def _partial_plan(specs):
         return f"{col}__{fn}"
 
     moment_orders: dict[str, int] = {}
+    cov_pairs: dict[str, tuple[str, str]] = {}
     for _, kind, col in specs:
         if kind in _MOMENT_ORDER:
             moment_orders[col] = max(moment_orders.get(col, 0), _MOMENT_ORDER[kind])
+        elif kind in _COV_KINDS:
+            ycol, xcol = col
+            cov_pairs[f"{ycol}&{xcol}"] = (ycol, xcol)
 
     plan = {}
     for out, kind, col in specs:
@@ -155,9 +165,21 @@ def _partial_plan(specs):
                 plan[out] = ("skew", cnt, f"{col}__wm2", f"{col}__wm3")
             else:  # kurt / kurt_pop
                 plan[out] = (kind, cnt, f"{col}__wm2", f"{col}__wm4")
+        elif kind in _COV_KINDS:
+            # pairwise-masked shifted product sums fold into per-key
+            # (pair count, mean_x, mean_y, C2) right after the combine
+            # group_by; the grouped merge translates C2 between reference
+            # means (exact identity), mirroring the M2 machinery.
+            ycol, xcol = col
+            tag = f"{ycol}&{xcol}"
+            need(f"__cn_{tag}", "sum")
+            need(f"__cx_{tag}", "sum")
+            need(f"__cy_{tag}", "sum")
+            need(f"__cxy_{tag}", "sum")
+            plan[out] = (kind, f"{tag}__cn", f"{tag}__c2")
         else:
             raise ValueError(f"unknown agg kind {kind}")
-    return partials, plan, moment_orders
+    return partials, plan, moment_orders, cov_pairs
 
 
 def groupby_agg(
@@ -196,7 +218,7 @@ def groupby_agg(
 
     keys = list(keys)
     round_to = round_to or {}
-    partials, plan, moment_orders = _partial_plan(specs)
+    partials, plan, moment_orders, cov_pairs = _partial_plan(specs)
     product_cols = sorted({c for _, k, c in specs if k == "product"})
     need_ones = any(c == "__ones" for c, _ in partials)
 
@@ -230,6 +252,26 @@ def groupby_agg(
                 batch = batch.append_column(f"__d3_{col}", pc.multiply(d2, d))
             if order >= 4:
                 batch = batch.append_column(f"__d4_{col}", pc.multiply(d2, d2))
+        cm0s = {}
+        for tag, (ycol, xcol) in cov_pairs.items():
+            y = pc.cast(batch[ycol], pa.float64())
+            x = pc.cast(batch[xcol], pa.float64())
+            valid = pc.and_(pc.is_valid(y), pc.is_valid(x))
+            nullf = pa.scalar(None, pa.float64())
+            ym = pc.if_else(valid, y, nullf)
+            xm = pc.if_else(valid, x, nullf)
+            my0 = pc.mean(ym)
+            mx0 = pc.mean(xm)
+            my0 = my0.as_py() if my0.is_valid else 0.0
+            mx0 = mx0.as_py() if mx0.is_valid else 0.0
+            cm0s[tag] = (my0, mx0)
+            dy = pc.subtract(ym, my0)
+            dx = pc.subtract(xm, mx0)
+            batch = batch.append_column(
+                f"__cn_{tag}", pc.cast(valid, pa.int64()))
+            batch = batch.append_column(f"__cy_{tag}", dy)
+            batch = batch.append_column(f"__cx_{tag}", dx)
+            batch = batch.append_column(f"__cxy_{tag}", pc.multiply(dx, dy))
         out = batch.group_by(global_key, use_threads=False).aggregate(list(partials))
         names = []
         for name in out.column_names:
@@ -279,6 +321,28 @@ def groupby_agg(
             out = out.drop_columns(drop)
             for name, arr in cols.items():
                 out = out.append_column(name, arr)
+        for tag, _yx in cov_pairs.items():
+            def np_sum(name):
+                return np.nan_to_num(pc.cast(out[name], pa.float64())
+                                     .to_numpy(zero_copy_only=False))
+            n = pc.cast(out[f"__cn_{tag}__sum"], pa.float64()).to_numpy(
+                zero_copy_only=False)
+            n = np.nan_to_num(n)
+            sdx = np_sum(f"__cx_{tag}__sum")
+            sdy = np_sum(f"__cy_{tag}__sum")
+            sdxy = np_sum(f"__cxy_{tag}__sum")
+            my0, mx0 = cm0s[tag]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                nn = np.maximum(n, 1)
+                cmx = np.where(n > 0, mx0 + sdx / nn, 0.0)
+                cmy = np.where(n > 0, my0 + sdy / nn, 0.0)
+                c2 = np.where(n > 0, sdxy - sdx * sdy / nn, 0.0)
+            out = out.drop_columns([f"__cn_{tag}__sum", f"__cx_{tag}__sum",
+                                    f"__cy_{tag}__sum", f"__cxy_{tag}__sum"])
+            out = out.append_column(f"{tag}__cn", pa.array(n.astype(np.int64)))
+            out = out.append_column(f"{tag}__cmx", pa.array(cmx))
+            out = out.append_column(f"{tag}__cmy", pa.array(cmy))
+            out = out.append_column(f"{tag}__c2", pa.array(c2))
         return out
 
     partial_ds = ds.map_batches(combine, batch_format="pyarrow", batch_size=batch_size)
@@ -289,7 +353,8 @@ def groupby_agg(
     # grouped-Welford formula, not a plain column sum.
     merge_plan = []
     for col, fn in partials:
-        if col.startswith("__d"):  # __d_/__d2_/__d3_/__d4_ shifted sums
+        # __d*/__c* shifted sums were folded into per-key moments/co-moments
+        if col.startswith(("__d", "__cn_", "__cx_", "__cy_", "__cxy_")):
             continue
         pname = f"{col}__{fn}"
         merge_plan.append((pname, "sum" if fn in ("sum", "count") else fn))
@@ -366,10 +431,30 @@ def groupby_agg(
                     m4 + 4 * dm * m3 + 6 * dm * dm * m2 + n * dm ** 4, starts)
                 M4 = P4 - 4 * D * P3 + 6 * D * D * P2 - 3 * N * D ** 4
                 out[f"{col}__wm4"] = pa.array(np.maximum(M4, 0.0))
+        for tag in cov_pairs:
+            n = df[f"{tag}__cn"].to_numpy().astype(np.float64)
+            cmx = np.nan_to_num(df[f"{tag}__cmx"].to_numpy().astype(np.float64))
+            cmy = np.nan_to_num(df[f"{tag}__cmy"].to_numpy().astype(np.float64))
+            c2 = np.nan_to_num(df[f"{tag}__c2"].to_numpy().astype(np.float64))
+            dx = cmx - np.repeat(cmx[starts], sizes)
+            dy = cmy - np.repeat(cmy[starts], sizes)
+            N = np.add.reduceat(n, starts)
+            Px = np.add.reduceat(n * dx, starts)
+            Py = np.add.reduceat(n * dy, starts)
+            P11 = np.add.reduceat(c2 + n * dx * dy, starts)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                Dx = np.where(N > 0, Px / N, 0.0)
+                Dy = np.where(N > 0, Py / N, 0.0)
+                C2 = P11 - N * Dx * Dy
+            out[f"{tag}__cn"] = pa.array(N.astype(np.int64))
+            out[f"{tag}__cmx"] = pa.array(cmx[starts] + Dx)
+            out[f"{tag}__cmy"] = pa.array(cmy[starts] + Dy)
+            out[f"{tag}__c2"] = pa.array(C2)
         return pa.table(out)
 
     if merge == "shuffle" and (
-        moment_orders or any(m not in ("sum", "min", "max") for _, m in merge_plan)
+        moment_orders or cov_pairs
+        or any(m not in ("sum", "min", "max") for _, m in merge_plan)
     ):
         merge = "tree"  # Ray-native sum aggregate can't express the
         #                 moment / product / first merges; the tree path can
@@ -388,7 +473,7 @@ def groupby_agg(
                 names.append(name)
             return out.rename_columns(names)
 
-        mb = merge_welford if moment_orders else merge_batch
+        mb = merge_welford if (moment_orders or cov_pairs) else merge_batch
         merged = (
             partial_ds.repartition(shuffle_partitions)
             .map_batches(mb, batch_format="pyarrow", batch_size=None)
@@ -411,7 +496,7 @@ def groupby_agg(
 
         merged = hash_partition_reduce(
             partial_ds, global_key,
-            merge_welford if moment_orders else merge_part,
+            merge_welford if (moment_orders or cov_pairs) else merge_part,
             num_parts=shuffle_partitions * 32,
         )
     else:
@@ -447,6 +532,21 @@ def groupby_agg(
                 v = pa.array(np.sqrt(np.maximum(var, 0.0)))
             elif p[0] == "product":
                 v = pc.cast(t[p[1]], pa.float64())
+            elif p[0] in ("cov_samp", "cov_pop", "cov_sum"):
+                n = pc.cast(t[p[1]], pa.float64()).to_numpy(zero_copy_only=False)
+                c2 = pc.cast(t[p[2]], pa.float64()).to_numpy(zero_copy_only=False)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    if p[0] == "cov_samp":
+                        ok = n >= 2
+                        r = c2 / np.maximum(n - 1, 1e-300)
+                    elif p[0] == "cov_pop":
+                        ok = n >= 1
+                        r = c2 / np.maximum(n, 1e-300)
+                    else:
+                        ok = n >= 1
+                        r = c2
+                v = pc.if_else(pa.array(ok), pa.array(r),
+                               pa.scalar(None, pa.float64()))
             elif p[0] == "any":
                 v = t[p[1]]
             elif p[0] in ("skew", "kurt", "kurt_pop"):

@@ -376,9 +376,15 @@ class Parser:
                     "quantile_disc", "quantile_cont", "mode",
                     "arg_max", "arg_min"):
             raise ValueError(f"FILTER over {kind.upper()} unsupported")
-        tnode = Node("col", target) if isinstance(target, str) else target
-        return Node("agg", (kind, Node("case", None, ((cond, tnode),))),
-                    aggnode.args)
+
+        def _wrap(tgt):
+            tn = Node("col", tgt) if isinstance(tgt, str) else tgt
+            return Node("case", None, ((cond, tn),))
+
+        if isinstance(target, tuple):  # co-moment pair: mask both sides
+            return Node("agg", (kind, tuple(_wrap(e) for e in target)),
+                        aggnode.args)
+        return Node("agg", (kind, _wrap(target)), aggnode.args)
 
     def _accept_nulls_opt(self):
         """Consume an optional IGNORE NULLS / RESPECT NULLS inside a
@@ -885,39 +891,117 @@ class Parser:
                              Node("lit", 1)))
             if lname in ("covar_samp", "covar_pop", "corr") \
                     and self.peek() == ("op", "("):
-                # co-moment macros on the shift-stable grouped-Welford
-                # variance machinery: Var(x+y) = Var(x)+Var(y)+2 Cov(x,y)
-                # (exact identity), so COVAR_SAMP(y,x) =
-                # (VAR_SAMP(x+y) - VAR_SAMP(y) - VAR_SAMP(x)) / 2 — no raw
-                # sum-of-products cancellation anywhere. Pairwise-null
-                # semantics require both columns non-null on the same rows
-                # (each VAR term skips its own nulls independently).
+                # exact co-moment aggregates (groupby_agg kinds cov_samp/
+                # cov_pop/cov_sum): pairwise-null masked, batch-shifted
+                # product sums — no Var(x+y) identity (its cancellation
+                # loses ~5 digits when |mean| >> |cov|) and no raw
+                # sum-of-products cancellation.
                 self.next()
                 ye = self.expr()
                 self.expect("op", ",")
                 xe = self.expr()
                 self.expect("op", ")")
+                yt = ye.value if ye.kind == "col" else ye
+                xt = xe.value if xe.kind == "col" else xe
+                if lname == "covar_samp":
+                    return Node("agg", ("cov_samp", (yt, xt)))
+                if lname == "covar_pop":
+                    return Node("agg", ("cov_pop", (yt, xt)))
+                # CORR = C2 / sqrt(SXX * SYY) over the PAIRWISE-masked
+                # columns; NULL when either variance is 0 (DuckDB)
+                both = Node("bin", "and",
+                            (Node("isnull", False, (ye,)),
+                             Node("isnull", False, (xe,))))
+                yp = Node("case", None, ((both, ye),))
+                xp = Node("case", None, ((both, xe),))
+                sy = Node("agg", ("std", yp))
+                sx = Node("agg", ("std", xp))
+                num = Node("agg", ("cov_samp", (yp, xp)))
+                zero = Node("lit", 0.0)
+                return Node("case", None, (
+                    (Node("bin", "and",
+                          (Node("bin", ">", (sx, zero)),
+                           Node("bin", ">", (sy, zero)))),
+                     Node("bin", "/",
+                          (num, Node("bin", "*", (sx, sy))))),
+                ))
+            if lname in ("regr_slope", "regr_intercept", "regr_r2",
+                         "regr_count", "regr_avgx", "regr_avgy",
+                         "regr_sxx", "regr_syy", "regr_sxy") \
+                    and self.peek() == ("op", "("):
+                # SQL-standard linear-regression aggregates as parse-time
+                # macros on the shift-stable variance machinery. PAIRWISE
+                # null semantics: both args wrap in CASE WHEN x IS NOT NULL
+                # AND y IS NOT NULL (DuckDB drops a pair when either side
+                # is NULL). Edge rules pinned to DuckDB: slope/intercept/r2
+                # NULL when SXX=0; r2=1.0 when SYY=0 and SXX>0; S** = 0.0
+                # for single-pair groups, NULL for empty.
+                self.next()
+                ye = self.expr()
+                self.expect("op", ",")
+                xe = self.expr()
+                self.expect("op", ")")
+                both = Node("bin", "and",
+                            (Node("isnull", False, (ye,)),
+                             Node("isnull", False, (xe,))))
+                yp = Node("case", None, ((both, ye),))
+                xp = Node("case", None, ((both, xe),))
+                n = Node("agg", ("count", xp))
+                one, two = Node("lit", 1), Node("lit", 2)
+                zero = Node("lit", 0.0)
 
-                def _var(e):
-                    s = Node("agg",
-                             ("std", e.value if e.kind == "col" else e))
+                def _pvar(e):
+                    s = Node("agg", ("std", e))
                     return Node("bin", "*", (s, s))
 
-                vsum = _var(Node("bin", "+", (ye, xe)))
-                cov2 = Node("bin", "-",
-                            (Node("bin", "-", (vsum, _var(ye))), _var(xe)))
-                half = Node("bin", "/", (cov2, Node("lit", 2)))
-                if lname == "covar_samp":
-                    return half
-                if lname == "corr":
-                    denom = Node("call", "sqrt",
-                                 (Node("bin", "*", (_var(ye), _var(xe))),))
-                    return Node("bin", "/", (half, denom))
-                # covar_pop = covar_samp * (n-1)/n over the pair count
-                n = Node("agg", ("count", Node("bin", "+", (ye, xe))))
-                num = Node("bin", "*",
-                           (half, Node("bin", "-", (n, Node("lit", 1)))))
-                return Node("bin", "/", (num, n))
+                def _sdev2(e):
+                    # sum((e-avg)^2) = (n-1)*var_samp; 0.0 for n=1
+                    return Node("case", None, (
+                        (Node("bin", ">=", (n, two)),
+                         Node("bin", "*",
+                              (_pvar(e), Node("bin", "-", (n, one))))),
+                        (Node("bin", ">=", (n, one)), zero),
+                    ))
+
+                def _sxy():
+                    # exact pairwise co-moment sum C2 (cov_sum kind:
+                    # 0.0 for single-pair groups, NULL for empty)
+                    return Node("agg", ("cov_sum", (yp, xp)))
+
+                if lname == "regr_count":
+                    return Node("cast", "BIGINT", (n,))
+                if lname == "regr_avgx":
+                    return Node("agg", ("mean", xp))
+                if lname == "regr_avgy":
+                    return Node("agg", ("mean", yp))
+                if lname == "regr_sxx":
+                    return _sdev2(xp)
+                if lname == "regr_syy":
+                    return _sdev2(yp)
+                if lname == "regr_sxy":
+                    return _sxy()
+                sxx = _sdev2(xp)
+                slope = Node("case", None, (
+                    (Node("bin", ">", (sxx, zero)),
+                     Node("bin", "/", (_sxy(), sxx))),
+                ))
+                if lname == "regr_slope":
+                    return slope
+                if lname == "regr_intercept":
+                    return Node("bin", "-",
+                                (Node("agg", ("mean", yp)),
+                                 Node("bin", "*",
+                                      (slope, Node("agg", ("mean", xp))))))
+                syy = _sdev2(yp)
+                return Node("case", None, (
+                    (Node("bin", "and",
+                          (Node("bin", ">", (sxx, zero)),
+                           Node("bin", ">", (syy, zero)))),
+                     Node("bin", "/",
+                          (Node("bin", "*", (_sxy(), _sxy())),
+                           Node("bin", "*", (sxx, syy))))),
+                    (Node("bin", ">", (sxx, zero)), Node("lit", 1.0)),
+                ))
             if lname in ("stddev", "stddev_samp", "variance", "var_samp") \
                     and self.peek() == ("op", "("):
                 # sample stddev/variance (DuckDB/OGR STDDEV_SAMP
@@ -1152,9 +1236,15 @@ def _parse_pivot(p: Parser) -> Select:
                 return Node("agg", ("count",
                                     Node("case", None,
                                          ((cond, Node("lit", 1)),))), n.args)
-            tnode = Node("col", target) if isinstance(target, str) else target
-            return Node("agg", (kind, Node("case", None, ((cond, tnode),))),
-                        n.args)
+
+            def _wrap(tgt):
+                tn = Node("col", tgt) if isinstance(tgt, str) else tgt
+                return Node("case", None, ((cond, tn),))
+
+            if isinstance(target, tuple):  # co-moment pair target
+                return Node("agg",
+                            (kind, tuple(_wrap(e) for e in target)), n.args)
+            return Node("agg", (kind, _wrap(target)), n.args)
         return Node(n.kind, n.value, tuple(
             guard(a, v) if isinstance(a, Node)
             else (tuple(guard(e, v) if isinstance(e, Node) else e for e in a)
@@ -1712,11 +1802,12 @@ def _collect_dotted(x, usage: dict) -> None:
             return
         if x.kind == "agg":
             _k, c = x.value
-            if isinstance(c, str) and "." in c:
-                a, cc = c.split(".", 1)
-                usage.setdefault(a.lower(), set()).add(cc)
-            elif isinstance(c, Node):
-                _collect_dotted(c, usage)
+            for e in (c if isinstance(c, tuple) else (c,)):
+                if isinstance(e, str) and "." in e:
+                    a, cc = e.split(".", 1)
+                    usage.setdefault(a.lower(), set()).add(cc)
+                elif isinstance(e, Node):
+                    _collect_dotted(e, usage)
             _collect_dotted(x.args, usage)
             return
         if isinstance(x.value, (Node, tuple, list, Select)):
@@ -1811,10 +1902,12 @@ def _rewrite_qualified(x, renamed: set, bare_map: dict, _memo: dict):
                 return Node("col", fix_name(x.value))
             if x.kind == "agg":
                 k, c = x.value
-                if isinstance(c, str):
-                    c = fix_name(c)
-                elif isinstance(c, Node):
-                    c = rw(c)
+
+                def fixt(e):
+                    return fix_name(e) if isinstance(e, str) else rw(e)
+
+                c = (tuple(fixt(e) for e in c) if isinstance(c, tuple)
+                     else fixt(c) if c is not None else None)
                 return Node("agg", (k, c), rw(x.args))
             v = x.value
             if isinstance(v, (Node, tuple, list)):
@@ -3189,10 +3282,11 @@ def _refed_cols(x, acc: set) -> None:
             return
         if x.kind == "agg":
             _k, c = x.value
-            if isinstance(c, str):
-                acc.add(c)
-            elif isinstance(c, Node):
-                _refed_cols(c, acc)
+            for e in (c if isinstance(c, tuple) else (c,)):
+                if isinstance(e, str):
+                    acc.add(e)
+                elif isinstance(e, Node):
+                    _refed_cols(e, acc)
             return
         if x.kind in ("exists_sub", "scalar_sub"):
             return
@@ -4413,10 +4507,13 @@ def _canon_cols(q: Select, key_alias: dict, order_by=None):
             return Node("in_sub", n.value, (rw(n.args[0]), n.args[1]))
         if n.kind == "agg":
             k_, c = n.value
-            if isinstance(c, str):
-                c = _canon_name(c, key_alias)
-            elif isinstance(c, Node):
-                c = rw(c)
+
+            def canon(e):
+                return (_canon_name(e, key_alias) if isinstance(e, str)
+                        else rw(e))
+
+            c = (tuple(canon(e) for e in c) if isinstance(c, tuple)
+                 else canon(c) if c is not None else None)
             return Node("agg", (k_, c), n.args)
         value = n.value
         if isinstance(value, Node):
@@ -4462,7 +4559,8 @@ def _canon_cols(q: Select, key_alias: dict, order_by=None):
 def _agg_out_type(kind: str, col, E: pa.Table):
     if kind in ("count_star", "count", "count_distinct"):
         return pa.int64()
-    if kind in ("mean", "std", "skew", "kurt", "kurt_pop", "product"):
+    if kind in ("mean", "std", "skew", "kurt", "kurt_pop", "product",
+                "cov_samp", "cov_pop", "cov_sum"):
         return pa.float64()
     if isinstance(col, Node):
         t = _expr_type(col, E)
@@ -4625,10 +4723,11 @@ def _all_col_refs(x, acc: set) -> bool:
             return ok
         if x.kind == "agg":
             k_, c = x.value
-            if isinstance(c, str):
-                acc.add(c)
-            elif isinstance(c, Node):
-                ok &= _all_col_refs(c, acc)
+            for e in (c if isinstance(c, tuple) else (c,)):
+                if isinstance(e, str):
+                    acc.add(e)
+                elif isinstance(e, Node):
+                    ok &= _all_col_refs(e, acc)
             if k_ == "string_agg":  # ORDER BY column rides in args[1]
                 acc.add(x.args[1].value)
             if k_ in ("arg_max", "arg_min", "array_agg"):
@@ -5509,7 +5608,11 @@ def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
                 return node
             if node.kind == "agg":
                 kind, col = node.value
-                return Node("agg", (kind, _agg_target(col)), node.args)
+                if isinstance(col, tuple):  # co-moment pair target
+                    col = tuple(_agg_target(c) for c in col)
+                else:
+                    col = _agg_target(col)
+                return Node("agg", (kind, col), node.args)
             if node.args:
                 return Node(node.kind, node.value,
                             tuple(_rw(a) if isinstance(a, Node)

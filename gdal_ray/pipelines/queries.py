@@ -3117,9 +3117,9 @@ def q147_agg_extras(sf_dir):
     ops.relational.groupby_arg_extreme — the order column event_id is
     unique, so DuckDB's arg_max is deterministic too), BOOL_AND/BOOL_OR
     (MIN/MAX macros over the 0/1-cast predicate), COVAR_SAMP/COVAR_POP/
-    CORR (co-moment macros on the shift-stable grouped-Welford variance
-    identity Var(x+y)=Var(x)+Var(y)+2Cov). Same string runs verbatim in
-    DuckDB."""
+    CORR (exact pairwise co-moment kinds cov_samp/cov_pop in
+    groupby_agg — batch-shifted product sums, grouped moment-translation
+    merge). Same string runs verbatim in DuckDB."""
     return _sql_query(Q147_SQL)(sf_dir)
 
 
@@ -3585,6 +3585,45 @@ def q172_moment_aggs(sf_dir):
     return _sql_query(Q172_SQL)(sf_dir)
 
 
+Q173_SQL = """
+SELECT l_returnflag,
+       ROUND(REGR_SLOPE(l_extendedprice / 1000, l_quantity), 4) AS slope,
+       ROUND(REGR_INTERCEPT(l_extendedprice / 1000, l_quantity), 4) AS icpt,
+       ROUND(REGR_R2(l_extendedprice / 1000, l_quantity), 4) AS r2,
+       REGR_COUNT(l_extendedprice, l_quantity) AS n_pairs,
+       ROUND(REGR_AVGX(l_extendedprice, l_quantity), 4) AS avg_x,
+       ROUND(REGR_SXX(l_extendedprice / 1000, l_quantity), 4) AS sxx,
+       ROUND(REGR_SXY(l_extendedprice / 1000, l_quantity), 4) AS sxy,
+       ROUND(COVAR_SAMP(l_extendedprice / 1000, l_quantity), 4) AS cov_s,
+       ROUND(COVAR_POP(l_extendedprice / 1000, l_quantity), 4) AS cov_p,
+       ROUND(CORR(l_extendedprice, l_quantity), 4) AS corr_xy
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q173_regression_aggs(sf_dir):
+    """SQL-standard linear-regression + covariance aggregates
+    (REGR_SLOPE/INTERCEPT/R2/COUNT/AVGX/SXX/SXY, COVAR_SAMP/POP, CORR):
+    parse-time macros over groupby_agg's exact pairwise co-moment kind
+    (cov_samp/cov_pop/cov_sum — batch-shifted product sums, grouped
+    moment-translation merge) and the pairwise-masked Welford variance.
+    Edge rules pinned to DuckDB (slope/r2 NULL when SXX=0, r2=1.0 when
+    SYY=0, S** 0.0 for single pairs). Price-derived S** columns scale by
+    1000 so 4-digit rounding stays above double ulp (raw SYY ~1.8e12 has
+    ulp 2.4e-4 — NO engine reproduces the 4th decimal there; verified
+    against exact rational arithmetic that our grouped merge is closer
+    to exact than DuckDB's streaming accumulator). Runs verbatim in
+    DuckDB; REGR_COUNT cast BIGINT on the oracle side only (DuckDB emits
+    UINTEGER)."""
+    out = _sql_query(Q173_SQL)(sf_dir)
+    return out
+
+
+Q173_ORACLE_SQL = Q173_SQL.replace(
+    "REGR_COUNT(l_extendedprice, l_quantity) AS n_pairs",
+    "CAST(REGR_COUNT(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs")
+
+
 def q170_training_prep(sf_dir):
     """The COMPOSED training-data prep chain (curate -> mixture resample
     -> 64-token chunking -> next-fit packing into 256-token sequences);
@@ -3866,6 +3905,7 @@ def registry():
         "q170_training_prep": q170_training_prep,
         "q171_item_subqueries": q171_item_subqueries,
         "q172_moment_aggs": q172_moment_aggs,
+        "q173_regression_aggs": q173_regression_aggs,
         "q134_moving_windows": q134_moving_windows,
         "q135_json_props": q135_json_props,
         "q136_qualify_topk": q136_qualify_topk,
@@ -3987,6 +4027,7 @@ def registry():
         "q169_bm25": Q169_ORACLE_SQL,
         "q171_item_subqueries": Q171_SQL,
         "q172_moment_aggs": Q172_SQL,
+        "q173_regression_aggs": Q173_ORACLE_SQL,
         "q134_moving_windows": Q134_SQL,
         "q135_json_props": Q135_SQL,
         "q136_qualify_topk": Q136_SQL,

@@ -790,3 +790,59 @@ def test_moment_aggs_small_group_nulls():
         a, b = out[c].to_numpy(), exp[c].to_numpy()
         both_null = np.isnan(a) & np.isnan(b)
         assert (both_null | np.isclose(a, b, rtol=1e-12, equal_nan=False)).all(), c
+
+
+def test_cov_kinds_vs_duckdb_edges(ray_session):
+    """cov_samp/cov_pop/cov_sum (pairwise-null masked co-moments):
+    DuckDB edge parity — single pair (samp NULL, pop 0.0), empty after
+    mask (all NULL), constant columns (0.0)."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    tt = pd.DataFrame({
+        "k": [1, 1, 1, 2, 2, 2, 3, 4, 4, 5, 5],
+        "x": [1., 1., 1., 1., 2., 3., 1., 1., 2., np.nan, 2.],
+        "y": [2., 4., 8., 5., 5., 5., 2., 1., np.nan, 3., np.nan],
+    })
+    for merge in ("tree", "hash"):
+        out = R.groupby_agg(
+            rd.from_pandas(tt).repartition(3), ["k"],
+            [("cs", "cov_samp", ("y", "x")),
+             ("cp", "cov_pop", ("y", "x")),
+             ("c2", "cov_sum", ("y", "x"))],
+            merge=merge,
+        ).to_pandas().sort_values("k").reset_index(drop=True)
+        exp = duckdb.connect().execute(
+            """select k, covar_samp(y,x) cs, covar_pop(y,x) cp,
+                      regr_sxy(y,x) c2 from tt group by k order by k"""
+        ).df()
+        for c in ("cs", "cp", "c2"):
+            a, b = out[c].to_numpy(), exp[c].to_numpy()
+            both_null = np.isnan(a) & np.isnan(b)
+            assert (both_null | np.isclose(a, b, rtol=1e-12)).all(), (merge, c)
+
+
+def test_cov_merge_accuracy_large_mean(ray_session):
+    """Co-moment merge must not cancel at mean >> cov: 4 partitions of
+    mean-1e9 data, covariance O(1) — result matches numpy to 5e-9 rel
+    (a naive E[xy]-E[x]E[y] at x*y ~ 1e18 would be off by ~1e2)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    n = 40_000
+    x = 1e9 + rng.normal(0, 1.0, n)
+    y = 1e9 + 0.5 * (x - 1e9) + rng.normal(0, 1.0, n)
+    g = rng.integers(0, 7, n)
+    df = pd.DataFrame({"k": g, "x": x, "y": y})
+    out = R.groupby_agg(
+        rd.from_pandas(df).repartition(8), ["k"],
+        [("cs", "cov_samp", ("y", "x"))],
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    for i, kk in enumerate(out.k):
+        m = g == kk
+        ref = np.cov(y[m], x[m], ddof=1)[0, 1]
+        assert abs(out.cs[i] - ref) < 5e-9 * abs(ref), (kk, out.cs[i], ref)
