@@ -950,6 +950,49 @@ def groupby_mode(ds, keys: Sequence[str], col: str, *, out: str = "mode",
     return win.map_batches(fin, batch_format="pyarrow", batch_size=None)
 
 
+def groupby_entropy(ds, keys: Sequence[str], col: str, *,
+                    out: str = "entropy", merge: str = "tree"):
+    """DuckDB ENTROPY(col): Shannon entropy (base 2) of the VALUE
+    DISTRIBUTION of col per key; nulls excluded; an all-null (or empty)
+    group yields 0.0, not NULL. Two bounded aggregates: the (keys, col)
+    count via the combiner groupby_agg, then per-key
+    log2(N) - sum(c*log2 c)/N over the counted rows (null-col count rows
+    contribute 0 but keep the key alive so all-null groups emit 0.0)."""
+    keys = list(keys)
+    cnt = groupby_agg(ds, keys + [col], [("__cnt", "count_star", None)],
+                      merge=merge)
+
+    def clog(t: pa.Table) -> pa.Table:
+        c = pc.cast(t["__cnt"], pa.float64()).to_numpy(zero_copy_only=False)
+        valid = pc.is_valid(t[col]).to_numpy(zero_copy_only=False)
+        c = np.where(valid, c, 0.0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cl = np.where(c > 0, c * np.log2(np.maximum(c, 1e-300)), 0.0)
+        cols = {k: t[k] for k in keys}
+        cols["__c"] = pa.array(c)
+        cols["__cl"] = pa.array(cl)
+        return pa.table(cols)
+
+    part = cnt.map_batches(clog, batch_format="pyarrow", batch_size=None)
+    agg = groupby_agg(part, keys, [("__n", "sum", "__c"),
+                                   ("__s", "sum", "__cl")], merge=merge)
+
+    def fin(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["__n"], pa.float64()).to_numpy(zero_copy_only=False)
+        s = pc.cast(t["__s"], pa.float64()).to_numpy(zero_copy_only=False)
+        n = np.nan_to_num(n)
+        s = np.nan_to_num(s)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            e = np.where(n > 0,
+                         np.log2(np.maximum(n, 1e-300)) - s / np.maximum(n, 1),
+                         0.0)
+        cols = {k: t[k] for k in keys}
+        cols[out] = pa.array(np.maximum(e, 0.0))
+        return pa.table(cols)
+
+    return agg.map_batches(fin, batch_format="pyarrow", batch_size=None)
+
+
 # ---------------------------------------------------------------------------
 # union all with schema alignment (ogrunionlayer.cpp superset-of-fields)
 # ---------------------------------------------------------------------------

@@ -373,7 +373,7 @@ class Parser:
                                      ((cond, Node("lit", 1)),))),
                         aggnode.args)
         if kind in ("count_distinct", "string_agg", "array_agg",
-                    "quantile_disc", "quantile_cont", "mode",
+                    "quantile_disc", "quantile_cont", "mode", "entropy",
                     "arg_max", "arg_min"):
             raise ValueError(f"FILTER over {kind.upper()} unsupported")
 
@@ -863,6 +863,18 @@ class Parser:
                 if inner.kind != "col":
                     raise ValueError("MODE supports plain columns only")
                 return Node("agg", ("mode", inner.value))
+            if lname == "entropy" and self.peek() == ("op", "("):
+                # ENTROPY(col): base-2 Shannon entropy of the value
+                # distribution (ops.relational.groupby_entropy; all-null
+                # group -> 0.0, DuckDB convention)
+                self.next()
+                inner = self.expr()
+                self.expect("op", ")")
+                # expression targets pre-compute as hidden columns (the
+                # same _agg_target pass every aggregate goes through)
+                return Node("agg", ("entropy",
+                                    inner.value if inner.kind == "col"
+                                    else inner))
             if lname in ("arg_max", "arg_min", "max_by", "min_by") \
                     and self.peek() == ("op", "("):
                 # ARG_MAX(val, by) / MAX_BY synonyms — the winners path
@@ -4560,7 +4572,7 @@ def _agg_out_type(kind: str, col, E: pa.Table):
     if kind in ("count_star", "count", "count_distinct"):
         return pa.int64()
     if kind in ("mean", "std", "skew", "kurt", "kurt_pop", "product",
-                "cov_samp", "cov_pop", "cov_sum"):
+                "cov_samp", "cov_pop", "cov_sum", "entropy"):
         return pa.float64()
     if isinstance(col, Node):
         t = _expr_type(col, E)
@@ -5174,6 +5186,7 @@ def _attach_quantiles(out, ds, q: Select, qt_specs):
     bycol_cont: dict = {}
     sa_specs = []
     mode_specs = []
+    ent_specs = []
     arg_specs = []
     aa_specs = []
     for name, col, qv in qt_specs:
@@ -5181,6 +5194,8 @@ def _attach_quantiles(out, ds, q: Select, qt_specs):
             sa_specs.append((name, col, qv[1], qv[2]))
         elif isinstance(qv, tuple) and qv[0] == "mode":
             mode_specs.append((name, col))
+        elif isinstance(qv, tuple) and qv[0] == "entropy":
+            ent_specs.append((name, col))
         elif isinstance(qv, tuple) and qv[0] == "array_agg":
             aa_specs.append((name, col, qv[1]))
         elif isinstance(qv, tuple) and qv[0] in ("arg_max", "arg_min"):
@@ -5235,6 +5250,17 @@ def _attach_quantiles(out, ds, q: Select, qt_specs):
                 ty = (qt.schema.field(name).type
                       if name in qt.column_names else pa.float64())
                 v = pa.nulls(len(base), ty)
+            out = rd.from_arrow(base.append_column(name, v))
+    for name, col in ent_specs:
+        from gdal_ray.ops.relational import groupby_entropy
+
+        qt = to_arrow(groupby_entropy(dsq, keys, col, out=name))
+        if q.group_by:
+            out = broadcast_join(out, qt, keys=list(q.group_by), how="left")
+        else:
+            base = to_arrow(out)
+            v = qt[name] if qt.num_rows == len(base) else \
+                pa.nulls(len(base), pa.float64())
             out = rd.from_arrow(base.append_column(name, v))
     for name, col, sep, ocol in sa_specs:
         from gdal_ray.ops.relational import groupby_string_agg
@@ -5678,7 +5704,7 @@ def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
                     raise ValueError(
                         f"expressions over {kind.upper()} unsupported")
                 if kind in ("quantile_disc", "quantile_cont", "mode",
-                            "arg_max", "arg_min"):
+                            "entropy", "arg_max", "arg_min"):
                     # hoist onto the non-algebraic attach path: the qt
                     # columns are joined back BEFORE post-expression
                     # evaluation, so ROUND(MEDIAN(x), 4) etc. just work
@@ -5689,8 +5715,8 @@ def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
                     elif kind == "quantile_cont":
                         qt_specs.append(
                             (nm, col, ("cont", float(node.args[0].value))))
-                    elif kind == "mode":
-                        qt_specs.append((nm, col, ("mode",)))
+                    elif kind in ("mode", "entropy"):
+                        qt_specs.append((nm, col, (kind,)))
                     else:
                         qt_specs.append((nm, col,
                                          (kind, node.args[0].value)))
@@ -5723,8 +5749,8 @@ def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
                     qt_specs.append((name, col, ("string_agg",
                                                  item.args[0].value,
                                                  item.args[1].value)))
-                elif kind == "mode":
-                    qt_specs.append((name, col, ("mode",)))
+                elif kind in ("mode", "entropy"):
+                    qt_specs.append((name, col, (kind,)))
                 elif kind in ("arg_max", "arg_min", "array_agg"):
                     qt_specs.append((name, col,
                                      (kind, item.args[0].value)))

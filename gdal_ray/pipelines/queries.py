@@ -3619,6 +3619,25 @@ def q173_regression_aggs(sf_dir):
     return out
 
 
+Q174_SQL = """
+SELECT user_id % 8 AS ug,
+       ROUND(ENTROPY(event_type), 4) AS type_entropy,
+       ROUND(ENTROPY(CAST(value AS BIGINT) % 16), 4) AS value_entropy,
+       COUNT(*) AS n_events
+FROM events GROUP BY user_id % 8 ORDER BY ug
+"""
+
+
+def q174_entropy(sf_dir):
+    """ENTROPY aggregate (ops/relational.groupby_entropy): base-2
+    Shannon entropy of the value distribution per group — two bounded
+    aggregates ((keys, value) counts, then per-key log2(N) - sum(c
+    log2 c)/N), never a per-group value list. log2 is libm-evaluated on
+    both engines; outputs round to 4 digits (values sit ~1e-15 from the
+    boundary at these magnitudes). Runs verbatim in DuckDB."""
+    return _sql_query(Q174_SQL)(sf_dir)
+
+
 Q173_ORACLE_SQL = Q173_SQL.replace(
     "REGR_COUNT(l_extendedprice, l_quantity) AS n_pairs",
     "CAST(REGR_COUNT(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs")
@@ -3906,6 +3925,7 @@ def registry():
         "q171_item_subqueries": q171_item_subqueries,
         "q172_moment_aggs": q172_moment_aggs,
         "q173_regression_aggs": q173_regression_aggs,
+        "q174_entropy": q174_entropy,
         "q134_moving_windows": q134_moving_windows,
         "q135_json_props": q135_json_props,
         "q136_qualify_topk": q136_qualify_topk,
@@ -4028,6 +4048,7 @@ def registry():
         "q171_item_subqueries": Q171_SQL,
         "q172_moment_aggs": Q172_SQL,
         "q173_regression_aggs": Q173_ORACLE_SQL,
+        "q174_entropy": Q174_SQL,
         "q134_moving_windows": Q134_SQL,
         "q135_json_props": Q135_SQL,
         "q136_qualify_topk": Q136_SQL,

@@ -846,3 +846,28 @@ def test_cov_merge_accuracy_large_mean(ray_session):
         m = g == kk
         ref = np.cov(y[m], x[m], ddof=1)[0, 1]
         assert abs(out.cs[i] - ref) < 5e-9 * abs(ref), (kk, out.cs[i], ref)
+
+
+def test_groupby_entropy_vs_duckdb(sf_dir, con):
+    """ENTROPY: distribution entropy per key, base 2; all-null group ->
+    0.0; both merge modes."""
+    import numpy as np
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+    exp = con.execute(
+        """select user_id % 4 ug, entropy(event_type) e
+           from events group by 1 order by 1"""
+    ).df()
+    import pyarrow as pa
+
+    def add_ug(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+        return t.append_column(
+            "ug", pc_.cast(pc_.bit_wise_and(t["user_id"], 3), pa.int64()))
+
+    dsu = ds.map_batches(add_ug, batch_format="pyarrow", batch_size=None)
+    for merge in ("tree", "hash"):
+        got = (R.groupby_entropy(dsu, ["ug"], "event_type", out="e",
+                                 merge=merge)
+               .to_pandas().sort_values("ug").reset_index(drop=True))
+        assert np.allclose(got.e.to_numpy(), exp.e.to_numpy(), rtol=1e-12), merge
