@@ -645,6 +645,49 @@ def count_distinct(ds, col: str) -> int:
 # ---------------------------------------------------------------------------
 
 
+def join_tables(lt: pa.Table, rt: pa.Table, *, keys, right_keys=None,
+                join_type="inner", use_threads=False) -> pa.Table:
+    """pa.Table.join that also carries NESTED payload columns (list/struct/
+    map — e.g. embedding list<float> columns), which Acero rejects as
+    non-key fields. Nested non-key columns are pulled off both sides,
+    the slim join runs with surrogate row indices, and each nested column
+    re-attaches via one vectorized take (null surrogate from an outer
+    join -> null payload). Column order matches pa.Table.join: left
+    columns, then right non-key columns."""
+    keys = list(keys)
+    right_keys = list(right_keys) if right_keys is not None else keys
+    nest_l = [c for c in lt.column_names
+              if c not in keys and pa.types.is_nested(lt.schema.field(c).type)]
+    nest_r = [c for c in rt.column_names
+              if c not in right_keys
+              and pa.types.is_nested(rt.schema.field(c).type)]
+    if not nest_l and not nest_r:
+        return lt.join(rt, keys=keys, right_keys=right_keys,
+                       join_type=join_type, use_threads=use_threads)
+    order = ([c for c in lt.column_names]
+             + [c for c in rt.column_names if c not in right_keys])
+    ls = lt.drop_columns(nest_l)
+    rs = rt.drop_columns(nest_r)
+    if nest_l:
+        ls = ls.append_column("__jnl", pa.array(np.arange(len(lt)),
+                                                pa.int64()))
+    if nest_r:
+        rs = rs.append_column("__jnr", pa.array(np.arange(len(rt)),
+                                                pa.int64()))
+    out = ls.join(rs, keys=keys, right_keys=right_keys,
+                  join_type=join_type, use_threads=use_threads)
+    for side, cols, src in (("__jnl", nest_l, lt), ("__jnr", nest_r, rt)):
+        if not cols:
+            continue
+        if side not in out.column_names:  # semi/anti: side not emitted
+            continue
+        idx = out[side].combine_chunks()
+        for c in cols:
+            out = out.append_column(c, pc.take(src[c].combine_chunks(), idx))
+        out = out.drop_columns([side])
+    return out.select([c for c in order if c in out.column_names])
+
+
 def broadcast_join(
     ds,
     right: pa.Table,
@@ -696,7 +739,8 @@ def broadcast_join(
                 else:
                     i = r.column_names.index(rk)
                     r = r.set_column(i, rk, pc.cast(r[rk], lt))
-        return batch.join(r, keys=keys, right_keys=right_keys, join_type=join_type)
+        return join_tables(batch, r, keys=keys, right_keys=right_keys,
+                           join_type=join_type, use_threads=True)
 
     return ds.map_batches(join_batch, batch_format="pyarrow", batch_size=None)
 
@@ -755,7 +799,8 @@ def join_hash(left_ds, right_ds, keys: Sequence[str], *,
         side = t[side_col].to_numpy(zero_copy_only=False)
         lt = t.filter(pa.array(side == 0)).select(keys + lextra)
         rt = t.filter(pa.array(side == 1)).select(keys + rextra)
-        out = lt.join(rt, keys=keys, join_type=jt, use_threads=False)
+        out = join_tables(lt, rt, keys=keys, join_type=jt,
+                          use_threads=False)
         return out.select(out_cols)
 
     return hash_partition_reduce(left.union(right), keys, probe,
@@ -830,7 +875,8 @@ def semi_anti_join(ds, keys: Sequence[str], key_set, *, anti: bool = False):
             return t.filter(mask)
         # preserve input row order: join on an added row-index column
         t2 = t.append_column("__ri", pa.array(np.arange(len(t), dtype=np.int64)))
-        out = t2.join(kt, keys=keys, join_type=join_type)
+        out = join_tables(t2, kt, keys=keys, join_type=join_type,
+                          use_threads=True)
         out = out.take(pc.sort_indices(out["__ri"]))
         return out.drop_columns(["__ri"])
 
@@ -1479,8 +1525,9 @@ def semi_join_hash(ds, right_ds, keys: Sequence[str], *, anti: bool = False,
             return lt.filter(mask)
         t2 = lt.append_column("__ri", pa.array(
             np.arange(len(lt), dtype=np.int64)))
-        out = t2.join(kt, keys=keys,
-                      join_type="left anti" if anti else "left semi")
+        out = join_tables(t2, kt, keys=keys,
+                          join_type="left anti" if anti else "left semi",
+                          use_threads=True)
         out = out.take(pc.sort_indices(out["__ri"]))
         return out.drop_columns(["__ri"])
 

@@ -183,6 +183,13 @@ _BUILTIN_CALLS = {
     "list_min": "list_min", "list_max": "list_max",
     "array_to_string": "array_to_string",
     "list_aggr": "array_to_string",  # only the 'string_agg' kind
+    # vector-similarity catalogue (embedding columns are list<float>)
+    "list_cosine_similarity": "list_cosine_similarity",
+    "array_cosine_similarity": "list_cosine_similarity",
+    "list_dot_product": "list_dot_product",
+    "list_inner_product": "list_dot_product",
+    "array_inner_product": "list_dot_product",
+    "list_distance": "list_distance", "array_distance": "list_distance",
 }
 
 
@@ -537,6 +544,17 @@ class Parser:
             return Node("lit", t[1])
         if t == ("kw", "NULL"):
             return Node("lit", None)
+        if t == ("op", "["):
+            # list literal [e1, e2, ...] (DuckDB bracket syntax). Elements
+            # must be constants — covers the query-vector idiom
+            # list_cosine_similarity(embedding, [0.1, ...]).
+            vals = []
+            if self.peek() != ("op", "]"):
+                vals.append(_const_value(self.expr()))
+                while self.accept("op", ","):
+                    vals.append(_const_value(self.expr()))
+            self.expect("op", "]")
+            return Node("lit", list(vals))
         if t[0] == "kw" and t[1] in ("DATE", "TIMESTAMP") \
                 and self.peek()[0] == "str":
             # typed literal: DATE '1995-03-15' / TIMESTAMP '...' (standard
@@ -611,9 +629,13 @@ class Parser:
             e = self.expr()
             self.expect("kw", "AS")
             ty = self.next()
+            tyname = ty[1]
+            if self.accept("op", "["):  # array type: DOUBLE[] etc.
+                self.expect("op", "]")
+                tyname += "[]"
             self.expect("op", ")")
             kind = "cast" if t == ("kw", "CAST") else "trycast"
-            return Node(kind, ty[1], (e,))
+            return Node(kind, tyname, (e,))
         if t[0] == "kw" and t[1] in ("COUNT", "SUM", "MIN", "MAX", "AVG"):
             self.expect("op", "(")
             if t[1] == "COUNT" and self.accept("op", "*"):
@@ -2677,6 +2699,10 @@ def eval_expr(node: Node, t: pa.Table):
                                            starts[nz])
             out[cnt == 0] = np.nan
             return pa.array(out, pa.float64(), from_pandas=True)
+        if fn in ("list_cosine_similarity", "list_dot_product",
+                  "list_distance"):
+            return _list_pairwise(fn, eval_expr(node.args[0], t),
+                                  eval_expr(node.args[1], t))
         if fn == "regexp_extract":
             s = eval_expr(node.args[0], t)
             if node.args[1].kind != "lit":
@@ -2734,11 +2760,15 @@ def eval_expr(node: Node, t: pa.Table):
                       pc.and_(pc.and_(pc.invert(an), pc.invert(bn)), neq))
         return dist if node.value else pc.invert(dist)
     if k == "cast":
-        ty = {"INTEGER": pa.int32(), "BIGINT": pa.int64(),
-              "FLOAT": pa.float64(), "DOUBLE": pa.float64(),
-              "TEXT": pa.string(), "VARCHAR": pa.string(),
-              "DATE": pa.date32(), "TIMESTAMP": pa.timestamp("us"),
-              "BOOLEAN": pa.bool_()}[node.value]
+        base = {"INTEGER": pa.int32(), "BIGINT": pa.int64(),
+                "FLOAT": pa.float64(), "DOUBLE": pa.float64(),
+                "TEXT": pa.string(), "VARCHAR": pa.string(),
+                "DATE": pa.date32(), "TIMESTAMP": pa.timestamp("us"),
+                "BOOLEAN": pa.bool_()}
+        if node.value.endswith("[]"):  # array type, e.g. DOUBLE[]
+            v = eval_expr(node.args[0], t)
+            return pc.cast(v, pa.list_(base[node.value[:-2]]))
+        ty = base[node.value]
         v = eval_expr(node.args[0], t)
         if pa.types.is_integer(ty) and pa.types.is_floating(_type_of(v)):
             # DuckDB CAST(double AS INT) rounds half to EVEN (measured:
@@ -2948,6 +2978,112 @@ def _list_segments(col):
     if len(lens) > 1:
         np.cumsum(lens[:-1], out=starts[1:])
     return lens, starts, pc.list_flatten(col)
+
+
+def _flat_f64(col):
+    """(lens, starts, flat float64 ndarray, row-validity) for a list column
+    or a literal list scalar (lens/starts None for the scalar case)."""
+    if isinstance(col, pa.Scalar):
+        v = col.as_py()
+        if v is None:
+            return None, None, None, None
+        return None, None, np.asarray(v, dtype=np.float64), None
+    lens, starts, flat = _list_segments(col)
+    vals = pc.cast(flat, pa.float64()).to_numpy(zero_copy_only=False)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+    return lens, starts, vals, valid
+
+
+def _list_pairwise(fn, a, b):
+    """DuckDB list_cosine_similarity / list_dot_product / list_distance:
+    per-row vector kernel over two list columns (either side may be a
+    literal vector). NULL list on either side -> NULL; per-row length
+    mismatch raises (DuckDB errors too). Computation is one flatten +
+    reshape/reduceat per batch — float64 throughout, so oracle SQL must
+    CAST float32 embedding columns to DOUBLE[] (see float-parity memory).
+    Null ELEMENTS are a DuckDB error; here they propagate as NaN."""
+    la, sa, va, vva = _flat_f64(a)
+    lb, sb, vb, vvb = _flat_f64(b)
+    if va is None or vb is None:  # NULL literal side
+        n = len(la) if la is not None else (len(lb) if lb is not None else 1)
+        return pa.nulls(n, pa.float64())
+    if la is None and lb is None:  # both literal
+        la = np.array([len(va)], np.int64)
+        sa = np.zeros(1, np.int64)
+        vva = np.ones(1, bool)
+    if la is None:
+        la, sa, va, vva = (np.full(len(lb), len(va), np.int64), None,
+                           va, np.ones(len(lb), bool))
+    if lb is None:
+        lb, sb, vb, vvb = (np.full(len(la), len(vb), np.int64), None,
+                           vb, np.ones(len(la), bool))
+    valid = vva & vvb if vvb is not None else vva
+    if (la[valid] != lb[valid]).any():
+        raise ValueError(f"{fn}: list dimensions must be equal")
+    nrow = len(la)
+    out = np.full(nrow, np.nan)
+    nv = int(valid.sum())
+    if nv:
+        d = int(la[valid][0]) if (la[valid] == la[valid][0]).all() else None
+
+        def gather(starts_side, vals_side, lens_side):
+            if starts_side is None:  # broadcast literal vector
+                return np.tile(vals_side, nv).reshape(-1) if d is not None \
+                    else np.concatenate([vals_side] * nv)
+            ls = lens_side[valid]
+            st = starts_side[valid]
+            tot = int(ls.sum())
+            cum = np.zeros(len(ls), np.int64)
+            if len(ls) > 1:
+                np.cumsum(ls[:-1], out=cum[1:])
+            pos = np.repeat(st - cum, ls) + np.arange(tot)
+            return vals_side[pos]
+
+        xa = gather(sa, va, la)
+        xb = gather(sb, vb, lb)
+        if d is not None:  # uniform dimension: reshape, no reduceat
+            xa = xa.reshape(nv, d)
+            xb = xb.reshape(nv, d)
+            dot = np.einsum("ij,ij->i", xa, xb)
+            if fn == "list_dot_product":
+                r = dot
+            elif fn == "list_cosine_similarity":
+                na2 = np.einsum("ij,ij->i", xa, xa)
+                nb2 = np.einsum("ij,ij->i", xb, xb)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    r = dot / np.sqrt(na2 * nb2)
+            else:
+                diff = xa - xb
+                r = np.sqrt(np.einsum("ij,ij->i", diff, diff))
+        else:
+            ls = la[valid]
+            cum = np.zeros(len(ls), np.int64)
+            if len(ls) > 1:
+                np.cumsum(ls[:-1], out=cum[1:])
+            nz = ls > 0
+            dot = np.zeros(nv)
+            if nz.any():
+                dot[nz] = np.add.reduceat(xa * xb, cum[nz])
+            if fn == "list_dot_product":
+                r = dot
+            elif fn == "list_cosine_similarity":
+                na2 = np.zeros(nv)
+                nb2 = np.zeros(nv)
+                if nz.any():
+                    na2[nz] = np.add.reduceat(xa * xa, cum[nz])
+                    nb2[nz] = np.add.reduceat(xb * xb, cum[nz])
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    r = dot / np.sqrt(na2 * nb2)
+            else:
+                sq = (xa - xb) ** 2
+                ss = np.zeros(nv)
+                if nz.any():
+                    ss[nz] = np.add.reduceat(sq, cum[nz])
+                r = np.sqrt(ss)
+        out[valid] = r
+    return pa.array(out, pa.float64(), from_pandas=True)
 
 
 def _list_extract(col, idx):

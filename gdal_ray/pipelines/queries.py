@@ -3643,6 +3643,74 @@ Q173_ORACLE_SQL = Q173_SQL.replace(
     "CAST(REGR_COUNT(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs")
 
 
+# Embedding decontamination: benchmark = every 50th vector, corpus = the
+# rest; a corpus row is contaminated when its max cosine vs ANY benchmark
+# vector reaches 0.25 (measured data margin to the threshold and to the
+# 4-digit rounding grid is >= 1e-4 at sf0.01 — far above cross-engine ulp
+# drift). The oracle restates the broadcast-matmul op as a cross join +
+# MAX; both sides compute in float64 (CAST ... AS DOUBLE[]).
+Q175_ORACLE_SQL = """
+SELECT c.vec_id,
+       ROUND(MAX(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[]))),
+             4) AS max_sim,
+       MAX(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[]))) >= 0.25
+           AS contaminated
+FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 <> 0) c
+CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id % 50 = 0) b
+GROUP BY c.vec_id
+ORDER BY c.vec_id
+"""
+
+
+def q175_embed_decontam(sf_dir):
+    """Embedding-space decontamination (sim/vectors.
+    embedding_decontaminate): benchmark vectors are L2-normalized once and
+    ray.put; each corpus batch takes ONE (n x d) @ (d x B) matmul — zero
+    shuffles, streams at 100 TB. Oracle: DuckDB cross join + MAX over
+    list_cosine_similarity (same float64 arithmetic)."""
+    import pyarrow.compute as _pc
+
+    from gdal_ray.sim.vectors import embedding_decontaminate
+    from gdal_ray.util import to_arrow
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def split(want_bench):
+        def f(t):
+            ids = t["vec_id"].to_numpy(zero_copy_only=False)
+            m = (ids % 50 == 0) if want_bench else (ids % 50 != 0)
+            return t.filter(pa.array(m))
+        return f
+
+    bench = to_arrow(emb.map_batches(  # bounded by design
+        split(True), batch_format="pyarrow", batch_size=None))
+    corpus = emb.map_batches(split(False), batch_format="pyarrow",
+                             batch_size=None)
+    out = embedding_decontaminate(corpus, bench, threshold=0.25,
+                                  mode="flag")
+    t = to_arrow(out).select(["vec_id", "max_sim", "contaminated"])
+    return t.take(_pc.sort_indices(t["vec_id"]))
+
+
+def q176_semdedup(sf_dir):
+    """SemDeDup semantic dedup (sim/vectors.semdedup, arXiv:2303.09540):
+    k-means (deterministic min-id init, 5 iters) -> per-cluster cosine
+    threshold graph -> min-id survivor per connected component. The
+    O(m^2) step runs per cluster after one hash shuffle. k-means is not
+    SQL-expressible — rows-only for the driver; the full result is
+    value-hash golden-pinned and brute-force-verified in tests."""
+    import pyarrow.compute as _pc
+
+    from gdal_ray.sim.vectors import semdedup
+    from gdal_ray.util import to_arrow
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = to_arrow(semdedup(emb, k=8, threshold=0.35, iters=5))
+    return out.take(_pc.sort_indices(out["vec_id"]))
+
+
 def q170_training_prep(sf_dir):
     """The COMPOSED training-data prep chain (curate -> mixture resample
     -> 64-token chunking -> next-fit packing into 256-token sequences);
@@ -3926,6 +3994,8 @@ def registry():
         "q172_moment_aggs": q172_moment_aggs,
         "q173_regression_aggs": q173_regression_aggs,
         "q174_entropy": q174_entropy,
+        "q175_embed_decontam": q175_embed_decontam,
+        "q176_semdedup": q176_semdedup,
         "q134_moving_windows": q134_moving_windows,
         "q135_json_props": q135_json_props,
         "q136_qualify_topk": q136_qualify_topk,
@@ -4049,6 +4119,7 @@ def registry():
         "q172_moment_aggs": Q172_SQL,
         "q173_regression_aggs": Q173_ORACLE_SQL,
         "q174_entropy": Q174_SQL,
+        "q175_embed_decontam": Q175_ORACLE_SQL,
         "q134_moving_windows": Q134_SQL,
         "q135_json_props": Q135_SQL,
         "q136_qualify_topk": Q136_SQL,

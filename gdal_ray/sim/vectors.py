@@ -130,3 +130,110 @@ def kmeans_assign(ds, cents: np.ndarray, *, id_col: str = "vec_id",
                          out: pa.array(np.argmin(d2, axis=1).astype(np.int64))})
 
     return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
+def embedding_decontaminate(ds, bench, *, vec_col: str = "embedding",
+                            id_col: str = "vec_id", threshold: float = 0.8,
+                            mode: str = "flag", ndigits: int = 4):
+    """Embedding-space decontamination: flag (or drop) corpus rows whose
+    max cosine similarity against ANY benchmark vector reaches the
+    threshold (the embedding analog of text/decontam.py's n-gram overlap;
+    e.g. LLM eval-set leakage detection over document embeddings).
+
+    bench: (B, d) ndarray or a pa.Table/list-of-lists with the benchmark
+    vectors. It is L2-normalized ONCE on the driver and ray.put — each
+    batch then needs a single (n x d) @ (d x B) matmul; zero shuffles, so
+    the pass streams at 100 TB. mode="flag" appends max_sim (rounded
+    half-away like DuckDB ROUND) + contaminated; mode="drop" filters.
+    """
+    import ray
+
+    if isinstance(bench, pa.Table):
+        bench = _matrix(bench, vec_col)
+    b = np.asarray(bench, np.float64)
+    bn = b / np.maximum(np.linalg.norm(b, axis=1, keepdims=True), 1e-300)
+    bref = ray.put(bn)
+
+    def f(t: pa.Table) -> pa.Table:
+        bm = ray.get(bref)
+        m = _matrix(t, vec_col)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True),
+                            1e-300)
+        ms = (mn @ bm.T).max(axis=1) if len(bm) else np.full(len(m), -1.0)
+        if mode == "drop":
+            return t.filter(pa.array(ms < threshold))
+        rnd = np.copysign(
+            np.floor(np.abs(ms) * 10.0**ndigits + 0.5) / 10.0**ndigits, ms)
+        t = t.append_column("max_sim", pa.array(rnd))
+        return t.append_column("contaminated",
+                               pa.array(ms >= threshold))
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
+def semdedup(ds, *, k: int = 16, threshold: float = 0.95, iters: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding"):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup =
+    k-means over embeddings, then WITHIN each cluster drop near-identical
+    vectors (pairwise cosine >= threshold). Survivor rule here is
+    deterministic: connected components of the within-cluster threshold
+    graph keep their smallest id (the paper keeps a per-group exemplar;
+    min-id is reproducible across cluster layouts).
+
+    Scale shape: the O(m^2) pairwise step runs PER CLUSTER (map_groups
+    after one hash shuffle on the cluster label) — exactly the published
+    algorithm's decomposition; k controls the largest group. Returns
+    (id_col, cluster, keep) for every input row.
+    """
+    import ray
+
+    cents = kmeans_fit(ds, k=k, iters=iters, id_col=id_col,
+                       vec_col=vec_col)
+    cref = ray.put(np.asarray(cents, np.float64))
+
+    def label(t: pa.Table) -> pa.Table:
+        # centroids broadcast once — labels attach in-stream (a join of
+        # per-row labels back onto rows would re-shuffle the full rows)
+        c = ray.get(cref)
+        m = _matrix(t, vec_col)
+        d2 = (m * m).sum(axis=1)[:, None] - 2.0 * (m @ c.T) \
+            + (c * c).sum(axis=1)[None, :]
+        return t.append_column(
+            "cluster", pa.array(np.argmin(d2, axis=1).astype(np.int64)))
+
+    labeled = ds.map_batches(label, batch_format="pyarrow",
+                             batch_size=None)
+
+    def dedup_cluster(df):
+        import pandas as pd
+
+        ids = df[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        m = np.stack([np.asarray(v, np.float64)
+                      for v in df[vec_col].to_numpy()[order]])
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True),
+                            1e-300)
+        sim = mn @ mn.T
+        n = len(ids)
+        parent = np.arange(n)
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        ei, ej = np.nonzero(np.triu(sim >= threshold, 1))
+        for a, b in zip(ei, ej):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        roots = np.array([find(i) for i in range(n)])
+        keep = roots == np.arange(n)  # min-id row of each component
+        return pd.DataFrame({id_col: ids,
+                             "cluster": df["cluster"].to_numpy()[order],
+                             "keep": keep})
+
+    return labeled.groupby("cluster").map_groups(
+        dedup_cluster, batch_format="pandas")

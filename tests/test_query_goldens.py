@@ -57,6 +57,8 @@ GOLDENS = {
     "q155_seq_pack": (500, "d4640ed3b2b0a101"),
     # composed training prep: curate -> mixture -> chunk(64) -> pack(256)
     "q170_training_prep": (669, "9e8991fc5a4bbae0"),
+    # SemDeDup (k=8, thr=0.35, 5 iters, min-id survivors): 409/500 kept
+    "q176_semdedup": (500, "52dbbcbff56c04c4"),
 }
 
 

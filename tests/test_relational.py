@@ -871,3 +871,54 @@ def test_groupby_entropy_vs_duckdb(sf_dir, con):
                                  merge=merge)
                .to_pandas().sort_values("ug").reset_index(drop=True))
         assert np.allclose(got.e.to_numpy(), exp.e.to_numpy(), rtol=1e-12), merge
+
+
+def test_joins_carry_nested_payload_columns(ray_session):
+    """Acero rejects list-typed non-key fields; join_tables re-attaches
+    them via surrogate-index takes — broadcast, big-big and semi paths
+    all carry an embedding column through (outer-join misses -> NULL)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    lt = pa.table({"k": [1, 2, 3, 4],
+                   "emb": [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0], [7.0, 8.0]]})
+    rt = pa.table({"k": [2, 3, 5], "tag": ["b", "c", "e"],
+                   "remb": [[9.0], [8.0], [7.0]]})
+
+    out = R.join_tables(lt, rt, keys=["k"], join_type="inner")
+    out = out.take(pc.sort_indices(out["k"]))
+    assert out.column_names == ["k", "emb", "tag", "remb"]
+    assert out["k"].to_pylist() == [2, 3]
+    assert out["emb"].to_pylist() == [[3.0, 4.0], [5.0, 6.0]]
+    assert out["remb"].to_pylist() == [[9.0], [8.0]]
+
+    lo = R.join_tables(lt, rt, keys=["k"], join_type="left outer")
+    lo = lo.take(pc.sort_indices(lo["k"]))
+    assert lo["emb"].to_pylist() == [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0],
+                                     [7.0, 8.0]]
+    assert lo["remb"].to_pylist() == [None, [9.0], [8.0], None]
+
+    # broadcast_join over a Dataset with a list payload on the LEFT
+    ds = rd.from_arrow(lt).repartition(2)
+    bj = to_arrow(R.broadcast_join(ds, rt, ["k"], how="left"))
+    bj = bj.take(pc.sort_indices(bj["k"]))
+    assert bj["emb"].to_pylist() == lo["emb"].to_pylist()
+    assert bj["remb"].to_pylist() == lo["remb"].to_pylist()
+
+    # big-big co-partitioned join with nested payloads on both sides
+    jh = to_arrow(R.join_hash(rd.from_arrow(lt).repartition(2),
+                              rd.from_arrow(rt).repartition(2), ["k"],
+                              how="full"))
+    jh = jh.take(pc.sort_indices(jh["k"]))
+    assert jh["k"].to_pylist() == [1, 2, 3, 4, 5]
+    assert jh["emb"].to_pylist() == [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0],
+                                     [7.0, 8.0], None]
+    assert jh["remb"].to_pylist() == [None, [9.0], [8.0], None, [7.0]]
+
+    # semi/anti keep their nested left payloads too
+    semi = to_arrow(R.semi_join_hash(
+        rd.from_arrow(lt).repartition(2),
+        rd.from_arrow(rt).repartition(2), ["k"]))
+    semi = semi.take(pc.sort_indices(semi["k"]))
+    assert semi["emb"].to_pylist() == [[3.0, 4.0], [5.0, 6.0]]

@@ -193,6 +193,11 @@ CASES = [
     # through the list aggregate and its float32 round lands off the
     # double rounding grid (the float-parity memory's float32 trap)
     "SELECT vec_id, ROUND(list_sum(embedding), 4) AS ls, ROUND(list_avg(embedding), 6) AS la, ROUND(CAST(list_min(embedding) AS DOUBLE), 6) AS lmin, ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS lmax FROM embeddings WHERE vec_id < 20 ORDER BY vec_id",
+    # round-5c: vector-similarity catalogue (embedding columns). CAST to
+    # DOUBLE[] on both sides — DuckDB computes float32 otherwise (the
+    # float-parity memory's float32 trap applies to vectors too).
+    "SELECT a.vec_id AS ida, ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.emb2 AS DOUBLE[])), 4) AS cos, ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.emb2 AS DOUBLE[])), 4) AS dot, ROUND(list_distance(CAST(a.embedding AS DOUBLE[]), CAST(b.emb2 AS DOUBLE[])), 4) AS dist FROM embeddings a JOIN (SELECT vec_id - 250 AS mid, embedding AS emb2 FROM embeddings) b ON a.vec_id = b.mid ORDER BY ida",
+    "SELECT n_nationkey, ROUND(list_cosine_similarity([1.0,2.0],[3.0,-4.0]), 6) AS c, ROUND(list_inner_product([1.5,2.0,0.5],[2.0,1.0,-2.0]), 6) AS ip, ROUND(list_distance([0.0,3.0],[4.0,0.0]), 6) AS d FROM nation WHERE n_nationkey < 3 ORDER BY n_nationkey",
     # round-5: aggregate FILTER clause + DISTINCT ON
     "SELECT o_orderpriority, COUNT(*) AS n, COUNT(*) FILTER (WHERE o_totalprice > 150000) AS big, ROUND(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 4) AS f_rev, MAX(o_totalprice) FILTER (WHERE o_orderstatus = 'O') AS o_max FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
     "SELECT AVG(o_totalprice) FILTER (WHERE o_orderkey % 2 = 0) AS a0 FROM orders",
