@@ -688,6 +688,30 @@ def join_tables(lt: pa.Table, rt: pa.Table, *, keys, right_keys=None,
     return out.select([c for c in order if c in out.column_names])
 
 
+def cross_join(ds, right: pa.Table):
+    """Cartesian product: the right table broadcasts (ray.put once) and
+    each left batch emits len(batch) x len(right) rows via one repeat
+    take + one tile take — no shuffle, streams on the left side. Right
+    columns whose names collide with left columns are dropped (the left
+    side wins, matching the engine's join coalescing contract)."""
+    import ray
+
+    rref = ray.put(right)
+
+    def f(t: pa.Table) -> pa.Table:
+        r = ray.get(rref)
+        n, m = len(t), len(r)
+        lt = t.take(pa.array(np.repeat(np.arange(n, dtype=np.int64), m)))
+        rt = r.take(pa.array(np.tile(np.arange(m, dtype=np.int64), n)))
+        cols = {c: lt[c] for c in lt.column_names}
+        for c in rt.column_names:
+            if c not in cols:
+                cols[c] = rt[c]
+        return pa.table(cols)
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
 def broadcast_join(
     ds,
     right: pa.Table,

@@ -1119,6 +1119,11 @@ class Join:
     # ASOF JOIN: (eq_pairs [(a, b)...], (op, a, b)) — the inequality pair
     # decides direction at plan time once column sides are known
     asof_spec: tuple | None = None
+    # CROSS JOIN (no keys; right side broadcasts, per-batch cartesian)
+    cross: bool = False
+    # NATURAL JOIN: keys = shared column names, resolved at execute time
+    # (schemas are unknown at parse time)
+    natural: bool = False
 
 
 @dataclass
@@ -1378,7 +1383,11 @@ def _parse_table_ref(p: Parser):
     alias = None
     if p.accept("kw", "AS"):
         alias = p.expect("id")[1]
-    elif p.peek()[0] == "id":
+    elif (p.peek()[0] == "id"
+          and p.peek()[1].lower() not in ("cross", "natural", "using",
+                                          "asof", "inner", "window")):
+        # bare alias — but NOT a join-starter / clause keyword that the
+        # tokenizer classifies as a plain id
         alias = p.next()[1]
     if alias is not None and p.peek() == ("op", "("):
         # alias column list `AS t(x, y)` — supported for VALUES tables
@@ -1415,8 +1424,13 @@ def _parse_core(p: Parser) -> Select:
         items.append((e, alias))
         if not p.accept("op", ","):
             break
-    p.expect("kw", "FROM")
-    table, _table_alias = _parse_table_ref(p)
+    if p.accept("kw", "FROM"):
+        table, _table_alias = _parse_table_ref(p)
+    else:
+        # FROM-less SELECT (DuckDB allows `SELECT 1 AS one`): evaluate
+        # the items over a one-row inline table (same machinery as VALUES)
+        table, _table_alias = pa.table({"__dual": pa.array([1], pa.int8())
+                                        }), None
     from_refs = [(table, _table_alias)]
     # comma-separated FROM list (TPC-H style implicit joins): the extra
     # refs become Join entries in _resolve_scopes, with equi predicates
@@ -1426,6 +1440,23 @@ def _parse_core(p: Parser) -> Select:
     joins = []
     while True:
         left = False
+        natural = False
+        # CROSS JOIN tbl: same semantics as a comma-FROM entry (a WHERE
+        # equality still folds into an equi join; a genuine cartesian
+        # falls back to the broadcast cross plan in _plan_comma_joins)
+        if (p.peek()[0] == "id" and p.peek()[1].lower() == "cross"
+                and p.toks[p.i + 1] == ("kw", "JOIN")):
+            p.next()
+            p.next()
+            from_refs.append(_parse_table_ref(p))
+            continue
+        if (p.peek()[0] == "id" and p.peek()[1].lower() == "natural"
+                and (p.toks[p.i + 1] == ("kw", "JOIN")
+                     or p.toks[p.i + 1] == ("kw", "LEFT")
+                     or (p.toks[p.i + 1][0] == "id"
+                         and p.toks[p.i + 1][1].lower() == "inner"))):
+            p.next()
+            natural = True
         # ASOF [LEFT] JOIN tbl ON <equi conjuncts> AND <on-col ineq>
         # (DuckDB syntax; executes on ops.relational.asof_join)
         if (p.peek()[0] == "id" and p.peek()[1].lower() == "asof"
@@ -1471,15 +1502,44 @@ def _parse_core(p: Parser) -> Select:
         else:
             break
         jtable, jalias = _parse_table_ref(p)
+        if natural:
+            joins.append(Join(jtable, jalias, left, "", "", natural=True))
+            continue
+        if p.peek()[0] == "id" and p.peek()[1].lower() == "using":
+            # JOIN ... USING (c1, c2): equi join on same-named columns;
+            # the join coalesces each pair to ONE output column (pyarrow
+            # join drops the right key — exactly USING semantics)
+            p.next()
+            p.expect("op", "(")
+            ucols = [p.expect("id")[1]]
+            while p.accept("op", ","):
+                ucols.append(p.expect("id")[1])
+            p.expect("op", ")")
+            joins.append(Join(jtable, jalias, left, ucols[0], ucols[0],
+                              extra_pairs=([(c, c) for c in ucols[1:]]
+                                           or None)))
+            continue
         p.expect("kw", "ON")
         cond = p.expr()
-        # OGR SQL joins are equi-joins on a single field pair
-        # (ogr_sql_dialect.rst:425: "ON <secondary>.field = <primary>.field")
-        if not (cond.kind == "bin" and cond.value == "="
-                and cond.args[0].kind == "col" and cond.args[1].kind == "col"):
-            raise ValueError("JOIN ON must be <col> = <col>")
-        joins.append(Join(jtable, jalias, left,
-                          cond.args[0].value, cond.args[1].value))
+        # equi-joins: one field pair (ogr_sql_dialect.rst:425) or an
+        # AND-ed conjunction of them (composite key; the executor orients
+        # each pair to the right table, same as comma-FROM planning)
+        pairs = []
+
+        def _collect(c) -> bool:
+            if c.kind == "bin" and c.value.upper() == "AND":
+                return _collect(c.args[0]) and _collect(c.args[1])
+            if (c.kind == "bin" and c.value == "="
+                    and c.args[0].kind == "col" and c.args[1].kind == "col"):
+                pairs.append((c.args[0].value, c.args[1].value))
+                return True
+            return False
+
+        if not _collect(cond):
+            raise ValueError(
+                "JOIN ON must be <col> = <col> [AND <col> = <col> ...]")
+        joins.append(Join(jtable, jalias, left, pairs[0][0], pairs[0][1],
+                          extra_pairs=pairs[1:] or None))
     where = None
     if p.accept("kw", "WHERE"):
         where = p.expr()
@@ -2068,6 +2128,9 @@ def _resolve_core_scopes(core: Select, sf_dir: str, outer_renamed: set,
     for j in (core.joins or []):
         j.left_key = fix_str(j.left_key)
         j.right_key = fix_str(j.right_key)
+        if j.extra_pairs:
+            j.extra_pairs = [(fix_str(a2), fix_str(b2))
+                             for a2, b2 in j.extra_pairs]
         if j.asof_spec is not None:
             # keep the SIDE information the qualifier carries before it is
             # stripped: ('r', col) / ('l', col) marks, resolved against
@@ -2185,11 +2248,15 @@ def _plan_comma_joins(core: Select, refs: list, sf_dir: str) -> None:
             if found:
                 break
         if found is None:
-            names = [refs[i][0] if isinstance(refs[i][0], str)
-                     else (refs[i][1] or "<derived>") for i in remaining]
-            raise ValueError(
-                f"no equi-join predicate connects FROM tables {names} "
-                "(cross joins unsupported)")
+            # genuine cartesian: the SMALLEST unconnected ref broadcasts
+            # (cross joins are dimension x dimension in practice; the
+            # executor rejects an oversized broadcast side)
+            ri = min(remaining, key=lambda i: (rows[i], i))
+            t, a = refs[ri]
+            new_joins.append(Join(t, a, False, "", "", cross=True))
+            acc_cols |= cols[ri]
+            remaining.remove(ri)
+            continue
         ri, lk, rk, ci = found
         used.add(ci)
         # fold every other equality connecting the same ref into the same
@@ -4078,17 +4145,51 @@ def _apply_windows(ds, q: Select):
     qualify = rw(q.qualify) if q.qualify is not None else None
     q.qualify = None
 
+    # expressions inside the window spec (SUM(CASE...) OVER, PARTITION BY
+    # x % 3, ORDER BY a+b, LAG(x*2)) hoist into hidden columns computed by
+    # ONE map_batches before any window pass (same pattern as the GROUP BY
+    # pre-compute); the final projection drops them
+    hoists: list[tuple[str, Node]] = []
+
+    def _hname(expr: Node) -> str:
+        for nm2, e2 in hoists:
+            if e2 == expr:
+                return nm2
+        nm2 = f"__wx{len(hoists)}"
+        hoists.append((nm2, expr))
+        return nm2
+
     groups: dict = {}
     for w, nm in names:
         fnode, parts, order = w.args
-        pcols = tuple(p.value if p.kind == "col" else None for p in parts)
-        if any(c is None for c in pcols):
-            raise ValueError("window PARTITION BY supports plain columns only")
-        ocols = tuple((o.value if o.kind == "col" else None, d)
+        pcols = tuple(p.value if p.kind == "col" else _hname(p)
+                      for p in parts)
+        ocols = tuple((o.value if o.kind == "col" else _hname(o), d)
                       for o, d in order)
-        if any(c is None for c, _ in ocols):
-            raise ValueError("window ORDER BY supports plain columns only")
+        if fnode.kind == "agg" and isinstance(fnode.value[1], Node):
+            e = fnode.value[1]
+            tgt = e.value if e.kind == "col" else _hname(e)
+            fnode = Node("agg", (fnode.value[0], tgt), fnode.args)
+        elif fnode.kind == "call" and fnode.value in (
+                "lag", "lead", "first_value", "last_value", "nth_value"):
+            a0 = fnode.args[0]
+            if isinstance(a0, Node) and a0.kind != "col":
+                fnode = Node(fnode.kind, fnode.value,
+                             (Node("col", _hname(a0)),) + fnode.args[1:])
         groups.setdefault((pcols, ocols), []).append((nm, fnode, w.value))
+    if hoists:
+        def add_hidden(t: pa.Table, hs=tuple(hoists)) -> pa.Table:
+            for nm2, e2 in hs:
+                v = eval_expr(e2, t)
+                if isinstance(v, pa.Scalar):
+                    v = pa.array([v.as_py()] * len(t),
+                                 v.type if not pa.types.is_null(v.type)
+                                 else pa.int64())
+                t = t.append_column(nm2, v)
+            return t
+
+        ds = ds.map_batches(add_hidden, batch_format="pyarrow",
+                            batch_size=None)
     for (pcols, ocols), jobs in groups.items():
         ds = _window_pass(ds, list(pcols), list(ocols), jobs)
     if qualify is not None:
@@ -5626,6 +5727,44 @@ def _execute_core(q: Select, sf_dir: str, order_by, limit, offset):
             path = sf_path(sf_dir, j.table)
             rcols = list(_parquet_cols(path))
             right_rows = pq.read_metadata(path).num_rows
+        if j.natural:
+            # shared column names become the keys (schemas only known
+            # here); rewrite into the plain equi path below
+            lcols = set(_table_cols(sf_dir, q.table))
+            for j2 in (q.joins or []):
+                if j2 is j:
+                    break
+                lcols.update(_table_cols(sf_dir, j2.table))
+            shared = [c for c in rcols if c in lcols]
+            if not shared:
+                # SQL standard: NATURAL JOIN with no common columns
+                # degenerates to a cross join (DuckDB parity)
+                j = Join(j.table, j.alias, j.left, "", "", cross=True)
+            else:
+                j = Join(j.table, j.alias, j.left, shared[0], shared[0],
+                         extra_pairs=([(c, c) for c in shared[1:]] or None))
+        if j.cross:
+            # cartesian product: broadcast the (pruned) right table, one
+            # repeat/tile take per batch — streams on the left side
+            from gdal_ray.ops.relational import cross_join
+
+            if right is None:
+                acc: set = set()
+                rneed = None
+                if _all_col_refs(q, acc):
+                    for c, _ in (order_by or []):
+                        if isinstance(c, str):
+                            acc.add(c)
+                    # keep >= 1 column: a 0-column Arrow table loses its
+                    # row count, which would collapse the product
+                    rneed = [c for c in rcols if c in acc] or [rcols[0]]
+                right = pq.read_table(sf_path(sf_dir, j.table),
+                                      columns=rneed)
+            if right.num_rows > _BROADCAST_JOIN_MAX_ROWS:
+                raise ValueError(
+                    "CROSS JOIN right side too large to broadcast")
+            ds = cross_join(ds, right)
+            continue
         # ON a = b: decide which side names a right-table column
         # (composite-key joins from comma-FROM planning carry extra pairs)
         lks, rks = [], []

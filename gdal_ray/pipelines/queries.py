@@ -3711,6 +3711,66 @@ def q176_semdedup(sf_dir):
     return out.take(_pc.sort_indices(out["vec_id"]))
 
 
+Q177_SQL = """
+SELECT lang, source, n_docs, src_total,
+       ROUND(n_docs * 1.0 / src_total, 4) AS frac
+FROM (SELECT lang, source, COUNT(*) AS n_docs
+      FROM documents GROUP BY 1, 2) d
+JOIN (SELECT source, COUNT(*) AS src_total
+      FROM documents GROUP BY source) t USING (source)
+ORDER BY lang, source
+"""
+
+
+def q177_join_using(sf_dir):
+    """JOIN ... USING (col): equi join that coalesces each key pair to
+    ONE output column (pyarrow Table.join drops the right key — exactly
+    USING semantics; ops/sql.py rewrites USING into the equi path with
+    extra_pairs). Runs verbatim in DuckDB."""
+    return _sql_query(Q177_SQL)(sf_dir)
+
+
+Q178_SQL = """
+SELECT o_orderkey,
+       ROW_NUMBER() OVER (PARTITION BY o_custkey % 4
+                          ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+            OVER (ORDER BY o_orderkey) AS BIGINT) AS f_run,
+       ROUND(LAG(o_totalprice * 2) OVER (PARTITION BY o_orderstatus
+                                         ORDER BY o_orderkey), 4) AS lag2
+FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey
+"""
+
+
+def q178_window_exprs(sf_dir):
+    """Window specs over EXPRESSIONS (PARTITION BY x % 4, SUM(CASE...)
+    OVER, LAG(expr)): ops/sql._apply_windows hoists each expression into
+    a hidden column via ONE map_batches before the sort-shuffle window
+    pass, then drops it in the final projection. SUM cast BIGINT on both
+    sides (DuckDB emits HUGEINT). Runs verbatim in DuckDB."""
+    return _sql_query(Q178_SQL)(sf_dir)
+
+
+Q179_SQL = """
+SELECT g.lang, g.st, COALESCE(c.n, 0) AS n
+FROM (SELECT l.lang, s.st
+      FROM (SELECT DISTINCT lang FROM documents) l
+      CROSS JOIN (SELECT DISTINCT source AS st FROM documents) s) g
+LEFT JOIN (SELECT lang, source AS st, COUNT(*) AS n
+           FROM documents GROUP BY 1, 2) c
+       ON g.lang = c.lang AND g.st = c.st
+ORDER BY g.lang, g.st
+"""
+
+
+def q179_cross_grid(sf_dir):
+    """Dense lang x source grid: explicit CROSS JOIN (broadcast right
+    table, one repeat/tile take per left batch — streams on the left
+    side, ops/relational.cross_join) densifies the key space, then a
+    LEFT JOIN fills observed counts. Runs verbatim in DuckDB."""
+    return _sql_query(Q179_SQL)(sf_dir)
+
+
 def q170_training_prep(sf_dir):
     """The COMPOSED training-data prep chain (curate -> mixture resample
     -> 64-token chunking -> next-fit packing into 256-token sequences);
@@ -3996,6 +4056,9 @@ def registry():
         "q174_entropy": q174_entropy,
         "q175_embed_decontam": q175_embed_decontam,
         "q176_semdedup": q176_semdedup,
+        "q177_join_using": q177_join_using,
+        "q178_window_exprs": q178_window_exprs,
+        "q179_cross_grid": q179_cross_grid,
         "q134_moving_windows": q134_moving_windows,
         "q135_json_props": q135_json_props,
         "q136_qualify_topk": q136_qualify_topk,
@@ -4120,6 +4183,9 @@ def registry():
         "q173_regression_aggs": Q173_ORACLE_SQL,
         "q174_entropy": Q174_SQL,
         "q175_embed_decontam": Q175_ORACLE_SQL,
+        "q177_join_using": Q177_SQL,
+        "q178_window_exprs": Q178_SQL,
+        "q179_cross_grid": Q179_SQL,
         "q134_moving_windows": Q134_SQL,
         "q135_json_props": Q135_SQL,
         "q136_qualify_topk": Q136_SQL,

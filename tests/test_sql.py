@@ -223,6 +223,23 @@ CASES = [
     "SELECT c_mktsegment, COUNT(*) FILTER (WHERE EXISTS (SELECT * FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')) AS with_f FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment",
     # round-5: duplicated-CTE alias self-joins (triangle counting shape)
     "WITH e AS (SELECT c_custkey % 11 AS a, c_nationkey % 7 AS b FROM customer) SELECT e1.a, COUNT(*) AS n FROM e e1, e e2 WHERE e1.b = e2.b AND e1.a < e2.a GROUP BY e1.a ORDER BY 1",
+    # round-5 session 3: CROSS JOIN (broadcast right, per-batch cartesian)
+    "SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n WHERE n.n_nationkey < 5 ORDER BY 1, 2",
+    "SELECT s.st, COUNT(*) AS n FROM orders o CROSS JOIN (SELECT DISTINCT o_orderstatus AS st FROM orders) s WHERE o.o_orderstatus = s.st GROUP BY 1 ORDER BY 1",
+    "SELECT a.o_orderpriority, b.st, COUNT(*) AS n FROM (SELECT DISTINCT o_orderpriority FROM orders) a CROSS JOIN (SELECT DISTINCT o_orderstatus AS st FROM orders) b GROUP BY 1, 2 ORDER BY 1, 2",
+    # NATURAL JOIN (shared names resolved at execute time) + USING
+    "SELECT rk, n_name, r_name FROM (SELECT n_regionkey AS rk, n_name FROM nation) a NATURAL JOIN (SELECT r_regionkey AS rk, r_name FROM region) b ORDER BY n_name",
+    "SELECT rk, n_name, r_name FROM (SELECT n_regionkey AS rk, n_name FROM nation) a JOIN (SELECT r_regionkey AS rk, r_name FROM region) b USING (rk) ORDER BY n_name",
+    # FROM-less SELECT (one-row dual table)
+    "SELECT 1 AS one, 'x' AS s, 2.5 AS f",
+    # composite AND-ed ON equalities (alias-qualified, executor orients)
+    "SELECT g.lang, g.st, COALESCE(c.n, 0) AS n FROM (SELECT l.lang, s.st FROM (SELECT DISTINCT lang FROM documents) l CROSS JOIN (SELECT DISTINCT source AS st FROM documents) s) g LEFT JOIN (SELECT lang, source AS st, COUNT(*) AS n FROM documents GROUP BY 1, 2) c ON g.lang = c.lang AND g.st = c.st ORDER BY g.lang, g.st",
+    "SELECT a.o_orderpriority AS p, a.o_orderstatus AS st, a.n, b.tot FROM (SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n FROM orders GROUP BY 1, 2) a JOIN (SELECT o_orderpriority, o_orderstatus, SUM(o_orderkey) AS tot FROM orders GROUP BY 1, 2) b ON a.o_orderpriority = b.o_orderpriority AND a.o_orderstatus = b.o_orderstatus ORDER BY 1, 2",
+    # window specs over EXPRESSIONS (hidden-column hoist before the pass)
+    "SELECT o_orderkey, ROW_NUMBER() OVER (PARTITION BY o_custkey % 5 ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey",
+    "SELECT o_orderkey, SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) OVER (ORDER BY o_orderkey) AS nf FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey",
+    "SELECT o_orderkey, LAG(o_totalprice * 2) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS lp FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey",
+    "SELECT o_orderkey, RANK() OVER (ORDER BY o_totalprice - o_orderkey) AS r FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey",
 ]
 
 
@@ -230,7 +247,7 @@ CASES = [
 def con(sf_dir):
     con = duckdb.connect()
     for t in ["lineitem", "orders", "customer", "part", "supplier", "events",
-              "nation", "documents", "embeddings"]:
+              "nation", "region", "documents", "embeddings"]:
         con.execute(f"create view {t} as select * from read_parquet('{sf_path(sf_dir, t)}')")
     return con
 
