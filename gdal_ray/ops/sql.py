@@ -866,6 +866,43 @@ class Parser:
                     # into a hidden column before the fan-out
                     return Node("unnest", None, (inner,))
                 return Node("unnest", inner.value)
+            if lname in ("percentile_cont", "percentile_disc") \
+                    and self.peek() == ("op", "("):
+                # SQL-standard ordered-set spelling:
+                #   PERCENTILE_CONT(q) WITHIN GROUP (ORDER BY col [DESC])
+                # routes to the same exact groupby_quantiles path as
+                # QUANTILE_CONT/DISC; DESC mirrors the fraction (1-q)
+                self.next()
+                qn = self.expr()
+                self.expect("op", ")")
+                if not (self.peek()[0] == "id"
+                        and self.peek()[1].lower() == "within"):
+                    raise ValueError(f"{lname.upper()}(q) requires "
+                                     "WITHIN GROUP (ORDER BY col)")
+                self.next()
+                self.expect("kw", "GROUP")
+                self.expect("op", "(")
+                self.expect("kw", "ORDER")
+                self.expect("kw", "BY")
+                inner = self.expr()
+                desc = bool(self.accept("kw", "DESC"))
+                self.accept("kw", "ASC")
+                self.expect("op", ")")
+                if inner.kind != "col":
+                    raise ValueError(
+                        f"{lname.upper()} supports plain columns only")
+                frac = float(_const_value(qn))
+                if desc:
+                    # cont: mirroring the fraction is exact; disc: the
+                    # tie-at-boundary element differs — not supported
+                    if lname == "percentile_disc":
+                        raise ValueError(
+                            "PERCENTILE_DISC ... ORDER BY DESC unsupported")
+                    frac = 1.0 - frac
+                kind = ("quantile_cont" if lname == "percentile_cont"
+                        else "quantile_disc")
+                return Node("agg", (kind, inner.value),
+                            (Node("lit", frac),))
             if lname == "median" and self.peek() == ("op", "("):
                 # MEDIAN(col) = QUANTILE_CONT(col, 0.5) (DuckDB's numeric
                 # median interpolates) — same exact groupby_quantiles path
@@ -1779,17 +1816,31 @@ def parse_query(sql: str) -> Query:
     order_by = []
     if p.accept("kw", "ORDER"):
         p.expect("kw", "BY")
-        while True:
-            e = p.expr()
-            col = e.value if e.kind == "col" else e
-            desc = False
-            if p.accept("kw", "DESC"):
-                desc = True
-            else:
-                p.accept("kw", "ASC")
-            order_by.append((col, desc))
-            if not p.accept("op", ","):
-                break
+        if (p.peek()[0] in ("kw", "id") and p.peek()[1].lower() == "all"
+                and p.toks[p.i + 1][0] in ("end", "kw")
+                and p.toks[p.i + 1] != ("kw", "BETWEEN")):
+            # ORDER BY ALL (DuckDB): every select item left-to-right;
+            # an optional DESC applies to all of them
+            p.next()
+            desc = bool(p.accept("kw", "DESC"))
+            p.accept("kw", "ASC")
+            for idx, (it, alias) in enumerate(cores[0].items):
+                if isinstance(it, Node) and it.kind == "star":
+                    raise ValueError("ORDER BY ALL requires explicit "
+                                     "select items (no *)")
+                order_by.append((_item_name(it, alias, idx), desc))
+        else:
+            while True:
+                e = p.expr()
+                col = e.value if e.kind == "col" else e
+                desc = False
+                if p.accept("kw", "DESC"):
+                    desc = True
+                else:
+                    p.accept("kw", "ASC")
+                order_by.append((col, desc))
+                if not p.accept("op", ","):
+                    break
     limit = None
     offset = None
     if p.accept("kw", "LIMIT"):

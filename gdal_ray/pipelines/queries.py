@@ -3771,6 +3771,48 @@ def q179_cross_grid(sf_dir):
     return _sql_query(Q179_SQL)(sf_dir)
 
 
+def q180_bpe_merges(sf_dir):
+    """Distributed BPE tokenizer TRAINING (text/bpe.bpe_train): corpus
+    reduces once to a (word, count) vocabulary (one hash-merge shuffle —
+    the text never moves again); each merge round is a vectorized
+    adjacency kernel + combiner/tree-merge pair count + two-level top-1
+    (ONE row to the driver), winner broadcast in the next map closure.
+    Deterministic (ties by count DESC, left, right) and layout-independent
+    — exact-parity-tested against the classic in-memory algorithm in
+    tests/test_bpe.py. Iterative, so no SQL oracle; golden-pinned."""
+    from gdal_ray.text.bpe import bpe_train
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+    return bpe_train(docs, num_merges=24, min_count=2, num_parts=8)
+
+
+def q181_bpe_encode(sf_dir):
+    """BPE ENCODE with the merges learned by q180 (text/bpe.bpe_encode):
+    actor-pool stage, merge-rank dict built once per actor, per-unique-word
+    cache — the min-rank merge loop never touches the corpus row stream.
+    Returns per-doc token count + space-joined token string (hashable
+    golden form). Depends on the trainer, so golden-pinned, no SQL."""
+    import pyarrow.compute as _pc
+
+    from gdal_ray.text.bpe import bpe_encode, bpe_train
+    from gdal_ray.util import to_arrow
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    merges = bpe_train(docs, num_merges=24, min_count=2, num_parts=8)
+    out = bpe_encode(docs, merges, concurrency=(1, 4))
+
+    def finish(t):
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_bpe": t["bpe_tokens_n"],
+            "toks": _pc.binary_join(t["bpe_tokens"], " "),
+        })
+
+    res = to_arrow(out.map_batches(finish, batch_format="pyarrow",
+                                   batch_size=None))
+    return res.take(_pc.sort_indices(res["doc_id"]))
+
+
 def q170_training_prep(sf_dir):
     """The COMPOSED training-data prep chain (curate -> mixture resample
     -> 64-token chunking -> next-fit packing into 256-token sequences);
@@ -4056,6 +4098,8 @@ def registry():
         "q174_entropy": q174_entropy,
         "q175_embed_decontam": q175_embed_decontam,
         "q176_semdedup": q176_semdedup,
+        "q180_bpe_merges": q180_bpe_merges,
+        "q181_bpe_encode": q181_bpe_encode,
         "q177_join_using": q177_join_using,
         "q178_window_exprs": q178_window_exprs,
         "q179_cross_grid": q179_cross_grid,

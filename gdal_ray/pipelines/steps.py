@@ -768,3 +768,37 @@ def _pagerank_step(src_col: str = "src", dst_col: str = "dst",
             num_parts=int(num_parts) if num_parts is not None else None)
 
     return run
+
+
+@step("bpe-train")
+def _bpe_train_step(text_col: str = "text", num_merges=50, min_count=2,
+                    num_parts=16):
+    """Learn a BPE merge table from the corpus (text/bpe.bpe_train);
+    the pipeline result is the ordered merge table."""
+    import ray.data as rd
+
+    from gdal_ray.text.bpe import bpe_train
+
+    def run(ds):
+        return rd.from_arrow(bpe_train(
+            ds, text_col=text_col, num_merges=int(num_merges),
+            min_count=int(min_count), num_parts=int(num_parts)))
+
+    return run
+
+
+@step("bpe-encode")
+def _bpe_encode_step(text_col: str = "text", out: str = "bpe_tokens",
+                     num_merges=50, min_count=2, num_parts=16):
+    """Train BPE merges on the input corpus, then encode it (actor-pool
+    stage with a per-actor word cache; text/bpe.bpe_encode)."""
+    from gdal_ray.text.bpe import bpe_encode, bpe_train
+
+    def run(ds):
+        merges = bpe_train(ds, text_col=text_col,
+                           num_merges=int(num_merges),
+                           min_count=int(min_count),
+                           num_parts=int(num_parts))
+        return bpe_encode(ds, merges, text_col=text_col, out=out)
+
+    return run

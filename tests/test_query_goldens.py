@@ -59,6 +59,11 @@ GOLDENS = {
     "q170_training_prep": (669, "9e8991fc5a4bbae0"),
     # SemDeDup (k=8, thr=0.35, 5 iters, min-id survivors): 409/500 kept
     "q176_semdedup": (500, "52dbbcbff56c04c4"),
+    # distributed BPE trainer (24 merges, min_count=2, num_parts=8) —
+    # exact-parity vs the classic in-memory algorithm in test_bpe.py
+    "q180_bpe_merges": (24, "e3914e7c951b8375"),
+    # BPE encode with the q180 merges (actor-pool, per-word cache)
+    "q181_bpe_encode": (500, "5e3ec46a885895eb"),
 }
 
 

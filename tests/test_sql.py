@@ -232,6 +232,10 @@ CASES = [
     "SELECT rk, n_name, r_name FROM (SELECT n_regionkey AS rk, n_name FROM nation) a JOIN (SELECT r_regionkey AS rk, r_name FROM region) b USING (rk) ORDER BY n_name",
     # FROM-less SELECT (one-row dual table)
     "SELECT 1 AS one, 'x' AS s, 2.5 AS f",
+    # PERCENTILE_CONT/DISC ... WITHIN GROUP + ORDER BY ALL
+    "SELECT o_orderpriority, ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4) AS med, ROUND(PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY o_totalprice DESC), 4) AS p90d, PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS q1 FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n FROM orders GROUP BY o_orderstatus, o_orderpriority ORDER BY ALL",
+    "SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus ORDER BY ALL DESC",
     # composite AND-ed ON equalities (alias-qualified, executor orients)
     "SELECT g.lang, g.st, COALESCE(c.n, 0) AS n FROM (SELECT l.lang, s.st FROM (SELECT DISTINCT lang FROM documents) l CROSS JOIN (SELECT DISTINCT source AS st FROM documents) s) g LEFT JOIN (SELECT lang, source AS st, COUNT(*) AS n FROM documents GROUP BY 1, 2) c ON g.lang = c.lang AND g.st = c.st ORDER BY g.lang, g.st",
     "SELECT a.o_orderpriority AS p, a.o_orderstatus AS st, a.n, b.tot FROM (SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n FROM orders GROUP BY 1, 2) a JOIN (SELECT o_orderpriority, o_orderstatus, SUM(o_orderkey) AS tot FROM orders GROUP BY 1, 2) b ON a.o_orderpriority = b.o_orderpriority AND a.o_orderstatus = b.o_orderstatus ORDER BY 1, 2",
