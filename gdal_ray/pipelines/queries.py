@@ -3813,6 +3813,40 @@ def q181_bpe_encode(sf_dir):
     return res.take(_pc.sort_indices(res["doc_id"]))
 
 
+def q182_quality_classifier(sf_dir):
+    """Model-based quality filtering (text/classifier): fastText-style
+    logistic regression over hashed bag-of-words (vectorized FNV hashing
+    trick, L2-normalized). Labels from a deterministic text-dependent rule
+    (docs containing the token 'window' — the learnable 'seed' class);
+    full-batch GD — each block ships ONE float64[dim]
+    gradient partial per iteration, weights broadcast back; scoring is a
+    shuffle-free actor-pool map. Deterministic (sorted partial merge,
+    fixed num_parts) — golden-pinned; GD is not SQL-expressible."""
+    import pyarrow.compute as _pc
+
+    from gdal_ray.text.classifier import (score_quality,
+                                          train_quality_classifier)
+    from gdal_ray.util import to_arrow
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def add_label(t):
+        has = _pc.match_substring_regex(t["text"], r"(^| )window( |$)")
+        return t.append_column("label", _pc.cast(has, pa.int8()))
+
+    labeled = docs.map_batches(add_label, batch_format="pyarrow",
+                               batch_size=None)
+    w = train_quality_classifier(labeled, "label", dim=1024, iters=40,
+                                 lr=40.0, l2=1e-5, num_parts=8)
+    out = to_arrow(score_quality(labeled, w, concurrency=(1, 4)))
+    res = pa.table({
+        "doc_id": out["doc_id"],
+        "label": _pc.cast(out["label"], pa.int64()),
+        "score": _pc.round(out["quality_score"], 6),
+    })
+    return res.take(_pc.sort_indices(res["doc_id"]))
+
+
 def q170_training_prep(sf_dir):
     """The COMPOSED training-data prep chain (curate -> mixture resample
     -> 64-token chunking -> next-fit packing into 256-token sequences);
@@ -4100,6 +4134,7 @@ def registry():
         "q176_semdedup": q176_semdedup,
         "q180_bpe_merges": q180_bpe_merges,
         "q181_bpe_encode": q181_bpe_encode,
+        "q182_quality_classifier": q182_quality_classifier,
         "q177_join_using": q177_join_using,
         "q178_window_exprs": q178_window_exprs,
         "q179_cross_grid": q179_cross_grid,

@@ -770,6 +770,24 @@ def _pagerank_step(src_col: str = "src", dst_col: str = "dst",
     return run
 
 
+@step("quality-score")
+def _quality_score_step(label_col: str = "label", text_col: str = "text",
+                        out: str = "quality_score", dim=1024, iters=25,
+                        lr=2.0, num_parts=16):
+    """Train the hashed-BoW logistic quality classifier on the input's
+    label column, then score every row (text/classifier)."""
+    from gdal_ray.text.classifier import (score_quality,
+                                          train_quality_classifier)
+
+    def run(ds):
+        w = train_quality_classifier(
+            ds, label_col, text_col=text_col, dim=int(dim),
+            iters=int(iters), lr=float(lr), num_parts=int(num_parts))
+        return score_quality(ds, w, text_col=text_col, out=out)
+
+    return run
+
+
 @step("bpe-train")
 def _bpe_train_step(text_col: str = "text", num_merges=50, min_count=2,
                     num_parts=16):

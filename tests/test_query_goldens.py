@@ -64,6 +64,9 @@ GOLDENS = {
     "q180_bpe_merges": (24, "e3914e7c951b8375"),
     # BPE encode with the q180 merges (actor-pool, per-word cache)
     "q181_bpe_encode": (500, "5e3ec46a885895eb"),
+    # hashed-BoW logistic quality classifier (dim=1024, 40 GD iters,
+    # label = contains-'window'); scores separate 0.90 vs 0.11
+    "q182_quality_classifier": (500, "de23f6361a81ce3e"),
 }
 
 
