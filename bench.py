@@ -428,6 +428,20 @@ def run_bench() -> dict:
         timings["pack1m_docs_per_sec"] = round(n_cur / dt, 1)
         assert 0 < n_seqs <= n_cur
 
+        # BPE tokenizer training over the same 10^6 salted docs: ONE
+        # (word, count) hash shuffle, then 8 merge rounds — vectorized
+        # adjacency kernel over the ~10^6-word vocab + a tiny (pair,
+        # count) tree merge + top-1 per round
+        from gdal_ray.text.bpe import bpe_train
+
+        s = time.time()
+        merges = bpe_train(cur_docs, num_merges=8, min_count=2,
+                           num_parts=num_cpus * 2)
+        dt = time.time() - s
+        timings["bpetrain1m"] = round(dt, 3)
+        timings["bpetrain1m_docs_per_sec"] = round(n_cur / dt, 1)
+        assert len(merges) == 8
+
     result = {
         "metric": "flagship pages pipeline end-to-end (synth+extract+cells+PIP+tile pyramid)",
         "value": round(headline, 3),

@@ -3847,6 +3847,46 @@ def q182_quality_classifier(sf_dir):
     return res.take(_pc.sort_indices(res["doc_id"]))
 
 
+Q183_ORACLE_SQL = """
+SELECT doc_id, array_to_string(list(w ORDER BY i), ' ') AS deduped_text,
+       CAST(COUNT(*) AS BIGINT) AS n_kept
+FROM (
+  SELECT doc_id, words[i+1] AS w, i,
+         ROW_NUMBER() OVER (PARTITION BY doc_id, words[i+1]
+                            ORDER BY i) AS rn
+  FROM (SELECT doc_id, words, UNNEST(range(0, len(words))) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS words
+              FROM documents) s0) s1
+) t WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q183_within_doc_dedup(sf_dir):
+    """Within-document repetition removal (text/analysis.dedup_within_doc
+    — the C4/RefinedWeb drop-repeated-units-inside-a-page step): first
+    occurrence of each unit kept in order, zero-shuffle vectorized kernel
+    (factorize + np.unique first-index; no hash collisions). Oracle
+    restates it as ROW_NUMBER-over-(doc, unit) = 1 + ordered list_agg."""
+    import pyarrow.compute as _pc
+
+    from gdal_ray.text.analysis import dedup_within_doc
+    from gdal_ray.util import to_arrow
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = dedup_within_doc(docs, delimiter=" ")
+
+    def finish(t):
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "deduped_text": t["deduped_text"],
+            "n_kept": _pc.cast(t["deduped_text_n_kept"], pa.int64()),
+        })
+
+    res = to_arrow(out.map_batches(finish, batch_format="pyarrow",
+                                   batch_size=None))
+    return res.take(_pc.sort_indices(res["doc_id"]))
+
+
 def q170_training_prep(sf_dir):
     """The COMPOSED training-data prep chain (curate -> mixture resample
     -> 64-token chunking -> next-fit packing into 256-token sequences);
@@ -4135,6 +4175,7 @@ def registry():
         "q180_bpe_merges": q180_bpe_merges,
         "q181_bpe_encode": q181_bpe_encode,
         "q182_quality_classifier": q182_quality_classifier,
+        "q183_within_doc_dedup": q183_within_doc_dedup,
         "q177_join_using": q177_join_using,
         "q178_window_exprs": q178_window_exprs,
         "q179_cross_grid": q179_cross_grid,
@@ -4262,6 +4303,7 @@ def registry():
         "q173_regression_aggs": Q173_ORACLE_SQL,
         "q174_entropy": Q174_SQL,
         "q175_embed_decontam": Q175_ORACLE_SQL,
+        "q183_within_doc_dedup": Q183_ORACLE_SQL,
         "q177_join_using": Q177_SQL,
         "q178_window_exprs": Q178_SQL,
         "q179_cross_grid": Q179_SQL,

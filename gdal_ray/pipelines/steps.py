@@ -770,6 +770,21 @@ def _pagerank_step(src_col: str = "src", dst_col: str = "dst",
     return run
 
 
+@step("dedup-within-doc")
+def _dedup_within_doc_step(text_col: str = "text",
+                           out: str = "deduped_text",
+                           delimiter: str = " "):
+    """Drop repeated units (lines/paragraphs/words) inside each document,
+    keeping first occurrences (text/analysis.dedup_within_doc)."""
+    from gdal_ray.text.analysis import dedup_within_doc
+
+    def run(ds):
+        return dedup_within_doc(ds, text_col=text_col, out=out,
+                                delimiter=delimiter)
+
+    return run
+
+
 @step("quality-score")
 def _quality_score_step(label_col: str = "label", text_col: str = "text",
                         out: str = "quality_score", dim=1024, iters=25,

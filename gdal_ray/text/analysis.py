@@ -387,3 +387,44 @@ def quantile_buckets(ds, col: str, *, edges=(1.0 / 3.0, 2.0 / 3.0),
         return t.append_column(out, pa.array(lab.tolist(), pa.string()))
 
     return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
+def dedup_within_doc(ds, text_col: str = "text",
+                     out: str = "deduped_text",
+                     delimiter: str = " "):
+    """WITHIN-document repetition removal (the C4/RefinedWeb 'drop
+    repeated lines/paragraphs inside a page' step, applied to
+    delimiter-separated units): keep each unit's FIRST occurrence in its
+    document, preserve order, rejoin with the delimiter. Adds `out` and
+    `{out}_n_kept`.
+
+    Zero-shuffle: one vectorized kernel per batch — split fan-out,
+    pandas factorize of the unit strings (exact, no hash collisions),
+    np.unique over (doc, code) pairs for first-occurrence indices, and a
+    ListArray rebuild + binary_join. The corpus never leaves its block."""
+    import pandas as pd
+
+    def f(t: pa.Table) -> pa.Table:
+        la = pc.split_pattern(t[text_col], delimiter)
+        if isinstance(la, pa.ChunkedArray):
+            la = la.combine_chunks()
+        offsets = la.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = la.flatten()
+        n_docs = len(la)
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64),
+                           np.diff(offsets))
+        codes, _ = pd.factorize(flat.to_pandas(), sort=False)
+        key = doc_of * (codes.max() + 1 if len(codes) else 1) + codes
+        _, first_idx = np.unique(key, return_index=True)
+        first_idx.sort()
+        kept_doc = doc_of[first_idx]
+        kept_per_doc = np.bincount(kept_doc, minlength=n_docs)
+        new_offsets = np.concatenate(
+            [[0], np.cumsum(kept_per_doc)]).astype(np.int64)
+        kept = pa.ListArray.from_arrays(
+            pa.array(new_offsets, pa.int32()), flat.take(pa.array(first_idx)))
+        joined = pc.binary_join(kept, delimiter)
+        t = t.append_column(out, joined)
+        return t.append_column(f"{out}_n_kept", pa.array(kept_per_doc))
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)

@@ -8,13 +8,16 @@ tokenizer uses the same merge loop) re-expressed Ray-Data-first:
   again. Every subsequent iteration runs over the vocabulary, which is
   orders of magnitude smaller than the corpus (the standard trick real
   tokenizer trainers use).
-- Each merge round is fully vectorized: a numpy adjacency kernel over the
-  flattened symbol lists emits per-batch (left, right, weight) partials,
-  the combiner + tree merge (ops.relational.groupby_agg) reduces them, and
-  a two-level top-k ships exactly ONE row (the winning pair) to the
-  driver. The winner broadcasts back in the next map closure (two short
-  strings), and the merge itself is a run-length kernel — leftmost
-  non-overlapping occurrences, no Python loop over rows.
+- Symbols are int32 CODES into a driver-side string table (initial codes
+  = sorted distinct codepoints; merge k adds one code), so every
+  per-round kernel runs on zero-copy int arrays — no Python strings move
+  after vocabulary init. A numpy adjacency kernel emits per-batch
+  (l, r, weight) partials, the combiner + tree merge
+  (ops.relational.groupby_agg) reduces them, and a two-level top-k ships
+  exactly ONE row (the winning pair) to the driver. The winner broadcasts
+  back in the next map closure (three ints), and the merge itself is a
+  run-length kernel — leftmost non-overlapping occurrences, no Python
+  loop over rows.
 - Iterative Ray pipelines must sever stats/lineage each round
   (from_arrow_refs(materialize().to_arrow_refs()) — see ops/graph.py), or
   plan metadata compounds per generation.
@@ -60,37 +63,63 @@ def _word_counts(ds, text_col: str, num_parts: int):
                        merge="hash", shuffle_partitions=num_parts)
 
 
-def _syms_init(t: pa.Table) -> pa.Table:
-    """word -> initial symbol list (its characters). Runs once over the
-    bounded vocabulary, not the corpus."""
+# ---------------------------------------------------------------------------
+# vectorized kernels (symbols are int32 CODES into a driver-side string
+# table: initial codes = sorted distinct codepoints, merge k adds code
+# alpha_n + k — so the per-round kernels touch only zero-copy int arrays,
+# never Python strings)
+# ---------------------------------------------------------------------------
+
+_PAIR_SHIFT = 21  # symbol ids < 2^21 (alphabet + merges); key = l<<21 | r
+
+
+def _alphabet(vocab) -> np.ndarray:
+    """Sorted distinct codepoints across the vocabulary (tiny — per-batch
+    sets union on the driver)."""
+    def f(t: pa.Table) -> pa.Table:
+        cps = np.unique(np.frombuffer(
+            "".join(t["word"].to_pylist()).encode("utf-32-le"),
+            dtype=np.uint32))
+        return pa.table({"cp": pa.array(cps.astype(np.int64))})
+
+    parts = vocab.map_batches(f, batch_format="pyarrow",
+                              batch_size=None).take_all()
+    return np.unique(np.array([r["cp"] for r in parts], dtype=np.int64))
+
+
+def _syms_init_codes(t: pa.Table, alpha: np.ndarray) -> pa.Table:
+    """word -> list<int32> of codepoint codes (vectorized: one utf-32
+    decode of the concatenated words + searchsorted)."""
     words = t["word"].to_pylist()
-    syms = pa.array([list(w) for w in words], pa.list_(pa.string()))
-    return pa.table({"word": t["word"], "cnt": t["cnt"], "syms": syms})
-
-
-# ---------------------------------------------------------------------------
-# vectorized kernels
-# ---------------------------------------------------------------------------
+    joined = "".join(words)
+    cps = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    codes = np.searchsorted(alpha, cps.astype(np.int64)).astype(np.int32)
+    lens = np.fromiter((len(w) for w in words), np.int64, len(words))
+    offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+    syms = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                    pa.array(codes))
+    return pa.table({"cnt": t["cnt"], "syms": syms})
 
 
 def _flat_offsets(la: pa.ChunkedArray | pa.ListArray):
     if isinstance(la, pa.ChunkedArray):
         la = la.combine_chunks()
-    flat = np.asarray(la.flatten().to_pylist(), dtype=object)
+    flat = la.flatten().to_numpy(zero_copy_only=False)
     offsets = la.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     return flat, offsets
 
 
 def _pair_partials(t: pa.Table) -> pa.Table:
-    """Per-batch (left, right, w) adjacency counts, weighted by word count
+    """Per-batch (l, r, w) adjacency-code counts, weighted by word count
     — every adjacent position counts (the classic get_stats convention,
-    overlaps included)."""
+    overlaps included). Pure int numpy: unique on the packed pair key +
+    weighted bincount."""
     flat, offsets = _flat_offsets(t["syms"])
     cnt = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
     n = len(flat)
     if n == 0:
-        return pa.table({"l": pa.array([], pa.string()),
-                         "r": pa.array([], pa.string()),
+        return pa.table({"l": pa.array([], pa.int64()),
+                         "r": pa.array([], pa.int64()),
                          "w": pa.array([], pa.int64())})
     # a position starts a within-word pair unless it is the last symbol of
     # its word
@@ -98,13 +127,12 @@ def _pair_partials(t: pa.Table) -> pa.Table:
     mask[offsets[1:] - 1] = False
     idx = np.flatnonzero(mask)
     word_of = np.searchsorted(offsets, idx, side="right") - 1
-    part = pa.table({
-        "l": pa.array(flat[idx].tolist(), pa.string()),
-        "r": pa.array(flat[idx + 1].tolist(), pa.string()),
-        "w": pa.array(cnt[word_of]),
-    })
-    return part.group_by(["l", "r"], use_threads=False).aggregate(
-        [("w", "sum")]).rename_columns(["l", "r", "w"])
+    key = (flat[idx].astype(np.int64) << _PAIR_SHIFT) | flat[idx + 1]
+    uniq, inv = np.unique(key, return_inverse=True)
+    w = np.bincount(inv, weights=cnt[word_of]).astype(np.int64)
+    return pa.table({"l": pa.array(uniq >> _PAIR_SHIFT),
+                     "r": pa.array(uniq & ((1 << _PAIR_SHIFT) - 1)),
+                     "w": pa.array(w)})
 
 
 def _merge_pair_kernel(flat: np.ndarray, offsets: np.ndarray,
@@ -141,8 +169,9 @@ def _merge_pair_kernel(flat: np.ndarray, offsets: np.ndarray,
 
 def _rebuild(t: pa.Table, flat: np.ndarray, offsets: np.ndarray) -> pa.Table:
     syms = pa.ListArray.from_arrays(
-        pa.array(offsets, pa.int32()), pa.array(flat.tolist(), pa.string()))
-    return pa.table({"word": t["word"], "cnt": t["cnt"], "syms": syms})
+        pa.array(offsets.astype(np.int32), pa.int32()),
+        pa.array(flat.astype(np.int32)))
+    return pa.table({"cnt": t["cnt"], "syms": syms})
 
 
 # ---------------------------------------------------------------------------
@@ -161,8 +190,16 @@ def bpe_train(ds, text_col: str = "text", num_merges: int = 50,
 
     from gdal_ray.ops.relational import groupby_agg, topk
 
-    vocab = _word_counts(ds, text_col, num_parts).map_batches(
-        _syms_init, batch_format="pyarrow", batch_size=None)
+    words = _word_counts(ds, text_col, num_parts)
+    words = rd.from_arrow_refs(words.materialize().to_arrow_refs())
+    alpha = _alphabet(words)
+    if alpha.size >= (1 << _PAIR_SHIFT) - num_merges:
+        raise ValueError("alphabet too large for the packed pair key")
+    # code -> symbol string; merge k appends code alpha.size + k
+    sym_strs: list[str] = [chr(int(c)) for c in alpha]
+    vocab = words.map_batches(
+        lambda t, a=alpha: _syms_init_codes(t, a),
+        batch_format="pyarrow", batch_size=None)
     vocab = rd.from_arrow_refs(vocab.materialize().to_arrow_refs())
 
     merges: list[tuple[str, str, str, int]] = []
@@ -171,22 +208,35 @@ def bpe_train(ds, text_col: str = "text", num_merges: int = 50,
                                   batch_size=None)
         agg = groupby_agg(pairs, ["l", "r"], [("cnt", "sum", "w")],
                           merge="tree", shuffle_partitions=num_parts)
-        best = topk(agg, [("cnt", True), ("l", False), ("r", False)], 1)
+        # argmax tie-break is on the symbol STRINGS (reference semantics),
+        # so label the bounded aggregated pair table before the top-1
+        strs = np.asarray(sym_strs, dtype=object)
+
+        def label(t: pa.Table, strs=strs) -> pa.Table:
+            li = t["l"].to_numpy(zero_copy_only=False)
+            ri = t["r"].to_numpy(zero_copy_only=False)
+            t = t.append_column("ls", pa.array(strs[li].tolist(),
+                                               pa.string()))
+            return t.append_column("rs", pa.array(strs[ri].tolist(),
+                                                  pa.string()))
+
+        best = topk(agg.map_batches(label, batch_format="pyarrow",
+                                    batch_size=None),
+                    [("cnt", True), ("ls", False), ("rs", False)], 1)
         rows = best.take_all()
         if not rows:
             break
         b = rows[0]
-        left, right, cnt = b["l"], b["r"], int(b["cnt"])
+        lc, rc, cnt = int(b["l"]), int(b["r"]), int(b["cnt"])
         if cnt < min_count:
             break
-        merged = left + right
-        merges.append((left, right, merged, cnt))
+        merged_code = len(sym_strs)
+        merges.append((b["ls"], b["rs"], b["ls"] + b["rs"], cnt))
+        sym_strs.append(b["ls"] + b["rs"])
 
-        def apply(t: pa.Table, left=left, right=right,
-                  merged=merged) -> pa.Table:
+        def apply(t: pa.Table, lc=lc, rc=rc, mc=merged_code) -> pa.Table:
             flat, offsets = _flat_offsets(t["syms"])
-            flat, offsets = _merge_pair_kernel(flat, offsets, left, right,
-                                               merged)
+            flat, offsets = _merge_pair_kernel(flat, offsets, lc, rc, mc)
             return _rebuild(t, flat, offsets)
 
         vocab = vocab.map_batches(apply, batch_format="pyarrow",

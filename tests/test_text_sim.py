@@ -638,3 +638,37 @@ def test_bm25_scores_vs_bruteforce(ray_session):
         .to_pandas()
     full = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:7]
     assert list(zip(top["doc_id"], top["score"])) == full
+
+
+def test_dedup_within_doc_brute(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.text.analysis import dedup_within_doc
+    from gdal_ray.util import to_arrow
+
+    texts = [
+        "a b a c b a d",
+        "x x x",
+        "one two three",
+        "",
+        "p q p q r p",
+    ]
+    ds = rd.from_arrow(pa.table({"i": list(range(len(texts))),
+                                 "text": texts})).repartition(2)
+    out = to_arrow(dedup_within_doc(ds, delimiter=" "))
+    out = out.take(pa.compute.sort_indices(out["i"]))
+
+    def brute(t):
+        seen, kept = set(), []
+        for w in t.split(" "):
+            if w not in seen:
+                seen.add(w)
+                kept.append(w)
+        return " ".join(kept), len(kept)
+
+    for i, t in enumerate(texts):
+        exp_text, exp_n = brute(t)
+        assert out["deduped_text"][i].as_py() == exp_text, t
+        assert out["deduped_text_n_kept"][i].as_py() == exp_n, t
