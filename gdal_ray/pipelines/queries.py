@@ -3887,6 +3887,37 @@ def q183_within_doc_dedup(sf_dir):
     return res.take(_pc.sort_indices(res["doc_id"]))
 
 
+def q184_audio_features(sf_dir):
+    """Audio-column pipeline over a REAL container format (stages/audio):
+    per-doc deterministic tone mixtures encode to genuine RIFF/WAVE PCM16
+    bytes, the actor-pool stage chunk-parses them back and extracts DSP
+    features (RMS, zero-crossing rate, spectral centroid, dominant
+    frequency via rfft); the wide payload is dropped at the decode
+    boundary. Codec round-trips vs stdlib `wave` in tests/test_audio.py.
+    Golden-pinned (FFT features are not SQL-expressible)."""
+    import pyarrow.compute as _pc
+
+    from gdal_ray.stages.audio import audio_features, synth_audio_column
+    from gdal_ray.util import to_arrow
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    wired = audio_features(synth_audio_column(docs, id_col="doc_id"),
+                           concurrency=(1, 4))
+
+    def finish(t):
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "rms": _pc.round(t["audio_rms"], 6),
+            "zcr": _pc.round(t["audio_zcr"], 6),
+            "centroid_hz": _pc.round(t["audio_centroid_hz"], 4),
+            "dominant_hz": _pc.round(t["audio_dominant_hz"], 4),
+        })
+
+    res = to_arrow(wired.map_batches(finish, batch_format="pyarrow",
+                                     batch_size=None))
+    return res.take(_pc.sort_indices(res["doc_id"]))
+
+
 def q170_training_prep(sf_dir):
     """The COMPOSED training-data prep chain (curate -> mixture resample
     -> 64-token chunking -> next-fit packing into 256-token sequences);
@@ -4176,6 +4207,7 @@ def registry():
         "q181_bpe_encode": q181_bpe_encode,
         "q182_quality_classifier": q182_quality_classifier,
         "q183_within_doc_dedup": q183_within_doc_dedup,
+        "q184_audio_features": q184_audio_features,
         "q177_join_using": q177_join_using,
         "q178_window_exprs": q178_window_exprs,
         "q179_cross_grid": q179_cross_grid,

@@ -4,10 +4,11 @@ The reference's precedent is GDAL's raster-driver decode surface (frmts/,
 114 drivers) — binary payloads with declared shape/type metadata. Here each
 modality is a `binary` column + metadata columns; decode/resize/feature
 stages are actor-pool map_batches stages whose RAY-SIDE PLUMBING (schema,
-batch sizing, actor lifecycle, output layout) is real and tested, while the
-codec call itself is a deterministic fake (the sandbox ships no image/audio
-libs). Swap `_decode_payload` for a real codec (PIL/ffmpeg) in production —
-marked with NotImplementedError escape hatches.
+batch sizing, actor lifecycle, output layout) is real and tested. Two
+codecs decode FOR REAL, dependency-free: PNG (raster/png.py, zlib-only)
+and WAV/RIFF PCM (stages/audio.py); jpeg/webp/mp3/video formats still
+need external libraries — marked with NotImplementedError escape hatches
+(swap into `_decode_payload` / `AudioStage` in production).
 
 Memory note: binary payloads are WIDE rows — batches must stay small
 (batch rows x payload size x concurrency must fit a worker heap), which is

@@ -67,6 +67,9 @@ GOLDENS = {
     # hashed-BoW logistic quality classifier (dim=1024, 40 GD iters,
     # label = contains-'window'); scores separate 0.90 vs 0.11
     "q182_quality_classifier": (500, "de23f6361a81ce3e"),
+    # real WAV/RIFF PCM16 round-trip + DSP features (rms/zcr/centroid/
+    # dominant via rfft) through the actor-pool audio stage
+    "q184_audio_features": (500, "83740373cceaa16e"),
 }
 
 
