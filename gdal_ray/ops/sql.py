@@ -3995,11 +3995,72 @@ def _run_recursive_cte(name: str, base: Select, step: Select,
     return total.combine_chunks()
 
 
+_COPY_RE = re.compile(
+    r"^\s*COPY\s*\((?P<sel>.*)\)\s*TO\s*'(?P<path>[^']+)'\s*"
+    r"(?:\(\s*FORMAT\s+(?P<fmt>\w+)\s*\))?\s*;?\s*$",
+    re.S | re.I)
+_CTAS_RE = re.compile(
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+(?P<name>\w+)\s+AS\s+"
+    r"(?P<sel>.+?)\s*;?\s*$", re.S | re.I)
+
+
+def _execute_statement(sql: str, sf_dir: str):
+    """Non-SELECT statements: COPY (sel) TO 'path' [(FORMAT fmt)] writes
+    the result (parquet/csv/jsonl by format or path suffix); CREATE [OR
+    REPLACE] TABLE name AS sel registers the materialized result in the
+    table registry (queryable by later execute() calls). Both return a
+    one-row summary table. Returns None when sql is a plain SELECT."""
+    m = _COPY_RE.match(sql)
+    if m is not None:
+        from gdal_ray.util import to_arrow
+
+        res = to_arrow(execute(m.group("sel"), sf_dir))
+        path = m.group("path")
+        fmt = (m.group("fmt") or "").lower()
+        if not fmt:
+            fmt = ("csv" if path.endswith(".csv") else
+                   "jsonl" if path.endswith((".jsonl", ".ndjson")) else
+                   "parquet")
+        if fmt == "parquet":
+            import pyarrow.parquet as _pq
+
+            _pq.write_table(res, path)
+        elif fmt == "csv":
+            import pyarrow.csv as _pcsv
+
+            _pcsv.write_csv(res, path)
+        elif fmt in ("jsonl", "json", "ndjson"):
+            import json as _json
+
+            with open(path, "w") as f:
+                for row in res.to_pylist():
+                    f.write(_json.dumps(row, default=str) + "\n")
+        else:
+            raise ValueError(f"COPY TO format {fmt!r} unsupported")
+        return pa.table({"path": pa.array([path]),
+                         "rows": pa.array([res.num_rows], pa.int64())})
+    m = _CTAS_RE.match(sql)
+    if m is not None and m.group("name").lower() not in ("table",):
+        from gdal_ray.util import to_arrow
+
+        res = to_arrow(execute(m.group("sel"), sf_dir))
+        register_table(m.group("name"), res)
+        return pa.table({"table": pa.array([m.group("name")]),
+                         "rows": pa.array([res.num_rows], pa.int64())})
+    return None
+
+
 def execute(sql: str, sf_dir: str):
     """Compile + run a SELECT (or set-op chain: UNION [ALL] / INTERSECT /
-    EXCEPT) against the sf_dir parquet tables."""
+    EXCEPT) against the sf_dir parquet tables; COPY (sel) TO / CREATE
+    TABLE AS statements dispatch to _execute_statement."""
     from gdal_ray.ops.relational import topk, union_all
 
+    head = sql.lstrip()[:6].upper()
+    if head.startswith(("COPY", "CREATE")):
+        out = _execute_statement(sql, sf_dir)
+        if out is not None:
+            return out
     q = parse_query(sql)
     if q.rec_ctes:
         # materialize each recursive CTE to a fixpoint table and bind it

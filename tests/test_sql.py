@@ -931,3 +931,43 @@ def test_array_to_string_matches_duckdb(sf_dir, con):
                     exp[c].astype(str).tolist(), (sql, c)
     finally:
         unregister_table("ats_t")
+
+
+def test_copy_to_and_ctas(ray_session, sf_dir, tmp_path, con):
+    """COPY (sel) TO 'path' (parquet/csv/jsonl) + CREATE TABLE AS ->
+    registry-backed follow-up queries."""
+    import json
+
+    import pyarrow.parquet as pq_
+
+    sel = ("SELECT o_orderpriority, COUNT(*) AS n FROM orders "
+           "GROUP BY o_orderpriority ORDER BY o_orderpriority")
+    exp = con.execute(sel).df()
+
+    pqp = str(tmp_path / "out.parquet")
+    r = execute(f"COPY ({sel}) TO '{pqp}'", sf_dir)
+    assert r["rows"][0].as_py() == len(exp)
+    back = pq_.read_table(pqp).to_pandas()
+    assert (back["n"].astype(int).tolist() == exp["n"].astype(int).tolist())
+
+    csvp = str(tmp_path / "out.csv")
+    execute(f"COPY ({sel}) TO '{csvp}' (FORMAT CSV)", sf_dir)
+    import pandas as pd_
+
+    assert pd_.read_csv(csvp)["n"].tolist() == exp["n"].astype(int).tolist()
+
+    jp = str(tmp_path / "out.jsonl")
+    execute(f"COPY ({sel}) TO '{jp}' (FORMAT JSONL)", sf_dir)
+    rows = [json.loads(line) for line in open(jp)]
+    assert [r2["n"] for r2 in rows] == exp["n"].astype(int).tolist()
+
+    r = execute(f"CREATE TABLE prio_counts AS {sel}", sf_dir)
+    assert r["rows"][0].as_py() == len(exp)
+    try:
+        back2 = to_arrow(execute(
+            "SELECT SUM(n) AS total FROM prio_counts", sf_dir))
+        assert back2["total"][0].as_py() == int(exp["n"].sum())
+    finally:
+        from gdal_ray.ops.sql import unregister_table
+
+        unregister_table("prio_counts")
