@@ -3918,6 +3918,63 @@ def q184_audio_features(sf_dir):
     return res.take(_pc.sort_indices(res["doc_id"]))
 
 
+Q185_ORACLE_SQL = """
+WITH toks AS (
+  SELECT doc_id, words[i+1] AS w, i,
+         LEAD(words[i+1]) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+  FROM (SELECT doc_id, words, UNNEST(range(0, len(words))) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS words
+              FROM documents) s0) s1
+),
+adj AS (SELECT doc_id, w, nxt FROM toks WHERE nxt IS NOT NULL),
+uni AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS cw FROM adj GROUP BY w),
+bi AS (SELECT w, nxt, CAST(COUNT(*) AS DOUBLE) AS cb
+       FROM adj GROUP BY w, nxt),
+v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS vv FROM uni),
+scored AS (
+  SELECT a.doc_id,
+         ROUND(AVG(LN((bi.cb + 0.5) / (uni.cw + 0.5 * v.vv))), 4) AS lp,
+         CAST(COUNT(*) AS BIGINT) AS nb
+  FROM adj a JOIN bi ON a.w = bi.w AND a.nxt = bi.nxt
+             JOIN uni ON a.w = uni.w
+             CROSS JOIN v
+  GROUP BY a.doc_id
+)
+SELECT d.doc_id, s.lp AS bigram_logp,
+       COALESCE(s.nb, 0) AS n_bigrams
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def q185_bigram_lm(sf_dir):
+    """Word-bigram LM quality scoring (text/ngramlm.bigram_lm_score):
+    add-k self-scored corpus LM — adjacency extraction is a flat-index
+    numpy kernel, only (gram, count) pairs shuffle (hash merge), count
+    maps broadcast (ray.put, searchsorted lookup per batch), scoring is
+    one more streaming pass. The oracle restates the same model with
+    LEAD + grouped counts + LN (q97 precedent: libm ln agrees at these
+    magnitudes after ROUND 4)."""
+    import pyarrow.compute as _pc
+
+    from gdal_ray.text.ngramlm import bigram_lm_score
+    from gdal_ray.util import to_arrow
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = bigram_lm_score(docs, k=0.5, num_parts=8)
+
+    def finish(t):
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "bigram_logp": _pc.round(t["bigram_logp"], 4),
+            "n_bigrams": _pc.cast(t["bigram_logp_n_bigrams"], pa.int64()),
+        })
+
+    res = to_arrow(out.map_batches(finish, batch_format="pyarrow",
+                                   batch_size=None))
+    return res.take(_pc.sort_indices(res["doc_id"]))
+
+
 def q170_training_prep(sf_dir):
     """The COMPOSED training-data prep chain (curate -> mixture resample
     -> 64-token chunking -> next-fit packing into 256-token sequences);
@@ -4208,6 +4265,7 @@ def registry():
         "q182_quality_classifier": q182_quality_classifier,
         "q183_within_doc_dedup": q183_within_doc_dedup,
         "q184_audio_features": q184_audio_features,
+        "q185_bigram_lm": q185_bigram_lm,
         "q177_join_using": q177_join_using,
         "q178_window_exprs": q178_window_exprs,
         "q179_cross_grid": q179_cross_grid,
@@ -4336,6 +4394,7 @@ def registry():
         "q174_entropy": Q174_SQL,
         "q175_embed_decontam": Q175_ORACLE_SQL,
         "q183_within_doc_dedup": Q183_ORACLE_SQL,
+        "q185_bigram_lm": Q185_ORACLE_SQL,
         "q177_join_using": Q177_SQL,
         "q178_window_exprs": Q178_SQL,
         "q179_cross_grid": Q179_SQL,

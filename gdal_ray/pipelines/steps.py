@@ -770,6 +770,20 @@ def _pagerank_step(src_col: str = "src", dst_col: str = "dst",
     return run
 
 
+@step("bigram-lm")
+def _bigram_lm_step(text_col: str = "text", k=0.5,
+                    out: str = "bigram_logp", num_parts=16):
+    """Self-scored add-k word-bigram LM quality signal
+    (text/ngramlm.bigram_lm_score)."""
+    from gdal_ray.text.ngramlm import bigram_lm_score
+
+    def run(ds):
+        return bigram_lm_score(ds, text_col=text_col, k=float(k), out=out,
+                               num_parts=int(num_parts))
+
+    return run
+
+
 @step("dedup-within-doc")
 def _dedup_within_doc_step(text_col: str = "text",
                            out: str = "deduped_text",

@@ -672,3 +672,42 @@ def test_dedup_within_doc_brute(ray_session):
         exp_text, exp_n = brute(t)
         assert out["deduped_text"][i].as_py() == exp_text, t
         assert out["deduped_text_n_kept"][i].as_py() == exp_n, t
+
+
+def test_bigram_lm_brute(ray_session):
+    """bigram_lm_score vs a dict-based reference of the same add-k model
+    (history-count convention)."""
+    import math
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.text.ngramlm import bigram_lm_score
+    from gdal_ray.util import to_arrow
+
+    texts = ["a b a b c", "b c b c a a", "c a b", "x", "a a a a"]
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(len(texts))),
+                                 "text": texts})).repartition(2)
+    out = to_arrow(bigram_lm_score(ds, k=0.5, num_parts=2))
+    out = out.take(pa.compute.sort_indices(out["doc_id"]))
+
+    uni, bi = Counter(), Counter()
+    for t in texts:
+        ws = t.split()
+        for i in range(len(ws) - 1):
+            uni[ws[i]] += 1
+            bi[(ws[i], ws[i + 1])] += 1
+    V = len(uni)
+    for d, t in enumerate(texts):
+        ws = t.split()
+        lps = [math.log((bi[(ws[i], ws[i + 1])] + 0.5)
+                        / (uni[ws[i]] + 0.5 * V))
+               for i in range(len(ws) - 1)]
+        got = out["bigram_logp"][d].as_py()
+        if not lps:
+            assert got is None
+            assert out["bigram_logp_n_bigrams"][d].as_py() == 0
+        else:
+            assert abs(got - sum(lps) / len(lps)) < 1e-12, t
+            assert out["bigram_logp_n_bigrams"][d].as_py() == len(lps)
