@@ -3975,6 +3975,45 @@ def q185_bigram_lm(sf_dir):
     return res.take(_pc.sort_indices(res["doc_id"]))
 
 
+Q186_ORACLE_SQL = """
+WITH sims AS (
+  SELECT e2.vec_id AS vec_id,
+         list_cosine_similarity(
+             list_transform(e1.embedding[1:8], x -> CAST(x AS DOUBLE)),
+             list_transform(e2.embedding[1:8], x -> CAST(x AS DOUBLE)))
+             AS s
+  FROM embeddings e1, embeddings e2
+  WHERE e1.vec_id = 0 AND e2.vec_id <> 0)
+SELECT vec_id, round(s, 6) AS score
+FROM sims ORDER BY s DESC, vec_id LIMIT 15
+"""
+
+
+def q186_matryoshka_knn(sf_dir):
+    """Matryoshka (truncated-embedding) retrieval: sim/vectors.
+    matryoshka_truncate keeps the first 8 components + L2-renorm (one
+    vectorized kernel, zero shuffles), then the standard broadcast-query
+    brute-force top-k over the cheap representation — the MRL coarse
+    stage ahead of full-dimension rescoring. Oracle: cosine of DuckDB
+    list slices (cosine is scale-invariant, so the renorm cancels)."""
+    from gdal_ray.sim.knn import brute_force_topk
+    from gdal_ray.sim.vectors import matryoshka_truncate
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    small = matryoshka_truncate(ds, 8)
+    q = _query_vec(sf_dir, 0)[:, :8].astype(np.float64)
+    out = brute_force_topk(small, q, np.array([0]), k=15)
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "score": pc.round(t["score"], ndigits=6,
+                              round_mode="half_towards_infinity"),
+        })
+
+    return out.map_batches(fin, batch_format="pyarrow", batch_size=None)
+
+
 def q170_training_prep(sf_dir):
     """The COMPOSED training-data prep chain (curate -> mixture resample
     -> 64-token chunking -> next-fit packing into 256-token sequences);
@@ -4266,6 +4305,7 @@ def registry():
         "q183_within_doc_dedup": q183_within_doc_dedup,
         "q184_audio_features": q184_audio_features,
         "q185_bigram_lm": q185_bigram_lm,
+        "q186_matryoshka_knn": q186_matryoshka_knn,
         "q177_join_using": q177_join_using,
         "q178_window_exprs": q178_window_exprs,
         "q179_cross_grid": q179_cross_grid,
@@ -4395,6 +4435,7 @@ def registry():
         "q175_embed_decontam": Q175_ORACLE_SQL,
         "q183_within_doc_dedup": Q183_ORACLE_SQL,
         "q185_bigram_lm": Q185_ORACLE_SQL,
+        "q186_matryoshka_knn": Q186_ORACLE_SQL,
         "q177_join_using": Q177_SQL,
         "q178_window_exprs": Q178_SQL,
         "q179_cross_grid": Q179_SQL,

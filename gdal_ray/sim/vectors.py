@@ -237,3 +237,26 @@ def semdedup(ds, *, k: int = 16, threshold: float = 0.95, iters: int = 5,
 
     return labeled.groupby("cluster").map_groups(
         dedup_cluster, batch_format="pandas")
+
+
+def matryoshka_truncate(ds, dims: int, *, vec_col: str = "embedding",
+                        out: str | None = None, renormalize: bool = True):
+    """Matryoshka-representation truncation (Kusupati et al. 2022,
+    arXiv:2205.13147): keep the first `dims` components of each vector
+    and (optionally) L2-renormalize — the standard cheap-tier retrieval
+    trick for MRL-trained embeddings. One vectorized kernel per batch,
+    zero shuffles; output is list<double>."""
+    out = out or vec_col
+
+    def f(t: pa.Table) -> pa.Table:
+        X = _matrix(t, vec_col)[:, :dims].astype(np.float64)
+        if renormalize:
+            X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True),
+                               1e-30)
+        la = pa.FixedSizeListArray.from_arrays(
+            pa.array(X.ravel()), dims).cast(pa.list_(pa.float64()))
+        if out in t.column_names:
+            t = t.drop_columns([out])
+        return t.append_column(out, la)
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)

@@ -711,3 +711,27 @@ def test_bigram_lm_brute(ray_session):
         else:
             assert abs(got - sum(lps) / len(lps)) < 1e-12, t
             assert out["bigram_logp_n_bigrams"][d].as_py() == len(lps)
+
+
+def test_matryoshka_truncate(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.sim.vectors import matryoshka_truncate
+    from gdal_ray.util import to_arrow
+
+    X = np.arange(24, dtype=np.float64).reshape(4, 6) + 1.0
+    ds = rd.from_arrow(pa.table({
+        "vec_id": list(range(4)),
+        "embedding": [row.tolist() for row in X]}))
+    out = to_arrow(matryoshka_truncate(ds, 3))
+    out = out.take(pa.compute.sort_indices(out["vec_id"]))
+    got = np.array(out["embedding"].to_pylist())
+    exp = X[:, :3] / np.linalg.norm(X[:, :3], axis=1, keepdims=True)
+    assert np.allclose(got, exp)
+    assert np.allclose(np.linalg.norm(got, axis=1), 1.0)
+    # renormalize=False keeps raw prefixes
+    raw = to_arrow(matryoshka_truncate(ds, 3, renormalize=False))
+    raw = raw.take(pa.compute.sort_indices(raw["vec_id"]))
+    assert np.allclose(np.array(raw["embedding"].to_pylist()), X[:, :3])
