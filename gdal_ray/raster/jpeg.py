@@ -1,0 +1,435 @@
+"""Baseline JPEG (ITU-T T.81 sequential DCT, 8-bit) decoder — from
+scratch, dependency-free, faithful to libjpeg's INTEGER arithmetic so
+decoded pixels are bit-comparable to the reference's JPEG driver
+(frmts/jpeg wraps libjpeg; autotest jpeg.py pins GDALChecksumImage
+values per libjpeg generation).
+
+Fidelity choices (all public libjpeg algorithms):
+- IDCT: jidctint.c "islow" — 13-bit fixed-point Loeffler/AAN network,
+  PASS1_BITS=2, DESCALE rounding; vectorized here over ALL blocks of a
+  component at once (int64 numpy, exact).
+- Upsampling: jdsample.c fancy (triangular) h2v1/h2v2 kernels, edge
+  replication, exact integer rounding; plus the simple replication
+  kernels for cross-checking.
+- Color: jdcolor.c 16-bit fixed-point YCbCr->RGB tables with ONE_HALF
+  rounding and sample clamp.
+
+Scope: baseline sequential only (SOF0), 8-bit, grayscale or 3-component
+YCbCr, restart markers supported. Progressive (SOF2) and arithmetic
+coding raise NotImplementedError — the multimodal decode boundary
+documents the escape hatch.
+
+Entropy decoding is a per-block Python loop (inherently sequential
+bitstream); everything after the coefficient tables is vectorized
+numpy. Fine for the actor-pool decode stage where each worker handles
+whole payloads.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["decode_jpeg"]
+
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63],
+    dtype=np.int64)
+
+# jidctint.c CONST_BITS=13 constants
+_F_0_298631336 = 2446
+_F_0_390180644 = 3196
+_F_0_541196100 = 4433
+_F_0_765366865 = 6270
+_F_0_899976223 = 7373
+_F_1_175875602 = 9633
+_F_1_501321110 = 12299
+_F_1_847759065 = 15137
+_F_1_961570560 = 16069
+_F_2_053119869 = 16819
+_F_2_562915447 = 20995
+_F_3_072711026 = 25172
+_CONST_BITS = 13
+_PASS1_BITS = 2
+
+
+def _descale(x, n):
+    return (x + (1 << (n - 1))) >> n
+
+
+def _idct_pass(v0, v1, v2, v3, v4, v5, v6, v7, shift):
+    """One islow butterfly pass over stacked vectors (int64 arrays).
+    Inputs are the 8 spectral lines; returns the 8 spatial lines, each
+    DESCALEd by `shift`."""
+    z2, z3 = v2, v6
+    z1 = (z2 + z3) * _F_0_541196100
+    tmp2 = z1 + z3 * (-_F_1_847759065)
+    tmp3 = z1 + z2 * _F_0_765366865
+    tmp0 = (v0 + v4) << _CONST_BITS
+    tmp1 = (v0 - v4) << _CONST_BITS
+    tmp10 = tmp0 + tmp3
+    tmp13 = tmp0 - tmp3
+    tmp11 = tmp1 + tmp2
+    tmp12 = tmp1 - tmp2
+    t0, t1, t2, t3 = v7, v5, v3, v1
+    z1 = t0 + t3
+    z2 = t1 + t2
+    z3 = t0 + t2
+    z4 = t1 + t3
+    z5 = (z3 + z4) * _F_1_175875602
+    t0 = t0 * _F_0_298631336
+    t1 = t1 * _F_2_053119869
+    t2 = t2 * _F_3_072711026
+    t3 = t3 * _F_1_501321110
+    z1 = z1 * (-_F_0_899976223)
+    z2 = z2 * (-_F_2_562915447)
+    z3 = z3 * (-_F_1_961570560) + z5
+    z4 = z4 * (-_F_0_390180644) + z5
+    t0 = t0 + z1 + z3
+    t1 = t1 + z2 + z4
+    t2 = t2 + z2 + z3
+    t3 = t3 + z1 + z4
+    return (_descale(tmp10 + t3, shift), _descale(tmp11 + t2, shift),
+            _descale(tmp12 + t1, shift), _descale(tmp13 + t0, shift),
+            _descale(tmp13 - t0, shift), _descale(tmp12 - t1, shift),
+            _descale(tmp11 - t2, shift), _descale(tmp10 - t3, shift))
+
+
+def _idct_islow_blocks(coefs: np.ndarray, quant: np.ndarray) -> np.ndarray:
+    """(n, 64) zigzag-order int coefficients -> (n, 8, 8) uint8 samples.
+    Exact jidctint.c integer arithmetic, vectorized across blocks."""
+    n = coefs.shape[0]
+    dq = (coefs.astype(np.int64) * quant[None, :])
+    blk = np.zeros((n, 64), np.int64)
+    blk[:, ZIGZAG] = dq  # de-zigzag into natural order
+    blk = blk.reshape(n, 8, 8)
+    # pass 1: columns (process each column vector across blocks)
+    cols = [blk[:, i, :] for i in range(8)]  # row i of each block
+    # jidctint processes columns first: spectral index = row index
+    p = _idct_pass(cols[0], cols[1], cols[2], cols[3], cols[4], cols[5],
+                   cols[6], cols[7], _CONST_BITS - _PASS1_BITS)
+    ws = np.stack(p, axis=1)  # (n, 8, 8) workspace, rows = spatial y
+    # pass 2: rows
+    rows = [ws[:, :, i] for i in range(8)]
+    q = _idct_pass(rows[0], rows[1], rows[2], rows[3], rows[4], rows[5],
+                   rows[6], rows[7], _CONST_BITS + _PASS1_BITS + 3)
+    out = np.stack(q, axis=2)  # (n, 8, 8)
+    return np.clip(out + 128, 0, 255).astype(np.uint8)
+
+
+class _BitReader:
+    __slots__ = ("data", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self):
+        d = self.data
+        while self.nbits <= 24:
+            if self.pos >= len(d):
+                self.acc = (self.acc << 8) | 0xFF  # pad per spec
+                self.nbits += 8
+                continue
+            b = d[self.pos]
+            if b == 0xFF:
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0
+                if nxt == 0x00:
+                    self.pos += 2
+                else:
+                    # marker: stop feeding real data, pad with 1s
+                    self.acc = (self.acc << 8) | 0xFF
+                    self.nbits += 8
+                    continue
+            else:
+                self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+
+    def get(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        return v
+
+    def align_to_marker(self):
+        """Drop buffered bits and return pos of the next marker byte."""
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        p = self.pos
+        while p + 1 < len(d) and not (d[p] == 0xFF and d[p + 1] != 0x00):
+            p += 1
+        self.pos = p
+        return p
+
+
+def _build_huff(bits: list[int], vals: bytes):
+    """(length-counts, values) -> dict {(nbits, code): value} plus a
+    fast two-level: max length table not needed at this scale."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(br: _BitReader, table) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.get(1)
+        v = table.get((length, code))
+        if v is not None:
+            return v
+    raise ValueError("bad Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def _h2v1_fancy(comp: np.ndarray) -> np.ndarray:
+    """jdsample.c h2v1_fancy_upsample, vectorized. (h, w) -> (h, 2w)."""
+    h, w = comp.shape
+    x = comp.astype(np.int64)
+    out = np.empty((h, 2 * w), np.int64)
+    tri = 3 * x
+    left = np.concatenate([x[:, :1], x[:, :-1]], axis=1)
+    right = np.concatenate([x[:, 1:], x[:, -1:]], axis=1)
+    out[:, 0::2] = (tri + left + 1) >> 2
+    out[:, 1::2] = (tri + right + 2) >> 2
+    out[:, 0] = x[:, 0]
+    out[:, -1] = x[:, -1]
+    return out.astype(np.uint8)
+
+
+def _h2v2_fancy(comp: np.ndarray) -> np.ndarray:
+    """jdsample.c h2v2_fancy_upsample, vectorized. (h, w) -> (2h, 2w)."""
+    h, w = comp.shape
+    x = comp.astype(np.int64)
+    up = np.concatenate([x[:1], x[:-1]], axis=0)
+    down = np.concatenate([x[1:], x[-1:]], axis=0)
+    out = np.empty((2 * h, 2 * w), np.int64)
+    for half, near in ((0, up), (1, down)):
+        colsum = 3 * x + near          # (h, w)
+        last = np.concatenate([colsum[:, :1], colsum[:, :-1]], axis=1)
+        nxt = np.concatenate([colsum[:, 1:], colsum[:, -1:]], axis=1)
+        even = (colsum * 3 + last + 8) >> 4
+        odd = (colsum * 3 + nxt + 7) >> 4
+        even[:, 0] = (colsum[:, 0] * 4 + 8) >> 4
+        odd[:, -1] = (colsum[:, -1] * 4 + 7) >> 4
+        out[half::2, 0::2] = even
+        out[half::2, 1::2] = odd
+    return out.astype(np.uint8)
+
+
+def _simple_upsample(comp: np.ndarray, hs: int, vs: int) -> np.ndarray:
+    return np.repeat(np.repeat(comp, vs, axis=0), hs, axis=1)
+
+
+_SCALE = 16
+_HALF = 1 << (_SCALE - 1)
+
+
+def _fix(x: float) -> int:
+    return int(x * (1 << _SCALE) + 0.5)
+
+
+def _ycc_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray):
+    """jdcolor.c integer tables."""
+    i = np.arange(256, dtype=np.int64)
+    x = i - 128
+    crr = (_fix(1.40200) * x + _HALF) >> _SCALE
+    cbb = (_fix(1.77200) * x + _HALF) >> _SCALE
+    crg = -_fix(0.71414) * x
+    cbg = -_fix(0.34414) * x + _HALF
+    yv = y.astype(np.int64)
+    r = yv + crr[cr]
+    g = yv + ((cbg[cb] + crg[cr]) >> _SCALE)
+    b = yv + cbb[cb]
+    return (np.clip(r, 0, 255).astype(np.uint8),
+            np.clip(g, 0, 255).astype(np.uint8),
+            np.clip(b, 0, 255).astype(np.uint8))
+
+
+def decode_jpeg(buf: bytes, *, fancy_upsampling: bool = True) -> np.ndarray:
+    """Decode baseline JPEG bytes to (h, w) uint8 (grayscale) or
+    (h, w, 3) uint8 RGB."""
+    if buf[0:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    qt: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, dict] = {}
+    ac_tabs: dict[int, dict] = {}
+    comps = None
+    size = None
+    restart_interval = 0
+    pos = 2
+    while pos < len(buf):
+        if buf[pos] != 0xFF:
+            raise ValueError(f"marker sync lost at {pos}")
+        m = buf[pos + 1]
+        if m == 0xD9:  # EOI
+            break
+        if m in (0x01,) or 0xD0 <= m <= 0xD7:
+            pos += 2
+            continue
+        (seg,) = struct.unpack(">H", buf[pos + 2:pos + 4])
+        body = buf[pos + 4:pos + 2 + seg]
+        if m == 0xDB:  # DQT
+            o = 0
+            while o < len(body):
+                pq, tq = body[o] >> 4, body[o] & 15
+                if pq:
+                    q = np.frombuffer(body[o + 1:o + 129], ">u2")
+                    o += 129
+                else:
+                    q = np.frombuffer(body[o + 1:o + 65], np.uint8)
+                    o += 65
+                qt[tq] = q.astype(np.int64)
+        elif m == 0xC4:  # DHT
+            o = 0
+            while o < len(body):
+                tc, th = body[o] >> 4, body[o] & 15
+                bits = list(body[o + 1:o + 17])
+                nv = sum(bits)
+                vals = body[o + 17:o + 17 + nv]
+                (dc_tabs if tc == 0 else ac_tabs)[th] = _build_huff(bits,
+                                                                    vals)
+                o += 17 + nv
+        elif m == 0xC0 or m == 0xC1:  # SOF0/1 baseline
+            prec = body[0]
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG")
+            hgt, wid = struct.unpack(">HH", body[1:5])
+            nc = body[5]
+            comps = []
+            for c in range(nc):
+                cid = body[6 + 3 * c]
+                hv = body[7 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
+                              "tq": body[8 + 3 * c]})
+            size = (hgt, wid)
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
+                   0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF{m - 0xC0}: only baseline sequential decodes")
+        elif m == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif m == 0xDA:  # SOS
+            ns = body[0]
+            sel = {}
+            for c in range(ns):
+                cs = body[1 + 2 * c]
+                tt = body[2 + 2 * c]
+                sel[cs] = (tt >> 4, tt & 15)
+            data_pos = pos + 2 + seg
+            return _decode_scan(buf, data_pos, comps, sel, qt, dc_tabs,
+                                ac_tabs, size, restart_interval,
+                                fancy_upsampling)
+        pos += 2 + seg
+    raise ValueError("no SOS marker")
+
+
+def _decode_scan(buf, data_pos, comps, sel, qt, dc_tabs, ac_tabs, size,
+                 restart_interval, fancy):
+    hgt, wid = size
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-wid // (8 * hmax))
+    mcuy = -(-hgt // (8 * vmax))
+    for c in comps:
+        c["bw"] = mcux * c["h"]          # blocks per row
+        c["bh"] = mcuy * c["v"]
+        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), np.int64)
+        c["dc_t"], c["ac_t"] = sel[c["id"]]
+        c["pred"] = 0
+
+    br = _BitReader(buf, data_pos)
+    n_mcu = mcux * mcuy
+    truncated = False
+    for mi in range(n_mcu):
+        if truncated:
+            break
+        if restart_interval and mi and mi % restart_interval == 0:
+            p = br.align_to_marker()
+            if 0xD0 <= buf[p + 1] <= 0xD7:
+                br.pos = p + 2
+            for c in comps:
+                c["pred"] = 0
+        my, mx = divmod(mi, mcux)
+        try:
+            for c in comps:
+                dct = dc_tabs[c["dc_t"]]
+                act = ac_tabs[c["ac_t"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blk = np.zeros(64, np.int64)
+                        t = _huff_decode(br, dct)
+                        diff = _extend(br.get(t), t) if t else 0
+                        c["pred"] += diff
+                        blk[0] = c["pred"]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(br, act)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC index out of range")
+                            blk[k] = _extend(br.get(s), s)
+                            k += 1
+                        row = my * c["v"] + by
+                        col = mx * c["h"] + bx
+                        c["coef"][row * c["bw"] + col] = blk
+        except ValueError:
+            if br.pos >= len(buf) - 2:
+                # truncated stream: keep what decoded (libjpeg emits a
+                # warning and pads the remaining rows)
+                truncated = True
+            else:
+                raise
+
+    planes = []
+    for c in comps:
+        sam = _idct_islow_blocks(c["coef"], qt[c["tq"]])
+        # assemble blocks into the component plane
+        plane = sam.reshape(c["bh"], c["bw"], 8, 8).transpose(
+            0, 2, 1, 3).reshape(c["bh"] * 8, c["bw"] * 8)
+        cw = -(-wid * c["h"] // hmax)
+        ch = -(-hgt * c["v"] // vmax)
+        plane = plane[:ch, :cw]
+        hs, vs = hmax // c["h"], vmax // c["v"]
+        if hs == 1 and vs == 1:
+            pass
+        elif fancy and hs == 2 and vs == 1:
+            plane = _h2v1_fancy(plane)
+        elif fancy and hs == 2 and vs == 2:
+            plane = _h2v2_fancy(plane)
+        else:
+            plane = _simple_upsample(plane, hs, vs)
+        planes.append(plane[:hgt, :wid])
+
+    if len(planes) == 1:
+        return planes[0]
+    if len(planes) == 3:
+        r, g, b = _ycc_to_rgb(planes[0], planes[1], planes[2])
+        return np.stack([r, g, b], axis=2)
+    raise NotImplementedError(f"{len(planes)}-component JPEG")

@@ -74,9 +74,16 @@ def _decode_payload(buf: bytes, fmt: str, w: int, h: int) -> np.ndarray:
         if img.ndim == 2:  # grayscale -> 3-channel for the feature path
             img = np.repeat(img[:, :, None], 3, axis=2)
         return img[:, :, :3].astype(np.uint8)
+    if fmt in ("jpeg", "jpg"):
+        from gdal_ray.raster.jpeg import decode_jpeg
+
+        img = decode_jpeg(bytes(buf))
+        if img.ndim == 2:
+            img = np.repeat(img[:, :, None], 3, axis=2)
+        return img[:, :, :3].astype(np.uint8)
     raise NotImplementedError(
-        f"codec {fmt!r}: real decode requires an image library (PIL/turbojpeg); "
-        "plug it into ImageStage._decode"
+        f"codec {fmt!r}: real decode requires an image library (e.g. "
+        "webp/video need ffmpeg); plug it into ImageStage._decode"
     )
 
 

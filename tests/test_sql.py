@@ -239,6 +239,10 @@ CASES = [
     # composite AND-ed ON equalities (alias-qualified, executor orients)
     "SELECT g.lang, g.st, COALESCE(c.n, 0) AS n FROM (SELECT l.lang, s.st FROM (SELECT DISTINCT lang FROM documents) l CROSS JOIN (SELECT DISTINCT source AS st FROM documents) s) g LEFT JOIN (SELECT lang, source AS st, COUNT(*) AS n FROM documents GROUP BY 1, 2) c ON g.lang = c.lang AND g.st = c.st ORDER BY g.lang, g.st",
     "SELECT a.o_orderpriority AS p, a.o_orderstatus AS st, a.n, b.tot FROM (SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n FROM orders GROUP BY 1, 2) a JOIN (SELECT o_orderpriority, o_orderstatus, SUM(o_orderkey) AS tot FROM orders GROUP BY 1, 2) b ON a.o_orderpriority = b.o_orderpriority AND a.o_orderstatus = b.o_orderstatus ORDER BY 1, 2",
+    # feature combinations: hoisted window exprs + QUALIFY / named windows
+    "SELECT o_orderkey, ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey % 3), 4) AS s FROM orders WHERE o_orderkey < 1000 QUALIFY s > 500000 ORDER BY o_orderkey",
+    "SELECT o_orderkey, NTILE(4) OVER (PARTITION BY o_orderkey % 2 ORDER BY o_totalprice, o_orderkey) AS q FROM orders WHERE o_orderkey < 400 ORDER BY o_orderkey",
+    "SELECT o_orderstatus, ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4) AS med FROM orders GROUP BY o_orderstatus HAVING COUNT(*) > 10 ORDER BY ALL",
     # window specs over EXPRESSIONS (hidden-column hoist before the pass)
     "SELECT o_orderkey, ROW_NUMBER() OVER (PARTITION BY o_custkey % 5 ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey",
     "SELECT o_orderkey, SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) OVER (ORDER BY o_orderkey) AS nf FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey",
