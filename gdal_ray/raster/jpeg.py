@@ -31,7 +31,7 @@ import struct
 
 import numpy as np
 
-__all__ = ["decode_jpeg"]
+__all__ = ["decode_jpeg", "encode_jpeg"]
 
 ZIGZAG = np.array([
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
@@ -433,3 +433,253 @@ def _decode_scan(buf, data_pos, comps, sel, qt, dc_tabs, ac_tabs, size,
         r, g, b = _ycc_to_rgb(planes[0], planes[1], planes[2])
         return np.stack([r, g, b], axis=2)
     raise NotImplementedError(f"{len(planes)}-component JPEG")
+
+
+# ---------------------------------------------------------------------------
+# baseline encoder (grayscale or 4:4:4 RGB, Annex K tables)
+# ---------------------------------------------------------------------------
+
+# ITU-T T.81 Annex K.1 base quantization tables (natural order)
+_K_LUMA_Q = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int64)
+_K_CHROMA_Q = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int64)
+
+# Annex K.3 typical Huffman tables: (BITS list, HUFFVAL bytes)
+_K_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+              bytes(range(12)))
+_K_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+                bytes(range(12)))
+_K_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    bytes([
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]))
+_K_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    bytes([
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]))
+
+
+def _scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg jcparam.c quality scaling."""
+    quality = min(max(int(quality), 1), 100)
+    scale = 5000 // quality if quality < 50 else 200 - quality * 2
+    q = (base * scale + 50) // 100
+    return np.clip(q, 1, 255)
+
+
+def _fdct_blocks(blocks: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) level-shifted float -> (n, 8, 8) DCT-II coefficients
+    (orthonormal scaling matching T.81)."""
+    k = np.arange(8)
+    C = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16) * 0.5
+    C[0] *= 1.0 / np.sqrt(2.0)
+    return np.einsum("ux,nxy,vy->nuv", C, blocks, C)
+
+
+class _BitWriter:
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, n: int):
+        if n == 0:
+            return
+        self.acc = (self.acc << n) | (value & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)
+
+
+def _enc_table(spec):
+    bits, vals = spec
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            k += 1
+            code += 1
+        code <<= 1
+    return codes
+
+
+def _csize(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+def _encode_component_blocks(bw, coefs, dc_codes, ac_codes, pred):
+    for blk in coefs:
+        diff = int(blk[0]) - pred
+        pred = int(blk[0])
+        s = _csize(diff)
+        c, ln = dc_codes[s]
+        bw.put(c, ln)
+        if s:
+            bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        # AC
+        run = 0
+        nz = np.nonzero(blk[1:])[0]
+        last = nz[-1] + 1 if len(nz) else 0
+        for k in range(1, last + 1):
+            v = int(blk[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = ac_codes[0xF0]
+                bw.put(c, ln)
+                run -= 16
+            s = _csize(v)
+            c, ln = ac_codes[(run << 4) | s]
+            bw.put(c, ln)
+            bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last < 63:
+            c, ln = ac_codes[0x00]
+            bw.put(c, ln)
+    return pred
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
+    """Encode (h, w) grayscale or (h, w, 3) RGB uint8 to baseline JPEG
+    (4:4:4, Annex K quant scaled by `quality` + typical Huffman tables).
+    Round-trips through decode_jpeg within quantization error."""
+    img = np.asarray(img)
+    if img.dtype != np.uint8:
+        raise ValueError("encode_jpeg expects uint8")
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    qlum = _scaled_quant(_K_LUMA_Q, quality)
+    qchr = _scaled_quant(_K_CHROMA_Q, quality)
+
+    if gray:
+        planes = [img.astype(np.float64)]
+    else:
+        r = img[:, :, 0].astype(np.float64)
+        g = img[:, :, 1].astype(np.float64)
+        b = img[:, :, 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0
+        planes = [y, cb, cr]
+
+    bh, bwid = -(-h // 8), -(-w // 8)
+    all_coefs = []
+    for pi, plane in enumerate(planes):
+        pad = np.pad(plane, ((0, bh * 8 - h), (0, bwid * 8 - w)),
+                     mode="edge") - 128.0
+        blocks = pad.reshape(bh, 8, bwid, 8).transpose(0, 2, 1, 3) \
+            .reshape(-1, 8, 8)
+        co = _fdct_blocks(blocks)
+        q = (qlum if pi == 0 else qchr).reshape(8, 8)
+        co = np.round(co / q).astype(np.int64)
+        zz = co.reshape(-1, 64)[:, ZIGZAG]  # natural -> zigzag
+        all_coefs.append(zz)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01" \
+        + b"\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+
+    def dqt(tid, q):
+        zzq = q[ZIGZAG]
+        return b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) \
+            + bytes(int(v) for v in zzq)
+
+    out += dqt(0, qlum)
+    if not gray:
+        out += dqt(1, qchr)
+    nc = 1 if gray else 3
+    sof = b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += sof
+
+    def dht(tc, th, spec):
+        bits, vals = spec
+        return b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) \
+            + bytes([(tc << 4) | th]) + bytes(bits) + vals
+
+    out += dht(0, 0, _K_DC_LUMA) + dht(1, 0, _K_AC_LUMA)
+    if not gray:
+        out += dht(0, 1, _K_DC_CHROMA) + dht(1, 1, _K_AC_CHROMA)
+
+    sos = b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += b"\x00\x3f\x00"
+    out += sos
+
+    bw2 = _BitWriter()
+    dc_l = _enc_table(_K_DC_LUMA)
+    ac_l = _enc_table(_K_AC_LUMA)
+    dc_c = _enc_table(_K_DC_CHROMA)
+    ac_c = _enc_table(_K_AC_CHROMA)
+    preds = [0] * nc
+    # 4:4:4 MCU = one block per component, interleaved in block order
+    n_blocks = bh * bwid
+    for bi in range(n_blocks):
+        for ci in range(nc):
+            preds[ci] = _encode_component_blocks(
+                bw2, all_coefs[ci][bi:bi + 1],
+                dc_l if ci == 0 else dc_c,
+                ac_l if ci == 0 else ac_c, preds[ci])
+    bw2.flush()
+    out += bw2.out
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -154,6 +154,63 @@ def write_tiles_png(tiles_ds, out_dir: str, *, dtype=np.uint32,
     return enc.map_batches(write, batch_format="pyarrow", batch_size=None)
 
 
+def encode_tiles_jpeg(tiles_ds, *, dtype=np.uint32, quality: int = 85):
+    """JPEG tile payloads (the reference tile pipeline's other encoded
+    format, apps/gdalalg_raster_tile.cpp): counts clip to uint8 grayscale
+    and encode via the from-scratch baseline codec (raster/jpeg.py).
+    Lossy by nature — the raw `data`/`checksum` columns remain the exact
+    record; deterministic bytes, so goldens can pin them."""
+    from gdal_ray.raster.jpeg import encode_jpeg
+
+    def enc(t: pa.Table) -> pa.Table:
+        bufs = []
+        for buf in t["data"].to_pylist():
+            arr = np.frombuffer(buf, dtype=dtype).reshape(TILE, TILE)
+            bufs.append(encode_jpeg(np.minimum(arr, 255).astype(np.uint8),
+                                    quality=quality))
+        keep = [c for c in ("zoom", "tile_x", "tile_y", "checksum")
+                if c in t.column_names]
+        return t.select(keep).append_column("jpeg",
+                                            pa.array(bufs, pa.binary()))
+
+    return tiles_ds.map_batches(enc, batch_format="pyarrow",
+                                batch_size=None)
+
+
+def write_tiles_jpeg(tiles_ds, out_dir: str, *, dtype=np.uint32,
+                     quality: int = 85):
+    """JPEG XYZ tile sink ({out_dir}/{z}/{x}/{y}.jpg), resumable like
+    write_tiles_png (existing files skipped, tmp+rename atomicity)."""
+    import os
+
+    enc = encode_tiles_jpeg(tiles_ds, dtype=dtype, quality=quality)
+
+    def write(t: pa.Table) -> pa.Table:
+        rows = {"zoom": [], "tile_x": [], "tile_y": [], "n_bytes": [],
+                "skipped": []}
+        for z, x, y, buf in zip(t["zoom"].to_pylist(),
+                                t["tile_x"].to_pylist(),
+                                t["tile_y"].to_pylist(),
+                                t["jpeg"].to_pylist()):
+            d = os.path.join(out_dir, str(z), str(x))
+            path = os.path.join(d, f"{y}.jpg")
+            skipped = os.path.exists(path)
+            if not skipped:
+                os.makedirs(d, exist_ok=True)
+                tmp = f"{path}.tmp{os.getpid()}"
+                with open(tmp, "wb") as f:
+                    f.write(buf)
+                os.replace(tmp, path)
+            rows["zoom"].append(z)
+            rows["tile_x"].append(x)
+            rows["tile_y"].append(y)
+            rows["n_bytes"].append(len(buf))
+            rows["skipped"].append(skipped)
+        return pa.table(rows)
+
+    return enc.map_batches(write, batch_format="pyarrow", batch_size=None)
+
+
 def tile_geotransform(tx: int, ty: int, zoom: int):
     """Affine GT of one 256px tile in lon/lat 'web' pseudo coords (x=lon
     linear; y uses mercator pixel rows — adequate for burn tests)."""

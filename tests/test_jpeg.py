@@ -89,3 +89,57 @@ def test_multimodal_jpeg_path(ray_session):
     assert out.num_rows == 1
     assert out["img_mean"][0].as_py() > 0
     assert "image" not in out.column_names
+
+
+def test_encoder_roundtrip_gray_and_rgb():
+    from gdal_ray.raster.jpeg import encode_jpeg
+
+    rng = np.random.default_rng(42)
+    g = (np.outer(np.linspace(0, 255, 64), np.ones(48))
+         + rng.normal(0, 4, (64, 48))).clip(0, 255).astype(np.uint8)
+    back = decode_jpeg(encode_jpeg(g, quality=90))
+    assert back.shape == g.shape
+    assert np.sqrt(((back.astype(float) - g) ** 2).mean()) < 4.0
+    rgb = np.stack([g, g[::-1], np.roll(g, 7, axis=1)], axis=2)
+    back2 = decode_jpeg(encode_jpeg(rgb, quality=90))
+    assert back2.shape == rgb.shape
+    assert np.sqrt(((back2.astype(float) - rgb) ** 2).mean()) < 5.0
+    # quality knob: lower quality -> smaller file, still decodable
+    lo, hi = encode_jpeg(rgb, 30), encode_jpeg(rgb, 95)
+    assert len(lo) < len(hi)
+    assert decode_jpeg(lo).shape == rgb.shape
+    # deterministic bytes
+    assert encode_jpeg(rgb, 85) == encode_jpeg(rgb, 85)
+
+
+def test_encoder_odd_sizes_and_flat():
+    from gdal_ray.raster.jpeg import encode_jpeg
+
+    flat = np.full((13, 21), 77, np.uint8)  # non-multiple-of-8, flat
+    back = decode_jpeg(encode_jpeg(flat, quality=85))
+    assert back.shape == (13, 21)
+    assert np.abs(back.astype(int) - 77).max() <= 1
+
+
+def test_jpeg_tile_sink(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.stages.raster import TILE, write_tiles_jpeg
+    from gdal_ray.util import to_arrow
+
+    rng = np.random.default_rng(7)
+    tiles = []
+    for (z, x, y) in [(3, 1, 2), (3, 1, 3)]:
+        data = rng.integers(0, 300, (TILE, TILE)).astype(np.uint32)
+        tiles.append({"zoom": z, "tile_x": x, "tile_y": y,
+                      "data": data.tobytes()})
+    t = pa.table({k: [r[k] for r in tiles] for k in tiles[0]})
+    man = to_arrow(write_tiles_jpeg(rd.from_arrow(t), str(tmp_path)))
+    assert man.num_rows == 2
+    assert not any(man["skipped"].to_pylist())
+    img = decode_jpeg(open(f"{tmp_path}/3/1/2.jpg", "rb").read())
+    assert img.shape == (TILE, TILE)
+    # resume: second run skips everything
+    man2 = to_arrow(write_tiles_jpeg(rd.from_arrow(t), str(tmp_path)))
+    assert all(man2["skipped"].to_pylist())
