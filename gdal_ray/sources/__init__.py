@@ -64,6 +64,10 @@ def _builtin(scheme: str):
         from gdal_ray.sources.gpx_kml import read_kml
 
         return read_kml
+    if scheme in ("pnm", "pgm", "ppm"):
+        from gdal_ray.sources.pnm import read_pnm_tiles
+
+        return read_pnm_tiles
     if scheme == "jsonl":
         # newline-delimited JSON — the standard LLM-corpus interchange
         # format; Ray's native reader streams files in parallel
@@ -85,6 +89,9 @@ _EXTENSIONS = {
     ".shp": "shapefile",
     ".gpx": "gpx",
     ".kml": "kml",
+    ".pgm": "pnm",
+    ".ppm": "pnm",
+    ".pnm": "pnm",
 }
 
 
