@@ -64,6 +64,14 @@ def _builtin(scheme: str):
         from gdal_ray.sources.gpx_kml import read_kml
 
         return read_kml
+    if scheme == "gif":
+        from gdal_ray.sources.gif import read_gif_tiles
+
+        return read_gif_tiles
+    if scheme in ("aaigrid", "asc", "aig"):
+        from gdal_ray.sources.aaigrid import read_aaigrid_tiles
+
+        return read_aaigrid_tiles
     if scheme in ("pnm", "pgm", "ppm"):
         from gdal_ray.sources.pnm import read_pnm_tiles
 
@@ -92,6 +100,9 @@ _EXTENSIONS = {
     ".pgm": "pnm",
     ".ppm": "pnm",
     ".pnm": "pnm",
+    ".asc": "aaigrid",
+    ".grd": "aaigrid",
+    ".gif": "gif",
 }
 
 

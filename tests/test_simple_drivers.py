@@ -1,0 +1,84 @@
+"""AAIGrid + GIF drivers vs the reference's own autotest fixtures."""
+
+import numpy as np
+import pytest
+
+from gdal_ray.raster.checksum import checksum
+from gdal_ray.sources.aaigrid import read_aaigrid, write_aaigrid
+from gdal_ray.sources.gif import read_gif
+
+AAIG = "/root/reference/autotest/gdrivers/data/aaigrid"
+GIF = "/root/reference/autotest/gdrivers/data/gif"
+
+
+def test_aaigrid_reference_checksums():
+    a, gt, nd = read_aaigrid(f"{AAIG}/byte.tif.grd")
+    # autotest/gdrivers/aaigrid.py:33 pins checksum 4672
+    assert a.shape == (20, 20) and a.dtype == np.int32
+    assert checksum(a) == 4672
+    assert gt == (440720.0, 60.0, 0.0, 3751320.0, 0.0, -60.0)
+    b, _, _ = read_aaigrid(f"{AAIG}/pixel_per_line.asc")
+    # aaigrid.py:46 pins checksum 1123
+    assert checksum(b) == 1123
+
+
+def test_aaigrid_decimal_comma_and_nan():
+    b, _, _ = read_aaigrid(f"{AAIG}/pixel_per_line.asc")
+    c, _, _ = read_aaigrid(f"{AAIG}/pixel_per_line_comma.asc")
+    assert np.array_equal(b, c)
+    n, _, nd = read_aaigrid(f"{AAIG}/nodata_nan.asc")
+    assert n.dtype == np.float64 and np.isnan(nd)
+    assert np.isnan(n[0, 0])
+
+
+def test_aaigrid_createcopy_roundtrip(tmp_path):
+    # mirrors the reference's CreateCopy table: byte.tif -> AAIGrid ->
+    # read -> checksum 4672 (aaigrid.py init_list)
+    from gdal_ray.sources.geotiff import read_geotiff
+
+    arr, gt, _ = read_geotiff("/root/reference/autotest/gcore/data/byte.tif")
+    p = str(tmp_path / "byte.asc")
+    write_aaigrid(arr.astype(np.int32), p, geotransform=gt)
+    back, gt2, _ = read_aaigrid(p)
+    assert checksum(back) == 4672
+    assert np.allclose(gt, gt2)
+
+
+def test_aaigrid_float_roundtrip(tmp_path):
+    rng = np.random.default_rng(5)
+    a = rng.normal(0, 10, (7, 9))
+    p = str(tmp_path / "f.asc")
+    write_aaigrid(a, p, nodata=-9999)
+    back, _, nd = read_aaigrid(p)
+    assert nd == -9999
+    assert np.allclose(back, a, rtol=0, atol=0)  # repr round-trips exactly
+
+
+def test_gif_reference_checksum():
+    img, pal = read_gif(f"{GIF}/bug407.gif")
+    # autotest/gdrivers/gif.py:48 pins band-1 checksum 57921
+    assert img.shape == (400, 400)
+    assert checksum(img) == 57921
+    assert pal.shape[1] == 3
+    # byte_with_xmp.gif carries the canonical byte payload -> 4672
+    img2, _ = read_gif(f"{GIF}/byte_with_xmp.gif")
+    assert checksum(img2) == 4672
+
+
+def test_gif_errors():
+    with pytest.raises(ValueError):
+        read_gif("/root/reference/autotest/gdrivers/data/pnm/byte.pgm")
+
+
+def test_open_source_dispatch(ray_session):
+    from gdal_ray.sources import open_source
+    from gdal_ray.util import to_arrow
+
+    t = to_arrow(open_source(f"{AAIG}/byte.tif.grd"))
+    r = t.to_pylist()[0]
+    arr = np.frombuffer(r["data"], np.float64).reshape(r["h"], r["w"])
+    assert checksum(arr) == 4672
+    t2 = to_arrow(open_source(f"{GIF}/bug407.gif"))
+    r2 = [x for x in t2.to_pylist()
+          if x["tile_x"] == 0 and x["tile_y"] == 0][0]
+    assert r2["w"] == 256 and r2["h"] == 256
