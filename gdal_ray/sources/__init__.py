@@ -64,6 +64,10 @@ def _builtin(scheme: str):
         from gdal_ray.sources.gpx_kml import read_kml
 
         return read_kml
+    if scheme == "envi":
+        from gdal_ray.sources.envi import read_envi_tiles
+
+        return read_envi_tiles
     if scheme == "gif":
         from gdal_ray.sources.gif import read_gif_tiles
 

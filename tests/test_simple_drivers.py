@@ -82,3 +82,45 @@ def test_open_source_dispatch(ray_session):
     r2 = [x for x in t2.to_pylist()
           if x["tile_x"] == 0 and x["tile_y"] == 0][0]
     assert r2["w"] == 256 and r2["h"] == 256
+
+
+ENVI = "/root/reference/autotest/gdrivers/data/envi"
+
+
+def test_envi_reference_checksums():
+    from gdal_ray.sources.envi import read_envi
+
+    cube, gt, hdr = read_envi(f"{ENVI}/aea.dat")
+    # autotest/gdrivers/envi.py:34 pins band-1 checksum 14823
+    assert cube.shape == (1, 3, 434)
+    assert checksum(cube[0]) == 14823
+    # envi.py:424-426: all three interleaves give identical bands
+    for suf in ("bil", "bip", "bsq"):
+        c, _, _ = read_envi(f"{ENVI}/envi_rgbsmall_{suf}.img")
+        assert [checksum(c[b]) for b in range(3)] == \
+            [20718, 20669, 20895], suf
+    # gzip "file compression = 1" variant decodes identically
+    cc, _, _ = read_envi(f"{ENVI}/aea_compressed.dat")
+    assert checksum(cc[0]) == 14823
+    # big-endian uint16 fixture carries the canonical byte payload
+    be, _, _ = read_envi(f"{ENVI}/uint16_envi_bigendian.dat")
+    assert checksum(be[0]) == 4672
+
+
+def test_envi_roundtrip_interleaves(tmp_path):
+    from gdal_ray.sources.envi import read_envi, write_envi
+
+    rng = np.random.default_rng(1)
+    cube = rng.integers(0, 255, (3, 10, 13)).astype(np.uint8)
+    for inter in ("bsq", "bil", "bip"):
+        p = str(tmp_path / f"t_{inter}.envi")
+        write_envi(cube, p, interleave=inter,
+                   geotransform=(5, 2, 0, 100, 0, -2))
+        back, gt, _ = read_envi(p)
+        assert np.array_equal(back, cube), inter
+        assert gt == (5.0, 2.0, 0.0, 100.0, 0.0, -2.0)
+    f32 = rng.normal(0, 1, (2, 6, 7)).astype(np.float32)
+    p = str(tmp_path / "f.envi")
+    write_envi(f32, p)
+    back, _, _ = read_envi(p)
+    assert np.array_equal(back, f32)
