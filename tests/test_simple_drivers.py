@@ -124,3 +124,63 @@ def test_envi_roundtrip_interleaves(tmp_path):
     write_envi(f32, p)
     back, _, _ = read_envi(p)
     assert np.array_equal(back, f32)
+
+
+EHDR = "/root/reference/autotest/gdrivers/data/ehdr"
+
+
+def test_ehdr_reference_checksums():
+    from gdal_ray.sources.ehdr import read_ehdr
+
+    cube, gt, _ = read_ehdr(f"{EHDR}/float32.bil")
+    # autotest/gdrivers/ehdr.py:54 pins checksum 27; GT == byte.tif's
+    assert checksum(cube[0]) == 27
+    assert gt == (440720.0, 60.0, 0.0, 3751320.0, 0.0, -60.0)
+    # ehdr.py:186/:195 — 32-bit without PIXELTYPE decodes as float32
+    # (same bytes, .bil and .flt spellings)
+    a, _, _ = read_ehdr(f"{EHDR}/ehdr10.bil")
+    b, _, _ = read_ehdr(f"{EHDR}/ehdr11.flt")
+    assert checksum(a[0]) == 8202 and checksum(b[0]) == 8202
+    assert a[0].dtype.kind == "f"
+
+
+def test_ehdr_roundtrip(tmp_path):
+    from gdal_ray.sources.ehdr import read_ehdr, write_ehdr
+
+    rng = np.random.default_rng(2)
+    for dt in (np.uint8, np.int16, np.float32):
+        c = rng.normal(50, 20, (2, 5, 7)).astype(dt)
+        p = str(tmp_path / f"t_{dt.__name__}.bil")
+        write_ehdr(c, p, geotransform=(10, 3, 0, 99, 0, -3), nodata=-1)
+        back, gt, nd = read_ehdr(p)
+        assert np.array_equal(back, c)
+        assert gt == (10.0, 3.0, 0.0, 99.0, 0.0, -3.0)
+        assert nd == -1.0
+
+
+def test_xyz_createcopy_parity(tmp_path):
+    # mirrors autotest/gdrivers/xyz.py:30 (CreateCopy byte.tif -> 4672)
+    from gdal_ray.sources.geotiff import read_geotiff
+    from gdal_ray.sources.xyz import read_xyz, write_xyz
+
+    arr, gt, _ = read_geotiff(
+        "/root/reference/autotest/gcore/data/byte.tif")
+    p = str(tmp_path / "byte.xyz")
+    write_xyz(arr.astype(np.int32), p, geotransform=gt)
+    back, gt2 = read_xyz(p)
+    assert checksum(back) == 4672
+    assert np.allclose(gt, gt2)
+
+
+def test_xyz_header_and_commas(tmp_path):
+    from gdal_ray.sources.xyz import read_xyz
+
+    p = tmp_path / "h.csv"
+    p.write_text("x,y,z\n0.5,1.5,10\n1.5,1.5,20\n0.5,0.5,30\n1.5,0.5,40\n")
+    a, gt = read_xyz(str(p))
+    assert a.tolist() == [[10, 20], [30, 40]]
+    assert gt == (0.0, 1.0, 0.0, 2.0, 0.0, -1.0)
+    bad = tmp_path / "bad.xyz"
+    bad.write_text("0 0 1\n1 1 2\n")
+    with pytest.raises(ValueError):
+        read_xyz(str(bad))
