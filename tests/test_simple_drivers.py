@@ -184,3 +184,25 @@ def test_xyz_header_and_commas(tmp_path):
     bad.write_text("0 0 1\n1 1 2\n")
     with pytest.raises(ValueError):
         read_xyz(str(bad))
+
+
+def test_dted_reference_checksums():
+    from gdal_ray.sources.dted import read_dted
+
+    g, gt = read_dted("/root/reference/autotest/gdrivers/data/n43.dt0")
+    # autotest/gdrivers/dted.py:31 pins checksum 49187; :87 pins the
+    # (5,5) 5x5 window at 305
+    assert g.shape == (121, 121) and g.dtype == np.int16
+    assert checksum(g) == 49187
+    assert checksum(g[5:10, 5:10]) == 305
+    assert np.allclose(gt, (-80.00416666666666, 1 / 120, 0.0,
+                            44.00416666666667, 0.0, -1 / 120))
+
+
+def test_dted_errors(tmp_path):
+    from gdal_ray.sources.dted import read_dted
+
+    p = tmp_path / "bad.dt0"
+    p.write_bytes(b"not dted at all")
+    with pytest.raises(ValueError):
+        read_dted(str(p))
