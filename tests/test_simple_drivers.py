@@ -206,3 +206,25 @@ def test_dted_errors(tmp_path):
     p.write_bytes(b"not dted at all")
     with pytest.raises(ValueError):
         read_dted(str(p))
+
+
+def test_pcraster_reference_checksum():
+    from gdal_ray.sources.pcraster import read_pcraster
+
+    a, gt, nd, vs = read_pcraster(
+        "/root/reference/autotest/gdrivers/data/pcraster/ldd.map")
+    # autotest/gdrivers/pcraster.py:27 pins checksum 4528
+    assert a.shape == (100, 80) and a.dtype == np.uint8
+    assert checksum(a) == 4528
+    assert gt == (182140.0, 10.0, 0.0, 327880.0, 0.0, -10.0)
+    assert nd == 255 and vs == 0xF0  # VS_LDD
+    assert a[a != 255].min() == 1 and a[a != 255].max() == 9
+
+
+def test_pcraster_errors(tmp_path):
+    from gdal_ray.sources.pcraster import read_pcraster
+
+    p = tmp_path / "x.map"
+    p.write_bytes(b"wrong signature" * 20)
+    with pytest.raises(ValueError):
+        read_pcraster(str(p))
