@@ -432,6 +432,17 @@ def _decode_scan(buf, data_pos, comps, sel, qt, dc_tabs, ac_tabs, size,
     if len(planes) == 3:
         r, g, b = _ycc_to_rgb(planes[0], planes[1], planes[2])
         return np.stack([r, g, b], axis=2)
+    if len(planes) == 4:
+        # Adobe CMYK (APP14 transform 0: raw, inverted-ink convention).
+        # The reference exposes RGB as band = component * K / 255
+        # (frmts/jpeg jpgdataset.cpp CMYK->RGB), which we mirror; YCCK
+        # (transform 2) would first need the YCC inverse and is not in
+        # the fixture set.
+        c, m, y, k = (p.astype(np.int64) for p in planes)
+        r = (c * k) // 255
+        g = (m * k) // 255
+        b = (y * k) // 255
+        return np.stack([r, g, b], axis=2).astype(np.uint8)
     raise NotImplementedError(f"{len(planes)}-component JPEG")
 
 
@@ -683,3 +694,29 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
     out += bw2.out
     out += b"\xff\xd9"
     return bytes(out)
+
+
+def decode_jpeg_mask(buf: bytes):
+    """GDAL's appended-mask convention (frmts/jpeg/jpgdataset.cpp): a
+    zlib-compressed 1-bit-per-pixel bitmap (LSB-first within each byte)
+    follows EOI, and the file's final 4 bytes are the little-endian
+    offset of the mask stream. Returns a (h, w) uint8 mask (0/255), or
+    None when the file carries no mask."""
+    import zlib
+
+    if len(buf) < 8:
+        return None
+    (off,) = struct.unpack("<I", buf[-4:])
+    if not (2 < off < len(buf) - 4):
+        return None
+    img = decode_jpeg(buf)
+    h, w = img.shape[:2]
+    try:
+        mask = zlib.decompress(buf[off:-4])
+    except zlib.error:
+        return None
+    if len(mask) < (w * h + 7) // 8:
+        return None
+    bits = np.unpackbits(np.frombuffer(mask, np.uint8),
+                         bitorder="little")[:w * h]
+    return (bits.reshape(h, w) * np.uint8(255))

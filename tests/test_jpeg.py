@@ -143,3 +143,27 @@ def test_jpeg_tile_sink(ray_session, tmp_path):
     # resume: second run skips everything
     man2 = to_arrow(write_tiles_jpeg(rd.from_arrow(t), str(tmp_path)))
     assert all(man2["skipped"].to_pylist())
+
+
+def test_appended_mask_reference_checksum():
+    from gdal_ray.raster.jpeg import decode_jpeg_mask
+
+    m = decode_jpeg_mask(_read("masked.jpg"))
+    # autotest/gdrivers/jpeg.py:170 pins the mask checksum 770 (zlib
+    # 1-bit LSB-first bitmap appended after EOI)
+    assert m.shape == (512, 512)
+    assert set(np.unique(m)) <= {0, 255}
+    from gdal_ray.raster.checksum import checksum as _cs
+    assert _cs(m) == 770
+    # files without a mask return None
+    assert decode_jpeg_mask(_read("albania.jpg")) is None
+
+
+def test_cmyk_reference_checksums():
+    from gdal_ray.raster.checksum import checksum as _cs
+
+    img = decode_jpeg(_read("rgb_ntf_cmyk.jpg"))
+    # autotest/gdrivers/jpeg.py test_jpeg_8 pins the CMYK->RGB bands at
+    # 20385 / 20865 / 19441 (component * K / 255, Adobe raw convention)
+    assert img.shape == (50, 50, 3)
+    assert [_cs(img[:, :, b]) for b in range(3)] == [20385, 20865, 19441]

@@ -28,18 +28,24 @@ def test_image_pipeline_end_to_end(sf_dir):
 
 
 def test_unknown_codec_raises(sf_dir):
-    t = pa.table(
-        {
-            "doc_id": pa.array([1], pa.int64()),
-            "image": pa.array([b"\x00" * 48], pa.binary()),
-            "img_width": pa.array([4], pa.int32()),
-            "img_height": pa.array([4], pa.int32()),
-            "img_format": pa.array(["jpeg"], pa.string()),
-        }
-    )
+    def table_for(fmt):
+        return pa.table(
+            {
+                "doc_id": pa.array([1], pa.int64()),
+                "image": pa.array([b"\x00" * 48], pa.binary()),
+                "img_width": pa.array([4], pa.int32()),
+                "img_height": pa.array([4], pa.int32()),
+                "img_format": pa.array([fmt], pa.string()),
+            }
+        )
+
     stage = MM.ImageStage()
-    with pytest.raises(NotImplementedError, match="codec 'jpeg'"):
-        stage(t)
+    # webp has no dependency-free codec: the documented escape hatch
+    with pytest.raises(NotImplementedError, match="codec 'webp'"):
+        stage(table_for("webp"))
+    # jpeg IS implemented (raster/jpeg.py) — garbage bytes fail cleanly
+    with pytest.raises(Exception, match="not a JPEG"):
+        stage(table_for("jpeg"))
 
 
 def test_frame_sampler(sf_dir):
