@@ -64,14 +64,21 @@ def encode_png(arr: np.ndarray, *, level: int = 6) -> bytes:
             + _chunk(b"IEND", b""))
 
 
-def decode_png(data: bytes) -> np.ndarray:
-    """Decode PNG bytes produced by encode_png (filter 0 scanlines; also
-    accepts filters 1/2 for robustness). Returns (H, W) or (H, W, C)."""
+def decode_png(data: bytes, *, return_palette: bool = False):
+    """Decode baseline (non-interlaced) PNG bytes: all five scanline
+    filters, color types 0/2/3/4/6, bit depths 1/2/4/8/16. Palette
+    images return the INDEX array (band semantics matching the
+    reference's PNG driver); pass return_palette=True to also get the
+    (n, 3) palette (None for non-paletted). Filters 1/3/4 have inherent
+    per-pixel dependencies and decode in a Python loop per row — fine
+    for fixtures and tile payloads; the engine's own tiles encode with
+    filter 0 and stay vectorized."""
     if data[:8] != _SIG:
         raise ValueError("not a PNG")
     pos = 8
     ihdr = None
     idat = b""
+    plte = None
     while pos < len(data):
         (ln,) = struct.unpack(">I", data[pos:pos + 4])
         tag = data[pos + 4:pos + 8]
@@ -81,6 +88,8 @@ def decode_png(data: bytes) -> np.ndarray:
             raise ValueError(f"bad CRC in {tag!r}")
         if tag == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", payload)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(payload, np.uint8).reshape(-1, 3).copy()
         elif tag == b"IDAT":
             idat += payload
         elif tag == b"IEND":
@@ -89,11 +98,14 @@ def decode_png(data: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("missing IHDR")
     w, h, depth, color, comp_m, filt_m, interlace = ihdr
-    if comp_m or filt_m or interlace:
-        raise ValueError("unsupported PNG features")
-    c = {0: 1, 2: 3, 4: 2, 6: 4}[color]
-    bpp = c * (depth // 8)
-    stride = w * bpp
+    if comp_m or filt_m:
+        raise ValueError("unsupported PNG compression/filter method")
+    if interlace:
+        raise NotImplementedError("Adam7 interlaced PNG")
+    c = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    bits_pp = c * depth
+    stride = (w * bits_pp + 7) // 8
+    bpp = max(1, bits_pp // 8)  # filter byte distance
     raw = zlib.decompress(idat)
     out = np.empty((h, stride), np.uint8)
     prev = np.zeros(stride, np.uint8)
@@ -101,18 +113,45 @@ def decode_png(data: bytes) -> np.ndarray:
         f = raw[y * (stride + 1)]
         line = np.frombuffer(
             raw, np.uint8, stride, y * (stride + 1) + 1).copy()
-        if f == 2:  # Up
+        if f == 0:
+            pass
+        elif f == 2:  # Up
             line += prev
-        elif f == 1:  # Sub (sequential by definition)
+        elif f == 1:  # Sub
             for x in range(bpp, stride):
                 line[x] = (int(line[x]) + int(line[x - bpp])) & 0xFF
-        elif f != 0:
+        elif f == 3:  # Average
+            for x in range(stride):
+                left = int(line[x - bpp]) if x >= bpp else 0
+                line[x] = (int(line[x]) + ((left + int(prev[x])) >> 1)) \
+                    & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = int(line[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                cc = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else \
+                    (b if pb <= pc else cc)
+                line[x] = (int(line[x]) + pred) & 0xFF
+        else:
             raise ValueError(f"unsupported filter {f}")
         out[y] = line
         prev = line
     if depth == 16:
         img = out.reshape(h, w, c, 2)
         a = (img[..., 0].astype(np.uint16) << 8) | img[..., 1]
-    else:
+    elif depth == 8:
         a = out.reshape(h, w, c)
-    return a[:, :, 0] if c == 1 else a
+    else:  # 1/2/4-bit packed, MSB-first (gray or palette indices)
+        bits = np.unpackbits(out, axis=1)
+        per = depth
+        vals = np.zeros((h, stride * 8 // per), np.uint8)
+        for k in range(per):
+            vals = (vals << 1) | bits[:, k::per][:, :vals.shape[1]]
+        a = vals[:, :w].reshape(h, w, 1)
+    res = a[:, :, 0] if c == 1 else a
+    if return_palette:
+        return res, (plte if color == 3 else None)
+    return res

@@ -22,6 +22,33 @@ from __future__ import annotations
 _DRIVERS: dict = {}
 
 
+def _grid_tiles(arr, *, tile: int = 256):
+    """Generic single-band array -> engine tile rows (float64 payloads,
+    same layout as read_geotiff_tiles)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    h, w = arr.shape
+    rows = {"tile_x": [], "tile_y": [], "w": [], "h": [], "data": []}
+    for ty in range(0, h, tile):
+        for tx in range(0, w, tile):
+            piece = arr[ty:ty + tile, tx:tx + tile]
+            rows["tile_x"].append(tx // tile)
+            rows["tile_y"].append(ty // tile)
+            rows["w"].append(piece.shape[1])
+            rows["h"].append(piece.shape[0])
+            rows["data"].append(np.ascontiguousarray(
+                piece.astype(np.float64)).tobytes())
+    return rd.from_arrow(pa.table({
+        "tile_x": pa.array(rows["tile_x"], pa.int64()),
+        "tile_y": pa.array(rows["tile_y"], pa.int64()),
+        "w": pa.array(rows["w"], pa.int64()),
+        "h": pa.array(rows["h"], pa.int64()),
+        "data": pa.array(rows["data"], pa.binary()),
+    }))
+
+
 def register_driver(name: str, reader) -> None:
     """Register `reader(path, **kwargs) -> Dataset` under a scheme name."""
     _DRIVERS[name.lower()] = reader
@@ -72,10 +99,38 @@ def _builtin(scheme: str):
         from gdal_ray.sources.gif import read_gif_tiles
 
         return read_gif_tiles
+    if scheme == "ers":
+        from gdal_ray.sources.ers import read_ers
+
+        def _read_ers_tiles(path, **kw):
+            return _grid_tiles(read_ers(path)[0][0], **kw)
+
+        return _read_ers_tiles
+    if scheme == "lan":
+        from gdal_ray.sources.lan import read_lan
+
+        def _read_lan_tiles(path, **kw):
+            return _grid_tiles(read_lan(path)[0][0], **kw)
+
+        return _read_lan_tiles
     if scheme in ("aaigrid", "asc", "aig"):
         from gdal_ray.sources.aaigrid import read_aaigrid_tiles
 
         return read_aaigrid_tiles
+    if scheme == "grd":
+        # .grd is ambiguous: Surfer magics (DSAA/DSBB/DSRB) vs AAIGrid
+        def _read_grd(path, **kw):
+            with open(path, "rb") as f:
+                magic = f.read(4)
+            if magic in (b"DSAA", b"DSBB", b"DSRB"):
+                from gdal_ray.sources.surfer import read_surfer
+
+                return _grid_tiles(read_surfer(path)[0], **kw)
+            from gdal_ray.sources.aaigrid import read_aaigrid_tiles
+
+            return read_aaigrid_tiles(path, **kw)
+
+        return _read_grd
     if scheme in ("pnm", "pgm", "ppm"):
         from gdal_ray.sources.pnm import read_pnm_tiles
 
@@ -105,8 +160,10 @@ _EXTENSIONS = {
     ".ppm": "pnm",
     ".pnm": "pnm",
     ".asc": "aaigrid",
-    ".grd": "aaigrid",
+    ".grd": "grd",
     ".gif": "gif",
+    ".ers": "ers",
+    ".lan": "lan",
 }
 
 

@@ -228,3 +228,98 @@ def test_pcraster_errors(tmp_path):
     p.write_bytes(b"wrong signature" * 20)
     with pytest.raises(ValueError):
         read_pcraster(str(p))
+
+
+GSG = "/root/reference/autotest/gdrivers/data/gsg"
+ERS = "/root/reference/autotest/gdrivers/data/ers"
+
+
+def test_surfer_reference_checksums():
+    from gdal_ray.sources.surfer import read_surfer
+
+    # gsg.py:25/:31/:37 — three encodings of the byte.tif payload, all
+    # pinned at 4672, with byte.tif's exact geotransform
+    for f in ("gsg_ascii.grd", "gsg_binary.grd", "gsg_7binary.grd"):
+        a, gt, nd = read_surfer(f"{GSG}/{f}")
+        assert a.shape == (20, 20), f
+        assert checksum(a) == 4672, f
+        assert gt == (440720.0, 60.0, 0.0, 3751320.0, 0.0, -60.0), f
+
+
+def test_surfer_roundtrips(tmp_path):
+    from gdal_ray.sources.surfer import (read_surfer, write_surfer6,
+                                         write_surfer_ascii)
+
+    rng = np.random.default_rng(4)
+    x = rng.normal(10, 5, (6, 9))
+    x[2, 3] = np.nan
+    for wr, name in [(write_surfer_ascii, "a.grd"),
+                     (write_surfer6, "b.grd")]:
+        p = str(tmp_path / name)
+        wr(x, p, geotransform=(100, 2, 0, 50, 0, -2))
+        back, gt, _ = read_surfer(p)
+        assert np.isnan(back[2, 3])
+        assert np.allclose(np.nan_to_num(back), np.nan_to_num(x),
+                           rtol=1e-6)
+        assert gt == (100.0, 2.0, 0.0, 50.0, 0.0, -2.0)
+
+
+def test_ers_reference_checksums():
+    from gdal_ray.sources.ers import read_ers
+
+    # ers.py:29 — a header that stresses comments/quoted escapes
+    cube, gt, nd = read_ers(f"{ERS}/srtm.ers")
+    assert cube.shape == (1, 10, 12)
+    assert checksum(cube[0]) == 64074
+    assert nd == 9999.0
+    # ers.py:75 — float32 DEM
+    dem, _, nd2 = read_ers(f"{ERS}/ers_dem.ers")
+    assert checksum(dem[0]) == 56588
+    assert nd2 == -9999.0
+
+
+def test_lan_reference_checksums():
+    from gdal_ray.sources.lan import read_lan
+
+    # lan.py:26/:36 — 8-bit and 4-bit-packed variants, both pinned at 10
+    for f in ("fakelan.lan", "fakelan4bit.lan"):
+        cube, gt = read_lan(
+            f"/root/reference/autotest/gdrivers/data/lan/{f}")
+        assert cube[0].tolist() == [[1, 2], [3, 4]], f
+        assert checksum(cube[0]) == 10, f
+
+
+def test_png_reference_checksums():
+    from gdal_ray.raster.png import decode_png
+
+    P = "/root/reference/autotest/gdrivers/data/png"
+    # png.py:39 pins test.png (4-bit palette) at 57921
+    img, pal = decode_png(open(f"{P}/test.png", "rb").read(),
+                          return_palette=True)
+    assert img.shape == (400, 400) and pal.shape == (16, 3)
+    assert checksum(img) == 57921
+    # png.py:103 pins rgba16.png band 3 at 1815 (16-bit, Paeth filters);
+    # band 2 = 2042 also matches ehdr.py:32's use of the same source
+    r = decode_png(open(f"{P}/rgba16.png", "rb").read())
+    assert r.dtype == np.uint16
+    assert [checksum(r[:, :, b]) for b in range(4)] == \
+        [1886, 2042, 1815, 4873]
+    # grayscale with ancillary chunks carries the canonical byte payload
+    assert checksum(decode_png(
+        open(f"{P}/byte_with_xmp.png", "rb").read())) == 4672
+
+
+def test_grd_magic_dispatch(ray_session):
+    from gdal_ray.sources import open_source
+    from gdal_ray.util import to_arrow
+
+    # Surfer magic routes to the surfer reader
+    t = to_arrow(open_source(f"{GSG}/gsg_binary.grd"))
+    r = t.to_pylist()[0]
+    arr = np.frombuffer(r["data"], np.float64).reshape(r["h"], r["w"])
+    assert checksum(arr) == 4672
+    # AAIGrid text routes to aaigrid
+    t2 = to_arrow(open_source(f"{AAIG}/byte.tif.grd"))
+    r2 = t2.to_pylist()[0]
+    arr2 = np.frombuffer(r2["data"], np.float64).reshape(r2["h"], r2["w"])
+    assert checksum(arr2) == 4672
