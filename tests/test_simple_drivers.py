@@ -323,3 +323,23 @@ def test_grd_magic_dispatch(ray_session):
     r2 = t2.to_pylist()[0]
     arr2 = np.frombuffer(r2["data"], np.float64).reshape(r2["h"], r2["w"])
     assert checksum(arr2) == 4672
+
+
+def test_bt_createcopy_parity(tmp_path):
+    # mirrors bt.py:44 — int16/int32/float32 byte.tif payloads at 4672
+    from gdal_ray.sources.bt import read_bt, write_bt
+    from gdal_ray.sources.geotiff import read_geotiff
+
+    arr, gt, _ = read_geotiff(
+        "/root/reference/autotest/gcore/data/byte.tif")
+    for dt in (np.int16, np.int32, np.float32):
+        p = str(tmp_path / f"t_{dt.__name__}.bt")
+        write_bt(arr.astype(dt), p, geotransform=gt)
+        back, gt2 = read_bt(p)
+        assert back.dtype == dt
+        assert checksum(back) == 4672
+        assert np.allclose(gt, gt2)
+    bad = tmp_path / "bad.bt"
+    bad.write_bytes(b"not binterr at all, nope")
+    with pytest.raises(ValueError):
+        read_bt(str(bad))
