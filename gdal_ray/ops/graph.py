@@ -686,9 +686,89 @@ def _pr_absorb(meta_p: pa.Table, ranks_p: pa.Table, base: float,
                      "r": pa.array(new_r, pa.float64())}), delta
 
 
+def _pr_write_checkpoint(cp_dir: str, iteration: int, num_parts: int,
+                         n_total: int, ranks) -> None:
+    """Seal {cp_dir}/iter_NNNN: per-partition parquet written by remote
+    tasks, then one atomic _COMPLETE marker (tmp + rename)."""
+    import json
+    import os
+
+    d = os.path.join(cp_dir, f"iter_{iteration:04d}")
+    os.makedirs(d, exist_ok=True)
+
+    @ray.remote
+    def _write(t: pa.Table, path: str) -> int:
+        import pyarrow.parquet as pq
+
+        tmp = f"{path}.tmp{os.getpid()}"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)
+        return len(t)
+
+    n_rows = ray.get([_write.remote(ranks[p],
+                                    os.path.join(d, f"part_{p}.parquet"))
+                      for p in range(num_parts)])
+    marker = os.path.join(d, "_COMPLETE")
+    tmp = f"{marker}.tmp{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump({"iteration": iteration, "num_parts": num_parts,
+                   "n_nodes": n_total, "rows": n_rows}, f)
+    os.replace(tmp, marker)
+
+
+def _pr_load_checkpoint(cp_dir: str, num_parts: int, n_total: int, meta):
+    """Newest sealed iteration -> (iteration, rank refs) or None.
+    Partitions must match the current run's layout (num_parts +
+    node-universe size pinned in the marker); loaded tables re-align to
+    the current meta node order by searchsorted for safety."""
+    import json
+    import os
+    import re
+
+    if not os.path.isdir(cp_dir):
+        return None
+    best = None
+    for name in os.listdir(cp_dir):
+        m = re.fullmatch(r"iter_(\d{4})", name)
+        if m and os.path.exists(os.path.join(cp_dir, name, "_COMPLETE")):
+            it = int(m.group(1))
+            if best is None or it > best:
+                best = it
+    if best is None:
+        return None
+    d = os.path.join(cp_dir, f"iter_{best:04d}")
+    info = json.load(open(os.path.join(d, "_COMPLETE")))
+    if info["num_parts"] != num_parts or info["n_nodes"] != n_total:
+        raise ValueError(
+            f"checkpoint {d} was written with num_parts="
+            f"{info['num_parts']}/n_nodes={info['n_nodes']}; this run "
+            f"has {num_parts}/{n_total} — resume requires the same "
+            "partitioning")
+
+    @ray.remote
+    def _load(path: str, meta_p: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path)
+        nodes = meta_p["node"].to_numpy(zero_copy_only=False)
+        got = t["node"].to_numpy(zero_copy_only=False)
+        if len(got) != len(nodes):
+            raise ValueError("checkpoint partition size mismatch")
+        if not np.array_equal(got, nodes):
+            pos = np.searchsorted(got, nodes)
+            t = t.take(pa.array(pos))
+        return pa.table({"node": t["node"], "r": t["r"]})
+
+    ranks = [_load.remote(os.path.join(d, f"part_{p}.parquet"), meta[p])
+             for p in range(num_parts)]
+    return best, ranks
+
+
 def pagerank(edges_ds, *, src_col: str = "src", dst_col: str = "dst",
              damping: float = 0.85, max_iters: int = 30, tol: float = 1e-9,
-             num_parts: int | None = None, stats_out: dict | None = None):
+             num_parts: int | None = None, stats_out: dict | None = None,
+             checkpoint_dir: str | None = None,
+             checkpoint_every: int = 1):
     """Distributed PageRank over a DIRECTED edge Dataset -> Dataset
     (node, rank); ranks sum to 1. Dangling nodes (no out-edges) spread
     their mass uniformly, the standard formulation. Stops at max_iters or
@@ -696,7 +776,17 @@ def pagerank(edges_ds, *, src_col: str = "src", dst_col: str = "dst",
 
     Scale shape: edges hash-partition by src once (loop invariant);
     per-iteration traffic is ONE (dst, w) contribution shuffle of
-    |E| float64 rows; the driver sees only two scalars per iteration."""
+    |E| float64 rows; the driver sees only two scalars per iteration.
+
+    checkpoint_dir: iterative-job resume (the north-rule checkpoint
+    contract, same spirit as state/manifest for sinks). Every
+    `checkpoint_every` iterations each rank partition writes
+    {dir}/iter_NNNN/part_P.parquet, sealed by an atomic _COMPLETE marker
+    recording (iteration, num_parts, n_nodes). A rerun pointed at the
+    same directory resumes from the newest sealed iteration — bit-exact
+    with an uninterrupted run (the per-partition float orders are
+    deterministic) — and re-derives the edge partitioning from the
+    input (loop-invariant, cheaper to rebuild than to store)."""
     import time as _time
 
     import pyarrow.compute as pc
@@ -758,10 +848,16 @@ def pagerank(edges_ds, *, src_col: str = "src", dst_col: str = "dst",
             "r": pa.array(np.full(len(meta_p), 1.0 / n), pa.float64())})
 
     ranks = [_init_ranks.remote(meta[p], n_total) for p in range(num_parts)]
+    start_iter = 0
+    if checkpoint_dir is not None:
+        resumed = _pr_load_checkpoint(checkpoint_dir, num_parts, n_total,
+                                      meta)
+        if resumed is not None:
+            start_iter, ranks = resumed
 
     iter_secs: list[float] = []
     deltas: list[float] = []
-    for _i in range(max_iters):
+    for _i in range(start_iter, max_iters):
         t0 = _time.time()
         contribs, dangls = [], []
         for p in range(num_parts):
@@ -781,6 +877,11 @@ def pagerank(edges_ds, *, src_col: str = "src", dst_col: str = "dst",
         ranks = nxt
         iter_secs.append(round(_time.time() - t0, 3))
         deltas.append(delta)
+        if checkpoint_dir is not None and \
+                ((_i + 1) % max(checkpoint_every, 1) == 0
+                 or delta < tol or _i + 1 == max_iters):
+            _pr_write_checkpoint(checkpoint_dir, _i + 1, num_parts,
+                                 n_total, ranks)
         if delta < tol:
             break
     if stats_out is not None:

@@ -757,15 +757,19 @@ def _bm25_step(terms, text_col: str = "text", id_col: str = "doc_id",
 
 @step("pagerank")
 def _pagerank_step(src_col: str = "src", dst_col: str = "dst",
-                   damping=0.85, max_iters=30, tol=1e-9, num_parts=None):
-    """Distributed PageRank over an edge table (ops/graph.pagerank)."""
+                   damping=0.85, max_iters=30, tol=1e-9, num_parts=None,
+                   checkpoint_dir=None, checkpoint_every=1):
+    """Distributed PageRank over an edge table (ops/graph.pagerank);
+    checkpoint_dir enables sealed per-iteration resume."""
     from gdal_ray.ops.graph import pagerank
 
     def run(ds):
         return pagerank(
             ds, src_col=src_col, dst_col=dst_col, damping=float(damping),
             max_iters=int(max_iters), tol=float(tol),
-            num_parts=int(num_parts) if num_parts is not None else None)
+            num_parts=int(num_parts) if num_parts is not None else None,
+            checkpoint_dir=checkpoint_dir,
+            checkpoint_every=int(checkpoint_every))
 
     return run
 

@@ -237,3 +237,49 @@ def test_pagerank_matches_dense_power_iteration(ray_session):
     for v in nodes:
         assert abs(gm[v] - r[idx[v]]) < 1e-10, v
     assert stats["iters"] < 200  # converged, not exhausted
+
+
+def test_pagerank_checkpoint_resume(ray_session, tmp_path):
+    """A run killed after 3 iterations resumes from the sealed
+    checkpoint and ends BIT-EXACT with an uninterrupted run."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.ops.graph import pagerank
+    from gdal_ray.util import to_arrow
+
+    rng = np.random.default_rng(9)
+    src = rng.integers(0, 200, 2000)
+    dst = rng.integers(0, 200, 2000)
+    edges = pa.table({"src": src, "dst": dst})
+    cp = str(tmp_path / "cp")
+
+    # phase 1: "crashes" after 3 iterations (max_iters=3 stands in)
+    pagerank(rd.from_arrow(edges), max_iters=3, tol=0.0, num_parts=4,
+             checkpoint_dir=cp)
+    import os
+
+    assert os.path.exists(f"{cp}/iter_0003/_COMPLETE")
+
+    # phase 2: resume to 8 iterations
+    stats = {}
+    resumed = to_arrow(pagerank(rd.from_arrow(edges), max_iters=8,
+                                tol=0.0, num_parts=4, checkpoint_dir=cp,
+                                stats_out=stats))
+    assert stats["iters"] == 5  # only the remaining iterations ran
+
+    # uninterrupted reference run
+    clean = to_arrow(pagerank(rd.from_arrow(edges), max_iters=8, tol=0.0,
+                              num_parts=4))
+    a = resumed.to_pandas().sort_values("node").reset_index(drop=True)
+    b = clean.to_pandas().sort_values("node").reset_index(drop=True)
+    assert (a["node"] == b["node"]).all()
+    assert np.array_equal(a["rank"].to_numpy(), b["rank"].to_numpy())
+
+    # mismatched partitioning is refused, not silently wrong
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="same partitioning"):
+        pagerank(rd.from_arrow(edges), max_iters=8, num_parts=8,
+                 checkpoint_dir=cp).count()
