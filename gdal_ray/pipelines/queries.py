@@ -4014,6 +4014,29 @@ def q186_matryoshka_knn(sf_dir):
     return out.map_batches(fin, batch_format="pyarrow", batch_size=None)
 
 
+Q187_SQL = """
+SELECT l_returnflag,
+       ROUND(PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY l_quantity), 4)
+           AS q1_qty,
+       ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY l_quantity), 4)
+           AS med_qty,
+       ROUND(PERCENTILE_CONT(0.9)
+             WITHIN GROUP (ORDER BY l_extendedprice DESC), 4) AS p90d,
+       PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY l_quantity) AS q3d,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag ORDER BY ALL
+"""
+
+
+def q187_within_group(sf_dir):
+    """SQL-standard ordered-set aggregates (PERCENTILE_CONT/DISC ...
+    WITHIN GROUP (ORDER BY col [DESC])) + ORDER BY ALL: parse-time
+    rewrite onto the exact distributed groupby_quantiles path (DESC
+    mirrors the fraction for the continuous variant). Runs verbatim in
+    DuckDB."""
+    return _sql_query(Q187_SQL)(sf_dir)
+
+
 def q170_training_prep(sf_dir):
     """The COMPOSED training-data prep chain (curate -> mixture resample
     -> 64-token chunking -> next-fit packing into 256-token sequences);
@@ -4306,6 +4329,7 @@ def registry():
         "q184_audio_features": q184_audio_features,
         "q185_bigram_lm": q185_bigram_lm,
         "q186_matryoshka_knn": q186_matryoshka_knn,
+        "q187_within_group": q187_within_group,
         "q177_join_using": q177_join_using,
         "q178_window_exprs": q178_window_exprs,
         "q179_cross_grid": q179_cross_grid,
@@ -4436,6 +4460,7 @@ def registry():
         "q183_within_doc_dedup": Q183_ORACLE_SQL,
         "q185_bigram_lm": Q185_ORACLE_SQL,
         "q186_matryoshka_knn": Q186_ORACLE_SQL,
+        "q187_within_group": Q187_SQL,
         "q177_join_using": Q177_SQL,
         "q178_window_exprs": Q178_SQL,
         "q179_cross_grid": Q179_SQL,
