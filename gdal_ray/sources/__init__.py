@@ -91,6 +91,10 @@ def _builtin(scheme: str):
         from gdal_ray.sources.gpx_kml import read_kml
 
         return read_kml
+    if scheme in ("gpkg", "geopackage"):
+        from gdal_ray.sources.gpkg import read_gpkg
+
+        return read_gpkg
     if scheme == "envi":
         from gdal_ray.sources.envi import read_envi_tiles
 
@@ -164,6 +168,7 @@ _EXTENSIONS = {
     ".gif": "gif",
     ".ers": "ers",
     ".lan": "lan",
+    ".gpkg": "gpkg",
 }
 
 
