@@ -116,3 +116,71 @@ def read_gpkg(path: str, table: str | None = None, **kwargs):
     import ray.data as rd
 
     return rd.from_arrow(read_gpkg_table(path, table, **kwargs))
+
+
+def read_gpkg_raster(path: str, table: str | None = None,
+                     zoom: int | None = None):
+    """GPKG tiles layer -> (array (h, w[, bands]), geotransform). Tile
+    blobs decode by magic with the REPO'S OWN codecs (raster/png.py,
+    raster/jpeg.py); the mosaic is cropped to the gpkg_contents bounds.
+    Parity: the reference's byte.gpkg decodes to the canonical checksum
+    4672 through this path (autotest/gdrivers/gpkg.py:3550)."""
+    con = sqlite3.connect(path)
+    try:
+        row = con.execute(
+            "SELECT table_name, min_x, min_y, max_x, max_y FROM "
+            "gpkg_contents WHERE data_type = 'tiles'"
+            + ("" if table is None else " AND table_name = ?"),
+            (() if table is None else (table,))).fetchone()
+        if row is None:
+            raise ValueError(f"{path}: no tiles layer")
+        table, cmin_x, cmin_y, cmax_x, cmax_y = row
+        if zoom is None:
+            (zoom,) = con.execute(
+                f'SELECT MAX(zoom_level) FROM "{table}"').fetchone()
+        tm = con.execute(
+            "SELECT matrix_width, matrix_height, tile_width, "
+            "tile_height, pixel_x_size, pixel_y_size FROM "
+            "gpkg_tile_matrix WHERE table_name = ? AND zoom_level = ?",
+            (table, zoom)).fetchone()
+        if tm is None:
+            raise ValueError(f"no tile matrix for zoom {zoom}")
+        mw, mh, tw, th, pxx, pxy = tm
+        sm = con.execute(
+            "SELECT min_x, min_y, max_x, max_y FROM gpkg_tile_matrix_set"
+            " WHERE table_name = ?", (table,)).fetchone()
+        smin_x, smin_y, smax_x, smax_y = sm
+        tiles = con.execute(
+            f'SELECT tile_column, tile_row, tile_data FROM "{table}" '
+            "WHERE zoom_level = ?", (zoom,)).fetchall()
+    finally:
+        con.close()
+    from gdal_ray.raster.jpeg import decode_jpeg
+    from gdal_ray.raster.png import decode_png
+
+    mosaic = None
+    for tc, tr, blob in tiles:
+        b = bytes(blob)
+        if b[:8] == b"\x89PNG\r\n\x1a\n":
+            img = decode_png(b)
+        elif b[:2] == b"\xff\xd8":
+            img = decode_jpeg(b)
+        else:
+            raise NotImplementedError("GPKG tile codec (webp?)")
+        if img.ndim == 2:
+            img = img[:, :, None]
+        if mosaic is None:
+            mosaic = np.zeros((mh * th, mw * tw, img.shape[2]),
+                              img.dtype)
+        mosaic[tr * th:tr * th + img.shape[0],
+               tc * tw:tc * tw + img.shape[1], :img.shape[2]] = img
+    if mosaic is None:
+        raise ValueError("tiles layer is empty")
+    # crop to contents bounds (pixel-aligned)
+    c0 = int(round((cmin_x - smin_x) / pxx))
+    r0 = int(round((smax_y - cmax_y) / pxy))
+    w = int(round((cmax_x - cmin_x) / pxx))
+    h = int(round((cmax_y - cmin_y) / pxy))
+    out = mosaic[r0:r0 + h, c0:c0 + w]
+    gt = (cmin_x, pxx, 0.0, cmax_y, 0.0, -pxy)
+    return (out[:, :, 0] if out.shape[2] == 1 else out), gt

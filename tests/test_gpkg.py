@@ -61,3 +61,18 @@ def test_open_source_dispatch(ray_session):
     t = to_arrow(open_source(f"{GPKG}/poly_golden.gpkg"))
     assert t.num_rows == 10
     assert "geometry" in t.column_names
+
+
+def test_raster_tiles_reference_checksum():
+    from gdal_ray.raster.checksum import checksum
+    from gdal_ray.sources.gpkg import read_gpkg_raster
+
+    arr, gt = read_gpkg_raster(
+        "/root/reference/autotest/gdrivers/data/gpkg/byte.gpkg")
+    # autotest/gdrivers/gpkg.py:3550 pins band-1 checksum 4672; the
+    # tile blob decodes through OUR PNG codec and crops to the
+    # gpkg_contents bounds
+    band = arr[:, :, 0] if arr.ndim == 3 else arr
+    assert band.shape == (20, 20)
+    assert checksum(band) == 4672
+    assert gt == (440720.0, 60.0, 0.0, 3751320.0, 0.0, -60.0)
