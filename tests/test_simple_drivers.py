@@ -343,3 +343,25 @@ def test_bt_createcopy_parity(tmp_path):
     bad.write_bytes(b"not binterr at all, nope")
     with pytest.raises(ValueError):
         read_bt(str(bad))
+
+
+def test_rmf_reference_checksums():
+    from gdal_ray.sources.rmf import read_rmf
+
+    R = "/root/reference/autotest/gdrivers/data/rmf"
+    # rmf.py:30 pins byte.rsw at 4672 — with byte.tif's exact GT
+    a, gt = read_rmf(f"{R}/byte.rsw")
+    assert checksum(a) == 4672
+    assert gt == (440720.0, 60.0, 0.0, 3751320.0, 0.0, -60.0)
+    # rmf.py:50-:56 pin the three rgbsmall bands (stored BGR -> RGB)
+    b, _ = read_rmf(f"{R}/rgbsmall.rsw")
+    assert [checksum(b[:, :, c]) for c in range(3)] == \
+        [21212, 21053, 21349]
+    # rmf.py:43 pins the float64 elevation matrix (.mtw) at 4672
+    c, _ = read_rmf(f"{R}/float64.mtw")
+    assert c.dtype == np.float64 and checksum(c) == 4672
+    # documented scope: big-endian raises, garbage rejected
+    with pytest.raises(NotImplementedError):
+        read_rmf(f"{R}/big-endian.rsw")
+    with pytest.raises(ValueError):
+        read_rmf("/root/reference/autotest/gdrivers/data/n43.dt0")
