@@ -4037,6 +4037,42 @@ def q187_within_group(sf_dir):
     return _sql_query(Q187_SQL)(sf_dir)
 
 
+Q188_SQL = """
+SELECT rk, n_name, r_name
+FROM (SELECT n_regionkey AS rk, n_name FROM nation) a
+NATURAL JOIN (SELECT r_regionkey AS rk, r_name FROM region) b
+ORDER BY n_name
+"""
+
+
+def q188_natural_join(sf_dir):
+    """NATURAL JOIN: shared column names resolve at execute time (the
+    only point where derived-table schemas are known) and rewrite into
+    the equi path with key coalescing. Runs verbatim in DuckDB."""
+    return _sql_query(Q188_SQL)(sf_dir)
+
+
+Q189_SQL = """
+SELECT o_orderkey,
+       ROUND(SUM(o_totalprice) OVER (
+           ORDER BY o_orderkey
+           RANGE BETWEEN 100 PRECEDING AND CURRENT ROW), 4) AS r_sum,
+       CAST(COUNT(*) OVER (
+           ORDER BY o_orderkey
+           RANGE BETWEEN 50 PRECEDING AND 50 FOLLOWING) AS BIGINT)
+           AS r_cnt
+FROM orders WHERE o_orderkey < 3000 ORDER BY o_orderkey
+"""
+
+
+def q189_range_frames(sf_dir):
+    """RANGE value-offset window frames (per-segment searchsorted on the
+    ORDER key, ops/sql._frame_bounds) as a driver-visible oracle row.
+    SUM cast-stable (2-decimal data), COUNT cast BIGINT both sides.
+    Runs verbatim in DuckDB."""
+    return _sql_query(Q189_SQL)(sf_dir)
+
+
 def q170_training_prep(sf_dir):
     """The COMPOSED training-data prep chain (curate -> mixture resample
     -> 64-token chunking -> next-fit packing into 256-token sequences);
@@ -4330,6 +4366,8 @@ def registry():
         "q185_bigram_lm": q185_bigram_lm,
         "q186_matryoshka_knn": q186_matryoshka_knn,
         "q187_within_group": q187_within_group,
+        "q188_natural_join": q188_natural_join,
+        "q189_range_frames": q189_range_frames,
         "q177_join_using": q177_join_using,
         "q178_window_exprs": q178_window_exprs,
         "q179_cross_grid": q179_cross_grid,
@@ -4461,6 +4499,8 @@ def registry():
         "q185_bigram_lm": Q185_ORACLE_SQL,
         "q186_matryoshka_knn": Q186_ORACLE_SQL,
         "q187_within_group": Q187_SQL,
+        "q188_natural_join": Q188_SQL,
+        "q189_range_frames": Q189_SQL,
         "q177_join_using": Q177_SQL,
         "q178_window_exprs": Q178_SQL,
         "q179_cross_grid": Q179_SQL,
