@@ -215,10 +215,50 @@ def _shuffle_refs(refs, key_col: str, num_parts: int):
     return [[s[p] for s in splits] for p in range(num_parts)]
 
 
+def _cc_load_checkpoint(cp_dir: str, num_parts: int):
+    """Newest sealed round -> (round, label-table refs) or None. Label
+    tables restore VERBATIM (node-sorted with the chg delta markers),
+    which reproduces the uninterrupted delta-propagation stream
+    exactly."""
+    import json
+    import os
+    import re
+
+    if not os.path.isdir(cp_dir):
+        return None
+    best = None
+    for name in os.listdir(cp_dir):
+        m = re.fullmatch(r"iter_(\d{4})", name)
+        if m and os.path.exists(os.path.join(cp_dir, name, "_COMPLETE")):
+            it = int(m.group(1))
+            if best is None or it > best:
+                best = it
+    if best is None:
+        return None
+    d = os.path.join(cp_dir, f"iter_{best:04d}")
+    info = json.load(open(os.path.join(d, "_COMPLETE")))
+    if info["num_parts"] != num_parts:
+        raise ValueError(
+            f"checkpoint {d} was written with num_parts="
+            f"{info['num_parts']}; this run has {num_parts} — resume "
+            "requires the same partitioning")
+
+    @ray.remote
+    def _load(path: str) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        return pq.read_table(path)
+
+    return best, [_load.remote(os.path.join(d, f"part_{p}.parquet"))
+                  for p in range(num_parts)]
+
+
 def connected_components(pairs_ds, a_col: str = "id_a", b_col: str = "id_b",
                          *, max_rounds: int = 50,
                          num_parts: int | None = None,
-                         stats_out: dict | None = None):
+                         stats_out: dict | None = None,
+                         checkpoint_dir: str | None = None,
+                         checkpoint_every: int = 1):
     """-> Dataset (node, component) where component = min node id of the
     connected component. Raises if not converged within max_rounds (each
     round is min-propagation + one pointer jump, so rounds ~ log2 of the
@@ -234,7 +274,13 @@ def connected_components(pairs_ds, a_col: str = "id_a", b_col: str = "id_b",
 
     stats_out, if given, receives {"rounds": int, "round_secs": [float],
     "round_changed": [int]} — the flat-per-round guarantee is benchmarked
-    against these (bench.py cc10m)."""
+    against these (bench.py cc10m).
+
+    checkpoint_dir: same sealed-iteration resume contract as pagerank —
+    label tables (with their delta `chg` markers) write verbatim every
+    `checkpoint_every` rounds; a rerun resumes the delta-propagation
+    stream exactly where it stopped (the edge partitioning re-derives
+    from the input; num_parts must match the checkpoint)."""
     import time as _time
 
     import ray.data as rd
@@ -255,10 +301,15 @@ def connected_components(pairs_ds, a_col: str = "id_a", b_col: str = "id_b",
     edges = [_concat_sorted.options(name="cc_edges").remote(*edge_pieces[p])
              for p in range(num_parts)]
     labels = [_init_labels.remote(edges[p]) for p in range(num_parts)]
+    start_round = 0
+    if checkpoint_dir is not None:
+        resumed = _cc_load_checkpoint(checkpoint_dir, num_parts)
+        if resumed is not None:
+            start_round, labels = resumed
 
     round_secs: list[float] = []
     round_changed: list[int] = []
-    for _ in range(max_rounds):
+    for _round in range(start_round, max_rounds):
         t0 = _time.time()
         # 1. messages: nbr's current label, resolved locally per partition
         msgs = [_msgs.remote(edges[p], labels[p]) for p in range(num_parts)]
@@ -296,6 +347,11 @@ def connected_components(pairs_ds, a_col: str = "id_a", b_col: str = "id_b",
         back = _shuffle_refs(resolved, "node", num_parts)
         labels = [_labels_round_end.remote(labels[p], *back[p])
                   for p in range(num_parts)]
+        if checkpoint_dir is not None and \
+                (_round + 1) % max(checkpoint_every, 1) == 0:
+            # n_nodes unused by the cc loader (labels restore verbatim)
+            _pr_write_checkpoint(checkpoint_dir, _round + 1, num_parts,
+                                 0, labels)
     raise RuntimeError(f"connected_components: no convergence in {max_rounds} rounds")
 
 

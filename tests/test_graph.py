@@ -283,3 +283,40 @@ def test_pagerank_checkpoint_resume(ray_session, tmp_path):
     with _pytest.raises(Exception, match="same partitioning"):
         pagerank(rd.from_arrow(edges), max_iters=8, num_parts=8,
                  checkpoint_dir=cp).count()
+
+
+def test_cc_checkpoint_resume(ray_session, tmp_path):
+    """A cc run that dies mid-convergence (max_rounds exhausted) leaves
+    sealed checkpoints; the rerun resumes the delta stream and converges
+    to the same components as an uninterrupted run."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest as _pytest
+    import ray.data as rd
+
+    from gdal_ray.ops.graph import connected_components
+    from gdal_ray.util import to_arrow
+
+    rng = np.random.default_rng(11)
+    # long chains -> needs several rounds to converge
+    base = np.arange(3000)
+    pairs = pa.table({"id_a": base, "id_b": base + 1})
+    cp = str(tmp_path / "cccp")
+
+    with _pytest.raises(RuntimeError, match="no convergence"):
+        connected_components(rd.from_arrow(pairs), max_rounds=2,
+                             num_parts=4, checkpoint_dir=cp).count()
+    import os
+
+    assert os.path.exists(f"{cp}/iter_0002/_COMPLETE")
+
+    stats = {}
+    resumed = to_arrow(connected_components(
+        rd.from_arrow(pairs), max_rounds=50, num_parts=4,
+        checkpoint_dir=cp, stats_out=stats))
+    clean = to_arrow(connected_components(
+        rd.from_arrow(pairs), max_rounds=50, num_parts=4))
+    a = resumed.to_pandas().sort_values("node").reset_index(drop=True)
+    b = clean.to_pandas().sort_values("node").reset_index(drop=True)
+    assert a.equals(b)
+    assert (a["component"] == 0).all()  # one chain, min id 0
