@@ -65,11 +65,17 @@ def vector_dim_stats(ds, vec_col: str = "embedding", *, ndigits: int = 6):
 
 
 def kmeans_fit(ds, *, k: int, iters: int = 10, id_col: str = "vec_id",
-               vec_col: str = "embedding") -> np.ndarray:
+               vec_col: str = "embedding",
+               checkpoint_path: str | None = None) -> np.ndarray:
     """Distributed Lloyd's: deterministic init (the k vectors with the
     smallest ids — reproducible across runs and hosts, no RNG), then
     `iters` streaming passes of broadcast-assign + mergeable partial sums.
-    Empty clusters keep their previous centroid. Returns (k, d) float64."""
+    Empty clusters keep their previous centroid. Returns (k, d) float64.
+
+    checkpoint_path: the sealed-resume contract for driver-small state —
+    after every iteration the (iteration, centroids) pair writes to one
+    .npz (tmp + atomic rename); a rerun resumes from it bit-exact (the
+    per-iteration partial sums are deterministic)."""
     import ray
 
     from gdal_ray.ops.relational import topk
@@ -78,8 +84,20 @@ def kmeans_fit(ds, *, k: int, iters: int = 10, id_col: str = "vec_id",
     seed_t = to_arrow(topk(ds, [(id_col, False)], k))
     order = np.argsort(seed_t[id_col].to_numpy(zero_copy_only=False))
     cents = _matrix(seed_t, vec_col)[order]
+    start = 0
+    if checkpoint_path is not None:
+        import os
 
-    for _ in range(iters):
+        if os.path.exists(checkpoint_path):
+            saved = np.load(checkpoint_path)
+            if saved["centroids"].shape != cents.shape:
+                raise ValueError(
+                    "kmeans checkpoint shape mismatch: "
+                    f"{saved['centroids'].shape} vs {cents.shape}")
+            start = int(saved["iteration"])
+            cents = saved["centroids"]
+
+    for _i in range(start, iters):
         cref = ray.put(cents)
 
         def partial(t: pa.Table) -> pa.Table:
@@ -110,6 +128,13 @@ def kmeans_fit(ds, *, k: int, iters: int = 10, id_col: str = "vec_id",
         nz = cnt > 0
         cents = np.where(nz[:, None], sums / np.maximum(cnt, 1)[:, None],
                          cents)
+        if checkpoint_path is not None:
+            import os
+
+            tmp = f"{checkpoint_path}.tmp{os.getpid()}"
+            np.savez(tmp, iteration=_i + 1, centroids=cents)
+            os.replace(tmp + ".npz" if not tmp.endswith(".npz") else tmp,
+                       checkpoint_path)
     return cents
 
 

@@ -735,3 +735,30 @@ def test_matryoshka_truncate(ray_session):
     raw = to_arrow(matryoshka_truncate(ds, 3, renormalize=False))
     raw = raw.take(pa.compute.sort_indices(raw["vec_id"]))
     assert np.allclose(np.array(raw["embedding"].to_pylist()), X[:, :3])
+
+
+def test_kmeans_checkpoint_resume(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.sim.vectors import kmeans_fit
+
+    rng = np.random.default_rng(6)
+    X = np.concatenate([rng.normal(c, 0.3, (40, 5))
+                        for c in (0.0, 5.0, -5.0)])
+    ds = rd.from_arrow(pa.table({
+        "vec_id": list(range(len(X))),
+        "embedding": [r.tolist() for r in X]})).repartition(3)
+    cp = str(tmp_path / "km.npz")
+    # phase 1 "crashes" after 3 iterations
+    kmeans_fit(ds, k=3, iters=3, checkpoint_path=cp)
+    # resume to 8 must equal an uninterrupted 8-iteration run bit-exact
+    resumed = kmeans_fit(ds, k=3, iters=8, checkpoint_path=cp)
+    clean = kmeans_fit(ds, k=3, iters=8)
+    assert np.array_equal(resumed, clean)
+    # shape mismatch refused
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="shape mismatch"):
+        kmeans_fit(ds, k=2, iters=8, checkpoint_path=cp)
