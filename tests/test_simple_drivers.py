@@ -365,3 +365,19 @@ def test_rmf_reference_checksums():
         read_rmf(f"{R}/big-endian.rsw")
     with pytest.raises(ValueError):
         read_rmf("/root/reference/autotest/gdrivers/data/n43.dt0")
+
+
+def test_mff_reference_checksums():
+    from gdal_ray.sources.mff import read_mff
+
+    M = "/root/reference/autotest/gdrivers/data/mff"
+    # mff.py:27/:37/:47 pin fakemff=1, fakemfftiled=1, bytemff=4672
+    a, hdr = read_mff(f"{M}/bytemff.hdr")
+    assert a.shape == (1, 20, 20) and checksum(a[0]) == 4672
+    assert hdr["projection_name"].upper() == "UTM"
+    b, _ = read_mff(f"{M}/fakemff.hdr")
+    assert checksum(b[0]) == 1
+    c, _ = read_mff(f"{M}/fakemfftiled.hdr")
+    assert checksum(c[0]) == 1
+    with pytest.raises(ValueError):
+        read_mff(f"{AAIG}/byte.tif.grd")
