@@ -123,7 +123,7 @@ _sql_geom.register_all(register_sql_function)
 _TOKEN_RE = re.compile(
     r"\s*(?:(?P<num>\d+\.\d*|\.\d+|\d+)|(?P<str>'(?:[^']|'')*')|"
     r"(?P<id>[A-Za-z_][A-Za-z_0-9]*)|"
-    r"(?P<op>\|\||<>|!=|<=|>=|[(),*=<>+\-/%.\[\]]))"
+    r"(?P<op>\|\||<<|>>|<>|!=|<=|>=|[(),*=<>+\-/%.\[\]&|]))"
 )
 
 _KEYWORDS = {
@@ -166,6 +166,7 @@ _BUILTIN_CALLS = {
     "left": "left", "right": "right", "lpad": "lpad", "rpad": "rpad",
     "split_part": "split_part", "least": "least", "greatest": "greatest",
     "repeat": "repeat", "reverse": "reverse", "mod": "mod",
+    "xor": "xor",
     "regexp_replace": "regexp_replace", "regexp_matches": "regexp_matches",
     "regexp_extract": "regexp_extract", "strftime": "strftime",
     "json_extract_string": "json_extract_string",
@@ -277,7 +278,7 @@ class Parser:
         return self.cmp_expr()
 
     def cmp_expr(self):
-        left = self.add_expr()
+        left = self.bit_expr()
         t = self.peek()
         neg = False
         if t == ("kw", "NOT"):
@@ -299,10 +300,10 @@ class Parser:
                 self.expect("op", ")")
                 node = Node("quant", (op, which), (left, sub))
             else:
-                node = Node("bin", op, (left, self.add_expr()))
+                node = Node("bin", op, (left, self.bit_expr()))
         elif t == ("kw", "ILIKE"):
             self.next()
-            node = Node("like", "i", (left, self.add_expr()))
+            node = Node("like", "i", (left, self.bit_expr()))
         elif t == ("kw", "IN"):
             self.next()
             self.expect("op", "(")
@@ -318,13 +319,13 @@ class Parser:
                 node = Node("in", None, (left, tuple(vals)))
         elif t == ("kw", "BETWEEN"):
             self.next()
-            lo = self.add_expr()
+            lo = self.bit_expr()
             self.expect("kw", "AND")
-            hi = self.add_expr()
+            hi = self.bit_expr()
             node = Node("between", None, (left, lo, hi))
         elif t == ("kw", "LIKE"):
             self.next()
-            pat = self.add_expr()
+            pat = self.bit_expr()
             if (self.peek()[0] == "id"
                     and self.peek()[1].upper() == "ESCAPE"):
                 self.next()
@@ -340,7 +341,7 @@ class Parser:
             # expr SIMILAR TO 'regex': full-match regex (DuckDB semantics)
             self.next()
             self.next()
-            node = Node("like", "s", (left, self.add_expr()))
+            node = Node("like", "s", (left, self.bit_expr()))
         elif t == ("kw", "IS"):
             self.next()
             isnot = self.accept("kw", "NOT")
@@ -349,7 +350,7 @@ class Parser:
                 if self.next() != ("kw", "FROM"):
                     raise ValueError("expected FROM after IS DISTINCT")
                 node = Node("isdist", not isnot,
-                            (left, self.add_expr()))
+                            (left, self.bit_expr()))
             else:
                 self.expect("kw", "NULL")
                 node = Node("isnull", not isnot, (left,))
@@ -505,6 +506,29 @@ class Parser:
                 frame = ("rows", (lo[0], int(lo[1])), (hi[0], int(hi[1])))
         self.expect("op", ")")
         return parts, order, frame
+
+    def bit_expr(self):
+        # bitwise | (lowest) > & > shifts, all above additive — DuckDB/
+        # Postgres-compatible for the common integer-key idioms
+        left = self.bitand_expr()
+        while self.peek() == ("op", "|"):
+            self.next()
+            left = Node("bin", "bitor", (left, self.bitand_expr()))
+        return left
+
+    def bitand_expr(self):
+        left = self.shift_expr()
+        while self.peek() == ("op", "&"):
+            self.next()
+            left = Node("bin", "bitand", (left, self.shift_expr()))
+        return left
+
+    def shift_expr(self):
+        left = self.add_expr()
+        while self.peek()[0] == "op" and self.peek()[1] in ("<<", ">>"):
+            op = self.next()[1]
+            left = Node("bin", op, (left, self.add_expr()))
+        return left
 
     def add_expr(self):
         left = self.mul_expr()
@@ -2414,6 +2438,10 @@ def eval_expr(node: Node, t: pa.Table):
             fn = {"+": pc.add, "-": pc.subtract, "*": pc.multiply,
                   "/": pc.divide, "%": _sql_mod}[op]
             return fn(a, b)
+        if op in ("bitor", "bitand", "<<", ">>"):
+            fn = {"bitor": pc.bit_wise_or, "bitand": pc.bit_wise_and,
+                  "<<": pc.shift_left, ">>": pc.shift_right}[op]
+            return fn(a, b)
         if op in ("=", "<>", "<", "<=", ">", ">="):
             # SQL implicit coercion: comparing a temporal column to a string
             # literal parses the literal (DuckDB does the same)
@@ -2592,6 +2620,9 @@ def eval_expr(node: Node, t: pa.Table):
                                     int(node.args[1].value))
         if fn == "reverse":
             return pc.utf8_reverse(eval_expr(node.args[0], t))
+        if fn == "xor":
+            return pc.bit_wise_xor(eval_expr(node.args[0], t),
+                                   eval_expr(node.args[1], t))
         if fn == "mod":
             return _sql_mod(eval_expr(node.args[0], t),
                             eval_expr(node.args[1], t))

@@ -232,6 +232,9 @@ CASES = [
     "SELECT rk, n_name, r_name FROM (SELECT n_regionkey AS rk, n_name FROM nation) a JOIN (SELECT r_regionkey AS rk, r_name FROM region) b USING (rk) ORDER BY n_name",
     # FROM-less SELECT (one-row dual table)
     "SELECT 1 AS one, 'x' AS s, 2.5 AS f",
+    # bitwise operators + xor() (precedence: | < & < shifts < additive)
+    "SELECT o_orderkey, o_orderkey & 7 AS a, o_orderkey | 8 AS o, xor(o_orderkey, 5) AS x, o_orderkey << 2 AS s, o_orderkey >> 1 AS r FROM orders WHERE o_orderkey < 50 ORDER BY o_orderkey",
+    "SELECT o_orderkey % 16 & 12 | 1 AS m, COUNT(*) AS n FROM orders GROUP BY 1 ORDER BY 1",
     # PERCENTILE_CONT/DISC ... WITHIN GROUP + ORDER BY ALL
     "SELECT o_orderpriority, ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4) AS med, ROUND(PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY o_totalprice DESC), 4) AS p90d, PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS q1 FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
     "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n FROM orders GROUP BY o_orderstatus, o_orderpriority ORDER BY ALL",
