@@ -4073,6 +4073,23 @@ def q189_range_frames(sf_dir):
     return _sql_query(Q189_SQL)(sf_dir)
 
 
+Q190_SQL = """
+SELECT o_orderkey & 7 AS low_bits,
+       CAST(SUM(CASE WHEN (o_orderkey >> 3) & 1 = 1
+                THEN 1 ELSE 0 END) AS BIGINT) AS bit3_set,
+       CAST(SUM(xor(o_orderkey, 21) % 100) AS BIGINT) AS xsum,
+       COUNT(*) AS n
+FROM orders GROUP BY o_orderkey & 7 ORDER BY low_bits
+"""
+
+
+def q190_bitwise(sf_dir):
+    """Bitwise SQL operators (& | << >> + xor()) through grouping and
+    aggregation — Arrow bit_wise_*/shift kernels behind a three-level
+    precedence layer. Runs verbatim in DuckDB."""
+    return _sql_query(Q190_SQL)(sf_dir)
+
+
 def q170_training_prep(sf_dir):
     """The COMPOSED training-data prep chain (curate -> mixture resample
     -> 64-token chunking -> next-fit packing into 256-token sequences);
@@ -4368,6 +4385,7 @@ def registry():
         "q187_within_group": q187_within_group,
         "q188_natural_join": q188_natural_join,
         "q189_range_frames": q189_range_frames,
+        "q190_bitwise": q190_bitwise,
         "q177_join_using": q177_join_using,
         "q178_window_exprs": q178_window_exprs,
         "q179_cross_grid": q179_cross_grid,
@@ -4501,6 +4519,7 @@ def registry():
         "q187_within_group": Q187_SQL,
         "q188_natural_join": Q188_SQL,
         "q189_range_frames": Q189_SQL,
+        "q190_bitwise": Q190_SQL,
         "q177_join_using": Q177_SQL,
         "q178_window_exprs": Q178_SQL,
         "q179_cross_grid": Q179_SQL,
